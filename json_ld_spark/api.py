@@ -1,0 +1,101 @@
+"""Processor facade: expand / flatten / to_rdf / compare on single
+documents — the pure-Python core the Spark operators batch over.
+
+Reference parity: JsonLdProcessor trait entry points
+(src/processor/mod.rs:327; remote_document.rs:45,162; mod.rs:1481).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from .canonicalize import canonicalize_quads
+from .compare import expanded_equals
+from .context import ActiveContext, process_context
+from .expand import expand_document
+from .nodemap import BlankGen, flatten_expanded, generate_node_map
+from .options import JsonLdOptions
+from .rdf import Quad, expanded_to_quads
+
+
+def _initial_context(
+    options: JsonLdOptions, base_url: str | None
+) -> ActiveContext:
+    base = options.base if options.base is not None else base_url
+    active = ActiveContext(base_iri=base, original_base_url=base)
+    if options.expand_context is not None:
+        ec = options.expand_context
+        if isinstance(ec, dict) and "@context" in ec:
+            ec = ec["@context"]
+        active = process_context(
+            active, ec, base,
+            loader=options.loader, processing_mode=options.processing_mode,
+        )
+    return active
+
+
+def expand(
+    document: Any,
+    options: JsonLdOptions | None = None,
+    base_url: str | None = None,
+) -> list:
+    """RemoteDocument::expand_full (remote_document.rs:45)."""
+    options = options or JsonLdOptions()
+    active = _initial_context(options, base_url)
+    expanded, _warnings = expand_document(document, active, options, base_url or options.base)
+    return expanded
+
+
+def expand_with_warnings(
+    document: Any,
+    options: JsonLdOptions | None = None,
+    base_url: str | None = None,
+) -> tuple[list, list[str]]:
+    options = options or JsonLdOptions()
+    active = _initial_context(options, base_url)
+    return expand_document(document, active, options, base_url or options.base)
+
+
+def flatten(
+    document: Any,
+    options: JsonLdOptions | None = None,
+    base_url: str | None = None,
+    ordered: bool = True,
+) -> list:
+    """RemoteDocument::flatten_full (remote_document.rs:162): expand →
+    node map → flat node list."""
+    expanded = expand(document, options, base_url)
+    return flatten_expanded(expanded, ordered=ordered, gen=BlankGen())
+
+
+def to_rdf(
+    document: Any,
+    options: JsonLdOptions | None = None,
+    base_url: str | None = None,
+    canonicalize: bool = False,
+) -> list[Quad]:
+    """JsonLdProcessor::to_rdf_full (src/processor/mod.rs:1481)."""
+    options = options or JsonLdOptions()
+    expanded = expand(document, options, base_url)
+    quads = expanded_to_quads(
+        expanded,
+        rdf_direction=options.rdf_direction,
+        produce_generalized_rdf=options.produce_generalized_rdf,
+        gen=BlankGen(),
+    )
+    if canonicalize:
+        quads = canonicalize_quads(quads)
+    return quads
+
+
+def compare(
+    doc1: Any,
+    doc2: Any,
+    options: JsonLdOptions | None = None,
+    base_url: str | None = None,
+) -> bool:
+    """JsonLdProcessor::compare (remote_document.rs:15-43): expanded-form
+    set equality."""
+    return expanded_equals(
+        expand(doc1, options, base_url), expand(doc2, options, base_url)
+    )

@@ -1,0 +1,35 @@
+"""Processing options, mirroring the reference's Options struct
+(src/processor/mod.rs:17-81) plus expansion policy
+(crates/expansion/src/options.rs:39-75).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from .context import Loader, no_loader
+
+# expansion policy for invalid (non-IRI, non-keyword) properties
+POLICY_STANDARD = "standard"   # drop silently (spec behavior)
+POLICY_KEEP = "keep"           # keep invalid term as property (ref Keep)
+POLICY_REJECT = "reject"       # raise (ref Strictest/Reject)
+
+
+@dataclass
+class JsonLdOptions:
+    base: Optional[str] = None
+    processing_mode: str = "json-ld-1.1"
+    ordered: bool = False
+    compact_arrays: bool = True
+    compact_to_relative: bool = True
+    expand_context: Any = None
+    rdf_direction: Optional[str] = None  # None | "i18n-datatype" | "compound-literal"
+    produce_generalized_rdf: bool = False
+    policy: str = POLICY_STANDARD
+    loader: Loader = field(default=no_loader)
+
+    def with_(self, **kw) -> "JsonLdOptions":
+        from dataclasses import replace
+
+        return replace(self, **kw)

@@ -1,0 +1,44 @@
+from json_ld_spark.canon import (
+    canonical_json,
+    ecmascript_number,
+    xsd_canonical_double,
+)
+
+
+def test_xsd_canonical_double():
+    assert xsd_canonical_double(1.0) == "1.0E0"
+    assert xsd_canonical_double(110.0) == "1.1E2"
+    assert xsd_canonical_double(0.5) == "5.0E-1"
+    assert xsd_canonical_double(-0.5) == "-5.0E-1"
+    assert xsd_canonical_double(1e21) == "1.0E21"
+    assert xsd_canonical_double(1.111) == "1.111E0"
+    assert xsd_canonical_double(0.0) == "0.0E0"
+    assert xsd_canonical_double(-0.0) == "-0.0E0"
+    assert xsd_canonical_double(123456789.123) == "1.23456789123E8"
+    assert xsd_canonical_double(5.3) == "5.3E0"
+    assert xsd_canonical_double(1e-7) == "1.0E-7"
+
+
+def test_ecmascript_number():
+    assert ecmascript_number(1.0) == "1"
+    assert ecmascript_number(-1.0) == "-1"
+    assert ecmascript_number(1.5) == "1.5"
+    assert ecmascript_number(0.0) == "0"
+    assert ecmascript_number(100.0) == "100"
+    assert ecmascript_number(1e21) == "1e+21"
+    assert ecmascript_number(1e-7) == "1e-7"
+    assert ecmascript_number(0.000001) == "0.000001"
+    assert ecmascript_number(1.1e22) == "1.1e+22"
+    assert ecmascript_number(5.3) == "5.3"
+
+
+def test_canonical_json_sorted_compact():
+    assert canonical_json({"b": 1, "a": [True, None, "x"]}) == '{"a":[true,null,"x"],"b":1}'
+    assert canonical_json({"n": 1.0}) == '{"n":1}'
+    assert canonical_json("a\"b\n") == '"a\\"b\\n"'
+
+
+def test_canonical_json_stable():
+    a = {"x": {"b": 2, "a": 1}, "y": [1, 2]}
+    b = {"y": [1, 2], "x": {"a": 1, "b": 2}}
+    assert canonical_json(a) == canonical_json(b)
