@@ -12,7 +12,7 @@ Layout:
   streaming/  — structured-streaming ingest variant
 """
 
-from .api import compare, expand, flatten, to_rdf  # noqa: F401
+from .api import compact, compare, expand, flatten, to_rdf  # noqa: F401
 from .options import JsonLdOptions  # noqa: F401
 
 __version__ = "0.1.0"

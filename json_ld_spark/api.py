@@ -88,6 +88,21 @@ def to_rdf(
     return quads
 
 
+def compact(
+    document: Any,
+    context: Any,
+    options: JsonLdOptions | None = None,
+    base_url: str | None = None,
+) -> dict:
+    """JsonLdProcessor::compact (src/processor/mod.rs:1876-1930):
+    expand → compact against the target context."""
+    from .compact import compact_document
+
+    options = options or JsonLdOptions()
+    expanded = expand(document, options, base_url)
+    return compact_document(expanded, context, options, base_url)
+
+
 def compare(
     doc1: Any,
     doc2: Any,

@@ -35,7 +35,24 @@ _GEN_DELIMS = set(":/?#[]@")
 
 _LANG_TAG_RE = re.compile(r"^[A-Za-z]{1,8}(-[A-Za-z0-9]{1,8})*$")
 
-UNSET = object()  # tri-state marker for language/direction term fields
+class _Unset:
+    """Tri-state marker for language/direction term fields. Pickle-stable
+    singleton (term definitions cross the driver→executor boundary)."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:
+        return "UNSET"
+
+    def __reduce__(self):
+        return (_get_unset, ())
+
+
+def _get_unset() -> "_Unset":
+    return UNSET
+
+
+UNSET = _Unset()
 
 MAX_REMOTE_CONTEXTS = 32
 

@@ -428,8 +428,8 @@ def _expand_keyword_entry(
         result.setdefault("@included", []).extend(expanded)
     elif expanded_property == "@value":
         if input_type == "@json" and options.processing_mode != "json-ld-1.0":
+            # any JSON value allowed; @type: @json arrives via the @type entry
             result["@value"] = value
-            result["@type"] = "@json"
         else:
             if value is not None and (
                 not isinstance(value, _SCALAR) or isinstance(value, (dict, list))

@@ -1,0 +1,170 @@
+"""Distributed blank-node canonicalization over the corpus triple table.
+
+DataFrame-native color refinement — the distributed twin of
+json_ld_spark.canonicalize (per-doc, in-UDF). Each round:
+
+  quads ⨝ labels (subj) ⨝ labels (obj) ⨝ labels (graph)   3 hash joins
+  → per-bnode signature rows → groupBy(bnode) sha2 of sorted signatures
+
+All shuffles key on the bnode label; `rounds` is small (default 3) and
+the label table is tiny relative to the quad table (bnodes only), so the
+joins broadcast when possible. Used for golden-suite scoring at scale
+and cross-checked against the sequential version in tests.
+
+Replaces the reference's sequential relabel generator
+(crates/core/src/document/expanded.rs:99-115) with the hash-based
+canonical identifiers sanctioned by BASELINE.json's north_star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _is_bnode(c):
+    return c.isNotNull() & c.startswith("_:")
+
+
+def canonicalize_bnodes_df(
+    triples: DataFrame, rounds: int = 3, prefix: str = "c"
+) -> DataFrame:
+    """Returns the triple DataFrame with every blank label replaced by a
+    deterministic content-hash label (collision-disambiguated)."""
+    t = triples
+    bnodes = (
+        t.select(F.col("subj").alias("b"))
+        .where(_is_bnode(F.col("subj")))
+        .unionByName(
+            t.select(F.col("obj").alias("b")).where(
+                (F.col("obj_kind") == "bnode") & _is_bnode(F.col("obj"))
+            )
+        )
+        .unionByName(
+            t.select(F.col("graph").alias("b")).where(_is_bnode(F.col("graph")))
+        )
+        .distinct()
+    )
+    labels = bnodes.select("b", F.lit("").alias("h"))
+
+    base = t.select(
+        "graph", "subj", "pred", "obj_kind", "obj",
+        F.coalesce("datatype", F.lit("~")).alias("dt"),
+        F.coalesce("lang", F.lit("~")).alias("lg"),
+    )
+
+    for _ in range(rounds):
+        lab_s = labels.select(F.col("b").alias("subj"), F.col("h").alias("h_subj"))
+        lab_o = labels.select(F.col("b").alias("obj"), F.col("h").alias("h_obj"))
+        lab_g = labels.select(F.col("b").alias("graph"), F.col("h").alias("h_graph"))
+        j = (
+            base.join(F.broadcast(lab_s), "subj", "left")
+            .join(F.broadcast(lab_o), "obj", "left")
+            .join(F.broadcast(lab_g), "graph", "left")
+        )
+        # per-position signatures: self marker vs neighbor hash
+        g_term = F.when(
+            _is_bnode(F.col("graph")), F.coalesce("h_graph", F.lit("_:other"))
+        ).otherwise(F.coalesce(F.col("graph"), F.lit("~")))
+        s_term = F.when(
+            _is_bnode(F.col("subj")), F.coalesce("h_subj", F.lit("_:other"))
+        ).otherwise(F.col("subj"))
+        o_term = F.when(
+            (F.col("obj_kind") == "bnode") & _is_bnode(F.col("obj")),
+            F.coalesce("h_obj", F.lit("_:other")),
+        ).otherwise(F.col("obj"))
+
+        def sig(self_col: str):
+            # every occurrence of the self label (any position) → "_:self",
+            # matching json_ld_spark.canonicalize._quad_signature
+            self_val = F.col(self_col)
+            g_rep = F.when(
+                F.col("graph").isNotNull() & (F.col("graph") == self_val),
+                F.lit("_:self"),
+            ).otherwise(g_term)
+            s_rep = F.when(F.col("subj") == self_val, F.lit("_:self")).otherwise(s_term)
+            o_rep = F.when(
+                (F.col("obj_kind") == "bnode") & (F.col("obj") == self_val),
+                F.lit("_:self"),
+            ).otherwise(o_term)
+            return F.concat_ws(
+                "|", g_rep, s_rep, F.col("pred"), F.col("obj_kind"),
+                o_rep, F.col("dt"), F.col("lg"),
+            )
+
+        sig_rows = None
+        for col, guard in (
+            ("subj", _is_bnode(F.col("subj"))),
+            ("obj", (F.col("obj_kind") == "bnode") & _is_bnode(F.col("obj"))),
+            ("graph", _is_bnode(F.col("graph"))),
+        ):
+            part = j.where(guard).select(F.col(col).alias("b"), sig(col).alias("sig"))
+            sig_rows = part if sig_rows is None else sig_rows.unionByName(part)
+
+        new_labels = (
+            sig_rows.groupBy("b")
+            .agg(
+                F.sha2(
+                    F.concat_ws("", F.array_sort(F.collect_list("sig"))), 256
+                ).alias("agg_sig")
+            )
+            .join(labels, "b")
+            .select(
+                "b",
+                F.sha2(F.concat_ws("", "agg_sig", "h"), 256).alias("h"),
+                "agg_sig",
+            )
+        )
+        # materialize each round: labels feed three joins in the next
+        # round, so an unbroken lineage grows ~3^rounds and chokes the
+        # optimizer; localCheckpoint truncates it (same trick iterative
+        # GraphX/connected-components jobs use)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels.select("b", "h")
+        final_sigs = new_labels
+
+    # disambiguate identical hashes deterministically
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("h").orderBy("agg_sig", "b")
+    counts = Window.partitionBy("h")
+    final = (
+        final_sigs.withColumn("rk", F.row_number().over(w) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(counts))
+        .select(
+            "b",
+            F.concat(
+                F.lit("_:" + prefix),
+                F.substring("h", 1, 16),
+                F.when(F.col("n") > 1, F.concat(F.lit("-"), F.col("rk"))).otherwise(
+                    F.lit("")
+                ),
+            ).alias("canon"),
+        )
+    )
+
+    m_s = final.select(F.col("b").alias("subj"), F.col("canon").alias("c_subj"))
+    m_o = final.select(F.col("b").alias("obj"), F.col("canon").alias("c_obj"))
+    m_g = final.select(F.col("b").alias("graph"), F.col("canon").alias("c_graph"))
+    out = (
+        t.join(F.broadcast(m_s), "subj", "left")
+        .join(F.broadcast(m_o), "obj", "left")
+        .join(F.broadcast(m_g), "graph", "left")
+        .select(
+            F.coalesce("c_graph", "graph").alias("graph"),
+            F.coalesce("c_subj", "subj").alias("subj"),
+            "pred",
+            "obj_kind",
+            F.when(
+                (F.col("obj_kind") == "bnode") & F.col("c_obj").isNotNull(),
+                F.col("c_obj"),
+            )
+            .otherwise(F.col("obj"))
+            .alias("obj"),
+            "datatype",
+            "lang",
+            *[c for c in t.columns if c not in (
+                "graph", "subj", "pred", "obj_kind", "obj", "datatype", "lang"
+            )],
+        )
+    )
+    return out

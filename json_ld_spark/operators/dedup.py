@@ -1,0 +1,252 @@
+"""Document deduplication operators for training-data pipelines
+(task brief: exact, MinHash+LSH, SimHash, n-gram Jaccard). All are
+DataFrame-native — hashing via xxhash64/md5 (JVM, codegen'd), banding and
+bucket joins as groupBy/self-join on band keys. No Python in any hot
+path; scale notes on each operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def normalize_text(col: Column) -> Column:
+    """whitespace-collapse + lowercase; the usual exact-dup canonical form."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: one row per doc
+    that belongs to a duplicate group, with the group's canonical
+    (minimum) id. Single hash-shuffle on the content hash; at 100 TB the
+    md5 group key keeps the shuffle payload to 32 bytes/row."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "content_hash", "canonical_id", "group_size")
+    )
+
+
+def dedup_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one representative (min id) per content hash."""
+    w = Window.partitionBy(F.md5(normalize_text(F.col(text_col)))).orderBy(
+        F.col(id_col)
+    )
+    return docs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+
+# --------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# --------------------------------------------------------------------------
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), JVM-side: split + transform
+    over index sequence — no UDF."""
+    words = F.split(normalize_text(col), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    return F.when(k <= 0, F.array(normalize_text(col))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """num_hashes min-hash values per doc. Each hash family member is
+    xxhash64(shingle, seed=i); min via array aggregate. All columnar."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    rows/band = num_hashes/bands; docs agreeing on all rows of any band
+    collide. Plan shape: one projection builds signatures (codegen), one
+    explode to (band_key, doc), one groupBy-join per band bucket.
+    At scale the band-bucket groupBy is the only shuffle and its key
+    (band id + 16-byte hash) is uniform by construction — no skew.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    band_entries = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_hash")
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidates with exact n-gram Jaccard (array_intersect /
+    array_union on shingle sets). Joins are on doc ids (uniform)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidate_pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """bits-bit SimHash per document: explode tokens, per-bit weighted
+    vote via groupBy sum over shiftright(xxhash64(token)) — two narrow
+    shuffles keyed on doc_id, all JVM expressions."""
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tokens.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"bit{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"bit{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+            for i in range(bits)
+        ).cast("long").alias("simhash"),
+    )
+    return sim
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Pairs within `max_hamming` bits: block-permutation LSH (split the
+    hash into n_blocks; any pair within distance d < n_blocks shares at
+    least one exact block — pigeonhole), then exact popcount filter via
+    bit_count. Scale: block-key self-join, uniform keys."""
+    sim = simhash(docs, id_col, text_col, bits)
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_no"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_no", "blk.block_val")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block_no") == F.col("r.block_no"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,137 @@
+"""Entity linking: mention detection + linking against a canonical-entity
+dictionary (north_star stage; no reference analogue — SURVEY.md §2-I
+"Hash join (broadcast)" row).
+
+Pipeline: triples/turns → mention extraction (JVM split/explode — zero
+Python) → candidate join vs dictionary → vectorized link scoring
+(Arrow-batched pandas UDF) → top-1 per (subject, surface) via window.
+
+Skew: the dictionary is usually small → `broadcast()` (no shuffle, skew
+irrelevant). For dictionaries too large to broadcast, `strategy=
+"salted"` spreads hot surfaces across `n_salts` shuffle keys: mentions
+get a deterministic salt from xxhash64(subject), the dictionary side is
+exploded ×n_salts, and the equi-join runs on (surface, salt) — bounded
+per-task fan-in even when one surface covers half the corpus. AQE skew
+join stays on as backstop (session.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window
+
+ENTITY_BASE = "https://example.org/entity/"
+
+MENTION_RE = r"[^a-z0-9]+"
+
+
+def synthesize_entity_dictionary(
+    spark: SparkSession, sf_dir: str, max_entities: int = 2000
+) -> DataFrame:
+    """Deterministic canonical-entity dictionary built from the corpus's
+    own vocabulary (FIXTURES.md §6): every distinct lowercased token of
+    documents.text becomes an entity; prior = corpus frequency share, so
+    frequent surfaces are 'hot' (skew exercise is intrinsic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), MENTION_RE)).alias("surface")
+    ).filter(F.length("surface") >= 3)
+    freq = tokens.groupBy("surface").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n")).collect()[0][0] or 1
+    return (
+        freq.orderBy(F.desc("n"), "surface")
+        .limit(max_entities)
+        .select(
+            F.concat(F.lit(ENTITY_BASE), F.col("surface")).alias("entity_id"),
+            "surface",
+            (F.col("n") / F.lit(float(total))).alias("prior"),
+        )
+    )
+
+
+def extract_mentions(
+    df: DataFrame, text_col: str = "text", subject_col: str = "subj"
+) -> DataFrame:
+    """JVM-side mention candidates: (subj, surface, pos). Codegen'd
+    split+posexplode; no Python in this hot path."""
+    return (
+        df.select(
+            F.col(subject_col).alias("subj"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), MENTION_RE)).alias(
+                "pos", "surface"
+            ),
+        )
+        .filter(F.length("surface") >= 3)
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def link_score(prior: pd.Series, tf: pd.Series, pos: pd.Series) -> pd.Series:
+    """Vectorized link scoring (Arrow batch; the north_star's 'batched
+    entity-link scoring per partition'). Monotone in prior and term
+    frequency, slight early-position boost — deterministic."""
+    import numpy as np
+
+    return prior.astype(float) * np.log1p(tf.astype(float)) / np.log1p(
+        pos.astype(float) + 1.0
+    )
+
+
+def link_entities(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    strategy: str = "broadcast",
+    n_salts: int = 8,
+    top_k: int = 1,
+) -> DataFrame:
+    """Join mention candidates to the entity dictionary and keep the
+    top-k scored entity per (subj, surface).
+
+    strategy='broadcast': F.broadcast(dictionary) — no shuffle.
+    strategy='salted':    deterministic salt on the probe side +
+                          dictionary replicated ×n_salts (hot-key spread
+                          for dictionaries beyond broadcast size).
+    """
+    tf = mentions.groupBy("subj", "surface").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("pos").alias("first_pos")
+    )
+    if strategy == "broadcast":
+        joined = tf.join(F.broadcast(dictionary), "surface", "inner")
+    elif strategy == "salted":
+        salted = tf.withColumn(
+            "salt", F.pmod(F.xxhash64("subj"), F.lit(n_salts)).cast("int")
+        )
+        replicated = dictionary.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        joined = salted.join(replicated, ["surface", "salt"], "inner").drop("salt")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    scored = joined.withColumn(
+        "score", link_score(F.col("prior"), F.col("tf"), F.col("first_pos"))
+    )
+    w = Window.partitionBy("subj", "surface").orderBy(
+        F.desc("score"), F.asc("entity_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .drop("rank")
+    )
+
+
+def mention_triples(links: DataFrame) -> DataFrame:
+    """Linked entities → mention triples for the corpus graph."""
+    from ..sources.transcripts import TRANSCRIPT_VOCAB
+
+    return links.select(
+        F.lit(None).cast("string").alias("graph"),
+        F.col("subj"),
+        F.lit(TRANSCRIPT_VOCAB + "mentions").alias("pred"),
+        F.lit("iri").alias("obj_kind"),
+        F.col("entity_id").alias("obj"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit(None).cast("string").alias("lang"),
+    )

@@ -1,0 +1,96 @@
+"""JVM-native triple extraction for fixed-schema documents.
+
+The generic path (operators/jsonld.triples_stage) handles arbitrary
+JSON-LD via pandas UDF batches. For the production transcript shape the
+@context is fixed and known at plan time, so the whole
+expand→node-map→quads pipeline collapses into pure Catalyst column
+expressions: no Python at all, fully whole-stage-codegen'd, pushdown-
+friendly. This is the 100 TB path; `tests/test_spark_pipeline.py`
+asserts it emits byte-identical quads to the generic engine.
+
+Reference parity: this is a partial evaluation of
+crates/expansion + crates/core/src/rdf over the TRANSCRIPT_CONTEXT of
+sources/transcripts.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..rdf import RDF_TYPE, XSD, XSD_INTEGER, XSD_STRING
+from ..sources.transcripts import CONV_BASE, TRANSCRIPT_VOCAB
+
+XSD_DATETIME = XSD + "dateTime"
+
+
+def _quad(
+    subj: Column, pred: str, obj_kind: str, obj: Column,
+    datatype: str | None, lang: str | None,
+) -> list[Column]:
+    return [
+        F.lit(None).cast("string").alias("graph"),
+        subj.alias("subj"),
+        F.lit(pred).alias("pred"),
+        F.lit(obj_kind).alias("obj_kind"),
+        obj.alias("obj"),
+        (F.lit(datatype) if datatype else F.lit(None)).cast("string").alias("datatype"),
+        (F.lit(lang) if lang else F.lit(None)).cast("string").alias("lang"),
+    ]
+
+
+def transcript_triples_native(transcripts: DataFrame, with_doc_id: bool = True) -> DataFrame:
+    """(conv_id, turn_idx, role, text, tool, ts) → triple table, matching
+    triples_stage(turns_to_jsonld(df), TRANSCRIPT_CONTEXT) exactly.
+
+    One projection + posexplode-free union: each property becomes a
+    column-tuple in a single `inline(array(struct...))` so the source
+    scans once and stays in one codegen stage.
+    """
+    subj = F.concat(
+        F.lit(CONV_BASE), F.col("conv_id"), F.lit("/turn/"),
+        F.col("turn_idx").cast("string"),
+    )
+    conv_iri = F.concat(F.lit(CONV_BASE), F.col("conv_id"))
+    ts_lex = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    doc_id = F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string"))
+
+    def entry(pred: str, kind: str, obj: Column, dt: str | None, lang: str | None):
+        return F.struct(
+            F.lit(pred).alias("pred"),
+            F.lit(kind).alias("obj_kind"),
+            obj.cast("string").alias("obj"),
+            F.lit(dt).cast("string").alias("datatype"),
+            F.lit(lang).cast("string").alias("lang"),
+        )
+
+    entries = F.array(
+        entry("@type", "iri", F.lit(TRANSCRIPT_VOCAB + "Turn"), None, None),
+        entry(TRANSCRIPT_VOCAB + "role", "literal", F.col("role"), XSD_STRING, None),
+        entry(TRANSCRIPT_VOCAB + "text", "literal", F.col("text"), XSD_STRING, None),
+        entry(TRANSCRIPT_VOCAB + "tool", "literal", F.col("tool"), XSD_STRING, None),
+        entry(TRANSCRIPT_VOCAB + "timestamp", "literal", ts_lex, XSD_DATETIME, None),
+        entry(TRANSCRIPT_VOCAB + "turnIndex", "literal",
+              F.col("turn_idx").cast("string"), XSD_INTEGER, None),
+        entry(TRANSCRIPT_VOCAB + "conversation", "iri", conv_iri, None, None),
+    )
+
+    cols = [doc_id.alias("doc_id")] if with_doc_id else []
+    exploded = transcripts.select(
+        *cols,
+        subj.alias("subj"),
+        F.explode(entries).alias("e"),
+    )
+    out = exploded.select(
+        *(["doc_id"] if with_doc_id else []),
+        F.lit(None).cast("string").alias("graph"),
+        "subj",
+        F.when(F.col("e.pred") == "@type", F.lit(RDF_TYPE))
+        .otherwise(F.col("e.pred"))
+        .alias("pred"),
+        F.col("e.obj_kind").alias("obj_kind"),
+        F.col("e.obj").alias("obj"),
+        F.col("e.datatype").alias("datatype"),
+        F.col("e.lang").alias("lang"),
+    )
+    # null tool → no quad (expansion drops null values)
+    return out.filter(F.col("obj").isNotNull())

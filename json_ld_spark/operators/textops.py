@@ -1,0 +1,99 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting. All JVM
+column expressions except the BPE-ish tokenizer regex (still native
+regexp) — zero Python in hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# crude n-gram/stopword language evidence (heuristic language-ID; real
+# models plug in as pandas UDFs behind the same column contract)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+# a BPE-ish tokenizer regex: words with optional leading space, numbers,
+# punctuation runs (GPT-2 style classes, simplified)
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _count_word(words: Column, marker: str) -> Column:
+    # single-arg lambda: a two-arg lambda would receive (element, index)
+    return F.size(F.filter(words, lambda w: w == F.lit(marker)))
+
+
+def lang_id(col: Column) -> Column:
+    """Best-scoring marker language, 'und' when nothing matches."""
+    words = _words(col)
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        score = sum((_count_word(words, m) for m in markers), F.lit(0))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_count_whitespace(col: Column) -> Column:
+    return F.size(_words(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Count of BPE-ish regex tokens (regexp_extract_all is JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), 0))
+
+
+def quality_score(col: Column) -> Column:
+    """[0,1] heuristic from length, punctuation ratio, stopword ratio,
+    mean word length — the standard cheap pre-filter stack."""
+    length = F.length(col)
+    words = _words(col)
+    n_words = F.size(words)
+    punct = F.length(F.regexp_replace(col, r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = punct / F.greatest(length, F.lit(1))
+    stop = sum((_count_word(words, m) for m in _LANG_MARKERS["en"]), F.lit(0))
+    stop_ratio = stop / F.greatest(n_words, F.lit(1))
+    mean_word_len = length / F.greatest(n_words, F.lit(1))
+    len_score = F.least(length / F.lit(500.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))
+    stop_score = F.least(stop_ratio * 5, F.lit(1.0))
+    wordlen_score = F.when(
+        (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return (
+        len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + wordlen_score * 0.2
+    )
+
+
+def fingerprint(col: Column, window: int = 4) -> Column:
+    """Winnowing-style document fingerprint: min over rolling-window
+    hashes of word n-grams → one stable 64-bit id per document."""
+    words = _words(col)
+    k = F.greatest(F.size(words) - F.lit(window - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window))),
+    )
+    return F.array_min(grams)
+
+
+def analyze_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        lang_id(t).alias("lang_pred"),
+        token_count_whitespace(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        F.round(quality_score(t), 6).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

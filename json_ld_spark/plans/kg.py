@@ -1,0 +1,91 @@
+"""End-to-end KG construction pipeline (BASELINE.json north_star):
+
+transcripts → per-turn JSON-LD → triple extraction → entity linking →
+dedup/merge → triple + node tables → write-audit-publish materialize.
+
+Stage boundaries and shuffle plan (SURVEY.md §3.3):
+  scan (pruned columns) → triple emission (codegen or Arrow UDF; NO
+  shuffle) → mention/link broadcast join (NO shuffle) → dedup + node
+  merge (the two key'd shuffles) → bucketed WAP write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..options import JsonLdOptions
+from ..sources.transcripts import TRANSCRIPT_CONTEXT, TRANSCRIPT_VOCAB, turns_to_jsonld
+from ..operators.jsonld import dedup_triples, node_table, triples_stage
+from ..operators.native import transcript_triples_native
+from ..operators.linking import extract_mentions, link_entities, mention_triples
+from ..operators import checkpoint as cp
+
+TEXT_PRED = TRANSCRIPT_VOCAB + "text"
+
+
+def transcript_triples(
+    transcripts: DataFrame, engine: str = "native"
+) -> DataFrame:
+    """Triple extraction over the transcript table.
+
+    engine='native': pure Catalyst projection (the scale path).
+    engine='generic': the full JSON-LD engine via Arrow UDF batches —
+    same output, used for parity checks and for any schema the native
+    partial evaluation doesn't cover.
+    """
+    if engine == "native":
+        return transcript_triples_native(transcripts)
+    docs = turns_to_jsonld(transcripts)
+    return triples_stage(docs, context=TRANSCRIPT_CONTEXT, options=JsonLdOptions())
+
+
+def build_kg(
+    transcripts: DataFrame,
+    entity_dictionary: DataFrame | None = None,
+    engine: str = "native",
+    link_strategy: str = "broadcast",
+) -> dict[str, DataFrame]:
+    """Compose the full pipeline; returns {'triples', 'nodes', 'links'}."""
+    triples = transcript_triples(transcripts, engine=engine)
+
+    links = None
+    if entity_dictionary is not None:
+        text_rows = triples.filter(F.col("pred") == TEXT_PRED).select("subj", F.col("obj").alias("text"))
+        mentions = extract_mentions(text_rows, text_col="text", subject_col="subj")
+        links = link_entities(mentions, entity_dictionary, strategy=link_strategy)
+        triples = triples.select(
+            "graph", "subj", "pred", "obj_kind", "obj", "datatype", "lang", "doc_id"
+        ).unionByName(
+            mention_triples(links).withColumn("doc_id", F.col("subj")),
+        )
+
+    triples = dedup_triples(triples)
+    nodes = node_table(triples)
+    return {"triples": triples, "nodes": nodes, "links": links}
+
+
+def materialize_kg(
+    transcripts: DataFrame,
+    out_dir: str,
+    entity_dictionary: DataFrame | None = None,
+    n_buckets: int = 32,
+    engine: str = "native",
+) -> dict:
+    """Resumable materialization: only not-yet-committed conversation
+    buckets are processed (operators/checkpoint.py)."""
+
+    todo = cp.remaining_buckets(transcripts, out_dir, n_buckets, "conv_id")
+    if not todo.take(1):
+        return {"run_id": None, "published_buckets": [], "total_rows": 0}
+    parts = build_kg(todo.drop(cp.BUCKET_COL), entity_dictionary, engine=engine)
+    # every subject in this pipeline is a turn IRI
+    # (https://…/conv/<conv_id>/turn/<i>), so the bucket derives from the
+    # same conv_id key the resume filter uses
+    out = parts["triples"].withColumn(
+        cp.BUCKET_COL,
+        F.pmod(
+            F.xxhash64(F.regexp_extract("subj", r"/conv/([^/]+)/turn/", 1)),
+            F.lit(n_buckets),
+        ).cast("int"),
+    )
+    return cp.write_audit_publish(out, out_dir, n_buckets, key_col="conv_id")

@@ -1,0 +1,223 @@
+"""Spark pipeline tests: transcript invariants, native-vs-generic triple
+parity, entity linking, node merge, distributed canonicalization,
+checkpoint resume. Run on local[4]."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from json_ld_spark.operators import checkpoint as cp
+from json_ld_spark.operators.canonical import canonicalize_bnodes_df
+from json_ld_spark.operators.jsonld import (
+    dedup_triples,
+    expand_stage,
+    flatten_stage,
+    node_table,
+    triples_stage,
+)
+from json_ld_spark.operators.linking import (
+    extract_mentions,
+    link_entities,
+    synthesize_entity_dictionary,
+)
+from json_ld_spark.operators.native import transcript_triples_native
+from json_ld_spark.plans.kg import TEXT_PRED, build_kg, materialize_kg
+from json_ld_spark.sources.transcripts import (
+    TRANSCRIPT_CONTEXT,
+    synthesize_transcripts,
+    turns_to_jsonld,
+)
+
+QUAD_COLS = ["graph", "subj", "pred", "obj_kind", "obj", "datatype", "lang"]
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = synthesize_transcripts(spark, n_convs=20, avg_turns=5).cache()
+    df.count()
+    return df
+
+
+def test_transcripts_shape_and_uniqueness(transcripts):
+    assert transcripts.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    n = transcripts.count()
+    assert transcripts.select("conv_id", "turn_idx").distinct().count() == n
+    # zipf-ish skew: conv-0 is hot
+    sizes = dict(
+        transcripts.groupBy("conv_id").count().collect()[0:0]
+        or [(r[0], r[1]) for r in transcripts.groupBy("conv_id").count().collect()]
+    )
+    assert sizes["conv-0"] == max(sizes.values())
+
+
+def test_native_matches_generic_engine(spark, transcripts):
+    """The Catalyst partial evaluation must emit exactly the quads the
+    full JSON-LD engine emits (expand → node map → toRdf)."""
+    docs = turns_to_jsonld(transcripts)
+    generic = triples_stage(docs, context=TRANSCRIPT_CONTEXT)
+    native = transcript_triples_native(transcripts)
+    a = {tuple(r) for r in generic.select(QUAD_COLS).collect()}
+    b = {tuple(r) for r in native.select(QUAD_COLS).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_per_turn_text_equality_invariant(spark, transcripts):
+    """input_hint invariant: text survives the pipeline byte-identical
+    under stable (conv_id, turn_idx) ordering."""
+    triples = transcript_triples_native(transcripts)
+    texts = triples.filter(F.col("pred") == TEXT_PRED).select(
+        F.regexp_extract("subj", r"/conv/([^/]+)/turn/", 1).alias("conv_id"),
+        F.regexp_extract("subj", r"/turn/(\d+)$", 1).cast("int").alias("turn_idx"),
+        F.col("obj").alias("text_out"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    joined = (
+        transcripts.withColumn("rn_in", F.row_number().over(w))
+        .join(texts, ["conv_id", "turn_idx"], "full_outer")
+        .withColumn("eq", F.col("text") == F.col("text_out"))
+    )
+    assert joined.filter(~F.col("eq") | F.col("eq").isNull()).count() == 0
+
+
+def test_expand_and_flatten_stages(spark):
+    rows = [
+        ("d1", '{"@id": "http://n/1", "http://ex/p": {"http://ex/q": "deep"}}'),
+        ("d2", '{"@id": "http://n/2", "http://ex/p": "x"}'),
+        ("bad", "{not json"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, doc string")
+    exp = expand_stage(df).collect()
+    by_id = {r["doc_id"]: r for r in exp}
+    assert by_id["d1"]["error"] is None and by_id["bad"]["error"] is not None
+    flat = flatten_stage(df)
+    d1_nodes = flat.filter(F.col("doc_id") == "d1").collect()
+    assert sorted(r["node_id"] for r in d1_nodes) == ["_:b0", "http://n/1"]
+
+
+def test_triples_stage_globalized_bnodes(spark):
+    rows = [
+        ("dA", '{"http://ex/p": {"http://ex/q": "x"}}'),
+        ("dB", '{"http://ex/p": {"http://ex/q": "x"}}'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, doc string")
+    t = triples_stage(df).collect()
+    subjects = {r["subj"] for r in t}
+    # same structure, different docs -> different globalized labels
+    labels_a = {r["subj"] for r in t if r["doc_id"] == "dA"}
+    labels_b = {r["subj"] for r in t if r["doc_id"] == "dB"}
+    assert labels_a.isdisjoint(labels_b)
+    assert all(s.startswith("_:g") for s in subjects)
+
+
+def test_node_table_merge(spark, transcripts):
+    triples = transcript_triples_native(transcripts)
+    nodes = node_table(triples)
+    row = nodes.filter(F.col("node_id").endswith("/conv-1/turn/0")).collect()[0]
+    assert row["types"] == ["https://example.org/transcript#Turn"]
+    assert row["out_degree"] >= 6
+
+
+def test_entity_linking_broadcast_and_salted(spark, sf_dir):
+    dictionary = synthesize_entity_dictionary(spark, sf_dir, max_entities=100).cache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    mentions = extract_mentions(
+        docs.select(F.col("doc_id").cast("string").alias("subj"), "text")
+    )
+    broadcast_links = link_entities(mentions, dictionary, strategy="broadcast")
+    salted_links = link_entities(mentions, dictionary, strategy="salted", n_salts=4)
+    a = {tuple(r) for r in broadcast_links.select("subj", "surface", "entity_id").collect()}
+    b = {tuple(r) for r in salted_links.select("subj", "surface", "entity_id").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_distributed_canonicalization_isomorphism(spark):
+    """Two corpora, same structure, different blank labels → identical
+    canonical triple sets (the distributed analogue of
+    tests/to_rdf.rs:166-170 bnode-bijection isomorphism)."""
+    rows_a = [
+        (None, "_:x1", "http://ex/p", "bnode", "_:x2", None, None),
+        (None, "_:x2", "http://ex/q", "literal", "v", None, None),
+    ]
+    rows_b = [
+        (None, "_:y9", "http://ex/p", "bnode", "_:y7", None, None),
+        (None, "_:y7", "http://ex/q", "literal", "v", None, None),
+    ]
+    schema = "graph string, subj string, pred string, obj_kind string, obj string, datatype string, lang string"
+    ca = canonicalize_bnodes_df(spark.createDataFrame(rows_a, schema)).collect()
+    cb = canonicalize_bnodes_df(spark.createDataFrame(rows_b, schema)).collect()
+    assert {tuple(r) for r in ca} == {tuple(r) for r in cb}
+    assert all(r["subj"].startswith("_:c") for r in ca)
+
+
+def test_distributed_canonicalization_matches_local_partition(spark):
+    """Distributed refinement must distinguish structurally different
+    bnodes exactly like the in-UDF version."""
+    from json_ld_spark.canonicalize import canonicalize_quads
+
+    quads = [
+        (None, "_:a", "http://ex/p", "literal", "1", None, None),
+        (None, "_:b", "http://ex/p", "literal", "2", None, None),
+        (None, "_:c", "http://ex/p", "literal", "1", None, None),
+    ]
+    local = canonicalize_quads(quads)
+    # _:a and _:c are automorphic -> same hash, disambiguated; _:b distinct
+    local_subjects = sorted(q[1] for q in local)
+    schema = "graph string, subj string, pred string, obj_kind string, obj string, datatype string, lang string"
+    dist = canonicalize_bnodes_df(spark.createDataFrame(quads, schema)).collect()
+    dist_subjects = sorted(r["subj"] for r in dist)
+    # same grouping structure: exactly two distinct canonical roots
+    assert len(set(local_subjects)) == 3 and len(set(dist_subjects)) == 3
+    # the automorphic pair shares a hash prefix in both
+    def prefixes(subjects):
+        return sorted(s.rsplit("-", 1)[0] for s in subjects)
+    assert len(set(prefixes(local_subjects))) == 2
+    assert len(set(prefixes(dist_subjects))) == 2
+
+
+def test_build_kg_and_dedup(spark, transcripts, sf_dir):
+    dictionary = synthesize_entity_dictionary(spark, sf_dir, max_entities=50)
+    parts = build_kg(transcripts, dictionary)
+    t = parts["triples"]
+    assert t.count() == t.dropDuplicates(QUAD_COLS).count()
+    assert parts["links"].count() > 0
+    assert parts["nodes"].count() > 0
+
+
+def test_checkpoint_resume_exactness(spark, transcripts, tmp_path):
+    out = str(tmp_path / "kg_out")
+    r1 = materialize_kg(transcripts, out, n_buckets=8)
+    assert len(r1["published_buckets"]) > 0
+    total1 = cp.read_published(spark, out).count()
+
+    # simulate a failed run: drop two buckets from the manifest + data
+    import json as _json
+    import shutil
+
+    mpath = os.path.join(out, "_manifest", "manifest.json")
+    with open(mpath) as f:
+        manifest = _json.load(f)
+    dropped = sorted(manifest["buckets"])[:2]
+    for b in dropped:
+        del manifest["buckets"][b]
+        shutil.rmtree(os.path.join(out, "data", f"bucket={b}"))
+    with open(mpath, "w") as f:
+        _json.dump(manifest, f)
+
+    r2 = materialize_kg(transcripts, out, n_buckets=8)
+    assert sorted(str(b) for b in r2["published_buckets"]) == dropped
+    assert cp.read_published(spark, out).count() == total1
+    # idempotent: third run is a no-op
+    r3 = materialize_kg(transcripts, out, n_buckets=8)
+    assert r3["published_buckets"] == []
+
+
+def test_dedup_triples_set_semantics(spark):
+    rows = [
+        (None, "http://n/1", "http://ex/p", "literal", "x", None, None, "d1"),
+        (None, "http://n/1", "http://ex/p", "literal", "x", None, None, "d2"),
+    ]
+    schema = "graph string, subj string, pred string, obj_kind string, obj string, datatype string, lang string, doc_id string"
+    df = spark.createDataFrame(rows, schema)
+    assert dedup_triples(df).count() == 1
