@@ -68,13 +68,21 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """num_hashes min-hash values per doc. Each hash family member is
-    xxhash64(shingle, seed=i); min via array aggregate. All columnar."""
+def minhash_signature(hashed_shingle_col: Column, num_hashes: int = 64) -> Column:
+    """num_hashes min-hash values per doc from a PRE-HASHED shingle array
+    (array<long>, one xxhash64 per shingle — see minhash_lsh_candidates).
+    Each family member re-mixes the precomputed long with xxhash64(h, i),
+    ~5x cheaper than hashing the shingle string per lane.
+
+    IMPORTANT: pass a materialized column (own select), not an inline
+    shingles(...) expression — higher-order functions disable Catalyst
+    subexpression elimination, so an inline expression would be
+    recomputed once per lane.
+    """
     return F.array(
         *[
             F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+                F.transform(hashed_shingle_col, lambda h, i=i: F.xxhash64(h, F.lit(i)))
             )
             for i in range(num_hashes)
         ]
@@ -98,9 +106,18 @@ def minhash_lsh_candidates(
     (band id + 16-byte hash) is uniform by construction — no skew.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
+    # staged projections: shingle once, string-hash once, then num_hashes
+    # cheap long-remix lanes. CollapseProject keeps each stage separate
+    # because the produced arrays are non-cheap and multiply-referenced.
+    sh = docs.select(
         F.col(id_col).alias("doc_id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    hashed = sh.select(
+        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    sig = hashed.select(
+        "doc_id", minhash_signature(F.col("hs"), num_hashes).alias("sig")
     )
     band_entries = sig.select(
         "doc_id",

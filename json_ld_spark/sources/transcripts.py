@@ -103,12 +103,25 @@ def synthesize_transcripts(
 
 
 def transcripts_from_documents(
-    spark: SparkSession, sf_dir: str, turns_per_conv: int = 16
+    spark: SparkSession, sf_dir: str, turns_per_conv: int = 16, amplify: int = 1
 ) -> DataFrame:
     """Bench-scale transcripts: one turn per documents.parquet row, text
     carried through byte-identical (the per-turn text equality invariant
-    applies to this column). Deterministic: ordering key is doc_id."""
+    applies to this column). Deterministic: ordering key is doc_id.
+
+    amplify>1 replicates every document into `amplify` distinct
+    conversations (throughput/scaling benchmarks only — correctness
+    queries use amplify=1 to stay oracle-comparable). Replication is an
+    explode of a literal sequence: pure JVM, no data skew introduced.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if amplify > 1:
+        docs = docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(amplify - 1)))
+        ).withColumn(
+            "doc_id",
+            F.col("doc_id") + F.col("rep").cast("long") * F.lit(100_000_000).cast("long"),
+        )
     role_arr = F.array(*[F.lit(r) for r in ROLES])
     conv_no = (F.col("doc_id") / turns_per_conv).cast("long")
     turn_idx = (F.col("doc_id") % turns_per_conv).cast("int")

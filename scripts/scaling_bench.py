@@ -1,0 +1,97 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule: the
+sandbox proxy for N vs 4N executors is local[8] vs local[32] on the same
+input — same machine, fresh JVM per size).
+
+Runs the full JSON-LD engine (context processing → expansion → node map
+→ toRdf quads, Arrow-batched mapInPandas) over amplified sf0.1
+transcripts at each parallelism, measures triples/sec, and reports
+scaling efficiency = (thr_4N / thr_N) / 4. Appends results to BENCH.md.
+
+Usage: python scripts/scaling_bench.py [--update-bench-md]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from json_ld_spark.session import get_spark
+from json_ld_spark.operators.jsonld import triples_stage
+from json_ld_spark.options import JsonLdOptions
+from json_ld_spark.sources.transcripts import (
+    TRANSCRIPT_CONTEXT, transcripts_from_documents, turns_to_jsonld)
+
+cores = int(sys.argv[1]); sf_dir = sys.argv[2]; amplify = int(sys.argv[3])
+spark = get_spark("scaling", cores=cores, shuffle_partitions=max(cores, 8))
+docs = turns_to_jsonld(
+    transcripts_from_documents(spark, sf_dir, amplify=amplify)
+).repartition(cores * 4).cache()
+n_docs = docs.count()  # materialize input outside the timed section
+# warmup: JIT + python worker pool spin-up on a small slice
+triples_stage(docs.limit(2000), context=TRANSCRIPT_CONTEXT,
+              options=JsonLdOptions()).count()
+t0 = time.time()
+n_triples = triples_stage(docs, context=TRANSCRIPT_CONTEXT,
+                          options=JsonLdOptions()).count()
+dt = time.time() - t0
+print(json.dumps({"cores": cores, "n_docs": n_docs, "n_triples": n_triples,
+                  "sec": round(dt, 3),
+                  "triples_per_sec": round(n_triples / dt, 1)}))
+spark.stop()
+"""
+
+
+def run_at(cores: int, sf_dir: str, amplify: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER % {"repo": REPO}, str(cores), sf_dir, str(amplify)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "40"))
+    results = {}
+    for cores in (8, 32):
+        results[cores] = run_at(cores, sf_dir, amplify)
+        print(json.dumps(results[cores]))
+    eff = results[32]["triples_per_sec"] / (4 * results[8]["triples_per_sec"])
+    summary = {
+        "sf_dir": sf_dir,
+        "amplify": amplify,
+        "N_cores": 8,
+        "4N_cores": 32,
+        "throughput_N": results[8]["triples_per_sec"],
+        "throughput_4N": results[32]["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "meets_0.8_gate": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    if "--update-bench-md" in sys.argv:
+        with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+            f.write(
+                f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')} UTC)\n\n"
+                f"Full JSON-LD engine (expand→nodemap→toRdf, mapInPandas) on "
+                f"{results[8]['n_docs']} docs ({sf_dir}, amplify={amplify}):\n\n"
+                f"| parallelism | seconds | triples/sec |\n|---|---|---|\n"
+                f"| local[8] (N) | {results[8]['sec']} | {results[8]['triples_per_sec']} |\n"
+                f"| local[32] (4N) | {results[32]['sec']} | {results[32]['triples_per_sec']} |\n\n"
+                f"Scaling efficiency (thr_4N / (4·thr_N)) = "
+                f"**{summary['scaling_efficiency']}** "
+                f"({'meets' if summary['meets_0.8_gate'] else 'MISSES'} the ≥0.8 gate).\n"
+            )
+
+
+if __name__ == "__main__":
+    main()
