@@ -40,7 +40,7 @@ def _quad_signature(q: Quad, labels: dict[str, str], self_label: str) -> str:
         [
             term(graph, True),
             term(subj, True),
-            pred,
+            term(pred, True),  # blank predicates occur in generalized RDF
             kind,
             term(obj, kind in ("bnode",)),
             dt or "~",
@@ -62,8 +62,10 @@ def canonical_bnode_labels(
     bnodes: set[str] = set()
     incident: dict[str, list[Quad]] = defaultdict(list)
     for q in quads:
-        graph, subj, _, kind, obj, _, _ = q
-        for t, is_node in ((graph, True), (subj, True), (obj, kind == "bnode")):
+        graph, subj, pred, kind, obj, _, _ = q
+        for t, is_node in (
+            (graph, True), (subj, True), (pred, True), (obj, kind == "bnode")
+        ):
             if t is not None and is_node and is_blank_node_id(t):
                 bnodes.add(t)
                 incident[t].append(q)
@@ -107,7 +109,7 @@ def relabel_quads(quads: list[Quad], mapping: dict[str, str]) -> list[Quad]:
             (
                 m(graph),
                 m(subj),
-                pred,
+                m(pred),
                 kind,
                 m(obj) if kind == "bnode" else obj,
                 dt,
