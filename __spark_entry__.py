@@ -209,6 +209,45 @@ def q_jsonld_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trip.select("doc_id", "subj", "pred", "obj_kind", "obj")
 
 
+def q_jsonld_fromrdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse direction (SURVEY.md §2 G1): triples → from_rdf_stage →
+    expanded docs; reports per-doc reconstruction size. Rows-only."""
+    from json_ld_spark.operators.jsonld import from_rdf_stage
+
+    _utc(spark)
+    docs = turns_to_jsonld(transcripts_from_documents(spark, sf_dir))
+    trip = triples_stage(docs, context=TRANSCRIPT_CONTEXT, options=JsonLdOptions())
+    back = from_rdf_stage(trip)
+    return back.select(
+        "doc_id", F.length("expanded").cast("long").alias("expanded_len")
+    )
+
+
+def q_jsonld_compact_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (SURVEY.md §2 F): expand → compact against the
+    transcript context, per doc via mapInPandas. Rows-only."""
+    import pandas as pd_
+
+    _utc(spark)
+    docs = turns_to_jsonld(transcripts_from_documents(spark, sf_dir))
+
+    def run(batches):
+        import json as _json
+
+        from json_ld_spark.api import compact as _compact
+
+        for pdf in batches:
+            out = []
+            for doc in pdf["doc"].tolist():
+                compacted = _compact(_json.loads(doc), TRANSCRIPT_CONTEXT)
+                out.append(_json.dumps(compacted, ensure_ascii=False, sort_keys=True))
+            yield pd_.DataFrame({"doc_id": pdf["doc_id"], "compacted": out})
+
+    schema = "doc_id string, compacted string"
+    res = docs.mapInPandas(run, schema=schema)
+    return res.select("doc_id", F.length("compacted").cast("long").alias("compacted_len"))
+
+
 # --------------------------------------------------------------------------
 # deduplication family (training-data ops)
 # --------------------------------------------------------------------------
@@ -501,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_expand_generic": q_jsonld_expand_generic,
         "jsonld_flatten_generic": q_jsonld_flatten_generic,
         "jsonld_triples_canonical": q_jsonld_triples_canonical,
+        "jsonld_fromrdf_roundtrip": q_jsonld_fromrdf_roundtrip,
+        "jsonld_compact_generic": q_jsonld_compact_generic,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -1,0 +1,84 @@
+"""CLI, mirroring the reference's `json-ld` binary
+(crates/cli/src/main.rs:84-180: expand / flatten / compact commands
+printing pretty JSON, toRdf printing N-Quads) plus fromrdf.
+
+Usage:
+  python -m json_ld_spark expand  doc.json [--base IRI] [--context ctx.json]
+  python -m json_ld_spark flatten doc.json [--base IRI]
+  python -m json_ld_spark compact doc.json --context ctx.json
+  python -m json_ld_spark tordf   doc.json [--rdf-direction MODE] [--generalized]
+  python -m json_ld_spark fromrdf triples.json   # engine quad tuples JSON
+
+Context IRIs in documents resolve through --mount PREFIX=DIR options
+(the reference's FsLoader mount) — no network access ever.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .api import compact, expand, flatten, from_rdf, to_rdf
+from .context import chain_loader, fs_loader, no_loader
+from .options import JsonLdOptions
+from .rdf import to_nquads
+
+
+def _build_options(args) -> JsonLdOptions:
+    loader = no_loader
+    if args.mount:
+        mounts = dict(m.split("=", 1) for m in args.mount)
+        loader = chain_loader(fs_loader(mounts))
+    expand_context = None
+    if getattr(args, "expand_context", None):
+        expand_context = json.load(open(args.expand_context))
+    return JsonLdOptions(
+        base=args.base,
+        loader=loader,
+        expand_context=expand_context,
+        rdf_direction=getattr(args, "rdf_direction", None),
+        produce_generalized_rdf=getattr(args, "generalized", False),
+        ordered=True,
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="json_ld_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("expand", "flatten", "compact", "tordf", "fromrdf"):
+        p = sub.add_parser(name)
+        p.add_argument("input", help="input file, or - for stdin")
+        p.add_argument("--base", default=None)
+        p.add_argument("--mount", action="append", default=[],
+                       help="PREFIX=DIR context mount (repeatable)")
+        p.add_argument("--expand-context", default=None)
+        if name == "compact":
+            p.add_argument("--context", required=True)
+        if name == "tordf":
+            p.add_argument("--rdf-direction", default=None,
+                           choices=["i18n-datatype", "compound-literal"])
+            p.add_argument("--generalized", action="store_true")
+
+    args = ap.parse_args(argv)
+    raw = sys.stdin.read() if args.input == "-" else open(args.input).read()
+    doc = json.loads(raw)
+    opts = _build_options(args)
+
+    if args.cmd == "expand":
+        print(json.dumps(expand(doc, options=opts), indent=2, ensure_ascii=False))
+    elif args.cmd == "flatten":
+        print(json.dumps(flatten(doc, options=opts), indent=2, ensure_ascii=False))
+    elif args.cmd == "compact":
+        ctx = json.load(open(args.context))
+        print(json.dumps(compact(doc, ctx, options=opts), indent=2, ensure_ascii=False))
+    elif args.cmd == "tordf":
+        sys.stdout.write(to_nquads(to_rdf(doc, options=opts)))
+    elif args.cmd == "fromrdf":
+        quads = [tuple(q) for q in doc]
+        print(json.dumps(from_rdf(quads, options=opts), indent=2, ensure_ascii=False))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -103,6 +103,25 @@ def compact(
     return compact_document(expanded, context, options, base_url)
 
 
+def from_rdf(
+    quads: list[Quad],
+    options: JsonLdOptions | None = None,
+) -> list:
+    """JsonLdProcessor::from_rdf (§8.2; serialization.rs:238-392):
+    RDF quads → expanded JSON-LD, folding well-formed rdf:first/rest
+    chains into @list and decoding native literals."""
+    from .fromrdf import from_rdf as _from_rdf
+
+    options = options or JsonLdOptions()
+    return _from_rdf(
+        quads,
+        ordered=options.ordered,
+        rdf_direction=options.rdf_direction,
+        use_native_types=options.use_native_types,
+        use_rdf_type=options.use_rdf_type,
+    )
+
+
 def compare(
     doc1: Any,
     doc2: Any,

@@ -76,6 +76,29 @@ def dict_loader(registry: dict[str, Any]) -> Loader:
     return load
 
 
+def fs_loader(mounts: dict[str, str]) -> Loader:
+    """Reference FsLoader (crates/core/src/loader/fs.rs:33): IRI prefix →
+    local directory mount; the matched suffix resolves to a JSON file
+    read from disk. Driver-side only — executors never load contexts
+    (SURVEY.md §1.3 Loader row)."""
+    import json as _json
+    import os as _os
+
+    def load(iri: str) -> tuple[Any, str]:
+        for prefix, root in mounts.items():
+            if iri.startswith(prefix):
+                rel = iri[len(prefix):].lstrip("/")
+                path = _os.path.join(root, rel)
+                try:
+                    with open(path, "r", encoding="utf-8") as f:
+                        return _json.load(f), iri
+                except (OSError, ValueError) as ex:
+                    raise E.LoadingRemoteContextFailed(f"{iri}: {ex}") from ex
+        raise E.LoadingRemoteContextFailed(iri)
+
+    return load
+
+
 def chain_loader(*loaders: Loader) -> Loader:
     """Reference ChainLoader (crates/core/src/loader/chain.rs:16)."""
 

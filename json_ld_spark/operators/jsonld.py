@@ -276,6 +276,62 @@ def flatten_stage(
     return df.mapInPandas(run, schema=FLATTENED_SCHEMA)
 
 
+def from_rdf_stage(
+    triples: DataFrame,
+    group_col: str = "doc_id",
+    options: "JsonLdOptions | None" = None,
+) -> DataFrame:
+    """Inverse of triples_stage: corpus triple table → one expanded
+    JSON-LD document per group (fromrdf.py, reference
+    serialization.rs:238-392), via applyInPandas per group.
+
+    Scale shape: the shuffle key is the document/conversation id, so
+    group state is one document's quads — bounded memory per task
+    regardless of corpus size. List folding and literal decoding are
+    group-local; no cross-group state.
+    """
+    opts = options or JsonLdOptions()
+    ordered = opts.ordered
+    rdf_direction = opts.rdf_direction
+    native = opts.use_native_types
+    use_rdf_type = opts.use_rdf_type
+
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, T.StringType(), False),
+            T.StructField("expanded", T.StringType(), True),
+        ]
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..fromrdf import from_rdf
+
+        quads = [
+            (
+                None if g is None or (isinstance(g, float)) else g,
+                s, p, k, o,
+                None if dt is None or (isinstance(dt, float)) else dt,
+                None if lg is None or (isinstance(lg, float)) else lg,
+            )
+            for g, s, p, k, o, dt, lg in zip(
+                pdf["graph"], pdf["subj"], pdf["pred"], pdf["obj_kind"],
+                pdf["obj"], pdf["datatype"], pdf["lang"],
+            )
+        ]
+        doc = from_rdf(
+            quads, ordered=ordered, rdf_direction=rdf_direction,
+            use_native_types=native, use_rdf_type=use_rdf_type,
+        )
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "expanded": [json.dumps(doc, ensure_ascii=False)],
+            }
+        )
+
+    return triples.groupBy(group_col).applyInPandas(assemble, schema=out_schema)
+
+
 def node_table(triples: DataFrame) -> DataFrame:
     """Corpus node table from the triple table — the distributed
     `merge_node` (crates/core/src/flattening/node_map.rs:211-262) as one

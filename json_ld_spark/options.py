@@ -26,6 +26,8 @@ class JsonLdOptions:
     expand_context: Any = None
     rdf_direction: Optional[str] = None  # None | "i18n-datatype" | "compound-literal"
     produce_generalized_rdf: bool = False
+    use_native_types: bool = True   # fromRdf: decode xsd int/bool/double
+    use_rdf_type: bool = False      # fromRdf: keep rdf:type as property
     policy: str = POLICY_STANDARD
     loader: Loader = field(default=no_loader)
 
