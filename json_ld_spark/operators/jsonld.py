@@ -334,8 +334,17 @@ def from_rdf_stage(
 
 def node_table(triples: DataFrame) -> DataFrame:
     """Corpus node table from the triple table — the distributed
-    `merge_node` (crates/core/src/flattening/node_map.rs:211-262) as one
-    hash aggregation: types concat-distinct, predicate set, degree."""
+    `merge_node` (crates/core/src/flattening/node_map.rs:211-262) as ONE
+    hash aggregation: types concat-distinct, predicate set, degree.
+
+    Plan note: n_docs uses size(collect_set(...)) instead of
+    count_distinct — count_distinct expands to a second aggregate keyed
+    by (graph, subj, doc_id) and costs an extra Exchange; collect_set
+    fuses into the same ObjectHashAggregate. Callers that pre-partition
+    by subj (build_kg) get dedup + merge with a single shuffle total:
+    HashPartitioning(subj) satisfies the ClusteredDistribution of both
+    the 7-column dedup keys and the (graph, subj) merge keys.
+    """
     return (
         triples.groupBy("graph", "subj")
         .agg(
@@ -346,7 +355,7 @@ def node_table(triples: DataFrame) -> DataFrame:
             ).alias("types"),
             F.array_sort(F.array_distinct(F.collect_list("pred"))).alias("preds"),
             F.count(F.lit(1)).alias("out_degree"),
-            F.count_distinct("doc_id").alias("n_docs"),
+            F.size(F.collect_set("doc_id")).cast("long").alias("n_docs"),
         )
         .withColumnRenamed("subj", "node_id")
     )
