@@ -16,6 +16,8 @@ Reference parity:
 
 from __future__ import annotations
 
+import json as _json
+
 import hashlib
 import math
 from typing import Any
@@ -110,29 +112,11 @@ def canonical_json(value: Any) -> str:
 
 
 def _escape_json_string(s: str) -> str:
-    out = ['"']
-    for ch in s:
-        o = ord(ch)
-        if ch == '"':
-            out.append('\\"')
-        elif ch == "\\":
-            out.append("\\\\")
-        elif ch == "\n":
-            out.append("\\n")
-        elif ch == "\r":
-            out.append("\\r")
-        elif ch == "\t":
-            out.append("\\t")
-        elif ch == "\b":
-            out.append("\\b")
-        elif ch == "\f":
-            out.append("\\f")
-        elif o < 0x20:
-            out.append(f"\\u{o:04x}")
-        else:
-            out.append(ch)
-    out.append('"')
-    return "".join(out)
+    # json.dumps (C-accelerated) produces exactly the canonical escaping:
+    # two-char forms for \" \\ \n \r \t \b \f, lowercase \u00xx for other
+    # control chars, everything else verbatim (ensure_ascii=False).
+    # The hand-rolled loop this replaces was 36% of engine CPU.
+    return _json.dumps(s, ensure_ascii=False)
 
 
 def _write_canonical(value: Any, out: list[str]) -> None:

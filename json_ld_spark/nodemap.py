@@ -54,16 +54,25 @@ class BlankGen:
 def generate_node_map(
     expanded: list,
     gen: BlankGen | None = None,
+    mutate_ok: bool = False,
 ) -> dict[str, dict[str, dict]]:
-    """Returns {graph_id: {node_id: node}} with '@default' default graph."""
+    """Returns {graph_id: {node_id: node}} with '@default' default graph.
+
+    mutate_ok=True skips the defensive deep copy (the walk renames blank
+    ids and moves subtrees in place) — safe when the caller owns
+    `expanded` and discards it, as the pipeline stages do.
+    """
     node_map: dict[str, dict[str, dict]] = {DEFAULT_GRAPH: {}}
     gen = gen or BlankGen()
-    for item in _deep_copy(expanded):
+    for item in (expanded if mutate_ok else _deep_copy(expanded)):
         _extend_node_map(item, node_map, gen, DEFAULT_GRAPH, None, None, None)
     return node_map
 
 
 def _dedup_append(arr: list, value: Any) -> None:
+    if not arr:  # fast path: nothing to compare (the common case)
+        arr.append(value)
+        return
     key = canonical_json(value)
     for existing in arr:
         if canonical_json(existing) == key:

@@ -201,6 +201,7 @@ def triples_stage(
                         rdf_direction=rdf_direction,
                         produce_generalized_rdf=generalized,
                         gen=BlankGen(),
+                        mutate_ok=True,
                     )
                 except Exception:  # noqa: BLE001 - skip bad doc
                     continue

@@ -59,10 +59,14 @@ def expanded_to_quads(
     rdf_direction: str | None = None,
     produce_generalized_rdf: bool = False,
     gen: BlankGen | None = None,
+    mutate_ok: bool = False,
 ) -> list[Quad]:
-    """expanded document → RDF quads via the node map (§8.1)."""
+    """expanded document → RDF quads via the node map (§8.1).
+
+    mutate_ok: skip the node-map walk's defensive copy of `expanded`
+    (callers that expand-then-discard, i.e. the pipeline stages)."""
     gen = gen or BlankGen()
-    node_map = generate_node_map(expanded, gen)
+    node_map = generate_node_map(expanded, gen, mutate_ok=mutate_ok)
     quads: list[Quad] = []
     for graph_name in node_map:
         graph_label: Optional[str]
