@@ -238,7 +238,9 @@ def process_context(
         # 5.1 null → reset
         if item is None:
             if not override_protected and result.has_protected_terms():
-                raise E.InvalidContext("attempt to clear a context with protected terms")
+                raise E.InvalidContextNullification(
+                    "attempt to clear a context with protected terms"
+                )
             prev = result if not propagate else None
             result = ActiveContext(
                 base_iri=active.original_base_url,

@@ -20,6 +20,11 @@ class JsonLdError(Exception):
         super().__init__(f"{self.code}: {message}" if message else self.code)
 
 
+class InvalidContextNullification(JsonLdError):
+    """invalid context nullification (api §4.1.2 step 5.1): a null
+    context may not clear protected term definitions."""
+
+
 class InvalidContext(JsonLdError):
     code = "invalid local context"
 

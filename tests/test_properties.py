@@ -1,0 +1,114 @@
+"""Property-based invariants over randomized JSON-LD documents
+(hypothesis). The reference relies on the W3C golden suite only; these
+properties hold by construction of the algorithms and catch regressions
+the fixtures miss:
+
+1. expansion idempotence: expand(expand(doc)) == expand(doc)
+2. toRdf/fromRdf quad fixpoint: to_rdf(from_rdf(to_rdf(doc))) is
+   isomorphic to to_rdf(doc)
+3. compact/expand roundtrip: expand(compact(doc, ctx)) == expand(doc)
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from json_ld_spark.api import compact, expand, to_rdf
+from json_ld_spark.canonicalize import canonicalize_quads
+from json_ld_spark.fromrdf import from_rdf
+
+CTX = {
+    "@vocab": "http://ex/",
+    "name": "http://ex/name",
+    "ref": {"@id": "http://ex/ref", "@type": "@id"},
+    "count": {"@id": "http://ex/count", "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+    "tags": {"@id": "http://ex/tags", "@container": "@set"},
+    "steps": {"@id": "http://ex/steps", "@container": "@list"},
+    "label": {"@id": "http://ex/label", "@container": "@language"},
+}
+
+scalars = st.one_of(
+    st.text(max_size=12),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+
+iris = st.sampled_from(
+    ["http://n/1", "http://n/2", "http://n/3", "_:b-a", "_:b-b"]
+)
+
+
+@st.composite
+def node_docs(draw, depth: int = 2):
+    doc: dict = {}
+    if draw(st.booleans()):
+        doc["@id"] = draw(iris)
+    if draw(st.booleans()):
+        doc["@type"] = draw(st.sampled_from(["Person", "Org", "http://t/T"]))
+    n_props = draw(st.integers(min_value=0, max_value=3))
+    for _ in range(n_props):
+        key = draw(st.sampled_from(["name", "ref", "count", "tags", "p", "q"]))
+        if key == "ref":
+            doc[key] = draw(iris)
+        elif key == "count":
+            doc[key] = draw(st.integers(min_value=-10**6, max_value=10**6))
+        elif depth > 0 and draw(st.booleans()):
+            doc[key] = draw(node_docs(depth=depth - 1))
+        else:
+            doc[key] = draw(st.one_of(scalars, st.lists(scalars, max_size=3)))
+    if depth > 0 and draw(st.booleans()):
+        doc["steps"] = draw(st.lists(scalars, max_size=3))
+    if draw(st.booleans()):
+        doc["label"] = {"en": draw(st.text(max_size=8))}
+    return doc
+
+
+def _with_ctx(doc: dict) -> dict:
+    return {"@context": CTX, **doc}
+
+
+@given(node_docs())
+@settings(max_examples=60, deadline=None)
+def test_expand_idempotent(doc):
+    expanded = expand(_with_ctx(doc))
+    again = expand(expanded)
+    assert json.dumps(_norm(again), sort_keys=True) == json.dumps(
+        _norm(expanded), sort_keys=True
+    )
+
+
+def _norm(v, in_list=False):
+    if isinstance(v, dict):
+        return {k: _norm(x, in_list=(k == "@list")) for k, x in sorted(v.items())}
+    if isinstance(v, list):
+        items = [_norm(x) for x in v]
+        if not in_list:
+            items.sort(key=lambda x: json.dumps(x, sort_keys=True))
+        return items
+    if isinstance(v, float) and v == int(v) and abs(v) < 2**53:
+        return v  # keep float identity (expanded form keeps JSON numbers)
+    return v
+
+
+@given(node_docs())
+@settings(max_examples=60, deadline=None)
+def test_tordf_fromrdf_fixpoint(doc):
+    q1 = to_rdf(_with_ctx(doc))
+    back = from_rdf(q1)
+    q2 = to_rdf({"@graph": back} if len(back) != 1 else back[0])
+    assert set(canonicalize_quads(q1)) == set(canonicalize_quads(q2))
+
+
+@given(node_docs())
+@settings(max_examples=60, deadline=None)
+def test_compact_expand_roundtrip(doc):
+    full = _with_ctx(doc)
+    expanded = expand(full)
+    compacted = compact(expanded, CTX)
+    re_expanded = expand(compacted)
+    assert json.dumps(_norm(re_expanded), sort_keys=True) == json.dumps(
+        _norm(expanded), sort_keys=True
+    )
