@@ -411,6 +411,24 @@ def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("media_id", F.col("sample_ms").cast("long").alias("sample_ms"))
 
 
+def q_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest → triple extraction → memory sink,
+    drained over file micro-batches; returns the collected batch result
+    (stream/batch parity asserted in tests/test_streaming.py).
+    Rows-only."""
+    import tempfile
+
+    from json_ld_spark.streaming.stream import run_stream_to_memory
+
+    _utc(spark)
+    d = tempfile.mkdtemp(prefix="stream_q_")
+    transcripts_from_documents(spark, sf_dir).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    out = run_stream_to_memory(spark, d, query_name="q_streaming_triples_mem")
+    return out.select("subj", "pred", "obj_kind", "obj")
+
+
 # --------------------------------------------------------------------------
 # relational operator checklist (SURVEY.md §2-I) over TPC-H-ish tables
 # --------------------------------------------------------------------------
@@ -553,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
+        "streaming_triples": q_streaming_triples,
         "rel_agg_pricing": q_rel_agg_pricing,
         "rel_join_topnations": q_rel_join_topnations,
         "rel_window_events": q_rel_window_events,
@@ -612,6 +631,10 @@ WITH base AS (
 
 _TRIPLES_SQL = _TRIPLES_CTE + """
 SELECT graph, subj, pred, obj_kind, obj, datatype, lang FROM triples
+"""
+
+_STREAM_TRIPLES_SQL = _TRIPLES_CTE + """
+SELECT subj, pred, obj_kind, obj FROM triples
 """
 
 _NODES_SQL = _TRIPLES_CTE + f"""
@@ -828,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
         "kg_triples_generic": _TRIPLES_SQL,
+        "streaming_triples": _STREAM_TRIPLES_SQL,
         "kg_node_table": _NODES_SQL,
         "kg_entity_links": _LINKS_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,

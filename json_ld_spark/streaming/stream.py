@@ -4,12 +4,17 @@ The reference is a pure batch library (SURVEY.md §2-I: no incremental
 API), so streaming here is OUR scale feature, not parity: a transcripts
 stream (files/kafka) flows through the same JVM-native triple projection
 — mapInPandas and pure projections are both streaming-safe — with
-watermarked per-conversation progress metrics.
+watermarked per-conversation progress metrics and a custom stateful
+conversation-assembly operator (applyInPandasWithState).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.native import transcript_triples_native
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
@@ -44,6 +49,82 @@ def streaming_turn_counts(stream: DataFrame, watermark: str = "10 minutes") -> D
     )
 
 
+CONV_STATE_SCHEMA = "n_turns LONG, max_turn_idx INT, chars LONG"
+CONV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("max_turn_idx", T.IntegerType()),
+        T.StructField("chars", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+
+def _make_assembler(timeout_ms: int | None):
+    def _assemble_conversation(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Custom stateful operator: accumulate per-conversation turn
+        counts across micro-batches; with a processing-time timeout
+        configured, emit a 'closed' record when the conversation goes
+        idle, else emit a progress row.
+
+        State is tiny (three numbers per conversation) so hundreds of
+        millions of live conversations fit the state store at scale.
+        """
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n, mx, ch = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [conv_id], "n_turns": [n], "max_turn_idx": [mx],
+                 "chars": [ch], "closed": [True]}
+            )
+            return
+        n, mx, ch = state.get if state.exists else (0, -1, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+                ch += int(pdf["text"].str.len().sum())
+        state.update((n, mx, ch))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"conv_id": [conv_id], "n_turns": [n], "max_turn_idx": [mx],
+             "chars": [ch], "closed": [False]}
+        )
+
+    return _assemble_conversation
+
+
+def streaming_conversation_state(
+    stream: DataFrame, timeout_ms: int | None = None
+) -> DataFrame:
+    """applyInPandasWithState conversation assembly (task brief: custom
+    stateful operators for streams).
+
+    timeout_ms=None (default) uses NoTimeout — progress rows only, and
+    `processAllAvailable()` terminates deterministically (pending
+    processing-time timeouts otherwise keep the query busy forever in a
+    drain-the-files harness). Pass e.g. 30_000 in a continuous
+    production stream to get idle-conversation 'closed' records.
+    """
+    conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        _make_assembler(timeout_ms),
+        outputStructType=CONV_OUT_SCHEMA,
+        stateStructType=CONV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=conf,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, path: str, query_name: str = "triples_stream"
 ) -> DataFrame:
@@ -60,3 +141,26 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_to_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Checkpointed file-sink run: exactly-once parquet triples via the
+    streaming commit log. Restart with the same checkpoint_path resumes
+    from the last committed offset — no duplicates, no gaps (the
+    streaming analogue of operators/checkpoint.py's WAP resume)."""
+    stream = read_transcript_stream(spark, in_path)
+    q = (
+        streaming_triples(stream)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

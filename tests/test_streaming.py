@@ -1,0 +1,99 @@
+"""Structured Streaming tests: stateless triple extraction parity with
+batch, watermarked aggregation, custom stateful conversation assembly
+(applyInPandasWithState), and checkpointed exactly-once resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_ld_spark.operators.native import transcript_triples_native
+from json_ld_spark.sources.transcripts import synthesize_transcripts
+from json_ld_spark.streaming.stream import (
+    read_transcript_stream,
+    run_stream_to_memory,
+    run_stream_to_parquet,
+    streaming_conversation_state,
+    streaming_turn_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    t = synthesize_transcripts(spark, n_convs=12, avg_turns=4)
+    # several files so maxFilesPerTrigger produces multiple micro-batches
+    t.repartition(4).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def test_stream_triples_match_batch(spark, stream_dir):
+    got = run_stream_to_memory(spark, stream_dir, "t_stream_parity")
+    batch = transcript_triples_native(spark.read.parquet(stream_dir))
+    assert got.count() == batch.count()
+    assert got.select("subj", "pred", "obj").subtract(
+        batch.select("subj", "pred", "obj")
+    ).count() == 0
+
+
+def test_stream_watermark_counts(spark, stream_dir):
+    stream = read_transcript_stream(spark, stream_dir)
+    q = (
+        streaming_turn_counts(stream, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("t_stream_counts")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql(
+        "SELECT conv_id, sum(n_turns) AS n FROM t_stream_counts GROUP BY conv_id"
+    ).toPandas()
+    batch = (
+        spark.read.parquet(stream_dir).groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n")).toPandas()
+    )
+    assert dict(zip(out["conv_id"], out["n"])) == dict(zip(batch["conv_id"], batch["n"]))
+
+
+def test_stream_stateful_conversation_assembly(spark, stream_dir):
+    stream = read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        streaming_conversation_state(stream)
+        .writeStream.format("memory")
+        .queryName("t_conv_state")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql(
+        "SELECT conv_id, max(n_turns) AS n FROM t_conv_state GROUP BY conv_id"
+    ).toPandas()
+    batch = (
+        spark.read.parquet(stream_dir).groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n")).toPandas()
+    )
+    # the final progress row per conversation carries the full turn count
+    assert dict(zip(out["conv_id"], out["n"])) == dict(zip(batch["conv_id"], batch["n"]))
+
+
+def test_stream_checkpoint_resume_exactly_once(spark, stream_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_to_parquet(spark, stream_dir, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    batch_n = transcript_triples_native(spark.read.parquet(stream_dir)).count()
+    assert n1 == batch_n
+    # restart with the same checkpoint: nothing new to process → no dupes
+    run_stream_to_parquet(spark, stream_dir, out, ckpt)
+    assert spark.read.parquet(out).count() == batch_n
+    # append new input files → only the delta is processed on resume
+    extra = synthesize_transcripts(spark, n_convs=3, avg_turns=2).withColumn(
+        "conv_id", F.concat(F.lit("late-"), F.col("conv_id"))
+    )
+    extra_n = transcript_triples_native(extra).count()
+    extra.repartition(1).write.mode("append").parquet(stream_dir)
+    run_stream_to_parquet(spark, stream_dir, out, ckpt)
+    assert spark.read.parquet(out).count() == batch_n + extra_n
