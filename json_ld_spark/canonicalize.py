@@ -59,6 +59,10 @@ def canonical_bnode_labels(
     previous-round hash. Hash ties are broken by first-occurrence order of
     the sorted signature list (deterministic on both comparison sides).
     """
+    # RDF datasets are quad SETS: duplicate quads (legal in the emission
+    # stream, e.g. the node-map algorithm appends @list objects without a
+    # uniqueness check) must not perturb the signatures
+    quads = list(dict.fromkeys(quads))
     bnodes: set[str] = set()
     incident: dict[str, list[Quad]] = defaultdict(list)
     for q in quads:
