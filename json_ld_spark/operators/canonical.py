@@ -46,11 +46,15 @@ def canonicalize_bnodes_df(
     )
     labels = bnodes.select("b", F.lit("").alias("h"))
 
+    # signatures are computed over the quad SET (RDF dataset semantics):
+    # duplicate emission rows (@list objects bypass the node-map
+    # uniqueness check) must not perturb refinement — mirrors the
+    # dict.fromkeys dedup in json_ld_spark.canonicalize
     base = t.select(
         "graph", "subj", "pred", "obj_kind", "obj",
         F.coalesce("datatype", F.lit("~")).alias("dt"),
         F.coalesce("lang", F.lit("~")).alias("lg"),
-    )
+    ).dropDuplicates()
 
     for _ in range(rounds):
         lab_s = labels.select(F.col("b").alias("subj"), F.col("h").alias("h_subj"))
