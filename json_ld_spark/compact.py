@@ -260,8 +260,10 @@ def compact_element(
                     nest_result[item_active_prop] = compacted_item
                 continue
 
-            if _is_graph_object_full(expanded_item) and "@graph" in container:
-                if "@id" in container:
+            if _is_graph_object_full(expanded_item):
+                # reference compact_property_graph (property.rs:101-300)
+                simple = "@id" not in expanded_item
+                if "@graph" in container and "@id" in container:
                     key = expanded_item.get("@id")
                     key = (
                         compact_iri(active, key, vocab=False, options=options)
@@ -270,18 +272,36 @@ def compact_element(
                     )
                     map_obj = nest_result.setdefault(item_active_prop, {})
                     _add_value(map_obj, key, compacted_item, as_array=as_array)
-                elif "@index" in container:
+                elif "@graph" in container and "@index" in container and simple:
                     key = expanded_item.get("@index", "@none")
                     if key == "@none":
                         key = compact_iri(active, "@none", vocab=True, options=options)
                     map_obj = nest_result.setdefault(item_active_prop, {})
                     _add_value(map_obj, key, compacted_item, as_array=as_array)
-                else:
+                elif "@graph" in container and simple:
                     if isinstance(compacted_item, list) and len(compacted_item) > 1:
                         compacted_item = {
                             compact_iri(active, "@included", vocab=True, options=options): compacted_item
                         }
                     _add_value(nest_result, item_active_prop, compacted_item, as_array=as_array)
+                else:
+                    # no usable @graph container: keep graph-ness explicit —
+                    # {alias(@graph): value} (+ compacted @id, + @index)
+                    # (property.rs:235-297)
+                    wrapped = {
+                        compact_iri(active, "@graph", vocab=True, options=options): compacted_item
+                    }
+                    if "@id" in expanded_item:
+                        wrapped[
+                            compact_iri(active, "@id", vocab=True, options=options)
+                        ] = compact_iri(
+                            active, expanded_item["@id"], vocab=False, options=options
+                        )
+                    if "@index" in expanded_item:
+                        wrapped[
+                            compact_iri(active, "@index", vocab=True, options=options)
+                        ] = expanded_item["@index"]
+                    _add_value(nest_result, item_active_prop, wrapped, as_array=as_array)
                 continue
 
             if container & {"@language", "@index", "@id", "@type"} and "@graph" not in container:

@@ -216,3 +216,48 @@ def test_shortest_term_wins():
     ctx = {"longname": "http://s/p", "p": "http://s/p"}
     out = roundtrip({"@id": "http://n/1", "http://s/p": "x"}, ctx)
     assert "p" in out and "longname" not in out
+
+
+def test_compact_graph_object_without_graph_container():
+    """Graph objects under a term with NO usable @graph container keep
+    graph-ness explicit: {alias(@graph): ..., @id?, @index?}
+    (reference property.rs:235-297)."""
+    from json_ld_spark.api import compact, expand
+
+    ctx = {"@vocab": "http://ex/"}
+    expanded = [{"http://ex/claims": [
+        {"@graph": [{"http://ex/a": [{"@value": "b"}]}], "@index": "i1"}
+    ]}]
+    c = compact(expanded, ctx)
+    assert c["claims"] == {"@graph": {"a": "b"}, "@index": "i1"}
+    # plain term → roundtrips through expansion
+    assert expand(c) == expanded
+
+
+def test_compact_named_graph_object_wrapped_with_id():
+    from json_ld_spark.api import compact, expand
+
+    ctx = {"@vocab": "http://ex/"}
+    expanded = [{"http://ex/claims": [
+        {"@id": "http://g/1", "@graph": [{"http://ex/a": [{"@value": "b"}]}]}
+    ]}]
+    c = compact(expanded, ctx)
+    assert c["claims"]["@id"] == "http://g/1"
+    assert c["claims"]["@graph"] == {"a": "b"}
+    assert expand(c) == expanded
+
+
+def test_compact_graph_id_container_requires_simple_check():
+    """@graph@index container only maps SIMPLE graphs into the index map;
+    a named graph under it takes the wrap path (property.rs:169-235)."""
+    from json_ld_spark.api import compact, expand
+
+    ctx = {"@vocab": "http://ex/",
+           "claims": {"@id": "http://ex/claims", "@container": ["@graph", "@index"]}}
+    expanded = [{"http://ex/claims": [
+        {"@id": "http://g/1", "@graph": [{"http://ex/a": [{"@value": "b"}]}]}
+    ]}]
+    c = compact(expanded, ctx)
+    # inner array not unwrapped: the term's container includes @graph,
+    # which suppresses compact_arrays single-element unwrap
+    assert c["claims"] == {"@graph": [{"a": "b"}], "@id": "http://g/1"}
