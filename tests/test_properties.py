@@ -27,6 +27,11 @@ CTX = {
     "tags": {"@id": "http://ex/tags", "@container": "@set"},
     "steps": {"@id": "http://ex/steps", "@container": "@list"},
     "label": {"@id": "http://ex/label", "@container": "@language"},
+    "meta": "@nest",
+    "children": {"@reverse": "http://ex/parent"},
+    "data": {"@id": "http://ex/data", "@type": "@json"},
+    "rtl": {"@id": "http://ex/rtl", "@direction": "rtl", "@language": "ar"},
+    "posts": {"@id": "http://ex/posts", "@container": "@index"},
 }
 
 scalars = st.one_of(
@@ -63,6 +68,18 @@ def node_docs(draw, depth: int = 2):
         doc["steps"] = draw(st.lists(scalars, max_size=3))
     if draw(st.booleans()):
         doc["label"] = {"en": draw(st.text(max_size=8))}
+    if draw(st.booleans()):
+        doc["meta"] = {"name": draw(st.text(max_size=6))}
+    if depth > 0 and draw(st.booleans()):
+        doc["children"] = [{"@id": draw(iris)}]
+    if draw(st.booleans()):
+        doc["data"] = draw(st.dictionaries(st.sampled_from(["a", "b"]), scalars, max_size=2))
+    if draw(st.booleans()):
+        doc["rtl"] = draw(st.text(max_size=6))
+    if depth > 0 and draw(st.booleans()):
+        doc["posts"] = {"i1": draw(node_docs(depth=0))}
+    if depth > 0 and draw(st.booleans()):
+        doc["@included"] = [draw(node_docs(depth=0))]
     return doc
 
 
