@@ -134,6 +134,23 @@ def q_kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_triples_interned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IRI interning roundtrip (SURVEY.md §4 'Vocabulary' row): encode
+    term columns to xxhash64 ids, verify dictionary injectivity, decode
+    via broadcast join — output must equal the plain extraction
+    (same DuckDB oracle as kg_triples_native)."""
+    from json_ld_spark.operators import interning as it
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    triples = transcript_triples_native(t).select(*TRIPLE_COLS)
+    dictionary = it.build_iri_dictionary(triples)
+    it.verify_dictionary(dictionary)
+    encoded = it.encode_triples(triples)
+    decoded = it.decode_triples(encoded, dictionary)
+    return decoded.select(*TRIPLE_COLS)
+
+
 def q_kg_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end build_kg (extraction + linking + dedup + node merge);
     per-predicate triple counts. Rows-only check (composite pipeline)."""
@@ -522,6 +539,37 @@ def q_rel_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): per-user session ids with a
+    30-minute inactivity gap — the classic stateful-window pattern."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    epoch = F.unix_timestamp(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("epoch", epoch)
+        .withColumn("new_sess", new_sess)
+        .withColumn("session_no", F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("epoch") - F.min("epoch")).alias("duration_s"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_no").cast("long").alias("session_no"),
+            "n_events",
+            F.col("duration_s").cast("long").alias("duration_s"),
+        )
+    )
+
+
 def q_rel_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins: customers with vs without orders."""
     _utc(spark)
@@ -554,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_generic": q_kg_triples_generic,
         "kg_node_table": q_kg_node_table,
         "kg_entity_links": q_kg_entity_links,
+        "kg_triples_interned": q_kg_triples_interned,
         "kg_pipeline_full": q_kg_pipeline_full,
         "jsonld_expand_generic": q_jsonld_expand_generic,
         "jsonld_flatten_generic": q_jsonld_flatten_generic,
@@ -578,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_setops_customers": q_rel_setops_customers,
         "rel_string_array_wordcount": q_rel_string_array_wordcount,
         "rel_json_events": q_rel_json_events,
+        "rel_sessionize_events": q_rel_sessionize_events,
         "rel_semi_anti_customers": q_rel_semi_anti_customers,
         "rel_distinct_topk_orders": q_rel_distinct_topk_orders,
     }
@@ -831,6 +881,30 @@ FROM events
 GROUP BY event_type
 """
 
+
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), g AS (
+  SELECT user_id, event_id, ts, ep,
+         CASE WHEN ep - LAG(ep) OVER w IS NULL
+                OR ep - LAG(ep) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, ep,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MAX(ep) - MIN(ep) AS duration_s
+FROM s GROUP BY user_id, session_no
+"""
+
 _SEMI_ANTI_SQL = """
 SELECT 'with_orders' AS tag, COUNT(*) AS n FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -852,6 +926,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_native": _TRIPLES_SQL,
         "kg_triples_generic": _TRIPLES_SQL,
         "streaming_triples": _STREAM_TRIPLES_SQL,
+        "kg_triples_interned": _TRIPLES_SQL,
         "kg_node_table": _NODES_SQL,
         "kg_entity_links": _LINKS_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
@@ -864,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_setops_customers": _SETOPS_SQL,
         "rel_string_array_wordcount": _WORDCOUNT_SQL,
         "rel_json_events": _JSON_EVENTS_SQL,
+        "rel_sessionize_events": _SESSIONIZE_SQL,
         "rel_semi_anti_customers": _SEMI_ANTI_SQL,
         "rel_distinct_topk_orders": _TOPK_SQL,
     }
