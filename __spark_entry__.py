@@ -366,6 +366,46 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file): deterministic hash-seeded coarse
+    centroids, cell-equi-join candidate search with n_probe cells per
+    query. Rows-only (approximate). Recall vs exact top-5 asserted >=0.6
+    in tests/test_dataops.py."""
+    _utc(spark)
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    cents = sim.ivf_centroids(emb, n_cells=8)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    out = sim.ivf_topk(queries_df, emb, cents, k=5, n_probe=4)
+    return out.select(
+        "query_id", "cand_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 4).alias("cos_r"),
+    )
+
+
+def q_jsonld_canonicalize_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bnode canonicalization (operators/canonical.py:
+    DataFrame-native color refinement) over bnode-rooted docs; labels
+    must be content-deterministic. Rows-only."""
+    from json_ld_spark.operators.canonical import canonicalize_bnodes_df
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    anon_struct = F.struct(
+        F.lit("Turn").alias("@type"),
+        F.col("role").alias("role"),
+        F.col("text").alias("text"),
+        F.col("turn_idx").alias("turn"),
+    )
+    docs = t.filter(F.col("turn_idx") % 5 == 0).select(
+        F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")).alias("doc_id"),
+        F.to_json(anon_struct, {"ignoreNullFields": "true"}).alias("doc"),
+    )
+    trip = triples_stage(docs, context=TRANSCRIPT_CONTEXT, options=JsonLdOptions())
+    out = canonicalize_bnodes_df(trip)
+    return out.select("subj", "pred", "obj_kind", "obj")
+
+
 def q_ann_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH self-join). Rows-only."""
     _utc(spark)
@@ -615,7 +655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "ann_near_duplicates": q_ann_near_duplicates,
+        "jsonld_canonicalize_distributed": q_jsonld_canonicalize_distributed,
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_features": q_multimodal_features,

@@ -150,3 +150,94 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantize to deterministic centroids,
+# search only the probe's nearest cells (task brief: "IVF or LSH-bucketed
+# variant as the scale path")
+# --------------------------------------------------------------------------
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse centroids without iterative k-means: cells
+    are seeded by hash-sampling (vec_id with the n_cells smallest
+    xxhash64 values — uniform, reproducible across cluster sizes), then
+    each centroid is the mean of the vectors hash-assigned to its seed
+    group. One aggregation; no RNG state, no driver loops."""
+    seeded = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_cells)).cast("int").alias("cell"),
+    )
+    # mean per component via explode-free aggregate over zip_with sums
+    agg = seeded.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(
+            F.collect_list("vec"),
+            F.expr("cast(array() as array<double>)"),
+            lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
+                F.zip_with(acc, v, lambda a, b: a + b)
+            ),
+        ).alias("sum_vec"),
+    )
+    return agg.select(
+        "cell",
+        F.transform("sum_vec", lambda s: s / F.col("n")).alias("centroid"),
+    )
+
+
+def _nearest_cells(vec_col: Column, centroids: list, n_probe: int) -> Column:
+    """Array of the n_probe nearest centroid cell ids (literal centroids
+    — broadcast-sized; scored with the codegen'd dot kernel)."""
+    scored = F.array(*[
+        F.struct(
+            (-cosine(vec_col, F.array(*[F.lit(x) for x in c]))).alias("neg_cos"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in centroids
+    ])
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cell"]
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus rows live in their nearest cell; each query
+    probes its n_probe nearest cells — the candidate join is an
+    equi-join on cell id (the 100 TB shape; recall tuned by n_probe).
+    Centroids are collected to the driver (coarse codebook ≪ data) and
+    inlined as literals so assignment stays in whole-stage codegen."""
+    cents = [(int(r["cell"]), list(r["centroid"])) for r in centroids.collect()]
+    assign_one = lambda vc: _nearest_cells(vc, cents, 1)[0]  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+        assign_one(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(_nearest_cells(F.col(vec_col), cents, n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )

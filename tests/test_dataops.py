@@ -157,3 +157,41 @@ def test_streaming_triples(spark, tmp_path):
     # one quad per non-null field + type + conv + turn
     assert out.count() > batch * 5
     assert out.filter(F.col("pred").endswith("#text")).count() == batch
+
+
+def test_ivf_ann(spark, sf_dir):
+    """IVF ANN: deterministic centroids, cell-equi-join search, recall
+    against the exact kernel on the hardest case (random near-orthogonal
+    embeddings)."""
+    from pyspark.sql import functions as F, types as T
+
+    from json_ld_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("embedding")
+    )
+    c1 = {r["cell"]: r["centroid"] for r in sim.ivf_centroids(emb, n_cells=8).collect()}
+    c2 = {r["cell"]: r["centroid"] for r in sim.ivf_centroids(emb, n_cells=8).collect()}
+    assert c1 == c2  # deterministic, no RNG state
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = sim.ivf_centroids(emb, n_cells=8)
+    ivf = set(map(tuple, sim.ivf_topk(q, emb, cents, k=5, n_probe=4)
+                  .select("query_id", "cand_id").toPandas().values))
+    exact = set(map(tuple, sim.brute_force_topk(q, emb, k=5)
+                    .select("query_id", "cand_id").toPandas().values))
+    assert len(ivf & exact) / len(exact) >= 0.6
+
+
+def test_interning_roundtrip(spark, sf_dir):
+    from json_ld_spark.operators import interning as it
+    from json_ld_spark.operators.native import transcript_triples_native
+    from json_ld_spark.sources.transcripts import transcripts_from_documents
+
+    triples = transcript_triples_native(
+        transcripts_from_documents(spark, sf_dir)
+    ).select("graph", "subj", "pred", "obj_kind", "obj", "datatype", "lang")
+    d = it.build_iri_dictionary(triples)
+    assert it.verify_dictionary(d) == d.count()
+    back = it.decode_triples(it.encode_triples(triples), d)
+    assert back.select(*triples.columns).subtract(triples).count() == 0
+    assert triples.subtract(back.select(*triples.columns)).count() == 0
