@@ -24,12 +24,14 @@ SUITE = json.loads((REPO / "tests/fixtures/golden_suite.json").read_text())
 def main() -> None:
     rows = []
     tp = fp = fn = 0
-    n_exp = n_flat = n_err = 0
+    n_exp = n_flat = n_err = n_comp = 0
     for case in SUITE["cases"]:
         if "expanded" in case:
             n_exp += 1
         if "flattened" in case:
             n_flat += 1
+        if "compacted" in case:
+            n_comp += 1
         if "expand_error" in case or "flatten_error" in case:
             n_err += 1
         if "quads" not in case:
@@ -70,7 +72,8 @@ def main() -> None:
         f"recall = {recall:.3f}** (gate: >= 0.95).",
         "",
         f"Also covered: {n_exp} expanded-form equality cases, {n_flat}",
-        f"flattened-form cases, {n_err} negative (error) cases, plus the",
+        f"flattened-form cases, {n_comp} compacted-form cases, {n_err}",
+        "negative (error) cases, plus the",
         "distributed-path gate (tests/test_golden_parity.py::"
         "test_spark_golden_pr_gate) running every positive case through",
         "Spark `triples_stage` with canonical bnode labels.",

@@ -18,7 +18,7 @@ import pathlib
 import pytest
 
 from json_ld_spark import errors as E
-from json_ld_spark.api import expand, flatten, to_rdf
+from json_ld_spark.api import compact, expand, flatten, to_rdf
 from json_ld_spark.canonicalize import canonicalize_quads
 from json_ld_spark.options import JsonLdOptions
 
@@ -92,6 +92,17 @@ def test_golden_case(case):
         assert _deep_unordered_eq(got, case["flattened"]), (
             f"flattened mismatch:\n got: {json.dumps(got, ensure_ascii=False)}\n"
             f" exp: {json.dumps(case['flattened'], ensure_ascii=False)}"
+        )
+    if "compacted" in case:
+        got = compact(
+            expand(case["input"], options=opts),
+            case["compact_context"],
+            options=opts,
+        )
+        got.pop("@context", None)
+        assert got == case["compacted"], (
+            f"compacted mismatch:\n got: {json.dumps(got, ensure_ascii=False)}\n"
+            f" exp: {json.dumps(case['compacted'], ensure_ascii=False)}"
         )
     if "quads" in case:
         got = _canon_quads(to_rdf(case["input"], options=opts))
