@@ -134,6 +134,32 @@ def q_kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_entity_links_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same linking semantics through the SALTED shuffle-join strategy
+    (hot-surface skew mitigation: probe side salted by xxhash64(subj),
+    dictionary replicated x n_salts). Shares kg_entity_links' oracle —
+    the strategy changes only the physical plan, so the value hash must
+    be identical."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    mention_src = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("subj"),
+        "text",
+    )
+    mentions = lk.extract_mentions(mention_src)
+    dictionary = lk.synthesize_entity_dictionary(spark, sf_dir, max_entities=2000)
+    links = lk.link_entities(mentions, dictionary, strategy="salted", n_salts=8)
+    return links.select(
+        "subj",
+        "surface",
+        "entity_id",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+        F.round("prior", 6).alias("prior_r"),
+        F.round("score", 6).alias("score_r"),
+    )
+
+
 def q_kg_triples_interned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IRI interning roundtrip (SURVEY.md §4 'Vocabulary' row): encode
     term columns to xxhash64 ids, verify dictionary injectivity, decode
@@ -642,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_generic": q_kg_triples_generic,
         "kg_node_table": q_kg_node_table,
         "kg_entity_links": q_kg_entity_links,
+        "kg_entity_links_salted": q_kg_entity_links_salted,
         "kg_triples_interned": q_kg_triples_interned,
         "kg_pipeline_full": q_kg_pipeline_full,
         "jsonld_expand_generic": q_jsonld_expand_generic,
@@ -971,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_interned": _TRIPLES_SQL,
         "kg_node_table": _NODES_SQL,
         "kg_entity_links": _LINKS_SQL,
+        "kg_entity_links_salted": _LINKS_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
