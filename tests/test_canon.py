@@ -42,3 +42,52 @@ def test_canonical_json_stable():
     a = {"x": {"b": 2, "a": 1}, "y": [1, 2]}
     b = {"y": [1, 2], "x": {"a": 1, "b": 2}}
     assert canonical_json(a) == canonical_json(b)
+
+
+def test_canonicalize_cyclic_bnode_graphs_isomorphic():
+    """Bnode rings: two label-permuted isomorphic cycles canonicalize to
+    the same quad set; a structurally different ring does not."""
+    from json_ld_spark.canonicalize import canonicalize_quads
+
+    P = "http://ex/next"
+
+    def ring(labels, mark=None):
+        quads = [
+            (None, f"_:{a}", P, "bnode", f"_:{b}", None, None)
+            for a, b in zip(labels, labels[1:] + labels[:1])
+        ]
+        if mark:
+            quads.append((None, f"_:{mark}", "http://ex/flag", "literal", "y",
+                          "http://www.w3.org/2001/XMLSchema#string", None))
+        return quads
+
+    a = set(canonicalize_quads(ring(["x", "y", "z"])))
+    b = set(canonicalize_quads(ring(["q", "r", "s"])))
+    assert a == b  # pure automorphic ring: label choice free, set equal
+    c = set(canonicalize_quads(ring(["x", "y", "z"], mark="x")))
+    d = set(canonicalize_quads(ring(["q", "r", "s"], mark="r")))
+    assert c == d  # marked ring: marking breaks symmetry identically
+    assert a != c
+
+
+def test_canonicalize_twin_components():
+    """Two disconnected identical components (true automorphism) get
+    distinct disambiguated labels but a stable overall quad set."""
+    from json_ld_spark.canonicalize import canonicalize_quads
+
+    q = [
+        (None, "_:a1", "http://ex/p", "literal", "v",
+         "http://www.w3.org/2001/XMLSchema#string", None),
+        (None, "_:b1", "http://ex/p", "literal", "v",
+         "http://www.w3.org/2001/XMLSchema#string", None),
+    ]
+    out1 = set(canonicalize_quads(q))
+    q2 = [
+        (None, "_:zz", "http://ex/p", "literal", "v",
+         "http://www.w3.org/2001/XMLSchema#string", None),
+        (None, "_:aa", "http://ex/p", "literal", "v",
+         "http://www.w3.org/2001/XMLSchema#string", None),
+    ]
+    out2 = set(canonicalize_quads(q2))
+    assert out1 == out2
+    assert len(out1) == 2  # twins keep distinct labels (no merge)
