@@ -76,25 +76,65 @@ def canonical_bnode_labels(
     if not bnodes:
         return {}
 
-    labels = {b: "" for b in bnodes}
-    for _ in range(rounds):
-        new_labels = {}
-        for b in bnodes:
-            sigs = sorted(_quad_signature(q, labels, b) for q in incident[b])
-            new_labels[b] = _h("\x1e".join(sigs) + "\x1f" + labels[b])
-        if new_labels == labels:
-            break
-        labels = new_labels
+    def refine(seeds: dict[str, str]) -> dict[str, str]:
+        """Color refinement until the induced PARTITION stabilizes.
 
-    # disambiguate identical hashes (automorphic or colliding) by stable
-    # per-hash occurrence index over sorted (hash, original-signature) order
-    groups: dict[str, list[str]] = defaultdict(list)
-    for b in sorted(bnodes, key=lambda b: (labels[b], sorted(
-        _quad_signature(q, labels, b) for q in incident[b]
-    ))):
-        groups[labels[b]].append(b)
+        Information travels one hop per round, so a fixed round count
+        under-refines long chains (a k-element rdf list is a k-diameter
+        bnode path; with 4 rounds every node >4 hops from both ends
+        looked automorphic and tie-breaking leaked original labels).
+        The partition provably stabilizes within |bnodes| rounds; the
+        label-chaining (prev label mixed into the new hash) means raw
+        labels never repeat, so stability must be checked on the
+        partition, not the labels.
+        """
+        labels = {b: seeds.get(b, "") for b in bnodes}
+        prev_partition = None
+        for _ in range(max(rounds, len(bnodes) + 1)):
+            new_labels = {}
+            for b in bnodes:
+                sigs = sorted(_quad_signature(q, labels, b) for q in incident[b])
+                new_labels[b] = _h("\x1e".join(sigs) + "\x1f" + labels[b])
+            labels = new_labels
+            classes: dict[str, list[str]] = defaultdict(list)
+            for b, lbl in labels.items():
+                classes[lbl].append(b)
+            partition = frozenset(frozenset(ms) for ms in classes.values())
+            if partition == prev_partition:
+                break
+            prev_partition = partition
+        return labels
+
+    # URDNA2015-style symmetry breaking: refinement alone cannot separate
+    # members of a non-trivial automorphism orbit (e.g. a directed bnode
+    # ring — every node is structurally identical). Repeatedly mark ONE
+    # member of the smallest-hash ambiguous group with a distinguishing
+    # seed and re-refine: the mark propagates structurally, separating
+    # the orbit relative to the marked node. Which orbit member is
+    # marked does not affect the OUTPUT labeling (orbit members are
+    # interchangeable by definition — marking any of them yields the
+    # same labeled quad set), so the arbitrary pick below is sound; it
+    # would matter only under a sha256 collision between structurally
+    # different nodes.
+    seeds: dict[str, str] = {}
+    labels = refine(seeds)
+    for mark_no in range(len(bnodes)):
+        groups: dict[str, list[str]] = defaultdict(list)
+        for b in bnodes:
+            groups[labels[b]].append(b)
+        ambiguous = sorted(h for h, ms in groups.items() if len(ms) > 1)
+        if not ambiguous:
+            break
+        member = min(groups[ambiguous[0]])  # orbit-internal pick: output-invariant
+        seeds[member] = f"!mark{mark_no}"
+        labels = refine(seeds)
+
+    # safety net for sha256 collisions that even marking cannot separate
+    groups2: dict[str, list[str]] = defaultdict(list)
+    for b in sorted(bnodes, key=lambda b: labels[b]):
+        groups2[labels[b]].append(b)
     out: dict[str, str] = {}
-    for hash_val, members in groups.items():
+    for hash_val, members in groups2.items():
         for i, b in enumerate(members):
             suffix = f"-{i}" if len(members) > 1 else ""
             out[b] = f"_:{prefix}{hash_val[:16]}{suffix}"

@@ -110,7 +110,10 @@ def from_rdf(
     """quads → expanded JSON-LD document (§8.2.2)."""
     default_graph: dict[str, dict] = {}
     graph_map: dict[str, dict[str, dict]] = {DEFAULT: default_graph}
-    referenced_once: dict[tuple[str, str], Any] = {}
+    # spec 8.2.2: referencedOnce is keyed by the blank node identifier
+    # GLOBALLY (not per graph) — a bnode referenced as object in two
+    # graphs is referenced twice and must not fold into a list
+    referenced_once: dict[str, Any] = {}
     nil_usages: dict[str, list[dict]] = defaultdict(list)
     compound_subjects: dict[str, set[str]] = defaultdict(set)
 
@@ -137,17 +140,17 @@ def from_rdf(
             usage = {"node": node, "property": pred, "value": value}
             if obj == RDF_NIL:
                 nil_usages[gname].append(usage)
-            elif (gname, obj) in referenced_once:
-                referenced_once[(gname, obj)] = False
+            elif obj in referenced_once:
+                referenced_once[obj] = False
             elif kind == "bnode":
-                referenced_once[(gname, obj)] = usage
+                referenced_once[obj] = usage
 
     # compound literals (rdf_direction == "compound-literal"):
     # replace references to bnodes carrying rdf:value/language/direction
     for gname, subjects in compound_subjects.items():
         node_map = graph_map[gname]
         for cl in subjects:
-            usage = referenced_once.get((gname, cl))
+            usage = referenced_once.get(cl)
             if not isinstance(usage, dict):
                 continue
             cl_node = node_map.pop(cl, None)
@@ -173,7 +176,7 @@ def from_rdf(
             while (
                 prop == RDF_REST
                 and is_blank_node_id(node.get("@id", ""))
-                and isinstance(referenced_once.get((gname, node["@id"])), dict)
+                and isinstance(referenced_once.get(node["@id"]), dict)
                 and len(node.get(RDF_FIRST, [])) == 1
                 and len(node.get(RDF_REST, [])) == 1
                 and set(node).issubset({"@id", "@type", RDF_FIRST, RDF_REST})
@@ -181,7 +184,7 @@ def from_rdf(
             ):
                 lst.append(node[RDF_FIRST][0])
                 list_nodes.append(node["@id"])
-                nxt = referenced_once[(gname, node["@id"])]
+                nxt = referenced_once[node["@id"]]
                 node, prop, value = nxt["node"], nxt["property"], nxt["value"]
             value.pop("@id", None)
             value["@list"] = list(reversed(lst))

@@ -91,3 +91,50 @@ def test_canonicalize_twin_components():
     out2 = set(canonicalize_quads(q2))
     assert out1 == out2
     assert len(out1) == 2  # twins keep distinct labels (no merge)
+
+
+def test_canonicalize_long_chain_label_independent():
+    """A 30-element rdf:first/rest chain (30-diameter bnode path) must
+    canonicalize identically under different original labelings — this
+    requires refinement to run to partition stability, not a fixed
+    round count."""
+    from json_ld_spark.canonicalize import canonicalize_quads
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+
+    def chain(mk):
+        n = 30
+        quads = [(None, "http://n/1", "http://ex/p", "bnode", mk(0), None, None)]
+        for i in range(n):
+            quads.append((None, mk(i), RDF + "first", "literal", str(i), XS, None))
+            nxt = ("bnode", mk(i + 1)) if i + 1 < n else ("iri", RDF + "nil")
+            quads.append((None, mk(i), RDF + "rest", nxt[0], nxt[1], None, None))
+        return quads
+
+    a = set(canonicalize_quads(chain(lambda i: f"_:b{i}")))
+    b = set(canonicalize_quads(chain(lambda i: f"_:zz{97 - i}")))
+    assert a == b
+
+
+def test_canonicalize_long_uniform_chain():
+    """Chain whose cells are indistinguishable except by position (all
+    firsts identical): positional separation must come from refinement
+    depth alone."""
+    from json_ld_spark.canonicalize import canonicalize_quads
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+
+    def chain(mk, n=20):
+        quads = [(None, "http://n/1", "http://ex/p", "bnode", mk(0), None, None)]
+        for i in range(n):
+            quads.append((None, mk(i), RDF + "first", "literal", "same", XS, None))
+            nxt = ("bnode", mk(i + 1)) if i + 1 < n else ("iri", RDF + "nil")
+            quads.append((None, mk(i), RDF + "rest", nxt[0], nxt[1], None, None))
+        return quads
+
+    a = set(canonicalize_quads(chain(lambda i: f"_:b{i}")))
+    b = set(canonicalize_quads(chain(lambda i: f"_:w{1000 - i}")))
+    assert a == b
+    assert len(a) == len(set(chain(lambda i: f"_:b{i}", 20)))

@@ -199,3 +199,76 @@ def test_cli_expand_and_tordf(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert '<http://n/1> <http://ex/p> "v" .' in out.stdout
+
+
+# ---------------------------------------------------------------------------
+# quad-level fuzz: adversarial rdf:first/rest structures through the
+# from_rdf → to_rdf dataset fixpoint
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_BN = ["_:a", "_:b", "_:c", "_:d"]
+_CHAIN_BN = ["_:l1", "_:l2", "_:l3"]  # never used in named graphs
+_IRIS = ["http://n/1", "http://n/2", "http://n/3"]
+_PREDS = ["http://ex/p", "http://ex/q", RDF + "type"]
+
+_lit = st.sampled_from([
+    ("literal", "hello", XSD + "string", None),
+    ("literal", "42", XSD + "integer", None),
+    ("literal", "true", XSD + "boolean", None),
+    ("literal", "1.5E0", XSD + "double", None),
+    ("literal", "bonjour", None, "fr"),
+    ("literal", "x", "http://ex/Custom", None),
+])
+_node = st.sampled_from(
+    [("iri", i, None, None) for i in _IRIS] + [("bnode", b, None, None) for b in _BN]
+)
+
+
+@st.composite
+def _quad_sets(draw):
+    """Random datasets incl. malformed/shared/cyclic rdf:first/rest
+    fragments, constrained to JSON-LD's round-trippable fragment: chain
+    bnodes live only in the default graph (a bnode that is a list cell
+    in one graph and a node in another cannot be expressed in JSON-LD —
+    the spec's own fromRdf loses that link)."""
+    out = []
+    for _ in range(draw(st.integers(min_value=1, max_value=8))):
+        subj = draw(st.sampled_from(_IRIS + _BN))
+        pred = draw(st.sampled_from(_PREDS))
+        if pred == RDF + "type":
+            kind, obj, dt, lg = draw(_node)
+        else:
+            kind, obj, dt, lg = draw(st.one_of(_lit, _node))
+        graph = draw(st.sampled_from([None, None, "http://g/1", "_:gb"]))
+        out.append((graph, subj, pred, kind, obj, dt, lg))
+    for _ in range(draw(st.integers(min_value=0, max_value=5))):
+        b = draw(st.sampled_from(_CHAIN_BN))
+        if draw(st.booleans()):
+            kind, obj, dt, lg = draw(st.one_of(_lit, _node))
+            out.append((None, b, RDF + "first", kind, obj, dt, lg))
+        else:
+            tk, tv = draw(st.sampled_from(
+                [("bnode", x) for x in _CHAIN_BN]
+                + [("iri", RDF + "nil"), ("iri", "http://n/1")]
+            ))
+            out.append((None, b, RDF + "rest", tk, tv, None, None))
+    # attach some chains to regular nodes
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        subj = draw(st.sampled_from(_IRIS))
+        b = draw(st.sampled_from(_CHAIN_BN))
+        out.append((None, subj, "http://ex/p", "bnode", b, None, None))
+    return list(dict.fromkeys(out))
+
+
+@given(_quad_sets())
+@settings(max_examples=150, deadline=None)
+def test_quad_fuzz_fixpoint(q):
+    back = from_rdf(q)
+    q2 = to_rdf({"@graph": back} if len(back) != 1 else (back[0] if back else {"@graph": []}))
+    a = set(canonicalize_quads(q))
+    b = set(canonicalize_quads(q2))
+    assert a == b, (
+        f"\n only-in : {sorted(a - b, key=str)}\n only-out: {sorted(b - a, key=str)}"
+    )

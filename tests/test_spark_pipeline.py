@@ -167,12 +167,17 @@ def test_distributed_canonicalization_matches_local_partition(spark):
     schema = "graph string, subj string, pred string, obj_kind string, obj string, datatype string, lang string"
     dist = canonicalize_bnodes_df(spark.createDataFrame(quads, schema)).collect()
     dist_subjects = sorted(r["subj"] for r in dist)
-    # same grouping structure: exactly two distinct canonical roots
+    # all three get distinct labels on both sides
     assert len(set(local_subjects)) == 3 and len(set(dist_subjects)) == 3
-    # the automorphic pair shares a hash prefix in both
+    # local: the automorphic pair is separated by URDNA-style marking
+    # (distinct full hashes, label-independent); re-canonicalizing a
+    # relabeled copy must produce the identical quad set
+    relabeled = [(g, s.replace("_:a", "_:x").replace("_:c", "_:y"), p, k, o, d, l)
+                 for g, s, p, k, o, d, l in quads]
+    assert set(canonicalize_quads(relabeled)) == set(local)
+    # distributed: twins share a hash prefix with -i suffixes
     def prefixes(subjects):
         return sorted(s.rsplit("-", 1)[0] for s in subjects)
-    assert len(set(prefixes(local_subjects))) == 2
     assert len(set(prefixes(dist_subjects))) == 2
 
 
