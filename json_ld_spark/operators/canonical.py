@@ -8,8 +8,17 @@ json_ld_spark.canonicalize (per-doc, in-UDF). Each round:
 
 All shuffles key on the bnode label; `rounds` is small (default 3) and
 the label table is tiny relative to the quad table (bnodes only), so the
-joins broadcast when possible. Used for golden-suite scoring at scale
-and cross-checked against the sequential version in tests.
+joins broadcast when possible. Cross-checked against the sequential
+version in tests.
+
+Contract note: with fixed `rounds`, labels are DETERMINISTIC and unique
+(collision-disambiguated) — sufficient for corpus-level canonical ids —
+but only structures of diameter <= rounds are fully separated by
+structure alone; isomorphism-oracle comparisons (golden scoring) use
+json_ld_spark.canonicalize, which refines to partition stability and
+breaks automorphic orbits by marking. Raise `rounds` toward the max
+bnode-graph diameter (e.g. the longest @list) when label-stability
+across relabeled inputs matters at corpus level.
 
 Replaces the reference's sequential relabel generator
 (crates/core/src/document/expanded.rs:99-115) with the hash-based
