@@ -143,3 +143,25 @@ def test_compact_expand_roundtrip(doc):
     assert json.dumps(_norm(re_expanded), sort_keys=True) == json.dumps(
         _norm(expanded), sort_keys=True
     )
+
+
+@given(node_docs())
+@settings(max_examples=40, deadline=None)
+def test_compact_expand_roundtrip_no_compact_arrays(doc):
+    """Roundtrip with compact_arrays=False (arrays preserved). Skips the
+    spec-inherent ambiguity: a bare @json literal cannot be told apart
+    from a value array when arrays are preserved (the reference's
+    as_array computation, property.rs:368-380, has no @json guard
+    either)."""
+    from json_ld_spark.options import JsonLdOptions
+
+    full = _with_ctx(doc)
+    opts = JsonLdOptions(compact_arrays=False)
+    expanded = expand(full)
+    ser = json.dumps(expanded)
+    assume(not _has_empty_node(expanded) and '"@json"' not in ser)
+    compacted = compact(expanded, CTX, options=opts)
+    re_expanded = expand(compacted)
+    assert json.dumps(_norm(re_expanded), sort_keys=True) == json.dumps(
+        _norm(expanded), sort_keys=True
+    )
