@@ -14,6 +14,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 import __spark_entry__ as entrymod
@@ -26,15 +27,20 @@ TABLES = [
 
 
 def canon_cell(v) -> str:
+    # Type-TAGGED canon: the driver's hasher distinguishes int64 from
+    # float64/Decimal (DuckDB HUGEINT sums surface as non-int and fail the
+    # driver hash even when values are numerically equal — round-1 lesson:
+    # rel_json_events/rel_sessionize_events). Tagging the Python/numpy type
+    # makes any cross-engine type divergence fail HERE first.
     if v is None or (isinstance(v, float) and pd.isna(v)):
         return "NULL"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
+    if isinstance(v, (bool, np.bool_)):
+        return "bool:" + str(int(v))
+    if isinstance(v, (int, np.integer)):
+        return "int:" + str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return "float:" + repr(round(float(v), 9))
+    return type(v).__name__ + ":" + str(v)
 
 
 def value_hash(pdf: pd.DataFrame) -> str:
