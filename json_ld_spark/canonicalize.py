@@ -109,13 +109,26 @@ def canonical_bnode_labels(
     # members of a non-trivial automorphism orbit (e.g. a directed bnode
     # ring — every node is structurally identical). Repeatedly mark ONE
     # member of the smallest-hash ambiguous group with a distinguishing
-    # seed and re-refine: the mark propagates structurally, separating
-    # the orbit relative to the marked node. Which orbit member is
-    # marked does not affect the OUTPUT labeling (orbit members are
-    # interchangeable by definition — marking any of them yields the
-    # same labeled quad set), so the arbitrary pick below is sound; it
-    # would matter only under a sha256 collision between structurally
-    # different nodes.
+    # seed and re-refine. WHICH member is marked is decided like
+    # URDNA2015's hash-n-degree-quads permutation step: try every member
+    # of the group and keep the one whose re-refined labeling produces
+    # the lexicographically least relabeled quad set. That comparison is
+    # a pure function of graph structure (labels are content hashes), so
+    # the choice never depends on input blank labels — this also covers
+    # refinement-equivalent but NON-automorphic groups (regular/
+    # CFI-style graphs), where a min(original-id) pick would leak input
+    # labels into the output. Remaining gap vs full URDNA2015: the
+    # exploration is greedy one-step (no recursive branch-and-bound), so
+    # candidates whose one-step outcomes serialize identically fall back
+    # to min(original id); for such candidates the one-step quad sets
+    # are indistinguishable, which makes the fallback observable only in
+    # adversarial constructions where deeper branching differs.
+    def _serialize(lbls: dict[str, str]) -> str:
+        rel = relabel_quads(quads, lbls)
+        return "\x1e".join(
+            sorted("|".join("~" if t is None else t for t in q) for q in rel)
+        )
+
     seeds: dict[str, str] = {}
     labels = refine(seeds)
     for mark_no in range(len(bnodes)):
@@ -125,9 +138,14 @@ def canonical_bnode_labels(
         ambiguous = sorted(h for h, ms in groups.items() if len(ms) > 1)
         if not ambiguous:
             break
-        member = min(groups[ambiguous[0]])  # orbit-internal pick: output-invariant
-        seeds[member] = f"!mark{mark_no}"
-        labels = refine(seeds)
+        best: tuple[str, str, dict[str, str]] | None = None
+        for member in sorted(groups[ambiguous[0]]):
+            trial = refine({**seeds, member: f"!mark{mark_no}"})
+            ser = _serialize(trial)
+            if best is None or ser < best[0]:
+                best = (ser, member, trial)
+        seeds[best[1]] = f"!mark{mark_no}"
+        labels = best[2]
 
     # safety net for sha256 collisions that even marking cannot separate
     groups2: dict[str, list[str]] = defaultdict(list)

@@ -3,13 +3,20 @@
 DataFrame-native color refinement — the distributed twin of
 json_ld_spark.canonicalize (per-doc, in-UDF). Each round:
 
-  quads ⨝ labels (subj) ⨝ labels (obj) ⨝ labels (graph)   3 hash joins
+  quads ⨝ labels (subj) ⨝ labels (obj) ⨝ labels (graph) ⨝ labels (pred)
   → per-bnode signature rows → groupBy(bnode) sha2 of sorted signatures
 
-All shuffles key on the bnode label; `rounds` is small (default 3) and
-the label table is tiny relative to the quad table (bnodes only), so the
-joins broadcast when possible. Cross-checked against the sequential
-version in tests.
+All shuffles key on the bnode label; `rounds` is small (default 3).
+The label table holds one row per distinct bnode — small relative to
+the quad table but PROPORTIONAL to corpus bnode count, so the joins
+carry no forced broadcast hint: AQE broadcasts them when they fit and
+falls back to shuffle joins when they don't (a hard `broadcast()` here
+would force an attempt past driver/broadcast limits at 100 TB).
+Cross-checked against the sequential version in tests.
+
+Blank predicates (generalized RDF) participate fully: they join the
+bnode set, get signature rows, and are relabeled — matching
+json_ld_spark.canonicalize's treatment.
 
 Contract note: with fixed `rounds`, labels are DETERMINISTIC and unique
 (collision-disambiguated) — sufficient for corpus-level canonical ids —
@@ -51,6 +58,9 @@ def canonicalize_bnodes_df(
         .unionByName(
             t.select(F.col("graph").alias("b")).where(_is_bnode(F.col("graph")))
         )
+        .unionByName(
+            t.select(F.col("pred").alias("b")).where(_is_bnode(F.col("pred")))
+        )
         .distinct()
     )
     labels = bnodes.select("b", F.lit("").alias("h"))
@@ -69,10 +79,14 @@ def canonicalize_bnodes_df(
         lab_s = labels.select(F.col("b").alias("subj"), F.col("h").alias("h_subj"))
         lab_o = labels.select(F.col("b").alias("obj"), F.col("h").alias("h_obj"))
         lab_g = labels.select(F.col("b").alias("graph"), F.col("h").alias("h_graph"))
+        lab_p = labels.select(F.col("b").alias("pred"), F.col("h").alias("h_pred"))
+        # no broadcast hint: label table ∝ bnode count; AQE picks the
+        # join strategy by actual size
         j = (
-            base.join(F.broadcast(lab_s), "subj", "left")
-            .join(F.broadcast(lab_o), "obj", "left")
-            .join(F.broadcast(lab_g), "graph", "left")
+            base.join(lab_s, "subj", "left")
+            .join(lab_o, "obj", "left")
+            .join(lab_g, "graph", "left")
+            .join(lab_p, "pred", "left")
         )
         # per-position signatures: self marker vs neighbor hash
         g_term = F.when(
@@ -85,6 +99,9 @@ def canonicalize_bnodes_df(
             (F.col("obj_kind") == "bnode") & _is_bnode(F.col("obj")),
             F.coalesce("h_obj", F.lit("_:other")),
         ).otherwise(F.col("obj"))
+        p_term = F.when(
+            _is_bnode(F.col("pred")), F.coalesce("h_pred", F.lit("_:other"))
+        ).otherwise(F.col("pred"))
 
         def sig(self_col: str):
             # every occurrence of the self label (any position) → "_:self",
@@ -99,8 +116,11 @@ def canonicalize_bnodes_df(
                 (F.col("obj_kind") == "bnode") & (F.col("obj") == self_val),
                 F.lit("_:self"),
             ).otherwise(o_term)
+            p_rep = F.when(F.col("pred") == self_val, F.lit("_:self")).otherwise(
+                p_term
+            )
             return F.concat_ws(
-                "|", g_rep, s_rep, F.col("pred"), F.col("obj_kind"),
+                "|", g_rep, s_rep, p_rep, F.col("obj_kind"),
                 o_rep, F.col("dt"), F.col("lg"),
             )
 
@@ -109,6 +129,7 @@ def canonicalize_bnodes_df(
             ("subj", _is_bnode(F.col("subj"))),
             ("obj", (F.col("obj_kind") == "bnode") & _is_bnode(F.col("obj"))),
             ("graph", _is_bnode(F.col("graph"))),
+            ("pred", _is_bnode(F.col("pred"))),
         ):
             part = j.where(guard).select(F.col(col).alias("b"), sig(col).alias("sig"))
             sig_rows = part if sig_rows is None else sig_rows.unionByName(part)
@@ -158,14 +179,16 @@ def canonicalize_bnodes_df(
     m_s = final.select(F.col("b").alias("subj"), F.col("canon").alias("c_subj"))
     m_o = final.select(F.col("b").alias("obj"), F.col("canon").alias("c_obj"))
     m_g = final.select(F.col("b").alias("graph"), F.col("canon").alias("c_graph"))
+    m_p = final.select(F.col("b").alias("pred"), F.col("canon").alias("c_pred"))
     out = (
-        t.join(F.broadcast(m_s), "subj", "left")
-        .join(F.broadcast(m_o), "obj", "left")
-        .join(F.broadcast(m_g), "graph", "left")
+        t.join(m_s, "subj", "left")
+        .join(m_o, "obj", "left")
+        .join(m_g, "graph", "left")
+        .join(m_p, "pred", "left")
         .select(
             F.coalesce("c_graph", "graph").alias("graph"),
             F.coalesce("c_subj", "subj").alias("subj"),
-            "pred",
+            F.coalesce("c_pred", "pred").alias("pred"),
             "obj_kind",
             F.when(
                 (F.col("obj_kind") == "bnode") & F.col("c_obj").isNotNull(),

@@ -93,44 +93,10 @@ def link_entities(
                           dictionary replicated ×n_salts (hot-key spread
                           for dictionaries beyond broadcast size).
     """
-    if top_k == 1:
-        # Algebraic fast path: within one (subj, surface) group, tf and
-        # first_pos are constants, so link_score is monotone in prior —
-        # the top-1 entity is argmax(prior) (tie: min entity_id). The
-        # whole link collapses into join-then-ONE-aggregation: no window
-        # sort over the linked rows (measured 60s → ~25s at 10M
-        # mentions). Requires score(prior, tf, pos) monotone in prior,
-        # which the scoring model guarantees.
-        if strategy == "broadcast":
-            joined = mentions.join(F.broadcast(dictionary), "surface", "inner")
-        elif strategy == "salted":
-            salted = mentions.withColumn(
-                "salt", F.pmod(F.xxhash64("subj"), F.lit(n_salts)).cast("int")
-            )
-            replicated = dictionary.withColumn(
-                "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-            )
-            joined = salted.join(replicated, ["surface", "salt"], "inner").drop("salt")
-        else:
-            raise ValueError(f"unknown strategy {strategy!r}")
-        best = F.min_by(
-            F.struct("entity_id", "prior"),
-            F.struct((-F.col("prior")).alias("np"), F.col("entity_id")),
-        )
-        agg = joined.groupBy("subj", "surface").agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.min("pos").alias("first_pos"),
-            best.alias("best"),
-        )
-        return agg.select(
-            "subj", "surface",
-            F.col("best.entity_id").alias("entity_id"),
-            F.col("best.prior").alias("prior"),
-            "tf", "first_pos",
-        ).withColumn(
-            "score", link_score(F.col("prior"), F.col("tf"), F.col("first_pos"))
-        )
-
+    # tf/first_pos are aggregated on MENTIONS, before the dictionary
+    # join, on BOTH paths: joining first would multiply the count by the
+    # surface's candidate-entity fan-out and inflate score (harmless for
+    # 1:1 dictionaries, wrong for ambiguous surfaces — round-1 advice).
     tf = mentions.groupBy("subj", "surface").agg(
         F.count(F.lit(1)).alias("tf"), F.min("pos").alias("first_pos")
     )
@@ -146,6 +112,36 @@ def link_entities(
         joined = salted.join(replicated, ["surface", "salt"], "inner").drop("salt")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
+
+    if top_k == 1:
+        # Algebraic fast path: within one (subj, surface) group, tf and
+        # first_pos are constants, so link_score is monotone in prior —
+        # the top-1 entity is argmax(prior) (tie: min entity_id). The
+        # link collapses into join-then-ONE-aggregation: no window sort
+        # over the linked rows (measured 60s → ~25s at 10M mentions).
+        # The pre-agg shuffle hash-partitions by (subj, surface) and the
+        # broadcast join preserves that partitioning, so this groupBy
+        # needs no further Exchange. Requires score(prior, tf, pos)
+        # monotone in prior, which the scoring model guarantees.
+        best = F.min_by(
+            F.struct("entity_id", "prior"),
+            F.struct((-F.col("prior")).alias("np"), F.col("entity_id")),
+        )
+        agg = joined.groupBy("subj", "surface").agg(
+            best.alias("best"),
+            # constants within the group post-pre-agg; min() for a
+            # deterministic pick
+            F.min("tf").alias("tf"),
+            F.min("first_pos").alias("first_pos"),
+        )
+        return agg.select(
+            "subj", "surface",
+            F.col("best.entity_id").alias("entity_id"),
+            F.col("best.prior").alias("prior"),
+            "tf", "first_pos",
+        ).withColumn(
+            "score", link_score(F.col("prior"), F.col("tf"), F.col("first_pos"))
+        )
 
     scored = joined.withColumn(
         "score", link_score(F.col("prior"), F.col("tf"), F.col("first_pos"))

@@ -1,12 +1,27 @@
 """Similarity search over embedding columns (array<float>).
 
 Baseline: brute-force cosine top-k, fully JVM-side (zip_with/aggregate —
-codegen'd, no Python). Scale path: LSH bucketing via random-hyperplane
-signatures so the candidate join touches only same-bucket pairs; at
-1000 executors the bucket key is uniform and the per-bucket fan-in is
-|bucket|², tunable with n_planes.
+codegen'd, no Python). Scale paths:
 
-An embedding-cosine near-duplicate detector reuses the same kernel.
+- **Banded multi-table hyperplane LSH**: B independent signature tables
+  of `band_bits` sign-bits each. A pair is a candidate if it collides in
+  ANY band. Per-band expected bucket size is N/2^band_bits, so
+  candidate fan-in is ~B * N^2 / 2^band_bits — `band_bits` bounds the
+  per-bucket blow-up while extra bands restore recall
+  (P[candidate] = 1 - (1 - s^band_bits)^B for per-plane agreement
+  probability s = 1 - theta/pi). A single wide table (the round-1
+  design) had unbounded per-bucket fan-in ~(N/2^planes)^2 with no way
+  to raise planes without killing recall.
+- **IVF** (inverted file): deterministic hash-seeded coarse codebook
+  refined by Lloyd assignment passes; search probes the n_probe nearest
+  cells per query, so the candidate join is an equi-join on cell id.
+  Centroid means are computed component-wise (posexplode +
+  groupBy(cell, idx)) — per-group aggregation state is ONE double, never
+  a list of vectors, so the plan is memory-bounded at any corpus size.
+
+An embedding-cosine near-duplicate detector reuses the banded-LSH
+kernel. No reference analogue (training-data ops beyond
+timothee-haudebourg/json-ld's scope, per the task brief).
 """
 
 from __future__ import annotations
@@ -81,7 +96,9 @@ def _hyperplane(dim: int, plane_no: int) -> list[float]:
 
 
 def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane signature: n_planes sign bits → int bucket."""
+    """Single-table random-hyperplane signature: n_planes sign bits →
+    int bucket. Kept for diagnostics; production paths use the banded
+    multi-table keys (`lsh_band_keys`) whose fan-in is tunable."""
     bits = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
@@ -89,32 +106,70 @@ def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
     return sum(bits).cast("int")
 
 
+def lsh_band_keys(
+    vec_col: Column, dim: int, n_bands: int = 4, band_bits: int = 8
+) -> Column:
+    """Banded multi-table LSH keys: array<struct<band:int, sig:int>> —
+    one signature per independent table. Plane (band b, bit i) is the
+    deterministic hyperplane #(b*band_bits + i), so tables share no
+    planes. Join key is (band, sig): per-band expected bucket size
+    N/2^band_bits bounds fan-in; recall is restored by the OR over
+    bands."""
+    entries = []
+    for b in range(n_bands):
+        bits = []
+        for i in range(band_bits):
+            plane = F.array(
+                *[F.lit(v) for v in _hyperplane(dim, b * band_bits + i)]
+            )
+            bits.append(
+                F.when(_dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            )
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(bits).cast("int").alias("sig"),
+            )
+        )
+    return F.array(*entries)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int = 8,
+    n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket. Equi-join on bucket replaces the cross join — the 100 TB
-    shape. Recall grows with fewer planes / multi-probe."""
+    """Approximate top-k via banded multi-table LSH: candidates are
+    corpus rows sharing ANY band signature with the query. `n_planes`
+    is the bits-per-band (bucket granularity → fan-in bound); `n_bands`
+    independent tables trade extra (bounded) candidates for recall.
+    The equi-join on (band, sig) replaces the cross join — the 100 TB
+    shape; per-band bucket keys are uniform by construction."""
+    keys = lambda c: F.explode(lsh_band_keys(c, dim, n_bands, n_planes))  # noqa: E731
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+        keys(F.col(vec_col)).alias("bk"),
+    ).select("query_id", "qv", "bk.band", "bk.sig")
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+        keys(F.col(vec_col)).alias("bk"),
+    ).select("cand_id", "cv", "bk.band", "bk.sig")
+    cands = (
+        c.join(F.broadcast(q), ["band", "sig"])
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        # a pair colliding in several bands appears once per band —
+        # dedup BEFORE the cosine so the kernel runs once per pair
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cands.select(
+        "query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -128,65 +183,110 @@ def embedding_near_duplicates(
     vectors: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int = 8,
+    n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ threshold, bucketed by
-    hyperplane LSH (self-join on bucket, id< dedup)."""
+    """Near-duplicate pairs by embedding cosine ≥ threshold: banded
+    multi-table LSH self-join on (band, sig), pair-dedup before the
+    cosine verify, id< dedup. Identical vectors agree on every plane, so
+    exact duplicates are found with recall 1.0 at any band setting; the
+    per-band fan-in bound is N²/2^n_planes (see module docstring)."""
     v = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+        F.explode(lsh_band_keys(F.col(vec_col), dim, n_bands, n_planes)).alias("bk"),
+    ).select("vid", "vec", "bk.band", "bk.sig")
     l, r = v.alias("l"), v.alias("r")
-    return (
-        l.join(r, "bucket")
-        .filter(F.col("l.vid") < F.col("r.vid"))
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
         .select(
             F.col("l.vid").alias("vec_a"),
             F.col("r.vid").alias("vec_b"),
-            cosine(F.col("l.vec"), F.col("r.vec")).alias("cos"),
+            F.col("l.vec").alias("va"),
+            F.col("r.vec").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cands.select(
+            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos")
         )
         .filter(F.col("cos") >= threshold)
     )
 
 
 # --------------------------------------------------------------------------
-# IVF (inverted-file) ANN: coarse quantize to deterministic centroids,
-# search only the probe's nearest cells (task brief: "IVF or LSH-bucketed
-# variant as the scale path")
+# IVF (inverted-file) ANN: hash-seeded codebook + Lloyd refinement,
+# cell-equi-join search (task brief: "IVF or LSH-bucketed variant as the
+# scale path")
 # --------------------------------------------------------------------------
+
+def _centroid_means(assigned: DataFrame) -> DataFrame:
+    """Component-wise centroid means with BOUNDED aggregation state:
+    posexplode each vector, average per (cell, component) — the partial
+    aggregate holds one double per group, and the final reassembly
+    collects exactly `dim` (idx, mean) structs per cell. No
+    collect_list of whole vectors anywhere in the plan."""
+    comp = assigned.select("cell", F.posexplode("vec").alias("idx", "x"))
+    return (
+        comp.groupBy("cell", "idx")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("im"))
+        .select("cell", F.transform("im", lambda s: s["m"]).alias("centroid"))
+    )
+
 
 def ivf_centroids(
     vectors: DataFrame,
     n_cells: int = 16,
+    lloyd_rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic coarse centroids without iterative k-means: cells
-    are seeded by hash-sampling (vec_id with the n_cells smallest
-    xxhash64 values — uniform, reproducible across cluster sizes), then
-    each centroid is the mean of the vectors hash-assigned to its seed
-    group. One aggregation; no RNG state, no driver loops."""
-    seeded = vectors.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_cells)).cast("int").alias("cell"),
+    """Deterministic IVF codebook.
+
+    Seeds are the `n_cells` vectors with the smallest
+    xxhash64(vec_id) — a uniform, reproducible sample (top-k on the
+    hash; no RNG state, stable across cluster sizes). Each of
+    `lloyd_rounds` Lloyd passes then (1) assigns every vector to its
+    nearest current centroid with the codegen'd cosine kernel against
+    literal centroids, and (2) recomputes centroids as component-wise
+    means via `_centroid_means` (bounded state, see above). The codebook
+    (n_cells × dim doubles) is collected to the driver between rounds —
+    the same driver-resident-codebook shape as Spark ML KMeans; data
+    never leaves executors.
+
+    Returns a DataFrame (cell int, centroid array<double>); cells whose
+    assignment emptied out are dropped (queries simply never probe
+    them)."""
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    seed_rows = (
+        v.withColumn("h", F.xxhash64(F.col("vid").cast("string")))
+        .orderBy("h", "vid")
+        .limit(n_cells)
+        .select("vec")
+        .collect()
     )
-    # mean per component via explode-free aggregate over zip_with sums
-    agg = seeded.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.aggregate(
-            F.collect_list("vec"),
-            F.expr("cast(array() as array<double>)"),
-            lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
-                F.zip_with(acc, v, lambda a, b: a + b)
-            ),
-        ).alias("sum_vec"),
-    )
-    return agg.select(
-        "cell",
-        F.transform("sum_vec", lambda s: s / F.col("n")).alias("centroid"),
+    cents = [(i, [float(x) for x in r["vec"]]) for i, r in enumerate(seed_rows)]
+    for _ in range(max(0, lloyd_rounds)):
+        assigned = v.select(
+            _nearest_cells(F.col("vec"), cents, 1)[0].alias("cell"), "vec"
+        )
+        cents = [
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in _centroid_means(assigned).collect()
+        ]
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(c, vec) for c, vec in sorted(cents)], "cell int, centroid array<double>"
     )
 
 
@@ -211,19 +311,22 @@ def ivf_topk(
     centroids: DataFrame,
     k: int = 5,
     n_probe: int = 4,
+    n_assign: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF search: corpus rows live in their nearest cell; each query
-    probes its n_probe nearest cells — the candidate join is an
-    equi-join on cell id (the 100 TB shape; recall tuned by n_probe).
+    """IVF search: corpus rows are indexed under their n_assign nearest
+    cells (n_assign > 1 = the standard replication/spilling trick for
+    cell-boundary neighbors — index size grows by the same factor);
+    each query probes its n_probe nearest cells. The candidate join is
+    an equi-join on cell id (the 100 TB shape; recall tuned by
+    n_probe × n_assign, candidate fraction ≈ n_probe·n_assign/n_cells).
     Centroids are collected to the driver (coarse codebook ≪ data) and
     inlined as literals so assignment stays in whole-stage codegen."""
     cents = [(int(r["cell"]), list(r["centroid"])) for r in centroids.collect()]
-    assign_one = lambda vc: _nearest_cells(vc, cents, 1)[0]  # noqa: E731
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
-        assign_one(F.col(vec_col)).alias("cell"),
+        F.explode(_nearest_cells(F.col(vec_col), cents, n_assign)).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),

@@ -174,12 +174,17 @@ def test_ivf_ann(spark, sf_dir):
     c2 = {r["cell"]: r["centroid"] for r in sim.ivf_centroids(emb, n_cells=8).collect()}
     assert c1 == c2  # deterministic, no RNG state
     q = emb.filter(F.col("vec_id") % 100 == 0)
-    cents = sim.ivf_centroids(emb, n_cells=8)
-    ivf = set(map(tuple, sim.ivf_topk(q, emb, cents, k=5, n_probe=4)
+    cents = sim.ivf_centroids(emb, n_cells=16, lloyd_rounds=2)
+    ivf = set(map(tuple, sim.ivf_topk(q, emb, cents, k=5, n_probe=5, n_assign=2)
                   .select("query_id", "cand_id").toPandas().values))
     exact = set(map(tuple, sim.brute_force_topk(q, emb, k=5)
                     .select("query_id", "cand_id").toPandas().values))
-    assert len(ivf & exact) / len(exact) >= 0.6
+    # Lloyd-refined centroids + corpus replication (n_assign=2) reach
+    # 0.92 here; the round-1 hash-subset "centroids" all approximated
+    # the global mean and only managed 0.6. Uniform random 64-dim
+    # embeddings are IVF's worst case (no cluster structure), hence the
+    # generous n_probe — clusterable corpora need far fewer probes.
+    assert len(ivf & exact) / len(exact) >= 0.9
 
 
 def test_interning_roundtrip(spark, sf_dir):

@@ -132,6 +132,65 @@ def test_entity_linking_broadcast_and_salted(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_entity_linking_ambiguous_dictionary_tf(spark):
+    """Regression (round-1 advice): with an AMBIGUOUS dictionary (one
+    surface → several candidate entities), tf must count mentions, not
+    mention×candidate joined rows, and the top_k=1 fast path must agree
+    with the window path's rank-1 rows."""
+    mentions_src = spark.createDataFrame(
+        [("s1", "apple banana apple apple")], "subj string, text string"
+    )
+    mentions = extract_mentions(mentions_src)
+    dictionary = spark.createDataFrame(
+        [
+            ("http://e/apple-fruit", "apple", 0.6),
+            ("http://e/apple-corp", "apple", 0.3),
+            ("http://e/banana", "banana", 0.1),
+        ],
+        "entity_id string, surface string, prior double",
+    )
+    fast = link_entities(mentions, dictionary, top_k=1)
+    rows = {r["surface"]: r for r in fast.collect()}
+    assert rows["apple"]["tf"] == 3  # not 6 (= 3 mentions × 2 candidates)
+    assert rows["apple"]["entity_id"] == "http://e/apple-fruit"
+    slow_rank1 = (
+        link_entities(mentions, dictionary, top_k=2)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("subj", "surface")
+                .orderBy(F.desc("score"), F.asc("entity_id"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    a = {(r["subj"], r["surface"], r["entity_id"], round(r["score"], 9))
+         for r in fast.collect()}
+    b = {(r["subj"], r["surface"], r["entity_id"], round(r["score"], 9))
+         for r in slow_rank1.collect()}
+    assert a == b
+
+
+def test_distributed_canonicalization_blank_predicates(spark):
+    """Generalized-RDF parity: blank predicates are relabeled and
+    refine identically to the local canonicalizer (round-1 advice)."""
+    rows_a = [
+        (None, "_:x1", "_:p1", "bnode", "_:x2", None, None),
+        (None, "_:x2", "http://ex/q", "literal", "v", None, None),
+    ]
+    rows_b = [
+        (None, "_:z4", "_:w8", "bnode", "_:z5", None, None),
+        (None, "_:z5", "http://ex/q", "literal", "v", None, None),
+    ]
+    schema = "graph string, subj string, pred string, obj_kind string, obj string, datatype string, lang string"
+    ca = canonicalize_bnodes_df(spark.createDataFrame(rows_a, schema)).collect()
+    cb = canonicalize_bnodes_df(spark.createDataFrame(rows_b, schema)).collect()
+    assert {tuple(r) for r in ca} == {tuple(r) for r in cb}
+    preds = {r["pred"] for r in ca}
+    assert all(p.startswith("_:c") for p in preds if p.startswith("_:"))
+    assert any(p.startswith("_:c") for p in preds)  # relabeled, not original
+
+
 def test_distributed_canonicalization_isomorphism(spark):
     """Two corpora, same structure, different blank labels → identical
     canonical triple sets (the distributed analogue of
