@@ -194,27 +194,44 @@ def q_kg_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jsonld_expand_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expansion stage alone (expand_document via mapInPandas): per-doc
-    expanded JSON + warning counts. Rows-only (non-SQL-expressible)."""
+    structural facts extracted from the expanded JSON (top-object key
+    count + sample property values + warning counts) — all DuckDB-
+    derivable from the deterministic transcript synthesis, so this stage
+    gets a value oracle instead of the round-1 rows-only check."""
     _utc(spark)
     docs = turns_to_jsonld(transcripts_from_documents(spark, sf_dir))
     out = expand_stage(docs, context=TRANSCRIPT_CONTEXT, options=JsonLdOptions())
+    root = F.get_json_object("expanded", "$[0]")
+    v = "https://example.org/transcript#"
     return out.select(
         "doc_id",
-        F.length("expanded").cast("long").alias("expanded_len"),
+        F.size(F.json_object_keys(root)).cast("long").alias("n_props"),
+        F.get_json_object("expanded", "$[0].@id").alias("subj"),
+        F.get_json_object(
+            "expanded", f"$[0]['{v}role'][0]['@value']"
+        ).alias("role"),
+        F.get_json_object("expanded", f"$[0]['{v}turnIndex'][0]['@value']")
+        .cast("long")
+        .alias("turn_val"),
         F.col("n_warnings").cast("long").alias("n_warnings"),
         F.col("error").isNotNull().alias("failed"),
     )
 
 
 def q_jsonld_flatten_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flattening stage (expand → node map → flat node list). Rows-only."""
+    """Flattening stage (expand → node map → flat node list): per-node
+    id, key count, and a sample property value — DuckDB-derivable
+    (empty @id-only nodes are dropped per flatten §D6, so each turn doc
+    yields exactly its turn node)."""
     _utc(spark)
     docs = turns_to_jsonld(transcripts_from_documents(spark, sf_dir))
     out = flatten_stage(docs, context=TRANSCRIPT_CONTEXT, options=JsonLdOptions())
+    v = "https://example.org/transcript#"
     return out.select(
         "doc_id",
         "node_id",
-        F.length("node_json").cast("long").alias("node_len"),
+        F.size(F.json_object_keys("node_json")).cast("long").alias("n_keys"),
+        F.get_json_object("node_json", f"$['{v}role'][0]['@value']").alias("role"),
     )
 
 
@@ -261,14 +278,24 @@ def q_jsonld_fromrdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = turns_to_jsonld(transcripts_from_documents(spark, sf_dir))
     trip = triples_stage(docs, context=TRANSCRIPT_CONTEXT, options=JsonLdOptions())
     back = from_rdf_stage(trip)
+    v = "https://example.org/transcript#"
     return back.select(
-        "doc_id", F.length("expanded").cast("long").alias("expanded_len")
+        "doc_id",
+        F.get_json_object("expanded", "$[0].@id").alias("root_id"),
+        F.size(F.json_object_keys(F.get_json_object("expanded", "$[0]")))
+        .cast("long")
+        .alias("n_keys"),
+        F.get_json_object("expanded", f"$[0]['{v}text'][0]['@value']").alias("text"),
     )
 
 
 def q_jsonld_compact_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compaction (SURVEY.md §2 F): expand → compact against the
-    transcript context, per doc via mapInPandas. Rows-only."""
+    """Compaction (SURVEY.md §2 F): expand (with the transcript context
+    as expand_context — round 1 expanded context-less and compacted
+    near-empty docs) → compact back against the same context, per doc
+    via mapInPandas. Every compacted field is extracted and checked
+    against the DuckDB-reconstructed expected value (full roundtrip
+    value oracle)."""
     import pandas as pd_
 
     _utc(spark)
@@ -279,16 +306,28 @@ def q_jsonld_compact_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from json_ld_spark.api import compact as _compact
 
+        opts = JsonLdOptions(expand_context=TRANSCRIPT_CONTEXT)
         for pdf in batches:
             out = []
             for doc in pdf["doc"].tolist():
-                compacted = _compact(_json.loads(doc), TRANSCRIPT_CONTEXT)
+                compacted = _compact(_json.loads(doc), TRANSCRIPT_CONTEXT, options=opts)
+                compacted.pop("@context", None)
                 out.append(_json.dumps(compacted, ensure_ascii=False, sort_keys=True))
             yield pd_.DataFrame({"doc_id": pdf["doc_id"], "compacted": out})
 
     schema = "doc_id string, compacted string"
     res = docs.mapInPandas(run, schema=schema)
-    return res.select("doc_id", F.length("compacted").cast("long").alias("compacted_len"))
+    return res.select(
+        "doc_id",
+        F.get_json_object("compacted", "$.@id").alias("c_id"),
+        F.get_json_object("compacted", "$.@type").alias("c_type"),
+        F.get_json_object("compacted", "$.role").alias("c_role"),
+        F.get_json_object("compacted", "$.text").alias("c_text"),
+        F.get_json_object("compacted", "$.tool").alias("c_tool"),
+        F.get_json_object("compacted", "$.ts").alias("c_ts"),
+        F.get_json_object("compacted", "$.conv").alias("c_conv"),
+        F.get_json_object("compacted", "$.turn").cast("long").alias("c_turn"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -336,20 +375,29 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banded candidates verified by exact Jaccard.
-    Rows-only (xxhash64 signature family has no DuckDB equivalent)."""
+    """MinHash+LSH banded candidates verified by exact Jaccard. Oracle:
+    brute-force exact Jaccard >= 0.7 in DuckDB — equal whenever band
+    recall is 1.0 on the corpus. 32 bands x 2 rows: per-pair miss
+    probability at the corpus's weakest oracle pair (j=0.9) is
+    0.19^32 ~ 1e-23; the 16x4 default measurably missed that pair
+    (3.8e-8 odds — fixed hash family, unlucky draw), so the query runs
+    the wider band family and the exact-Jaccard verify keeps precision
+    at 1.0 regardless of the extra candidates."""
     _utc(spark)
     corpus = _docs_with_dups(_read(spark, sf_dir, "documents"))
-    cands = dd.minhash_lsh_candidates(corpus)
+    cands = dd.minhash_lsh_candidates(corpus, num_hashes=64, bands=32)
     out = dd.jaccard_pairs(corpus, cands, threshold=0.7)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash block-LSH near-duplicates (hamming <= 3). Rows-only."""
+    """SimHash block-LSH near-duplicates (hamming <= 3). Block-
+    permutation recall is exactly 1.0 for hamming < n_blocks
+    (pigeonhole), so an all-pairs DuckDB simhash oracle checks the full
+    output; the md5 token hash keeps both engines bit-identical."""
     _utc(spark)
     corpus = _docs_with_dups(_read(spark, sf_dir, "documents"))
-    out = dd.simhash_near_duplicates(corpus)
+    out = dd.simhash_near_duplicates(corpus, token_hash="md5")
     return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -471,11 +519,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash document fingerprint (xxhash64 —
-    rows-only)."""
+    """Winnowing-style rolling-hash document fingerprint, md5-gram
+    variant so DuckDB reproduces it exactly (the xxhash64 variant in
+    textops.fingerprint is the cheap production path — same algorithm,
+    different gram hash)."""
     _utc(spark)
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+    return docs.select(
+        "doc_id", tx.fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -721,8 +773,9 @@ _XS = "http://www.w3.org/2001/XMLSchema#string"
 _XI = "http://www.w3.org/2001/XMLSchema#integer"
 _XD = "http://www.w3.org/2001/XMLSchema#dateTime"
 
-# transcripts_from_documents + transcript_triples_native, in SQL
-_TRIPLES_CTE = f"""
+# transcripts_from_documents reconstructed in SQL (shared by the triple,
+# expand, flatten, fromRdf, and compact oracles)
+_BASE_CTE = """
 WITH base AS (
   SELECT doc_id,
          'conv-' || CAST(doc_id // 16 AS VARCHAR) AS conv_id,
@@ -733,7 +786,12 @@ WITH base AS (
          strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id),
                   '%Y-%m-%dT%H:%M:%SZ') AS ts_lex
   FROM documents
-), q AS (
+)
+"""
+
+# + transcript_triples_native, in SQL
+_TRIPLES_CTE = _BASE_CTE + f"""
+, q AS (
   SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,
          '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS subj,
          '{_CB}' || conv_id AS conv_iri,
@@ -762,6 +820,52 @@ SELECT graph, subj, pred, obj_kind, obj, datatype, lang FROM triples
 
 _STREAM_TRIPLES_SQL = _TRIPLES_CTE + """
 SELECT subj, pred, obj_kind, obj FROM triples
+"""
+
+# jsonld stage oracles: every turn doc expands/flattens/roundtrips to one
+# node with keys {@id, @type, role, text, timestamp, turnIndex,
+# conversation} (+tool when doc_id % 7 = 3) — 7 or 8 keys; values are
+# fully determined by the deterministic transcript synthesis.
+_EXPAND_ORACLE_SQL = _BASE_CTE + f"""
+SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,
+       CAST(7 + CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_props,
+       '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS subj,
+       role,
+       CAST(turn_idx AS BIGINT) AS turn_val,
+       CAST(0 AS BIGINT) AS n_warnings,
+       false AS failed
+FROM base
+"""
+
+_FLATTEN_ORACLE_SQL = _BASE_CTE + f"""
+SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,
+       '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS node_id,
+       CAST(7 + CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_keys,
+       role
+FROM base
+"""
+
+_FROMRDF_ORACLE_SQL = _BASE_CTE + f"""
+SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,
+       '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS root_id,
+       CAST(7 + CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_keys,
+       text
+FROM base
+"""
+
+# compact roundtrip: @id/conv compact back to @base-relative IRIs, @type
+# to the @vocab term, properties to their context terms
+_COMPACT_ORACLE_SQL = _BASE_CTE + """
+SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,
+       conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS c_id,
+       'Turn' AS c_type,
+       role AS c_role,
+       text AS c_text,
+       tool AS c_tool,
+       ts_lex AS c_ts,
+       conv_id AS c_conv,
+       CAST(turn_idx AS BIGINT) AS c_turn
+FROM base
 """
 
 _NODES_SQL = _TRIPLES_CTE + f"""
@@ -845,6 +949,85 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+"""
+
+# Brute-force exact-Jaccard oracle for the MinHash+LSH query: the Spark
+# side verifies candidates with exact Jaccard, and with the 32x2 band
+# family every >=0.7 pair in this corpus collides (lowest non-exact
+# pairs are 0.889/0.9 Jaccard; miss probability there is ~1e-22 per
+# pair, and the fixed hash family is verified empirically at
+# sf0.001/sf0.01/sf0.1). The size prefilter is the necessary condition
+# j >= 0.7 => min(|A|,|B|) >= 0.7*max(|A|,|B|), integer-exact.
+_MINHASH_ORACLE_SQL = _DUP_CORPUS + r"""
+, sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(norm, ' ')) - 2 <= 0 THEN [norm]
+              ELSE list_distinct(list_transform(
+                     range(0, len(string_split(norm, ' ')) - 2),
+                     i -> array_to_string(list_slice(string_split(norm, ' '), i + 1, i + 3), ' ')))
+         END AS grams
+  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM corpus)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard_r
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND len(a.grams) * 10 >= len(b.grams) * 7
+ AND len(b.grams) * 10 >= len(a.grams) * 7
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
+"""
+
+# All-pairs simhash oracle (md5 token hash = bit-identical across
+# engines; pigeonhole recall of the Spark block-LSH is exactly 1.0 for
+# hamming < n_blocks, so all-pairs equals the LSH output)
+_SIMHASH_ORACLE_SQL = _DUP_CORPUS + r"""
+, tok AS (
+  SELECT doc_id, t.e AS tok
+  FROM corpus CROSS JOIN UNNEST(
+    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t(e)
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok
+), bits AS (
+  SELECT doc_id, b.i AS i,
+         SUM(CASE WHEN (h >> CAST(b.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) b
+  GROUP BY doc_id, b.i
+), sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+_FINGERPRINT_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(
+         generate_series(1, greatest(len(words) - 3, 1)),
+         i -> md5(array_to_string(list_slice(words, i, i + 3), ' ')))) AS fingerprint
+FROM w
+"""
+
+# synthesize_media(n=96): video rows are media_id % 3 = 2 with
+# duration_ms = 1000 + 33*media_id; frame plan = 0..duration step 500
+_FRAME_PLAN_SQL = """
+SELECT media_id, CAST(s AS BIGINT) AS sample_ms FROM (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         unnest(generate_series(0, 1000 + CAST(i * 33 AS INT), 500)) AS s
+  FROM generate_series(0, 95) t(i)
+  WHERE i % 3 = 2
+)
 """
 
 _ANN_SQL = """
@@ -1007,10 +1190,18 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_table": _NODES_SQL,
         "kg_entity_links": _LINKS_SQL,
         "kg_entity_links_salted": _LINKS_SQL,
+        "jsonld_expand_generic": _EXPAND_ORACLE_SQL,
+        "jsonld_flatten_generic": _FLATTEN_ORACLE_SQL,
+        "jsonld_fromrdf_roundtrip": _FROMRDF_ORACLE_SQL,
+        "jsonld_compact_generic": _COMPACT_ORACLE_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
+        "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         "text_stats": _TEXT_STATS_SQL,
+        "text_fingerprint": _FINGERPRINT_SQL,
+        "multimodal_frame_plan": _FRAME_PLAN_SQL,
         "rel_agg_pricing": _AGG_PRICING_SQL,
         "rel_join_topnations": _TOPNATIONS_SQL,
         "rel_window_events": _WINDOW_SQL,

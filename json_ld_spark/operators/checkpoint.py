@@ -14,9 +14,13 @@ every stage). Each run:
 
 Resume: `remaining_buckets` anti-joins the committed bucket list, so a
 re-run processes only unfinished buckets — exactly-once per bucket, no
-partial-bucket double counting. Iceberg gives this via snapshot commits;
-when its jars are on the classpath `write_iceberg` is used instead
-(import-gated), with the same manifest for lineage metrics.
+partial-bucket double counting. Iceberg gives the same atomicity via
+snapshot commits; `write_iceberg` below is the classpath-gated Iceberg
+sink (DataFrameWriterV2 append/create with a bucket partition transform,
+snapshot commit = atomic publish) and keeps writing the same JSON
+manifest for lineage metrics. `iceberg_available` reports whether the
+runtime jars are present; this container ships without them, so the
+Iceberg test is skip-marked and the parquet WAP path is the default.
 """
 
 from __future__ import annotations
@@ -145,6 +149,91 @@ def write_audit_publish(
 
 def read_published(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath
+    (classpath-gated: this container ships without the jars)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — Py4J raises wrapped JVM errors
+        return False
+
+
+def write_iceberg(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 32,
+    key_col: str = "conv_id",
+    run_id: str | None = None,
+    manifest_dir: str | None = None,
+) -> dict:
+    """Iceberg triple/node-table sink (north_rule's target format).
+
+    The parquet WAP path above hand-rolls atomic publish with a JSON
+    manifest; Iceberg's snapshot commit IS that atomic publish, so this
+    sink is a plain DataFrameWriterV2 `append` (create-on-first-write,
+    partitioned by the same conversation bucket) — a failed job leaves
+    no visible snapshot, a successful commit is all-or-nothing. The
+    side manifest (same JSON schema) is still written when
+    `manifest_dir` is given so lineage metrics stay uniform across both
+    sinks.
+
+    Raises RuntimeError when the Iceberg runtime is absent
+    (`iceberg_available`); callers fall back to `write_audit_publish`.
+    """
+    spark = df.sparkSession
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg Spark runtime not on the classpath; add "
+            "iceberg-spark-runtime and a catalog config "
+            "(spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog) "
+            "or use write_audit_publish (parquet WAP)"
+        )
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if BUCKET_COL not in df.columns:
+        df = with_bucket(df, key_col, n_buckets)
+    try:
+        df.writeTo(table).append()
+    except Exception:  # first write: table does not exist yet
+        df.writeTo(table).partitionedBy(F.col(BUCKET_COL)).create()
+
+    # AUDIT from the committed snapshot (what readers will see)
+    committed = spark.read.table(table)
+    audit_rows = (
+        committed.groupBy(BUCKET_COL)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.xxhash64(*[c for c in committed.columns if c != BUCKET_COL])
+                .cast("decimal(38,0)")
+            ).cast("string").alias("fingerprint"),
+        )
+        .collect()
+    )
+    run_entry = {
+        "run_id": run_id,
+        "ts": time.time(),
+        "table": table,
+        "buckets": {
+            int(r[BUCKET_COL]): {
+                "rows": r["rows"],
+                "fingerprint": str(r["fingerprint"]),
+            }
+            for r in audit_rows
+        },
+        "total_rows": sum(r["rows"] for r in audit_rows),
+    }
+    if manifest_dir:
+        os.makedirs(manifest_dir, exist_ok=True)
+        tmp = os.path.join(manifest_dir, f"manifest.json.tmp.{run_id}")
+        with open(tmp, "w") as f:
+            json.dump(run_entry, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(manifest_dir, "manifest.json"))
+    return run_entry
 
 
 def run_resumable(

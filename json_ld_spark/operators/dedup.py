@@ -79,14 +79,18 @@ def minhash_signature(hashed_shingle_col: Column, num_hashes: int = 64) -> Colum
     subexpression elimination, so an inline expression would be
     recomputed once per lane.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(hashed_shingle_col, lambda h, i=i: F.xxhash64(h, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    def lane(i: int):
+        # single-param lambda closing over a local: a `lambda h, i=i:`
+        # default-arg binding makes the callable TWO-parameter, and
+        # Spark's transform() then feeds the ARRAY INDEX as the second
+        # argument — every lane collapses to the same positional hash
+        # (real bug, caught by the brute-force Jaccard oracle: recall
+        # stayed 1.0 on exact dups, so tests never noticed)
+        return F.array_min(
+            F.transform(hashed_shingle_col, lambda h: F.xxhash64(h, F.lit(i)))
+        )
+
+    return F.array(*[lane(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_candidates(
@@ -190,14 +194,24 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 32) -> DataFrame:
+            bits: int = 32, token_hash: str = "xxhash64") -> DataFrame:
     """bits-bit SimHash per document: explode tokens, per-bit weighted
-    vote via groupBy sum over shiftright(xxhash64(token)) — two narrow
-    shuffles keyed on doc_id, all JVM expressions."""
+    vote via groupBy sum over shifted token hashes — two narrow shuffles
+    keyed on doc_id, all JVM expressions.
+
+    token_hash='xxhash64' is the cheap production variant;
+    token_hash='md5' derives 32 bits from the first 8 hex chars of
+    md5(token), which DuckDB can reproduce exactly (oracle parity)."""
+    if token_hash == "md5":
+        h_expr = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    elif token_hash == "xxhash64":
+        h_expr = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     tokens = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h_expr)
     votes = tokens.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -224,12 +238,15 @@ def simhash_near_duplicates(
     bits: int = 32,
     max_hamming: int = 3,
     n_blocks: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Pairs within `max_hamming` bits: block-permutation LSH (split the
     hash into n_blocks; any pair within distance d < n_blocks shares at
-    least one exact block — pigeonhole), then exact popcount filter via
-    bit_count. Scale: block-key self-join, uniform keys."""
-    sim = simhash(docs, id_col, text_col, bits)
+    least one exact block — pigeonhole, so recall is EXACTLY 1.0, which
+    is why an all-pairs DuckDB oracle can check this operator), then
+    exact popcount filter via bit_count. Scale: block-key self-join,
+    uniform keys."""
+    sim = simhash(docs, id_col, text_col, bits, token_hash=token_hash)
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
     blocks = sim.select(

@@ -85,6 +85,19 @@ def fingerprint(col: Column, window: int = 4) -> Column:
     return F.array_min(grams)
 
 
+def fingerprint_md5(col: Column, window: int = 4) -> Column:
+    """Same winnowing fingerprint with an md5 gram hash (hex-string min)
+    so a DuckDB oracle can reproduce it bit-for-bit; xxhash64
+    (`fingerprint`) stays the cheap production variant."""
+    words = _words(col)
+    k = F.greatest(F.size(words) - F.lit(window - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, window))),
+    )
+    return F.array_min(grams)
+
+
 def analyze_documents(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

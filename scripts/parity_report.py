@@ -19,13 +19,15 @@ from json_ld_spark.canonicalize import canonicalize_quads  # noqa: E402
 from json_ld_spark.options import JsonLdOptions  # noqa: E402
 
 SUITE = json.loads((REPO / "tests/fixtures/golden_suite.json").read_text())
+SUITE_V2 = json.loads((REPO / "tests/fixtures/golden_suite_v2.json").read_text())
+CASES = SUITE["cases"] + SUITE_V2["cases"]
 
 
 def main() -> None:
     rows = []
     tp = fp = fn = 0
     n_exp = n_flat = n_err = n_comp = 0
-    for case in SUITE["cases"]:
+    for case in CASES:
         if "expanded" in case:
             n_exp += 1
         if "flattened" in case:

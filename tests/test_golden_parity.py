@@ -22,18 +22,25 @@ from json_ld_spark.api import compact, expand, flatten, to_rdf
 from json_ld_spark.canonicalize import canonicalize_quads
 from json_ld_spark.options import JsonLdOptions
 
-SUITE = json.loads(
-    (pathlib.Path(__file__).parent / "fixtures" / "golden_suite.json").read_text()
-)
-CASES = SUITE["cases"]
+_FIXDIR = pathlib.Path(__file__).parent / "fixtures"
+SUITE = json.loads((_FIXDIR / "golden_suite.json").read_text())
+SUITE_V2 = json.loads((_FIXDIR / "golden_suite_v2.json").read_text())
+CASES = SUITE["cases"] + SUITE_V2["cases"]
 
 
 def _opts(case: dict) -> JsonLdOptions:
-    return JsonLdOptions(
+    kw = dict(
         base=case.get("base"),
         rdf_direction=case.get("rdf_direction"),
         produce_generalized_rdf=case.get("produce_generalized_rdf", False),
     )
+    if "processing_mode" in case:
+        kw["processing_mode"] = case["processing_mode"]
+    if "registry" in case:
+        from json_ld_spark.context import dict_loader
+
+        kw["loader"] = dict_loader(case["registry"])
+    return JsonLdOptions(**kw)
 
 
 def _normalize(obj, in_list: bool = False):
