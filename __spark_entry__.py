@@ -179,7 +179,10 @@ def q_kg_triples_interned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end build_kg (extraction + linking + dedup + node merge);
-    per-predicate triple counts. Rows-only check (composite pipeline)."""
+    per-predicate triple counts, reconstructed end-to-end in the DuckDB
+    oracle (extraction counts from the transcript synthesis; the
+    mentions count replays dictionary build + top-1 linking + pair
+    dedup in SQL)."""
     _utc(spark)
     t = transcripts_from_documents(spark, sf_dir)
     dictionary = lk.synthesize_entity_dictionary(spark, sf_dir, max_entities=500)
@@ -189,6 +192,18 @@ def q_kg_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pred")
         .agg(F.count(F.lit(1)).alias("n_triples"))
         .orderBy("pred")
+    )
+
+
+def q_jsonld_canonical_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality oracle for the canonical-bnodes toRdf path: the quad
+    VALUES are content-hash labels (no SQL twin — jsonld_triples_
+    canonical stays rows-only), but per-doc triple count and
+    bnode-rootedness are DuckDB-derivable and bind the path's shape."""
+    base = q_jsonld_triples_canonical(spark, sf_dir)
+    return base.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.max(F.col("subj").startswith("_:")).alias("bnode_rooted"),
     )
 
 
@@ -435,7 +450,9 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded multi-table hyperplane-LSH ANN: equi-join on (band, sig)
     replaces the cross join; bits-per-band bounds per-bucket fan-in and
     extra bands restore recall (similarity.py module docstring).
-    Rows-only (approximate)."""
+    Oracle: DuckDB replays the deterministic plane family from inline
+    literals (_ANN_LSH_SQL) — approximate vs true top-k, but exactly
+    reproducible."""
     _utc(spark)
     emb = _emb_double(_read(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -490,7 +507,8 @@ def q_jsonld_canonicalize_distributed(spark: SparkSession, sf_dir: str) -> DataF
 
 def q_ann_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (banded multi-table LSH
-    self-join, pair-dedup before the cosine verify). Rows-only."""
+    self-join, pair-dedup before the cosine verify). Oracle: same
+    inline-plane replay as ann_topk_lsh."""
     _utc(spark)
     emb = _emb_double(_read(spark, sf_dir, "embeddings"))
     # synthetic embeddings are near-orthogonal (max pairwise cos ~0.46 at
@@ -536,7 +554,8 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → Arrow-batched feature extraction (decode
-    stubbed deterministically; schema/batch plumbing real). Rows-only."""
+    stubbed deterministically; schema/batch plumbing real). Oracle:
+    DuckDB replays the hash-derived features with float32 truncation."""
     _utc(spark)
     media = mm.synthesize_media(spark, n=96)
     feats = mm.extract_features(media, dim=8)
@@ -734,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_expand_generic": q_jsonld_expand_generic,
         "jsonld_flatten_generic": q_jsonld_flatten_generic,
         "jsonld_triples_canonical": q_jsonld_triples_canonical,
+        "jsonld_canonical_degree": q_jsonld_canonical_degree,
         "jsonld_fromrdf_roundtrip": q_jsonld_fromrdf_roundtrip,
         "jsonld_compact_generic": q_jsonld_compact_generic,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -851,6 +871,52 @@ SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,
        CAST(7 + CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_keys,
        text
 FROM base
+"""
+
+_CANON_DEGREE_SQL = _BASE_CTE + """
+SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,
+       CAST(5 AS BIGINT) AS n_triples,
+       (turn_idx % 3 = 0) AS bnode_rooted
+FROM base
+"""
+
+# Full-pipeline per-predicate counts: extraction counts fall out of the
+# transcript synthesis; the mentions predicate replays dictionary build
+# (top-500 by corpus frequency) + per-(subj,surface) argmax(prior)
+# linking + (subj, entity) pair dedup.
+_KG_PIPELINE_SQL = _BASE_CTE + f"""
+, toks AS (
+  SELECT t.e AS surface FROM documents
+  CROSS JOIN UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(e)
+  WHERE length(t.e) >= 3
+), freq AS (
+  SELECT surface, COUNT(*) AS n FROM toks GROUP BY surface
+), dict AS (
+  SELECT 'https://example.org/entity/' || surface AS entity_id, surface, n
+  FROM freq ORDER BY n DESC, surface ASC LIMIT 500
+), mention_rows AS (
+  SELECT DISTINCT '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS subj,
+         m.e AS surface
+  FROM base CROSS JOIN UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS m(e)
+  WHERE length(m.e) >= 3
+), linked AS (
+  SELECT mr.subj, d.entity_id
+  FROM mention_rows mr JOIN dict d USING (surface)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY mr.subj, mr.surface
+                             ORDER BY d.n DESC, d.entity_id ASC) = 1
+), mention_quads AS (
+  SELECT DISTINCT subj, entity_id FROM linked
+), counts AS (
+  SELECT '{_RDF_TYPE}' AS pred, COUNT(*) AS n FROM base
+  UNION ALL SELECT '{_V}role', COUNT(*) FROM base
+  UNION ALL SELECT '{_V}text', COUNT(*) FROM base
+  UNION ALL SELECT '{_V}tool', COUNT(*) FROM base WHERE tool IS NOT NULL
+  UNION ALL SELECT '{_V}timestamp', COUNT(*) FROM base
+  UNION ALL SELECT '{_V}turnIndex', COUNT(*) FROM base
+  UNION ALL SELECT '{_V}conversation', COUNT(*) FROM base
+  UNION ALL SELECT '{_V}mentions', COUNT(*) FROM mention_quads
+)
+SELECT pred, CAST(n AS BIGINT) AS n_triples FROM counts
 """
 
 # compact roundtrip: @id/conv compact back to @base-relative IRIs, @type
@@ -1019,6 +1085,29 @@ SELECT doc_id,
 FROM w
 """
 
+# synthesize_media payloads are deterministic ASCII (hexdigest x4), so
+# DuckDB replays the fake-feature extraction exactly: sha256 of the
+# payload string, 8 x 32-bit windows / 2^32, each truncated to FLOAT to
+# mirror the Arrow float32 feature column, summed in double
+_MM_FEATURES_SQL = (
+    """
+WITH m AS (
+  SELECT i AS media_id,
+         (['image','audio','video'])[CAST(i % 3 AS INT) + 1] AS kind,
+         sha256(repeat(sha256('media' || CAST(i AS VARCHAR)), 4)) AS h
+  FROM generate_series(0, 95) t(i)
+)
+SELECT CAST(media_id AS BIGINT) AS media_id, kind, true AS decode_ok,
+       round("""
+    + " + ".join(
+        f"CAST(CAST(('0x' || substr(h, {8 * i + 1}, 8))::BIGINT / 4294967296.0 AS FLOAT) AS DOUBLE)"
+        for i in range(8)
+    )
+    + """, 6) AS feat_sum_r
+FROM m
+"""
+)
+
 # synthesize_media(n=96): video rows are media_id % 3 = 2 with
 # duration_ms = 1000 + 33*media_id; frame plan = 0..duration step 500
 _FRAME_PLAN_SQL = """
@@ -1028,6 +1117,66 @@ SELECT media_id, CAST(s AS BIGINT) AS sample_ms FROM (
   FROM generate_series(0, 95) t(i)
   WHERE i % 3 = 2
 )
+"""
+
+# ANN LSH oracles: the hyperplanes are deterministic constants
+# (similarity._hyperplane), so DuckDB replays the banded signatures from
+# inline plane literals (list_dot_product sums in array order, exactly
+# like the engine's kernel — signs match bit-for-bit) and then runs the
+# same bucket join + exact-cosine ranking. This upgrades the
+# "approximate" queries to full value oracles: approximate vs the true
+# top-k, but deterministic given the fixed plane family.
+
+def _ann_keys_cte(n_bands: int = 4, band_bits: int = 6) -> str:
+    from json_ld_spark.operators.similarity import _hyperplane
+
+    per_band = []
+    for b in range(n_bands):
+        bits = []
+        for i in range(band_bits):
+            plane = _hyperplane(64, b * band_bits + i)
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        per_band.append(
+            f"SELECT vec_id, v, {b} AS band, {' + '.join(bits)} AS sig FROM e"
+        )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+        "keys AS (\n  " + "\n  UNION ALL ".join(per_band) + "\n)"
+    )
+
+
+_ANN_LSH_SQL = _ann_keys_cte() + """
+, cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM keys q JOIN keys c ON q.band = c.band AND q.sig = c.sig
+  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT query_id, cand_id, list_cosine_similarity(eq.v, ec.v) AS cos
+  FROM cands
+  JOIN e eq ON eq.vec_id = query_id
+  JOIN e ec ON ec.vec_id = cand_id
+)
+SELECT query_id, cand_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank,
+       round(cos, 4) AS cos_r
+FROM scored
+QUALIFY rank <= 5
+"""
+
+_ANN_NEAR_DUP_SQL = _ann_keys_cte() + """
+, cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cos_r
+FROM cands
+JOIN e ea ON ea.vec_id = vec_a
+JOIN e eb ON eb.vec_id = vec_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
 """
 
 _ANN_SQL = """
@@ -1190,6 +1339,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_table": _NODES_SQL,
         "kg_entity_links": _LINKS_SQL,
         "kg_entity_links_salted": _LINKS_SQL,
+        "kg_pipeline_full": _KG_PIPELINE_SQL,
+        "jsonld_canonical_degree": _CANON_DEGREE_SQL,
         "jsonld_expand_generic": _EXPAND_ORACLE_SQL,
         "jsonld_flatten_generic": _FLATTEN_ORACLE_SQL,
         "jsonld_fromrdf_roundtrip": _FROMRDF_ORACLE_SQL,
@@ -1199,8 +1350,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
         "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
+        "ann_topk_lsh": _ANN_LSH_SQL,
+        "ann_near_duplicates": _ANN_NEAR_DUP_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
+        "multimodal_features": _MM_FEATURES_SQL,
         "multimodal_frame_plan": _FRAME_PLAN_SQL,
         "rel_agg_pricing": _AGG_PRICING_SQL,
         "rel_join_topnations": _TOPNATIONS_SQL,

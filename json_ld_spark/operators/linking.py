@@ -97,6 +97,18 @@ def link_entities(
     # join, on BOTH paths: joining first would multiply the count by the
     # surface's candidate-entity fan-out and inflate score (harmless for
     # 1:1 dictionaries, wrong for ambiguous surfaces — round-1 advice).
+    # On the broadcast path, a broadcast LEFT-SEMI prefilter drops
+    # non-dictionary surfaces BEFORE the (subj, surface) shuffle — tf is
+    # per-surface, so filtering other surfaces cannot change it, and the
+    # pre-agg shuffle shrinks to dictionary hits only (without this the
+    # refactor shuffled the full mention stream: 2.7x regression in
+    # kg_linked_pipeline at sf0.1/amplify=40).
+    if strategy == "broadcast":
+        mentions = mentions.join(
+            F.broadcast(dictionary.select("surface").distinct()),
+            "surface",
+            "left_semi",
+        )
     tf = mentions.groupBy("subj", "surface").agg(
         F.count(F.lit(1)).alias("tf"), F.min("pos").alias("first_pos")
     )

@@ -38,13 +38,15 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def synthesize_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake media table: payload = seeded bytes."""
+    """Deterministic fake media table: payload = seeded bytes (ASCII hex
+    so the DuckDB oracle can replay the feature hash with its
+    VARCHAR-only sha256; the column is still opaque binary)."""
     kinds = ["image", "audio", "video"]
     mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
+        payload = (hashlib.sha256(f"media{i}".encode()).hexdigest() * 4).encode()
         meta = (
             (64 + i % 128, 64 + (i * 7) % 128, None)
             if kind == "image"

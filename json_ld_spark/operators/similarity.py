@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -114,24 +115,52 @@ def lsh_band_keys(
     deterministic hyperplane #(b*band_bits + i), so tables share no
     planes. Join key is (band, sig): per-band expected bucket size
     N/2^band_bits bounds fan-in; recall is restored by the OR over
-    bands."""
-    entries = []
-    for b in range(n_bands):
-        bits = []
-        for i in range(band_bits):
-            plane = F.array(
-                *[F.lit(v) for v in _hyperplane(dim, b * band_bits + i)]
-            )
-            bits.append(
-                F.when(_dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-            )
-        entries.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(bits).cast("int").alias("sig"),
-            )
+    bands.
+
+    Implementation: one Arrow-batched pandas UDF doing a single numpy
+    matmul (batch × planes^T) and packing sign bits — one pass over the
+    vectors regardless of plane count. The pure-column alternative
+    (n_bands*band_bits separate aggregate/zip_with dot products)
+    re-traverses every array once per plane and measured ~4x slower at
+    24 planes."""
+    sigs = _band_sigs_udf(dim, n_bands, band_bits)(vec_col)
+    return F.transform(
+        sigs,
+        lambda sig, b: F.struct(b.cast("int").alias("band"), sig.alias("sig")),
+    )
+
+
+def _band_sigs_udf(dim: int, n_bands: int, band_bits: int):
+    """pandas UDF: embedding array<double> → array<int> of per-band
+    signatures. The plane matrix is rebuilt deterministically per
+    executor (hash-based, no broadcast needed) and cached per process."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    n_planes = n_bands * band_bits
+    key = (dim, n_bands, band_bits)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def band_sigs(vecs: pd.Series) -> pd.Series:
+        planes = _PLANES_CACHE.get(key)
+        if planes is None:
+            planes = np.array(
+                [_hyperplane(dim, p) for p in range(n_planes)]
+            ).T  # dim × n_planes
+            _PLANES_CACHE[key] = planes
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # batch × dim
+        bits = (mat @ planes) >= 0  # batch × n_planes
+        weights = np.fromiter(
+            ((1 << (i % band_bits)) for i in range(n_planes)), dtype=np.int64
         )
-    return F.array(*entries)
+        weighted = bits * weights  # batch × n_planes
+        sigs = weighted.reshape(len(mat), n_bands, band_bits).sum(axis=2)
+        return pd.Series([row.astype(np.int32).tolist() for row in sigs])
+
+    return band_sigs
+
+
+_PLANES_CACHE: dict = {}
 
 
 def lsh_topk(
