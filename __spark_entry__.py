@@ -573,6 +573,16 @@ def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("media_id", F.col("sample_ms").cast("long").alias("sample_ms"))
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path: stdlib-`wave` PCM16 decode inside mapInPandas
+    over real WAV payloads; integer-exact features. Oracle: DuckDB
+    regenerates the deterministic waveform analytically (trunc+sin are
+    bit-identical across both engines on this platform)."""
+    _utc(spark)
+    media = mm.synthesize_wav_media(spark, n=32)
+    return mm.audio_features(media)
+
+
 def q_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest → triple extraction → memory sink,
     drained over file micro-batches; returns the collected batch result
@@ -768,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "streaming_triples": q_streaming_triples,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -1108,6 +1119,30 @@ FROM m
 """
 )
 
+# synthesize_wav_media: real PCM16 WAVs of trunc(6000*sin(2π f k/8000))
+# with f = 220 + 55*(i%16); the decoded features are integer-exact, so
+# this regenerates the waveform analytically (sin/trunc verified
+# bit-identical between Python and DuckDB on this platform)
+_AUDIO_FEATURES_SQL = """
+WITH s AS (
+  SELECT m.i AS media_id, t.k AS k,
+         CAST(trunc(6000 * sin(2 * pi() * (220.0 + 55.0 * (m.i % 16)) * t.k / 8000.0)) AS BIGINT) AS v
+  FROM generate_series(0, 31) m(i) CROSS JOIN generate_series(0, 1599) t(k)
+), z AS (
+  SELECT media_id, v,
+         CASE WHEN (v >= 0) <> (LAG(v) OVER (PARTITION BY media_id ORDER BY k) >= 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM s
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       COUNT(*) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(MAX(abs(v)) AS BIGINT) AS max_abs,
+       CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(SUM(zc) AS BIGINT) AS zero_crossings
+FROM z GROUP BY media_id
+"""
+
 # synthesize_media(n=96): video rows are media_id % 3 = 2 with
 # duration_ms = 1000 + 33*media_id; frame plan = 0..duration step 500
 _FRAME_PLAN_SQL = """
@@ -1355,6 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "multimodal_features": _MM_FEATURES_SQL,
+        "multimodal_audio_features": _AUDIO_FEATURES_SQL,
         "multimodal_frame_plan": _FRAME_PLAN_SQL,
         "rel_agg_pricing": _AGG_PRICING_SQL,
         "rel_join_topnations": _TOPNATIONS_SQL,

@@ -10,7 +10,10 @@ Usage:
   python -m json_ld_spark fromrdf triples.json   # engine quad tuples JSON
 
 Context IRIs in documents resolve through --mount PREFIX=DIR options
-(the reference's FsLoader mount) — no network access ever.
+(the reference's FsLoader mount); --http additionally enables the
+driver-side HTTP loader (httploader.py, ReqwestLoader parity) as the
+fallback in the chain — mounts always win, and without --http there is
+no network access ever.
 """
 
 from __future__ import annotations
@@ -26,10 +29,15 @@ from .rdf import to_nquads
 
 
 def _build_options(args) -> JsonLdOptions:
-    loader = no_loader
+    loaders = []
     if args.mount:
         mounts = dict(m.split("=", 1) for m in args.mount)
-        loader = chain_loader(fs_loader(mounts))
+        loaders.append(fs_loader(mounts))
+    if getattr(args, "http", False):
+        from .httploader import HttpLoader
+
+        loaders.append(HttpLoader().context_loader())
+    loader = chain_loader(*loaders) if loaders else no_loader
     expand_context = None
     if getattr(args, "expand_context", None):
         expand_context = json.load(open(args.expand_context))
@@ -52,6 +60,9 @@ def main(argv=None) -> int:
         p.add_argument("--base", default=None)
         p.add_argument("--mount", action="append", default=[],
                        help="PREFIX=DIR context mount (repeatable)")
+        p.add_argument("--http", action="store_true",
+                       help="enable driver-side HTTP context loading "
+                            "(fallback after mounts)")
         p.add_argument("--expand-context", default=None)
         if name == "compact":
             p.add_argument("--context", required=True)

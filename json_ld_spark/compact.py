@@ -87,10 +87,14 @@ def compact_element(
         ]
         td = active.terms.get(active_property) if active_property else None
         container = td.container if td is not None else frozenset()
+        # reference compact_collection_with (lib.rs:485-505): keep the
+        # array only for @list/@set CONTAINERS or the @graph/@set active
+        # PROPERTIES — a @graph container still unwraps its single graph
+        # entry (round-1 wrongly kept the array there)
         if (
             len(result) == 1
             and compact_arrays
-            and not container & {"@list", "@set", "@graph"}
+            and not container & {"@list", "@set"}
             and active_property not in ("@graph", "@set")
         ):
             return result[0]
@@ -232,7 +236,17 @@ def compact_element(
             nest_result = _nest_target(active, item_active_prop, result)
             ptd = active.terms.get(item_active_prop)
             container = ptd.container if ptd is not None else frozenset()
-            as_array = ("@set" in container and "@graph" not in container) or not options.compact_arrays
+            # reference select_nest_result (property.rs:369-379): @set in
+            # container OR the active property being @graph/@list forces
+            # arrays; otherwise follow compactArrays. (Round-1 wrongly
+            # suppressed the @set force under @graph containers and
+            # never applied the @graph/@list-property force — a simple
+            # "@container": "@graph" single graph failed to unwrap.)
+            as_array = (
+                "@set" in container
+                or item_active_prop in ("@graph", "@list")
+                or not options.compact_arrays
+            )
 
             inner = (
                 expanded_item["@list"]

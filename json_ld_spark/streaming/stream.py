@@ -125,6 +125,58 @@ def streaming_conversation_state(
     )
 
 
+def streaming_dedup_turns(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup on the natural key (conv_id, turn_idx):
+    `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    watermark passes, so state is bounded by the late-data window — the
+    streaming twin of the batch dedup_exact operator (at-least-once
+    sources like Kafka re-deliver; this makes the triple stream
+    effectively-once upstream of the sink)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def run_stream_entity_links(
+    spark: SparkSession,
+    in_path: str,
+    dictionary: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Stream-static entity linking via foreachBatch: each micro-batch
+    of transcript turns runs the BATCH link_entities (broadcast
+    dictionary join + tf pre-agg + argmax) and appends to a parquet
+    sink. Correctness note: tf/first_pos aggregate per (subj, surface)
+    and a subject is one turn = one input row, so every subject's
+    mentions are complete within its micro-batch — stream output equals
+    the batch run on the same data regardless of batch boundaries
+    (asserted in tests/test_streaming.py)."""
+    from ..operators.linking import extract_mentions, link_entities
+
+    stream = read_transcript_stream(spark, in_path)
+
+    def link_batch(batch_df: DataFrame, batch_id: int) -> None:
+        turns = batch_df.select(
+            F.concat(
+                F.col("conv_id"), F.lit("/turn/"), F.col("turn_idx").cast("string")
+            ).alias("subj"),
+            "text",
+        )
+        links = link_entities(extract_mentions(turns), dictionary)
+        links.write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(link_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def run_stream_to_memory(
     spark: SparkSession, path: str, query_name: str = "triples_stream"
 ) -> DataFrame:

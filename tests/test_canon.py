@@ -70,6 +70,57 @@ def test_canonicalize_cyclic_bnode_graphs_isomorphic():
     assert a != c
 
 
+def test_canonicalize_refinement_equivalent_non_automorphic():
+    """Round-2 advice regression: 1-WL color refinement cannot separate
+    directed cycles of different lengths (every node has one same-class
+    predecessor/successor), so a 2-cycle ⊔ 4-cycle dataset has ONE
+    6-member ambiguous group whose members are NOT all automorphic. The
+    old min(original-id) orbit pick leaked input labels (marking a
+    2-cycle node vs a 4-cycle node yields different outputs); the
+    URDNA-style least-resulting-labeling exploration must make the
+    output independent of input labels."""
+    import itertools
+
+    from json_ld_spark.canonicalize import canonicalize_quads
+
+    P = "http://ex/next"
+
+    def cycles(two, four):
+        quads = [
+            (None, f"_:{a}", P, "bnode", f"_:{b}", None, None)
+            for a, b in zip(two, two[1:] + two[:1])
+        ]
+        quads += [
+            (None, f"_:{a}", P, "bnode", f"_:{b}", None, None)
+            for a, b in zip(four, four[1:] + four[:1])
+        ]
+        return quads
+
+    # min-label in the 2-cycle vs in the 4-cycle vs interleaved —
+    # the exact configurations that flipped the old tie-break
+    variants = [
+        cycles(["a1", "a2"], ["b1", "b2", "b3", "b4"]),
+        cycles(["z8", "z9"], ["a1", "a2", "a3", "a4"]),
+        cycles(["m1", "q7"], ["b2", "n1", "x5", "c3"]),
+    ]
+    outs = [set(canonicalize_quads(v)) for v in variants]
+    assert outs[0] == outs[1] == outs[2]
+    # sanity: 6 distinct labels, edges preserved (2+4 quads)
+    labels = {s for _, s, _, _, _, _, _ in outs[0]}
+    assert len(labels) == 6 and len(outs[0]) == 6
+    # and a permutation fuzz over one variant
+    base = variants[0]
+    names = ["a1", "a2", "b1", "b2", "b3", "b4"]
+    for perm in itertools.islice(itertools.permutations(
+            ["p1", "p2", "p3", "p4", "p5", "p6"]), 0, 24, 5):
+        ren = dict(zip(names, perm))
+        permuted = [
+            (g, f"_:{ren[s[2:]]}", p, k, f"_:{ren[o[2:]]}", d, l)
+            for g, s, p, k, o, d, l in base
+        ]
+        assert set(canonicalize_quads(permuted)) == outs[0]
+
+
 def test_canonicalize_twin_components():
     """Two disconnected identical components (true automorphism) get
     distinct disambiguated labels but a stable overall quad set."""

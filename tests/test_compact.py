@@ -258,6 +258,8 @@ def test_compact_graph_id_container_requires_simple_check():
         {"@id": "http://g/1", "@graph": [{"http://ex/a": [{"@value": "b"}]}]}
     ]}]
     c = compact(expanded, ctx)
-    # inner array not unwrapped: the term's container includes @graph,
-    # which suppresses compact_arrays single-element unwrap
-    assert c["claims"] == {"@graph": [{"a": "b"}], "@id": "http://g/1"}
+    # the single inner graph entry UNWRAPS: the collection-unwrap guard
+    # looks at @list/@set containers and the @graph/@set ACTIVE PROPERTY
+    # (here "claims"), not the term's @graph container
+    # (lib.rs:485-505; round-1 asserted the opposite and was wrong)
+    assert c["claims"] == {"@graph": {"a": "b"}, "@id": "http://g/1"}

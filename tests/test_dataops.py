@@ -145,6 +145,38 @@ def test_multimodal_plumbing(spark):
         decode_media(b"x", "image")
 
 
+def test_real_audio_codec(spark):
+    """The audio path is a REAL codec: stdlib-wave decode of actual
+    PCM16 WAV payloads; features must equal the analytic waveform."""
+    import math
+
+    from json_ld_spark.operators.multimodal import (
+        audio_features,
+        decode_media,
+        synthesize_wav_media,
+    )
+
+    media = synthesize_wav_media(spark, n=4)
+    # direct decode round-trip
+    payload = bytes(media.filter(F.col("media_id") == 2).first()["payload"])
+    dec = decode_media(payload, "audio")
+    assert dec["sample_rate"] == 8000 and dec["n_channels"] == 1
+    freq = 220.0 + 55.0 * 2
+    expect = [int(6000 * math.sin(2 * math.pi * freq * k / 8000.0)) for k in range(1600)]
+    assert dec["samples"] == expect
+    # distributed features match the analytic values
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    s = expect
+    nonneg = [x >= 0 for x in s]
+    assert rows[2]["n_samples"] == 1600
+    assert rows[2]["max_abs"] == max(abs(x) for x in s)
+    assert rows[2]["sum_abs"] == sum(abs(x) for x in s)
+    assert rows[2]["zero_crossings"] == sum(
+        1 for a, b in zip(nonneg, nonneg[1:]) if a != b
+    )
+
+
 def test_streaming_triples(spark, tmp_path):
     from json_ld_spark.sources.transcripts import synthesize_transcripts
     from json_ld_spark.streaming.stream import run_stream_to_memory

@@ -18,7 +18,7 @@ import pathlib
 import pytest
 
 from json_ld_spark import errors as E
-from json_ld_spark.api import compact, expand, flatten, to_rdf
+from json_ld_spark.api import compact, expand, flatten, from_rdf, to_rdf
 from json_ld_spark.canonicalize import canonicalize_quads
 from json_ld_spark.options import JsonLdOptions
 
@@ -34,8 +34,10 @@ def _opts(case: dict) -> JsonLdOptions:
         rdf_direction=case.get("rdf_direction"),
         produce_generalized_rdf=case.get("produce_generalized_rdf", False),
     )
-    if "processing_mode" in case:
-        kw["processing_mode"] = case["processing_mode"]
+    for opt in ("processing_mode", "compact_arrays", "compact_to_relative",
+                "use_native_types", "use_rdf_type"):
+        if opt in case:
+            kw[opt] = case[opt]
     if "registry" in case:
         from json_ld_spark.context import dict_loader
 
@@ -110,6 +112,12 @@ def test_golden_case(case):
         assert got == case["compacted"], (
             f"compacted mismatch:\n got: {json.dumps(got, ensure_ascii=False)}\n"
             f" exp: {json.dumps(case['compacted'], ensure_ascii=False)}"
+        )
+    if "fromrdf_quads" in case:
+        got = from_rdf([tuple(q) for q in case["fromrdf_quads"]], options=opts)
+        assert _deep_unordered_eq(got, case["expanded_fromrdf"]), (
+            f"fromRdf mismatch:\n got: {json.dumps(got, ensure_ascii=False)}\n"
+            f" exp: {json.dumps(case['expanded_fromrdf'], ensure_ascii=False)}"
         )
     if "quads" in case:
         got = _canon_quads(to_rdf(case["input"], options=opts))

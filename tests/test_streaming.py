@@ -97,3 +97,56 @@ def test_stream_checkpoint_resume_exactly_once(spark, stream_dir, tmp_path):
     extra.repartition(1).write.mode("append").parquet(stream_dir)
     run_stream_to_parquet(spark, stream_dir, out, ckpt)
     assert spark.read.parquet(out).count() == batch_n + extra_n
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered turns (at-least-once source) collapse to one row per
+    (conv_id, turn_idx) within the watermark window."""
+    from json_ld_spark.streaming.stream import streaming_dedup_turns
+
+    d = str(tmp_path / "dup_in")
+    t = synthesize_transcripts(spark, n_convs=5, avg_turns=3)
+    # write the same rows twice (two files) = duplicate delivery
+    t.coalesce(1).write.mode("overwrite").parquet(d)
+    t.coalesce(1).write.mode("append").parquet(d)
+    stream = read_transcript_stream(spark, d, max_files_per_trigger=1)
+    q = (
+        streaming_dedup_turns(stream)
+        .writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT conv_id, turn_idx FROM t_dedup_stream")
+    assert out.count() == t.count()  # not 2x
+    assert out.distinct().count() == t.count()
+
+
+def test_stream_entity_links_match_batch(spark, tmp_path):
+    """foreachBatch stream-static linking equals the batch run on the
+    same data (subjects are single rows, so tf is batch-boundary-proof)."""
+    from json_ld_spark.operators.linking import extract_mentions, link_entities
+    from json_ld_spark.streaming.stream import run_stream_entity_links
+
+    d = str(tmp_path / "link_in")
+    t = synthesize_transcripts(spark, n_convs=8, avg_turns=3)
+    t.repartition(3).write.mode("overwrite").parquet(d)
+    dictionary = spark.createDataFrame(
+        [("http://e/test", "test", 0.5), ("http://e/pipeline", "pipeline", 0.3),
+         ("http://e/ascii", "ascii", 0.2)],
+        "entity_id string, surface string, prior double",
+    )
+    out = str(tmp_path / "links_out")
+    ckpt = str(tmp_path / "links_ckpt")
+    run_stream_entity_links(spark, d, dictionary, out, ckpt)
+    streamed = {tuple(r) for r in spark.read.parquet(out)
+                .select("subj", "surface", "entity_id", "tf").collect()}
+    turns = t.select(
+        F.concat(F.col("conv_id"), F.lit("/turn/"), F.col("turn_idx").cast("string")).alias("subj"),
+        "text",
+    )
+    batch = {tuple(r) for r in link_entities(extract_mentions(turns), dictionary)
+             .select("subj", "surface", "entity_id", "tf").collect()}
+    assert streamed == batch and len(batch) > 0
