@@ -104,10 +104,11 @@ def link_entities(
     # refactor shuffled the full mention stream: 2.7x regression in
     # kg_linked_pipeline at sf0.1/amplify=40).
     if strategy == "broadcast":
+        # no distinct: a left-semi probe never duplicates rows, so
+        # duplicate dictionary surfaces are harmless and the distinct
+        # was one extra (dictionary-sized) Exchange
         mentions = mentions.join(
-            F.broadcast(dictionary.select("surface").distinct()),
-            "surface",
-            "left_semi",
+            F.broadcast(dictionary.select("surface")), "surface", "left_semi"
         )
     tf = mentions.groupBy("subj", "surface").agg(
         F.count(F.lit(1)).alias("tf"), F.min("pos").alias("first_pos")
