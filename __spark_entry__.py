@@ -195,6 +195,44 @@ def q_kg_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed dataset comparison (SURVEY.md §2 H rows at corpus
+    scale): diff the extracted triples against a deterministically
+    perturbed copy (every turnIndex quad with value % 5 == 0 dropped;
+    one synthetic quad injected per turn_idx==0 subject) — the anti/semi
+    join P/R machinery the golden scoring uses, as a first-class
+    operator. Oracle reconstructs the same counts in SQL."""
+    from json_ld_spark.operators.diff import diff_summary
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    base = transcript_triples_native(t).select(*TRIPLE_COLS)
+    v = "https://example.org/transcript#"
+    turn_pred = v + "turnIndex"
+    # try_cast: ANSI mode would throw casting IRI objects, and SQL AND
+    # does not short-circuit
+    right = base.filter(
+        ~(
+            (F.col("pred") == turn_pred)
+            & ((F.col("obj").try_cast("long") % 5) == 0)
+        )
+    )
+    injected = (
+        base.filter((F.col("pred") == turn_pred) & (F.col("obj") == "0"))
+        .select(
+            "graph", "subj",
+            F.lit(v + "extra").alias("pred"),
+            F.lit("literal").alias("obj_kind"),
+            F.lit("x").alias("obj"),
+            F.lit("http://www.w3.org/2001/XMLSchema#string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+    right = right.unionByName(injected)
+    # no bnodes in this corpus: canonicalization off keeps the oracle exact
+    return diff_summary(base, right, canonicalize=False)
+
+
 def q_jsonld_canonical_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality oracle for the canonical-bnodes toRdf path: the quad
     VALUES are content-hash labels (no SQL twin — jsonld_triples_
@@ -764,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_flatten_generic": q_jsonld_flatten_generic,
         "jsonld_triples_canonical": q_jsonld_triples_canonical,
         "jsonld_canonical_degree": q_jsonld_canonical_degree,
+        "kg_dataset_diff": q_kg_dataset_diff,
         "jsonld_fromrdf_roundtrip": q_jsonld_fromrdf_roundtrip,
         "jsonld_compact_generic": q_jsonld_compact_generic,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -882,6 +921,19 @@ SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,
        CAST(7 + CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_keys,
        text
 FROM base
+"""
+
+# diff counts: only_left = dropped turnIndex quads (value%5=0);
+# only_right = injected extras (one per turn_idx==0 subject);
+# common = all remaining quads
+_KG_DIFF_SQL = _TRIPLES_CTE + f"""
+SELECT CAST(SUM(CASE WHEN pred = '{_V}turnIndex' AND TRY_CAST(obj AS BIGINT) % 5 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_only_left,
+       CAST(SUM(CASE WHEN pred = '{_V}turnIndex' AND obj = '0'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_only_right,
+       CAST(SUM(CASE WHEN NOT (pred = '{_V}turnIndex' AND coalesce(TRY_CAST(obj AS BIGINT) % 5 = 0, false))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+FROM triples
 """
 
 _CANON_DEGREE_SQL = _BASE_CTE + """
@@ -1376,6 +1428,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_links_salted": _LINKS_SQL,
         "kg_pipeline_full": _KG_PIPELINE_SQL,
         "jsonld_canonical_degree": _CANON_DEGREE_SQL,
+        "kg_dataset_diff": _KG_DIFF_SQL,
         "jsonld_expand_generic": _EXPAND_ORACLE_SQL,
         "jsonld_flatten_generic": _FLATTEN_ORACLE_SQL,
         "jsonld_fromrdf_roundtrip": _FROMRDF_ORACLE_SQL,

@@ -165,11 +165,13 @@ class HttpLoader:
         self,
         request_profile: Iterable[str] = (),
         max_redirections: int = 8,
-        fetch: Fetch = urllib_fetch,
+        fetch: Optional[Fetch] = None,
         cache: bool = True,
     ) -> None:
         self.max_redirections = max_redirections
-        self.fetch = fetch
+        # None = resolve the module-level urllib transport at CALL time
+        # (so tests can monkeypatch json_ld_spark.httploader.urllib_fetch)
+        self._fetch = fetch
         self._cache: Optional[dict[str, RemoteDocument]] = {} if cache else None
         profiles = list(request_profile)
         params = ""
@@ -188,6 +190,10 @@ class HttpLoader:
         if self._cache is not None:
             self._cache[url] = doc
         return doc
+
+    @property
+    def fetch(self) -> Fetch:
+        return self._fetch if self._fetch is not None else urllib_fetch
 
     def _load_uncached(self, requested: str) -> RemoteDocument:
         url = requested

@@ -211,3 +211,25 @@ def test_expand_with_remote_context():
     # cached: expanding again fetches nothing new
     expand(doc, JsonLdOptions(loader=http.context_loader()))
     assert len(fetch.calls) == 1
+
+
+def test_cli_http_flag(tmp_path, monkeypatch, capsys):
+    """--http wires the HTTP loader into the CLI chain (transport
+    monkeypatched — no network)."""
+    import json as _json
+
+    from json_ld_spark import httploader as hl
+    from json_ld_spark.__main__ import main
+
+    def fake_fetch(url, headers):
+        assert url == "http://ex/ctx.jsonld"
+        return 200, [("Content-Type", "application/ld+json")], _json.dumps(
+            {"@context": {"name": "http://ex/name"}}
+        ).encode()
+
+    monkeypatch.setattr(hl, "urllib_fetch", fake_fetch)
+    doc = tmp_path / "doc.json"
+    doc.write_text(_json.dumps({"@context": "http://ex/ctx.jsonld", "name": "alice"}))
+    assert main(["expand", str(doc), "--http"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out == [{"http://ex/name": [{"@value": "alice"}]}]

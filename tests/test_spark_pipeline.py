@@ -296,3 +296,58 @@ def test_dedup_triples_set_semantics(spark):
     schema = "graph string, subj string, pred string, obj_kind string, obj string, datatype string, lang string, doc_id string"
     df = spark.createDataFrame(rows, schema)
     assert dedup_triples(df).count() == 1
+
+
+def test_dataset_diff_isomorphic_bnodes(spark):
+    """dataset_diff with canonicalization: isomorphic bnode datasets diff
+    empty; a perturbed dataset shows exactly the changed quads."""
+    from json_ld_spark.operators.diff import dataset_diff, diff_summary
+
+    schema = "graph string, subj string, pred string, obj_kind string, obj string, datatype string, lang string"
+    a = spark.createDataFrame([
+        (None, "_:x1", "http://ex/p", "bnode", "_:x2", None, None),
+        (None, "_:x2", "http://ex/q", "literal", "v", None, None),
+    ], schema)
+    b = spark.createDataFrame([
+        (None, "_:y7", "http://ex/p", "bnode", "_:y9", None, None),
+        (None, "_:y9", "http://ex/q", "literal", "v", None, None),
+    ], schema)
+    row = diff_summary(a, b).collect()[0]
+    assert (row["n_only_left"], row["n_only_right"], row["n_common"]) == (0, 0, 2)
+    c = spark.createDataFrame([
+        (None, "_:z1", "http://ex/p", "bnode", "_:z2", None, None),
+        (None, "_:z2", "http://ex/q", "literal", "DIFFERENT", None, None),
+    ], schema)
+    parts = dataset_diff(a, c)
+    assert parts["only_left"].count() == 2  # labels differ once content differs
+    assert parts["only_right"].count() == 2
+
+
+def test_salted_linking_under_heavy_skew(spark):
+    """One surface covering ~90% of mentions: salted strategy must agree
+    with broadcast exactly, and the salt must actually spread the hot
+    key across groups."""
+    from json_ld_spark.operators.linking import extract_mentions, link_entities
+
+    rows = [(f"s{i}", "hot hot hot hot rare" if i % 10 else "rare word") for i in range(500)]
+    mentions = extract_mentions(
+        spark.createDataFrame(rows, "subj string, text string")
+    )
+    dictionary = spark.createDataFrame(
+        [("http://e/hot", "hot", 0.9), ("http://e/rare", "rare", 0.1)],
+        "entity_id string, surface string, prior double",
+    )
+    broadcast = link_entities(mentions, dictionary, strategy="broadcast")
+    salted = link_entities(mentions, dictionary, strategy="salted", n_salts=8)
+    key = ["subj", "surface", "entity_id", "tf", "first_pos"]
+    assert {tuple(r) for r in broadcast.select(*key).collect()} == {
+        tuple(r) for r in salted.select(*key).collect()
+    }
+    from pyspark.sql import functions as F2
+
+    salts = (
+        mentions.filter(F2.col("surface") == "hot")
+        .withColumn("salt", F2.pmod(F2.xxhash64("subj"), F2.lit(8)).cast("int"))
+        .groupBy("salt").count()
+    )
+    assert salts.count() == 8  # hot key spread over all salt groups
