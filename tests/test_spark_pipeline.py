@@ -351,3 +351,41 @@ def test_salted_linking_under_heavy_skew(spark):
         .groupBy("salt").count()
     )
     assert salts.count() == 8  # hot key spread over all salt groups
+
+
+def test_dataset_diff_matches_python_sets(spark):
+    """diff_summary (canonicalize=False) must equal plain Python set math
+    on randomized quad tables, including NULL columns (the null-safe
+    join regression class)."""
+    import random
+
+    rng = random.Random(77)
+    schema = "graph string, subj string, pred string, obj_kind string, obj string, datatype string, lang string"
+
+    def rand_quads(n):
+        out = []
+        for _ in range(n):
+            out.append((
+                rng.choice([None, "http://g/1"]),
+                f"http://s/{rng.randint(0, 5)}",
+                f"http://p/{rng.randint(0, 3)}",
+                "literal",
+                f"v{rng.randint(0, 4)}",
+                rng.choice([None, "http://www.w3.org/2001/XMLSchema#string"]),
+                rng.choice([None, "en"]),
+            ))
+        return out
+
+    from json_ld_spark.operators.diff import diff_summary
+
+    for trial in range(5):
+        a, b = rand_quads(30), rand_quads(30)
+        row = diff_summary(
+            spark.createDataFrame(a, schema),
+            spark.createDataFrame(b, schema),
+            canonicalize=False,
+        ).collect()[0]
+        sa, sb = set(a), set(b)
+        assert row["n_only_left"] == len(sa - sb), trial
+        assert row["n_only_right"] == len(sb - sa), trial
+        assert row["n_common"] == len(sa & sb), trial
