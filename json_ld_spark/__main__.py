@@ -72,9 +72,23 @@ def main(argv=None) -> int:
             p.add_argument("--generalized", action="store_true")
 
     args = ap.parse_args(argv)
+    opts = _build_options(args)
+
+    if (
+        args.cmd == "expand"
+        and getattr(args, "http", False)
+        and args.input.startswith(("http://", "https://"))
+    ):
+        # remote-document expansion (reference `json-ld expand <url>`;
+        # Link-header context + final-URL base semantics in api.expand_url)
+        from .api import expand_url
+
+        print(json.dumps(expand_url(args.input, options=opts), indent=2,
+                         ensure_ascii=False))
+        return 0
+
     raw = sys.stdin.read() if args.input == "-" else open(args.input).read()
     doc = json.loads(raw)
-    opts = _build_options(args)
 
     if args.cmd == "expand":
         print(json.dumps(expand(doc, options=opts), indent=2, ensure_ascii=False))

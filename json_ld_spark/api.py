@@ -46,6 +46,39 @@ def expand(
     return expanded
 
 
+def expand_url(
+    url: str,
+    options: JsonLdOptions | None = None,
+    http: "Any" = None,
+) -> list:
+    """RemoteDocumentReference::expand_full (remote_document.rs:236 →
+    45-95): dereference `url` with the HTTP loader, then expand with
+
+    1. the caller's `expand_context` (remote_document.rs:59-76), then
+    2. the HTTP ``Link rel=json-ld#context`` context URL delivered with
+       a non-ld+json response (remote_document.rs:78-95),
+
+    in that order, against the document's final URL as base. The HTTP
+    loader also serves any remote contexts referenced inside the
+    document (chained after any loader already configured)."""
+    from .context import chain_loader
+    from .httploader import HttpLoader
+
+    http = http or HttpLoader()
+    rd = http.load(url)
+    opts = options or JsonLdOptions()
+    # chain: configured loader first (registry/mount wins), HTTP fallback
+    opts = opts.with_(loader=chain_loader(opts.loader, http.context_loader()))
+    active = _initial_context(opts, rd.url)
+    if rd.context_url is not None:
+        active = process_context(
+            active, rd.context_url, rd.url,
+            loader=opts.loader, processing_mode=opts.processing_mode,
+        )
+    expanded, _warnings = expand_document(rd.document, active, opts, rd.url)
+    return expanded
+
+
 def expand_with_warnings(
     document: Any,
     options: JsonLdOptions | None = None,

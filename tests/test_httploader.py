@@ -233,3 +233,66 @@ def test_cli_http_flag(tmp_path, monkeypatch, capsys):
     assert main(["expand", str(doc), "--http"]) == 0
     out = _json.loads(capsys.readouterr().out)
     assert out == [{"http://ex/name": [{"@value": "alice"}]}]
+
+
+def test_expand_url_with_header_context():
+    """RemoteDocumentReference::expand_full parity (remote_document.rs:
+    78-95): an application/json response's Link context header supplies
+    the context; the final URL is the base for relative @ids."""
+    from json_ld_spark.api import expand_url
+
+    fetch = FakeFetch({
+        "http://ex/dir/data": (
+            200,
+            [
+                ("Content-Type", "application/json"),
+                ("Link", '<ctx.jsonld>; rel="http://www.w3.org/ns/json-ld#context"'),
+            ],
+            b'{"@id": "item", "name": "alice"}',
+        ),
+        "http://ex/dir/ctx.jsonld": _ld(
+            b'{"@context": {"name": "http://ex/name"}}'
+        ),
+    })
+    out = expand_url("http://ex/dir/data", http=HttpLoader(fetch=fetch))
+    assert out == [{
+        "@id": "http://ex/dir/item",
+        "http://ex/name": [{"@value": "alice"}],
+    }]
+    # both the document and the header context were fetched
+    assert [u for u, _ in fetch.calls] == ["http://ex/dir/data", "http://ex/dir/ctx.jsonld"]
+
+
+def test_expand_url_ld_json_ignores_header_context():
+    from json_ld_spark.api import expand_url
+
+    fetch = FakeFetch({
+        "http://ex/doc": (
+            200,
+            [
+                ("Content-Type", "application/ld+json"),
+                ("Link", '<ctx.jsonld>; rel="http://www.w3.org/ns/json-ld#context"'),
+            ],
+            b'{"@context": {"name": "http://ex/inline"}, "name": "x"}',
+        ),
+    })
+    out = expand_url("http://ex/doc", http=HttpLoader(fetch=fetch))
+    assert out == [{"http://ex/inline": [{"@value": "x"}]}]
+    assert len(fetch.calls) == 1  # header context never dereferenced
+
+
+def test_cli_expand_url(monkeypatch, capsys):
+    import json as _json
+
+    from json_ld_spark import httploader as hl
+    from json_ld_spark.__main__ import main
+
+    def fake_fetch(url, headers):
+        return 200, [("Content-Type", "application/ld+json")], _json.dumps(
+            {"@context": {"name": "http://ex/name"}, "name": "bob"}
+        ).encode()
+
+    monkeypatch.setattr(hl, "urllib_fetch", fake_fetch)
+    assert main(["expand", "http://ex/doc.jsonld", "--http"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out == [{"http://ex/name": [{"@value": "bob"}]}]
