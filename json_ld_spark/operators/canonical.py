@@ -6,7 +6,8 @@ json_ld_spark.canonicalize (per-doc, in-UDF). Each round:
   quads ⨝ labels (subj) ⨝ labels (obj) ⨝ labels (graph) ⨝ labels (pred)
   → per-bnode signature rows → groupBy(bnode) sha2 of sorted signatures
 
-All shuffles key on the bnode label; `rounds` is small (default 3).
+All shuffles key on the bnode label; rounds run to a fixpoint by
+default (distinct-hash count stabilizes — see canonicalize_bnodes_df).
 The label table holds one row per distinct bnode — small relative to
 the quad table but PROPORTIONAL to corpus bnode count, so the joins
 carry no forced broadcast hint: AQE broadcasts them when they fit and
@@ -18,14 +19,22 @@ Blank predicates (generalized RDF) participate fully: they join the
 bnode set, get signature rows, and are relabeled — matching
 json_ld_spark.canonicalize's treatment.
 
-Contract note: with fixed `rounds`, labels are DETERMINISTIC and unique
-(collision-disambiguated) — sufficient for corpus-level canonical ids —
-but only structures of diameter <= rounds are fully separated by
-structure alone; isomorphism-oracle comparisons (golden scoring) use
-json_ld_spark.canonicalize, which refines to partition stability and
-breaks automorphic orbits by marking. Raise `rounds` toward the max
-bnode-graph diameter (e.g. the longest @list) when label-stability
-across relabeled inputs matters at corpus level.
+Contract note: labels are DETERMINISTIC and unique
+(collision-disambiguated). By default (`rounds=None`) refinement runs
+to a FIXPOINT — it stops at the first round whose distinct-hash count
+stops growing (the partition provably stabilizes within |bnodes|
+rounds, and the count is monotone under refinement), matching the
+local canonicalizer's stability contract. A fixed `rounds` is still
+accepted for bounded-diameter corpora where the caller wants a static
+job DAG. Structurally IDENTICAL bnodes (automorphic orbits, or
+byte-identical duplicate documents — the norm in a pre-dedup crawl)
+share a refinement hash at every round; they are disambiguated with a
+deterministic per-bnode tiebreaker hash(h, input_label) computed
+row-local (NO global per-hash sort — a row_number window here would
+serialize every duplicate of a hot document through one task).
+Isomorphism-oracle comparisons (golden scoring) use
+json_ld_spark.canonicalize, which additionally breaks automorphic
+orbits by URDNA-style marking.
 
 Replaces the reference's sequential relabel generator
 (crates/core/src/document/expanded.rs:99-115) with the hash-based
@@ -42,10 +51,20 @@ def _is_bnode(c):
 
 
 def canonicalize_bnodes_df(
-    triples: DataFrame, rounds: int = 3, prefix: str = "c"
+    triples: DataFrame,
+    rounds: int | None = None,
+    prefix: str = "c",
+    max_rounds: int = 32,
 ) -> DataFrame:
     """Returns the triple DataFrame with every blank label replaced by a
-    deterministic content-hash label (collision-disambiguated)."""
+    deterministic content-hash label (collision-disambiguated).
+
+    rounds=None (default) iterates to a fixpoint: refinement stops at
+    the first round whose countDistinct(h) equals the previous round's
+    (one extra confirming round runs; its labels are the output).
+    max_rounds caps the fixpoint loop (refinement stabilizes within the
+    largest bnode-component diameter, so 32 covers any real corpus —
+    an rdf:List longer than 2^32 elements would not fit storage)."""
     t = triples
     bnodes = (
         t.select(F.col("subj").alias("b"))
@@ -75,7 +94,19 @@ def canonicalize_bnodes_df(
         F.coalesce("lang", F.lit("~")).alias("lg"),
     ).dropDuplicates()
 
-    for _ in range(rounds):
+    # reliable checkpoint when the session has a checkpoint dir (fault-
+    # tolerant at cluster scale); localCheckpoint otherwise (local mode —
+    # executor-storage-resilient only, recompute-on-loss accepted)
+    sc = t.sparkSession.sparkContext
+    use_reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if use_reliable else df.localCheckpoint(
+            eager=True
+        )
+
+    prev_distinct = -1
+    for _ in range(rounds if rounds is not None else max_rounds):
         lab_s = labels.select(F.col("b").alias("subj"), F.col("h").alias("h_subj"))
         lab_o = labels.select(F.col("b").alias("obj"), F.col("h").alias("h_obj"))
         lab_g = labels.select(F.col("b").alias("graph"), F.col("h").alias("h_graph"))
@@ -148,32 +179,44 @@ def canonicalize_bnodes_df(
                 "agg_sig",
             )
         )
-        # materialize each round: labels feed three joins in the next
-        # round, so an unbroken lineage grows ~3^rounds and chokes the
-        # optimizer; localCheckpoint truncates it (same trick iterative
+        # materialize each round: labels feed four joins in the next
+        # round, so an unbroken lineage grows ~4^rounds and chokes the
+        # optimizer; checkpointing truncates it (same trick iterative
         # GraphX/connected-components jobs use)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _truncate(new_labels)
         labels = new_labels.select("b", "h")
         final_sigs = new_labels
+        if rounds is None:
+            # fixpoint check: distinct-h count is monotone non-decreasing
+            # under refinement; equality with the previous round means the
+            # partition is stable. One aggregation over the (checkpointed)
+            # label table per round — bnode-count rows, not quad rows.
+            d = labels.agg(F.countDistinct("h").alias("d")).first()["d"]
+            if d == prev_distinct:
+                break
+            prev_distinct = d
 
-    # disambiguate identical hashes deterministically
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("h").orderBy("agg_sig", "b")
-    counts = Window.partitionBy("h")
-    final = (
-        final_sigs.withColumn("rk", F.row_number().over(w) - 1)
-        .withColumn("n", F.count(F.lit(1)).over(counts))
-        .select(
-            "b",
+    # Disambiguate identical hashes (automorphic orbits / byte-identical
+    # duplicate documents) with a row-local deterministic tiebreaker:
+    # sha2(h || input_label). The input label is already globally unique
+    # (doc-hash-prefixed, operators/jsonld.py _globalize_label), so the
+    # 128-bit truncation collides w.p. ~n²/2^129. A row_number() window
+    # over partitionBy(h) here — the round-2 design — would funnel every
+    # bnode of a hot duplicated document through ONE task; the groupBy
+    # count below is map-side combinable and the join back on h is
+    # AQE-skew-splittable (the count side is one row per h).
+    counts = final_sigs.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    final = final_sigs.join(counts, "h").select(
+        "b",
+        F.when(
+            F.col("n") > 1,
             F.concat(
                 F.lit("_:" + prefix),
-                F.substring("h", 1, 16),
-                F.when(F.col("n") > 1, F.concat(F.lit("-"), F.col("rk"))).otherwise(
-                    F.lit("")
-                ),
-            ).alias("canon"),
+                F.substring(F.sha2(F.concat(F.col("h"), F.col("b")), 256), 1, 32),
+            ),
         )
+        .otherwise(F.concat(F.lit("_:" + prefix), F.substring("h", 1, 16)))
+        .alias("canon"),
     )
 
     m_s = final.select(F.col("b").alias("subj"), F.col("canon").alias("c_subj"))

@@ -234,10 +234,63 @@ def test_distributed_canonicalization_matches_local_partition(spark):
     relabeled = [(g, s.replace("_:a", "_:x").replace("_:c", "_:y"), p, k, o, d, l)
                  for g, s, p, k, o, d, l in quads]
     assert set(canonicalize_quads(relabeled)) == set(local)
-    # distributed: twins share a hash prefix with -i suffixes
-    def prefixes(subjects):
-        return sorted(s.rsplit("-", 1)[0] for s in subjects)
-    assert len(set(prefixes(dist_subjects))) == 2
+    # distributed: twins are disambiguated by the row-local tiebreaker
+    # hash (32-hex labels); the structurally unique bnode keeps the pure
+    # 16-hex content-hash label
+    assert sorted(len(s) for s in dist_subjects) == [19, 35, 35]
+
+
+def test_distributed_canonicalization_fixpoint_long_chain(spark):
+    """Fixpoint refinement separates a chain deeper than the old fixed
+    rounds=3 (a 12-element bnode path has diameter 11): every chain
+    position must get a distinct label, agreeing with the local
+    canonicalizer's partition."""
+    from json_ld_spark.canonicalize import canonical_bnode_labels
+
+    n = 12
+    quads = [
+        (None, f"_:n{i}", "http://ex/next", "bnode", f"_:n{i+1}", None, None)
+        for i in range(n - 1)
+    ] + [(None, f"_:n{n-1}", "http://ex/end", "literal", "v", None, None)]
+    schema = (
+        "graph string, subj string, pred string, obj_kind string, "
+        "obj string, datatype string, lang string"
+    )
+    dist = canonicalize_bnodes_df(spark.createDataFrame(quads, schema)).collect()
+    labels = {r["subj"] for r in dist} | {
+        r["obj"] for r in dist if r["obj_kind"] == "bnode"
+    }
+    assert len(labels) == n  # fully separated (rounds=3 left middles tied)
+    assert all(len(lab) == 19 for lab in labels)  # no tiebreak suffixes
+    # partition agrees with the local canonicalizer (all singletons there too)
+    local = canonical_bnode_labels(quads)
+    assert len(set(local.values())) == n
+
+
+def test_distributed_canonicalization_duplicate_heavy_no_window(spark):
+    """Byte-identical duplicate documents (the pre-dedup crawl norm):
+    every duplicate's bnode shares one refinement hash. The
+    disambiguation must (a) stay skew-free — no Window operator in the
+    plan (a partitionBy(h) row_number would serialize all duplicates
+    through one task) — and (b) still emit globally unique labels."""
+    n_dup = 5000
+    docs = spark.range(n_dup).selectExpr(
+        "CAST(NULL AS STRING) AS graph",
+        "concat('_:gdoc', id, 'b0') AS subj",
+        "'http://ex/p' AS pred",
+        "'literal' AS obj_kind",
+        "'same' AS obj",
+        "CAST(NULL AS STRING) AS datatype",
+        "CAST(NULL AS STRING) AS lang",
+    )
+    out = canonicalize_bnodes_df(docs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, "disambiguation must not use a window"
+    rows = out.collect()
+    labs = [r["subj"] for r in rows]
+    assert len(rows) == n_dup
+    assert len(set(labs)) == n_dup  # unique despite identical structure
+    assert all(len(lab) == 35 for lab in labs)  # all disambiguated
 
 
 def test_build_kg_and_dedup(spark, transcripts, sf_dir):
