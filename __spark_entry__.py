@@ -513,13 +513,19 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (inverted-file): hash-seeded codebook refined by Lloyd
     assignment passes (bounded component-wise means — no vector lists in
     any aggregation buffer), cell-equi-join candidate search with
-    n_probe cells per query. Rows-only (approximate). Recall vs exact
-    top-5 asserted >=0.9 in tests/test_dataops.py."""
+    n_probe cells per query. Recall vs exact top-5 asserted >=0.9 in
+    tests/test_dataops.py.
+
+    VALUE-EXACT oracle (round-3): the whole codebook derivation is
+    replayed in DuckDB — md5-bridge seed sample, two Lloyd rounds with
+    centroid means quantized to 1e-6 between rounds (stops cross-engine
+    summation-order ulps from flipping assignments), then the
+    n_assign/n_probe cell joins and cosine top-5."""
     _utc(spark)
     emb = _emb_double(_read(spark, sf_dir, "embeddings"))
     cents = sim.ivf_centroids(emb, n_cells=16, lloyd_rounds=2)
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
-    out = sim.ivf_topk(queries_df, emb, cents, k=5, n_probe=5, n_assign=2)
+    out = sim.ivf_topk(queries_df, emb, cents, k=5, n_probe=6, n_assign=2)
     return out.select(
         "query_id", "cand_id",
         F.col("rank").cast("long").alias("rank"),
@@ -1304,9 +1310,15 @@ SELECT media_id, CAST(s AS BIGINT) AS sample_ms FROM (
 
 # ANN LSH oracles: the hyperplanes are deterministic constants
 # (similarity._hyperplane), so DuckDB replays the banded signatures from
-# inline plane literals (list_dot_product sums in array order, exactly
-# like the engine's kernel — signs match bit-for-bit) and then runs the
-# same bucket join + exact-cosine ranking. This upgrades the
+# inline plane literals and then runs the same bucket join +
+# exact-cosine ranking. Float caveat: the engine computes signatures
+# with a numpy/BLAS matmul (_band_sigs_udf) whose accumulation order
+# differs from DuckDB's sequential list_dot_product — a dot product
+# epsilon-close to 0 could in principle flip a sign bit between
+# engines. Accepted tolerance: the deterministic plane family is fixed,
+# so any such flip would be stable and surface immediately as a
+# mismatch at sf0.01 (none observed across rounds); margins on unit-ish
+# vectors are ~1e-2, ulp noise is ~1e-16. This upgrades the
 # "approximate" queries to full value oracles: approximate vs the true
 # top-k, but deterministic given the fixed plane family.
 
@@ -1361,6 +1373,84 @@ JOIN e ea ON ea.vec_id = vec_a
 JOIN e eb ON eb.vec_id = vec_b
 WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
 """
+
+def _ann_ivf_sql(
+    n_cells: int = 16, lloyd_rounds: int = 2, n_probe: int = 6,
+    n_assign: int = 2, k: int = 5, dim: int = 64,
+) -> str:
+    """Full IVF replay (ivf_centroids + ivf_topk, similarity.py): seeds
+    are the n_cells vectors with the smallest md5-bridge hash; each
+    Lloyd round assigns by cosine argmax (tie → cell asc, matching
+    _nearest_cells' array_sort on (neg_cos, cell)) and recomputes
+    component-wise means rounded to 6 decimals (the engine quantizes
+    identically, so the codebooks are bit-comparable)."""
+    seeds = f"""
+, cents0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS centroid
+  FROM (SELECT vec_id, v,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM e)
+  ORDER BY h, vec_id
+  LIMIT {n_cells}
+)"""
+    rounds = ""
+    prev = "cents0"
+    for r in range(1, lloyd_rounds + 1):
+        rounds += f"""
+, a{r} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC
+           ) AS rk
+    FROM e CROSS JOIN {prev} c)
+  WHERE rk = 1
+), cents{r} AS (
+  SELECT cell, list(m ORDER BY idx) AS centroid FROM (
+    SELECT cell, g.idx, round(AVG(v[g.idx]), 6) AS m
+    FROM a{r} CROSS JOIN generate_series(1, {dim}) AS g(idx)
+    GROUP BY cell, g.idx)
+  GROUP BY cell
+)"""
+        prev = f"cents{r}"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings){seeds}{rounds}
+, idx AS (
+  SELECT cand_id, cell FROM (
+    SELECT e.vec_id AS cand_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC
+           ) AS rk
+    FROM e CROSS JOIN {prev} c)
+  WHERE rk <= {n_assign}
+), probe AS (
+  SELECT query_id, cell FROM (
+    SELECT e.vec_id AS query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC
+           ) AS rk
+    FROM e CROSS JOIN {prev} c
+    WHERE e.vec_id % 100 = 0)
+  WHERE rk <= {n_probe}
+), cands AS (
+  SELECT DISTINCT query_id, cand_id
+  FROM probe JOIN idx USING (cell)
+  WHERE cand_id <> query_id
+), scored AS (
+  SELECT query_id, cand_id, list_cosine_similarity(eq.v, ec.v) AS cos
+  FROM cands
+  JOIN e eq ON eq.vec_id = query_id
+  JOIN e ec ON ec.vec_id = cand_id
+)
+SELECT query_id, cand_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank,
+       round(cos, 4) AS cos_r
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+_ANN_IVF_SQL = _ann_ivf_sql()
 
 _ANN_SQL = """
 WITH q AS (
@@ -1537,6 +1627,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
+        "ann_topk_ivf": _ANN_IVF_SQL,
         "ann_near_duplicates": _ANN_NEAR_DUP_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,

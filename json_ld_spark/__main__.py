@@ -74,11 +74,8 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     opts = _build_options(args)
 
-    if (
-        args.cmd == "expand"
-        and getattr(args, "http", False)
-        and args.input.startswith(("http://", "https://"))
-    ):
+    is_url = args.input.startswith(("http://", "https://"))
+    if args.cmd == "expand" and getattr(args, "http", False) and is_url:
         # remote-document expansion (reference `json-ld expand <url>`;
         # Link-header context + final-URL base semantics in api.expand_url)
         from .api import expand_url
@@ -87,8 +84,25 @@ def main(argv=None) -> int:
                          ensure_ascii=False))
         return 0
 
-    raw = sys.stdin.read() if args.input == "-" else open(args.input).read()
-    doc = json.loads(raw)
+    if is_url:
+        if getattr(args, "http", False):
+            # route URL inputs through the HTTP loader for the other
+            # subcommands too (they then process the fetched document;
+            # expand_url above additionally applies Link-header context)
+            from .httploader import HttpLoader
+
+            remote = HttpLoader().load(args.input)
+            doc = remote.document
+        else:
+            print(
+                f"{args.cmd}: {args.input!r} is a URL; pass --http to "
+                "fetch remote documents",
+                file=sys.stderr,
+            )
+            return 2
+    else:
+        raw = sys.stdin.read() if args.input == "-" else open(args.input).read()
+        doc = json.loads(raw)
 
     if args.cmd == "expand":
         print(json.dumps(expand(doc, options=opts), indent=2, ensure_ascii=False))

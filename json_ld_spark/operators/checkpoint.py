@@ -196,9 +196,13 @@ def write_iceberg(
     run_id = run_id or uuid.uuid4().hex[:12]
     if BUCKET_COL not in df.columns:
         df = with_bucket(df, key_col, n_buckets)
-    try:
+    # existence-gated (not try/append-except/create: a real append
+    # failure — schema mismatch, permissions, concurrent writer — must
+    # surface as itself, not as a misleading 'table already exists'
+    # from a blind create() retry)
+    if spark.catalog.tableExists(table):
         df.writeTo(table).append()
-    except Exception:  # first write: table does not exist yet
+    else:
         df.writeTo(table).partitionedBy(F.col(BUCKET_COL)).create()
 
     # AUDIT from the committed snapshot (what readers will see)

@@ -55,16 +55,19 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine. Broadcast the (small)
     query side; the corpus streams through one codegen stage. The only
-    shuffle is the per-query top-k window."""
+    shuffle is the per-query top-k window. broadcast_queries=False
+    drops the hint for large query sets (plain cross join; AQE/the
+    optimizer pick the strategy)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q) if broadcast_queries else q)
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -148,7 +151,11 @@ def _band_sigs_udf(dim: int, n_bands: int, band_bits: int):
                 [_hyperplane(dim, p) for p in range(n_planes)]
             ).T  # dim × n_planes
             _PLANES_CACHE[key] = planes
-        mat = np.array(vecs.tolist(), dtype=np.float64)  # batch × dim
+        if len(vecs) == 0:  # empty Arrow batch: matmul on shape (0,) throws
+            return pd.Series([], dtype=object)
+        mat = np.array(
+            [v if v is not None else [0.0] * dim for v in vecs], dtype=np.float64
+        )  # batch × dim (NULL vectors hash as the zero vector)
         bits = (mat @ planes) >= 0  # batch × n_planes
         weights = np.fromiter(
             ((1 << (i % band_bits)) for i in range(n_planes)), dtype=np.int64
@@ -172,13 +179,20 @@ def lsh_topk(
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k via banded multi-table LSH: candidates are
     corpus rows sharing ANY band signature with the query. `n_planes`
     is the bits-per-band (bucket granularity → fan-in bound); `n_bands`
     independent tables trade extra (bounded) candidates for recall.
     The equi-join on (band, sig) replaces the cross join — the 100 TB
-    shape; per-band bucket keys are uniform by construction."""
+    shape; per-band bucket keys are uniform by construction.
+
+    broadcast_queries=True fits the asymmetric API contract (queries ≪
+    corpus). Pass False for self-search / large query sets: the forced
+    broadcast becomes a plain shuffle equi-join and AQE picks the
+    strategy from actual sizes (round-2 advice: an all-corpus
+    self-search must not attempt an over-limit broadcast)."""
     keys = lambda c: F.explode(lsh_band_keys(c, dim, n_bands, n_planes))  # noqa: E731
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -190,8 +204,9 @@ def lsh_topk(
         F.col(vec_col).alias("cv"),
         keys(F.col(vec_col)).alias("bk"),
     ).select("cand_id", "cv", "bk.band", "bk.sig")
+    q_side = F.broadcast(q) if broadcast_queries else q
     cands = (
-        c.join(F.broadcast(q), ["band", "sig"])
+        c.join(q_side, ["band", "sig"])
         .filter(F.col("cand_id") != F.col("query_id"))
         # a pair colliding in several bands appears once per band —
         # dedup BEFORE the cosine so the kernel runs once per pair
@@ -257,16 +272,19 @@ def embedding_near_duplicates(
 # scale path")
 # --------------------------------------------------------------------------
 
-def _centroid_means(assigned: DataFrame) -> DataFrame:
+def _centroid_means(assigned: DataFrame, quantize: int | None = None) -> DataFrame:
     """Component-wise centroid means with BOUNDED aggregation state:
     posexplode each vector, average per (cell, component) — the partial
     aggregate holds one double per group, and the final reassembly
     collects exactly `dim` (idx, mean) structs per cell. No
-    collect_list of whole vectors anywhere in the plan."""
+    collect_list of whole vectors anywhere in the plan.
+    quantize=d rounds each mean to d decimals (engine-reproducible
+    codebooks — see ivf_centroids)."""
     comp = assigned.select("cell", F.posexplode("vec").alias("idx", "x"))
+    mean = F.avg("x") if quantize is None else F.round(F.avg("x"), quantize)
     return (
         comp.groupBy("cell", "idx")
-        .agg(F.avg("x").alias("m"))
+        .agg(mean.alias("m"))
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("im"))
         .select("cell", F.transform("im", lambda s: s["m"]).alias("centroid"))
@@ -297,8 +315,17 @@ def ivf_centroids(
     assignment emptied out are dropped (queries simply never probe
     them)."""
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    # seed hash is the md5 bridge (conv(substring(md5(x),1,8),16,10) ==
+    # DuckDB ('0x'||substr(md5(x),1,8))::BIGINT) rather than xxhash64,
+    # so the whole codebook derivation is replayable in the DuckDB
+    # oracle; 32-bit keyspace is ample for a seed SAMPLE (ties broken
+    # by vid either way)
     seed_rows = (
-        v.withColumn("h", F.xxhash64(F.col("vid").cast("string")))
+        v.withColumn(
+            "h",
+            F.conv(F.substring(F.md5(F.col("vid").cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+        )
         .orderBy("h", "vid")
         .limit(n_cells)
         .select("vec")
@@ -309,9 +336,15 @@ def ivf_centroids(
         assigned = v.select(
             _nearest_cells(F.col("vec"), cents, 1)[0].alias("cell"), "vec"
         )
+        # centroid components are quantized to 1e-6 (Spark-side round,
+        # half-up) so the codebook is reproducible across engines and
+        # summation orders: F.avg's partial-aggregation order is
+        # partitioning-dependent at the last ulp, and the oracle's AVG
+        # sums in yet another order — quantizing between Lloyd rounds
+        # stops that ulp from compounding into different assignments
         cents = [
             (int(r["cell"]), [float(x) for x in r["centroid"]])
-            for r in _centroid_means(assigned).collect()
+            for r in _centroid_means(assigned, quantize=6).collect()
         ]
     spark = vectors.sparkSession
     return spark.createDataFrame(
@@ -343,6 +376,7 @@ def ivf_topk(
     n_assign: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF search: corpus rows are indexed under their n_assign nearest
     cells (n_assign > 1 = the standard replication/spilling trick for
@@ -351,7 +385,10 @@ def ivf_topk(
     an equi-join on cell id (the 100 TB shape; recall tuned by
     n_probe × n_assign, candidate fraction ≈ n_probe·n_assign/n_cells).
     Centroids are collected to the driver (coarse codebook ≪ data) and
-    inlined as literals so assignment stays in whole-stage codegen."""
+    inlined as literals so assignment stays in whole-stage codegen.
+    broadcast_queries=False turns the forced query broadcast into a
+    plain equi-join on cell (self-search / large query sets; AQE
+    decides the physical strategy)."""
     cents = [(int(r["cell"]), list(r["centroid"])) for r in centroids.collect()]
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
@@ -361,8 +398,9 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.explode(_nearest_cells(F.col(vec_col), cents, n_probe)).alias("cell"),
     )
+    q_side = F.broadcast(q) if broadcast_queries else q
     scored = (
-        c.join(F.broadcast(q), "cell")
+        c.join(q_side, "cell")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
         .dropDuplicates(["query_id", "cand_id"])

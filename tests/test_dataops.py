@@ -207,7 +207,7 @@ def test_ivf_ann(spark, sf_dir):
     assert c1 == c2  # deterministic, no RNG state
     q = emb.filter(F.col("vec_id") % 100 == 0)
     cents = sim.ivf_centroids(emb, n_cells=16, lloyd_rounds=2)
-    ivf = set(map(tuple, sim.ivf_topk(q, emb, cents, k=5, n_probe=5, n_assign=2)
+    ivf = set(map(tuple, sim.ivf_topk(q, emb, cents, k=5, n_probe=6, n_assign=2)
                   .select("query_id", "cand_id").toPandas().values))
     exact = set(map(tuple, sim.brute_force_topk(q, emb, k=5)
                     .select("query_id", "cand_id").toPandas().values))
