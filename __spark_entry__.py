@@ -642,6 +642,17 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(media)
 
 
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path (round-3): pure-stdlib PNG decode (zlib
+    inflate + scanline unfilter) inside mapInPandas over real PNG
+    payloads; integer-exact channel statistics. Oracle: DuckDB
+    regenerates every pixel from the closed-form channel formulas via
+    generate_series."""
+    _utc(spark)
+    media = mm.synthesize_png_media(spark, n=48)
+    return mm.image_features(media)
+
+
 def q_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest → triple extraction → memory sink,
     drained over file micro-batches; returns the collected batch result
@@ -839,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_image_features": q_multimodal_image_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "streaming_triples": q_streaming_triples,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -1277,6 +1289,33 @@ FROM m
 # with f = 220 + 55*(i%16); the decoded features are integer-exact, so
 # this regenerates the waveform analytically (sin/trunc verified
 # bit-identical between Python and DuckDB on this platform)
+# synthesize_png_media(n=48): w=8+i%9, h=8+(3i)%9, per-pixel channels
+# r=(7x+13y+i)%256 g=(3x+5y+2i)%256 b=(11x+y+3i)%256 — the engine
+# decodes the actual PNG bytes; the oracle regenerates the pixels.
+_IMAGE_FEATURES_SQL = """
+WITH px AS (
+  SELECT m.i AS media_id,
+         8 + m.i % 9 AS w, 8 + (3 * m.i) % 9 AS h,
+         x.x AS x, y.y AS y,
+         (7 * x.x + 13 * y.y + m.i) % 256 AS r,
+         (3 * x.x + 5 * y.y + 2 * m.i) % 256 AS g,
+         (11 * x.x + y.y + 3 * m.i) % 256 AS b
+  FROM generate_series(0, 47) m(i)
+  CROSS JOIN generate_series(0, 15) x(x)
+  CROSS JOIN generate_series(0, 15) y(y)
+  WHERE x.x < 8 + m.i % 9 AND y.y < 8 + (3 * m.i) % 9
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(MAX(r + 2 * g + b) AS BIGINT) AS max_luma
+FROM px GROUP BY media_id, w, h
+"""
+
 _AUDIO_FEATURES_SQL = """
 WITH s AS (
   SELECT m.i AS media_id, t.k AS k,
@@ -1633,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _FINGERPRINT_SQL,
         "multimodal_features": _MM_FEATURES_SQL,
         "multimodal_audio_features": _AUDIO_FEATURES_SQL,
+        "multimodal_image_features": _IMAGE_FEATURES_SQL,
         "multimodal_frame_plan": _FRAME_PLAN_SQL,
         "rel_agg_pricing": _AGG_PRICING_SQL,
         "rel_join_topnations": _TOPNATIONS_SQL,

@@ -1,8 +1,10 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata. The Spark-side contract (schemas, partition shape,
-Arrow batch flow through mapInPandas) is real and tested; the actual
-codec work is stubbed behind deterministic fakes / NotImplementedError
-because no image/audio libraries ship in this container (task brief).
+Arrow batch flow through mapInPandas) is real and tested. Codecs:
+audio (PCM WAV, stdlib `wave`) and image (PNG, pure-stdlib zlib +
+scanline unfilter below) decode for REAL in this container; JPEG is
+Pillow-import-gated and video stays NotImplementedError (no ffmpeg) —
+the remaining documented codec boundary.
 """
 
 from __future__ import annotations
@@ -83,6 +85,187 @@ def synthesize_wav_media(spark: SparkSession, n: int = 32) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Minimal pure-stdlib PNG codec (round-3): zlib inflate/deflate + the five
+# scanline filters of the PNG spec §9, 8-bit RGB (color type 2) and RGBA
+# (color type 6). Makes the image path REAL in this container — no Pillow
+# needed for PNG; the PIL import-gated branch remains for JPEG et al.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """8-bit RGB/RGBA PNG from a flat row-major pixel buffer (filter 0
+    per scanline; any compliant reader decodes it)."""
+    import struct
+    import zlib as _z
+
+    if channels not in (3, 4):
+        raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    color_type = 2 if channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride])
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytearray]:
+    """PNG → (width, height, channels, flat pixel bytes). Supports
+    8-bit color types 2 (RGB) and 6 (RGBA), all five scanline filters
+    (None/Sub/Up/Average/Paeth, spec §9), non-interlaced."""
+    import struct
+    import zlib as _z
+
+    if bytes(data[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, width, height, channels = 8, None, None, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = bytes(data[pos + 4 : pos + 8])
+        body = bytes(data[pos + 8 : pos + 8 + length])
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (2, 6):
+                raise NotImplementedError(
+                    f"only 8-bit RGB/RGBA supported (depth={depth}, color={color})"
+                )
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+            channels = 3 if color == 2 else 4
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = _z.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decompressed size mismatch")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, channels, out
+
+
+def synthesize_png_media(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Image media table with REAL PNG payloads (pure-stdlib encoder):
+    deterministic per-id dimensions w=8+i%9, h=8+(3i)%9 and pixel
+    formula r=(7x+13y+i)%256, g=(3x+5y+2i)%256, b=(11x+y+3i)%256 —
+    integer-closed-form, so the DuckDB oracle regenerates every channel
+    statistic exactly from generate_series."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + i % 9, 8 + (3 * i) % 9
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                px += bytes((
+                    (7 * x + 13 * y + i) % 256,
+                    (3 * x + 5 * y + 2 * i) % 256,
+                    (11 * x + y + 3 * i) % 256,
+                ))
+        rows.append(
+            (i, "image", "image/png", bytearray(png_encode(w, h, bytes(px))), (w, h, None))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("channels", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("max_luma", T.LongType(), False),
+    ]
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction: Arrow-batched mapInPandas decoding
+    each PNG payload with the stdlib codec; integer-exact channel sums
+    and max integer luma (r+2g+b per pixel) so the analytic DuckDB
+    oracle matches exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_FEATURE_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = png_decode(bytes(payload))
+                a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(-1, ch).astype(np.int64)
+                out["media_id"].append(int(media_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["sum_r"].append(int(a[:, 0].sum()))
+                out["sum_g"].append(int(a[:, 1].sum()))
+                out["sum_b"].append(int(a[:, 2].sum()))
+                out["max_luma"].append(int((a[:, 0] + 2 * a[:, 1] + a[:, 2]).max()))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
 def decode_media(payload: bytes, kind: str):
     """Real decode where a codec exists in this environment:
 
@@ -112,14 +295,17 @@ def decode_media(payload: bytes, kind: str):
         ]
         return {"sample_rate": sr, "n_channels": nch, "samples": samples}
     if kind == "image":
-        try:
+        if bytes(payload[:8]) == _PNG_SIG:
+            w, h, ch, px = png_decode(bytes(payload))
+            return {"width": w, "height": h, "channels": ch, "pixels": px}
+        try:  # non-PNG formats (JPEG, …): Pillow when installed
             import io
 
             from PIL import Image  # noqa: F401 — optional dependency
         except ImportError as ex:
             raise NotImplementedError(
-                "image decode needs pillow (not in this container); "
-                "audio decodes for real via stdlib wave"
+                "PNG decodes for real via the stdlib codec; other image "
+                "formats need pillow (not in this container)"
             ) from ex
         return Image.open(io.BytesIO(bytes(payload)))
     raise NotImplementedError(

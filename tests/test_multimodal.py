@@ -1,0 +1,90 @@
+
+
+def test_png_roundtrip_exact():
+    """Pure-stdlib PNG encode → decode returns the exact pixel buffer
+    (RGB and RGBA)."""
+    from json_ld_spark.operators import multimodal as mm
+
+    for ch in (3, 4):
+        w, h = 13, 7
+        px = bytes((x * 31 + c * 7 + 5) % 256 for x in range(w * h) for c in range(ch))
+        data = mm.png_encode(w, h, px, channels=ch)
+        w2, h2, ch2, out = mm.png_decode(data)
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert bytes(out) == px
+
+
+def test_png_decode_all_filters():
+    """The decoder must invert every PNG scanline filter (spec §9):
+    build filtered raw streams directly and check against a reference
+    unfiltered image."""
+    import struct
+    import zlib
+
+    from json_ld_spark.operators import multimodal as mm
+
+    w, h, ch = 5, 4, 3
+    px = bytes((11 * i + 3) % 256 for i in range(w * h * ch))
+    stride = w * ch
+
+    def filt(ftype, line, prev):
+        out = bytearray()
+        for i in range(stride):
+            x = line[i]
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                out.append(x)
+            elif ftype == 1:
+                out.append((x - a) & 0xFF)
+            elif ftype == 2:
+                out.append((x - b) & 0xFF)
+            elif ftype == 3:
+                out.append((x - ((a + b) >> 1)) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((x - pred) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = px[y * stride : (y + 1) * stride]
+        ftype = y % 5 if h >= 5 else (y + 1) % 5  # exercise filters 1-4
+        raw += bytes([ftype]) + filt(ftype, line, prev)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    w2, h2, ch2, out = mm.png_decode(data)
+    assert bytes(out) == px
+
+
+def test_png_image_features_match_formula(spark):
+    """image_features decodes the REAL PNG payloads; results must equal
+    the closed-form pixel statistics."""
+    from json_ld_spark.operators import multimodal as mm
+
+    media = mm.synthesize_png_media(spark, n=6)
+    rows = {r["media_id"]: r for r in mm.image_features(media).collect()}
+    for i in range(6):
+        w, h = 8 + i % 9, 8 + (3 * i) % 9
+        sum_r = sum((7 * x + 13 * y + i) % 256 for x in range(w) for y in range(h))
+        r = rows[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["sum_r"] == sum_r
+
+
+def test_decode_media_png_dispatch():
+    from json_ld_spark.operators import multimodal as mm
+
+    data = mm.png_encode(4, 3, bytes(range(36)))
+    dec = mm.decode_media(data, "image")
+    assert dec["width"] == 4 and dec["height"] == 3 and dec["channels"] == 3
