@@ -291,7 +291,7 @@ def process_context(
         ctx_def = item
         if "@import" in item:
             if processing_mode == "json-ld-1.0":
-                raise E.InvalidContext("@import in 1.0 mode")
+                raise E.InvalidContextEntry("@import in 1.0 mode")
             imp = item["@import"]
             if not isinstance(imp, str):
                 raise E.InvalidImportValue(repr(imp))
@@ -303,7 +303,7 @@ def process_context(
             if not isinstance(import_ctx, dict):
                 raise E.InvalidRemoteContext(imp_iri)
             if "@import" in import_ctx:
-                raise E.InvalidContext("@import inside imported context")
+                raise E.InvalidContextEntry("@import inside imported context")
             merged = dict(import_ctx)
             merged.update(item)
             ctx_def = merged
@@ -361,7 +361,7 @@ def process_context(
         # 5.10 @direction
         if "@direction" in ctx_def:
             if processing_mode == "json-ld-1.0":
-                raise E.InvalidContext("@direction in 1.0 mode")
+                raise E.InvalidContextEntry("@direction in 1.0 mode")
             d = ctx_def["@direction"]
             if d is None:
                 result.default_base_direction = None
@@ -371,7 +371,7 @@ def process_context(
                 raise E.InvalidBaseDirection(repr(d))
 
         if "@propagate" in ctx_def and processing_mode == "json-ld-1.0":
-            raise E.InvalidContext("@propagate in 1.0 mode")
+            raise E.InvalidContextEntry("@propagate in 1.0 mode")
 
         defined: dict[str, Any] = {}
         protected = ctx_def.get("@protected", False)

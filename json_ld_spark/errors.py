@@ -29,6 +29,15 @@ class InvalidContext(JsonLdError):
     code = "invalid local context"
 
 
+class InvalidContextEntry(JsonLdError):
+    """invalid context entry: 1.1-only context keywords (@import,
+    @propagate, @direction) in json-ld-1.0 mode, and @import inside an
+    imported context (reference
+    crates/context-processing/src/algorithm/mod.rs:96,222,255,346)."""
+
+    code = "invalid context entry"
+
+
 class InvalidBaseIri(JsonLdError):
     code = "invalid base IRI"
 
