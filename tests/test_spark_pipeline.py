@@ -293,6 +293,86 @@ def test_distributed_canonicalization_duplicate_heavy_no_window(spark):
     assert all(len(lab) == 35 for lab in labs)  # all disambiguated
 
 
+def test_distributed_canonicalization_fuzz_label_independence(spark):
+    """Seeded fuzz over random bnode graphs (chains/rings/trees with
+    literal leaves), each duplicated once with fresh input labels (the
+    duplicate-heavy corpus shape): canonical labels must be (a) unique
+    per bnode, (b) for content-unique bnodes (19-char labels) BIT-STABLE
+    under a bijective relabeling of the input — the isomorphism contract
+    the dataset-diff operator depends on."""
+    import random
+
+    schema = (
+        "graph string, subj string, pred string, obj_kind string, "
+        "obj string, datatype string, lang string"
+    )
+    rng = random.Random(7)
+    for _trial in range(4):
+        n = rng.randint(3, 7)
+        quads = []
+        for i in range(n):
+            j = rng.randrange(n)
+            if j != i:
+                quads.append(
+                    (None, f"_:b{i}", "http://ex/e", "bnode", f"_:b{j}", None, None)
+                )
+            if rng.random() < 0.7:
+                quads.append(
+                    (None, f"_:b{i}", "http://ex/v", "literal",
+                     str(rng.randint(0, 2)), None, None)
+                )
+        if not quads:
+            continue
+
+        def clone(prefix):
+            return [
+                (g, s.replace("_:b", prefix), p, k,
+                 o.replace("_:b", prefix) if k == "bnode" else o, dt, lg)
+                for g, s, p, k, o, dt, lg in quads
+            ]
+
+        # corpus: original + a near-duplicate component distinguished by
+        # one marker quad (so content-unique bnodes EXIST alongside the
+        # automorphic/duplicate ones — keeps the stability check
+        # non-vacuous); relabeled: the same two components under a
+        # bijective input relabeling
+        def marker(prefix):
+            return [(None, prefix + "0", "http://ex/marker", "literal", "m",
+                     None, None)]
+
+        corpus = quads + clone("_:dup") + marker("_:dup")
+        relabeled = clone("_:zz9") + clone("_:qq") + marker("_:qq")
+
+        def run(rows):
+            out = canonicalize_bnodes_df(
+                spark.createDataFrame(rows, schema)
+            ).collect()
+            labs = set()
+            for r in out:
+                if r["subj"].startswith("_:"):
+                    labs.add(r["subj"])
+                if r["obj_kind"] == "bnode" and r["obj"].startswith("_:"):
+                    labs.add(r["obj"])
+            return labs
+
+        def input_bnodes(rows):
+            s = set()
+            for g, sj, p, k, o, dt, lg in rows:
+                if sj.startswith("_:"):
+                    s.add(sj)
+                if k == "bnode" and o.startswith("_:"):
+                    s.add(o)
+            return s
+
+        labs_a, labs_b = run(corpus), run(relabeled)
+        # unique canonical label per input bnode, despite duplicates
+        assert len(labs_a) == len(input_bnodes(corpus))
+        assert len(labs_b) == len(input_bnodes(relabeled))
+        stable_a = {x for x in labs_a if len(x) == 19}
+        stable_b = {x for x in labs_b if len(x) == 19}
+        assert stable_a == stable_b  # content labels are input-label-free
+
+
 def test_build_kg_and_dedup(spark, transcripts, sf_dir):
     dictionary = synthesize_entity_dictionary(spark, sf_dir, max_entities=50)
     parts = build_kg(transcripts, dictionary)
