@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.window import Window
 
 from json_ld_spark.operators import dedup as dd
+from json_ld_spark.operators import graphops as gops
 from json_ld_spark.operators import linking as lk
 from json_ld_spark.operators import multimodal as mm
 from json_ld_spark.operators import similarity as sim
@@ -462,6 +463,120 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# graph analytics over the constructed KG (operators/graphops.py)
+# --------------------------------------------------------------------------
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-purchase graph: undirected edge {u, v} when two parts
+    share an order (orders sampled by key % 5 to bound the oracle's
+    all-pairs replay; the Spark side scales to the full table — the
+    per-order fan-out is C(lines_per_order, 2), bounded by order size,
+    not corpus size)."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates()
+    )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUP ASSIGNMENT: connected components (Large-Star/
+    Small-Star, O(log^2 n) rounds — graphops.connected_components) over
+    the exact-3-gram Jaccard near-dup pairs; every sampled doc gets a
+    dup_group id (= min doc_id of its component, singletons map to
+    themselves). The step after pair generation that an actual corpus
+    dedup needs: pick one survivor per group. Oracle: DuckDB recursive
+    CTE computing min reachable id over the same pair set."""
+    _utc(spark)
+    docs = (
+        _docs_with_dups(_read(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") % 25 == 0)
+    )
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    sim_pairs = dd.jaccard_pairs(docs, pairs, threshold=0.2).select("doc_a", "doc_b")
+    comp = gops.connected_components(sim_pairs, src="doc_a", dst="doc_b")
+    return (
+        ids.join(comp, ids["doc_id"] == comp["node"], "left")
+        .select(
+            ids["doc_id"].alias("doc_id"),
+            F.coalesce(comp["component"], ids["doc_id"]).cast("long").alias("dup_group"),
+        )
+    )
+
+
+def q_kg_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the co-purchase graph via
+    degree-ordered edge orientation (graphops.triangle_count) — wedge
+    fan-out bounded by arboricity, not max degree. The oracle counts
+    each x<y<z triangle once from the canonical u<v edge list (an
+    orientation-independent total, so both formulations must agree
+    exactly)."""
+    _utc(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    out = gops.triangle_count(e, src="u", dst="v")
+    return out.select(
+        F.col("node").cast("long").alias("part_id"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
+def q_kg_khop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop neighborhood materialization (graphops.k_hop): BFS depths
+    <= 3 from seed parts (p_partkey <= 5) over the undirected
+    co-purchase graph — frontier-deduped per hop, so per-hop work is
+    |frontier| x degree. Oracle: bounded recursive CTE + MIN(depth)."""
+    _utc(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).dropDuplicates()
+    seeds = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 5)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    out = gops.k_hop(sym, seeds, k=3, src="u", dst="v")
+    return out.select(
+        F.col("node").cast("long").alias("part_id"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+def q_kg_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity salience: 5 fixed PageRank power iterations
+    (graphops.pagerank) on the directed supplier -> customer graph
+    (supplier supplied an order of that customer). String node ids
+    ('s<suppkey>' / 'c<custkey>') keep the two key spaces disjoint.
+    Customers are all dangling (no out-edges), so the dangling-mass
+    redistribution path is exercised every iteration. Oracle: the same
+    five iterations unrolled as SQL CTEs with the identical float
+    constants inlined; ranks rounded to 6 dp on both sides (the only
+    cross-engine divergence is summation order, ~1e-16)."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    pr = gops.pagerank(e, iters=5, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank_r"))
+
+
+# --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
 
@@ -841,6 +956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_components": q_dedup_components,
+        "kg_copurchase_triangles": q_kg_copurchase_triangles,
+        "kg_khop_parts": q_kg_khop_parts,
+        "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1222,6 +1341,133 @@ FROM sh a JOIN sh b
 WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
 """
+
+# ---- graph analytics oracles (operators/graphops.py) ----
+
+# Connected components = min reachable id: DuckDB recursive CTE over
+# the same exact-3-gram Jaccard pair set the Spark query feeds to
+# Large-Star/Small-Star (the CTE's reach table is sum(comp_size^2)
+# rows — fine at oracle scale; the star algorithm is the form that
+# scales, the CTE is the spec).
+_CC_SQL = r"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+), sampled AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM corpus WHERE doc_id % 25 = 0
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(norm, ' ')) - 2 <= 0 THEN [norm]
+              ELSE list_distinct(list_transform(
+                     range(0, len(string_split(norm, ' ')) - 2),
+                     i -> array_to_string(list_slice(string_split(norm, ' '), i + 1, i + 3), ' ')))
+         END AS grams
+  FROM sampled
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+), sym AS (
+  SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM sampled
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+)
+SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS dup_group
+FROM reach GROUP BY a
+"""
+
+# Each x<y<z triangle counted once off the canonical u<v edge list,
+# then attributed to all three corners — orientation-independent, so it
+# must equal the degree-oriented Spark count exactly.
+_TRIANGLES_SQL = r"""
+WITH ed AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM ed e1
+  JOIN ed e2 ON e2.u = e1.v
+  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node AS part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y AS node FROM tri
+  UNION ALL SELECT z AS node FROM tri
+)
+GROUP BY node
+"""
+
+# Depth-bounded reachability: the recursive UNION dedups (node, depth)
+# states, MIN(depth) = shortest distance within the bound — exactly the
+# BFS first-visit depth the Spark frontier loop records.
+_KHOP_SQL = r"""
+WITH RECURSIVE ed AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), sym AS (
+  SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed
+), seeds AS (
+  SELECT p_partkey AS node FROM part WHERE p_partkey <= 5
+), reach(node, depth) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT s.v, r.depth + 1 FROM reach r JOIN sym s ON s.u = r.node
+  WHERE r.depth < 3
+)
+SELECT node AS part_id, CAST(MIN(depth) AS BIGINT) AS depth
+FROM reach GROUP BY node
+"""
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain mirroring graphops.pagerank
+    step for step. Float constants are inlined via repr() so both
+    engines evaluate the identical doubles ((1-d) is pre-computed the
+    way the Python side computes it); the only cross-engine divergence
+    is SUM order (~1e-16), absorbed by the 6-dp rounding."""
+    d = repr(damping)
+    omd = repr(1.0 - damping)
+    parts = [
+        r"""
+WITH e AS (
+  SELECT DISTINCT 's' || l_suppkey AS u, 'c' || o_custkey AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+outdeg AS (SELECT u, COUNT(*) AS outd FROM e GROUP BY u),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dang
+         FROM r{i} r LEFT JOIN outdeg od ON r.node = od.u
+         WHERE od.u IS NULL),
+i{i} AS (SELECT e.v AS node, SUM(r.rank / od.outd) AS inflow
+         FROM r{i} r JOIN outdeg od ON r.node = od.u JOIN e ON e.u = od.u
+         GROUP BY e.v),
+r{i + 1} AS (SELECT nodes.node,
+            {omd} / (SELECT n FROM nn)
+            + {d} * (COALESCE(i.inflow, 0.0)
+                     + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS rank
+         FROM nodes LEFT JOIN i{i} i ON nodes.node = i.node)"""
+        )
+    parts.append(f"\nSELECT node, round(rank, 6) AS rank_r FROM r{iters}")
+    return "".join(parts)
+
+
+_PAGERANK_SQL = _pagerank_sql(iters=5, damping=0.85)
 
 # All-pairs simhash oracle (md5 token hash = bit-identical across
 # engines; pigeonhole recall of the Spark block-LSH is exactly 1.0 for
@@ -1664,6 +1910,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
         "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
+        "dedup_components": _CC_SQL,
+        "kg_copurchase_triangles": _TRIANGLES_SQL,
+        "kg_khop_parts": _KHOP_SQL,
+        "kg_pagerank_suppliers": _PAGERANK_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,

@@ -1,0 +1,256 @@
+"""Distributed graph analytics over the constructed knowledge graph.
+
+The reference stops at emitting a canonical triple set (toRdf,
+`crates/core/src/rdf/mod.rs`); a corpus-scale KG pipeline additionally
+needs the graph-shaped follow-ons: dedup **group assignment**
+(connected components over near-duplicate pairs), **k-hop
+reachability** (neighborhood materialization for context windows),
+**triangle counting** (entity co-mention cohesion), and **PageRank**
+(entity salience for dictionary pruning). Each operator here is a pure
+DataFrame composition — no RDDs, no driver-side graph, no collect —
+and each is designed around its known scale bottleneck:
+
+- `connected_components`: alternating Large-Star / Small-Star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14) — converges in O(log^2 n) rounds *independent of component
+  diameter*, unlike min-label propagation whose round count is the
+  graph diameter. Every round is one groupBy + one join on node id;
+  lineage is truncated per round (localCheckpoint) exactly like the
+  canonicalizer's fixpoint loop (canonical.py).
+- `k_hop`: frontier BFS with a bounded hop count; the frontier is
+  deduplicated per hop so the join fan-out is |frontier| x avg-degree,
+  never the transitive closure.
+- `triangle_count`: degree-ordered edge orientation (each edge points
+  from the lower-degree endpoint to the higher, ties by id) bounds the
+  per-node join fan-out by graph arboricity — the standard trick that
+  makes wedge-joins survive power-law degree skew.
+- `pagerank`: fixed-iteration power method; the only per-node state is
+  one double, contributions are an equi-join on src + one groupBy sum,
+  and dangling mass is folded back analytically (one scalar agg per
+  iteration, not a broadcast of vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected view: both orientations, self-loops dropped, deduped."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src) != F.col(dst)
+    )
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).dropDuplicates()
+
+
+def _edge_fingerprint(e: DataFrame) -> int:
+    """Order-independent fingerprint of an edge set (sum of per-edge
+    hashes + count) — one cheap agg job, used as the fixpoint test."""
+    row = e.agg(
+        # decimal accumulator: a long sum of xxhash64 overflows under ANSI
+        F.sum(F.xxhash64("u", "v").cast("decimal(28,0)")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return (row["h"] or 0, row["n"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) with component = min node id reachable from
+    `node` (min is numeric or lexicographic per the id type — identical
+    ordering in DuckDB, so the result is oracle-exact).
+
+    Alternating Large-Star / Small-Star. Invariant maintained: the
+    edge set always connects the same components as the input. Each
+    Large-Star hangs every node's greater neighbors off its local
+    minimum; Small-Star then contracts the remaining small edges onto
+    the minimum. Both stars are (groupBy node -> min) + (join back) —
+    two shuffles per round keyed on node id, no skew amplification
+    because a hot node's neighbor list is never collected, only
+    min-aggregated and re-joined.
+    """
+    e = _symmetrize(edges, src, dst)
+    nodes = e.select("u").dropDuplicates()  # isolated nodes handled by caller
+    prev = None
+    for _ in range(max_iter):
+        # Large-Star: for each u, m = min(N(u) + {u}); emit (v, m) for v > u
+        mins = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            e.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .dropDuplicates()
+        )
+        # Small-Star on the large-star output: orient (big, small), then
+        # for each a, m = min(N(a)); emit (v, m) for v in N(a)+{a}, v != m
+        oriented = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).dropDuplicates()
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(smins, "u")
+            .select(
+                F.explode(F.array(F.col("u"), F.col("v"))).alias("a"),
+                F.col("m").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .dropDuplicates()
+        )
+        e2 = _symmetrize(small, "a", "b").localCheckpoint(eager=True)
+        fp = _edge_fingerprint(e2)
+        if fp == prev:
+            e = e2
+            break
+        prev, e = fp, e2
+    # after convergence the edge set is a union of stars centered on
+    # each component's minimum: component(v) = min neighbor (or v)
+    comp = e.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        nodes.join(comp, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.coalesce("mn", "u")).alias("component"),
+        )
+    )
+
+
+def k_hop(
+    triples: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """(node, depth) for every node within k directed hops of a seed
+    (depth = shortest hop distance, seeds at 0). Frontier BFS: hop i
+    joins only the *new* frontier against the edge table, so total work
+    is sum(|frontier_i| x deg) rather than closure size. `seeds` is one
+    column named `node`."""
+    edges = triples.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(dst).isNotNull()
+    ).dropDuplicates()
+    visited = seeds.select("node").dropDuplicates().withColumn("depth", F.lit(0))
+    frontier = visited.select("node")
+    for depth in range(1, k + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .dropDuplicates()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # truncate the per-hop lineage
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts (node, n_triangles) over
+    the undirected simple graph. Degree orientation: each undirected
+    edge {a,b} is directed from the endpoint with (degree, id) smaller
+    to the larger, so every wedge join fans out by at most the graph's
+    arboricity (O(sqrt(m)) even on power-law graphs) instead of the max
+    degree — the difference between a runnable and a hopeless plan at
+    web scale. Each triangle is counted exactly once as (a<b<c in the
+    orientation order) then re-attributed to all three corners."""
+    und = _symmetrize(edges, src, dst)
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orient by (degree, id): canonical per-edge direction
+    e = (
+        und.where(F.col("u") < F.col("v"))  # one row per undirected edge
+        .join(deg.select(F.col("u").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    # wedges: a->b, a->c with b != c; closed iff oriented edge b->c or c->b
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .where(F.col("e1.b") < F.col("e2.b"))
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    closer = e.select(F.col("a").alias("y"), F.col("b").alias("z")).unionByName(
+        e.select(F.col("b").alias("y"), F.col("a").alias("z"))
+    ).dropDuplicates()
+    tri = w.join(closer, ["y", "z"])  # one row per triangle
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank) after `iters` synchronous power-method iterations
+    on the directed graph, uniform init 1/n, dangling mass
+    redistributed uniformly each iteration so sum(rank) == 1 up to
+    float error. Per-iteration plan: one equi-join of the rank vector
+    against the (src-partitioned) edge list + one groupBy(dst) sum +
+    one scalar agg for dangling mass — per-node state is a single
+    double, never a vector, so the iteration is memory-flat at any
+    node count. Fixed iteration count (not convergence) keeps the job
+    deterministic and the oracle replayable as unrolled SQL."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates()
+    nodes = (
+        e.select("u").unionByName(e.select(F.col("v").alias("u"))).dropDuplicates()
+    ).select(F.col("u").alias("node"))
+    n = nodes.count()
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outd"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contribs = (
+            ranks.join(outdeg, ranks["node"] == outdeg["u"], "inner")
+            .join(e, "u")
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("outd")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["u"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .first()["d"]
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1,0 +1,187 @@
+"""Graph analytics operators (operators/graphops.py): connected
+components (Large-Star/Small-Star), k-hop BFS, degree-oriented
+triangle counting, fixed-iteration PageRank."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_ld_spark.operators import graphops as g
+
+
+def _edges(spark, pairs, cols=("src", "dst")):
+    return spark.createDataFrame([tuple(p) for p in pairs], list(cols))
+
+
+# ---------------------------------------------------------------- CC
+
+
+def test_cc_two_components_and_chain(spark):
+    # chain 1-2-3-4 plus separate pair 10-11: diameters > 1 exercise
+    # the star alternation, not just single-round contraction
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    out = {
+        r["node"]: r["component"]
+        for r in g.connected_components(e).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_path_converges_fast(spark):
+    # path of 40 nodes: min-label propagation would need 40 rounds;
+    # star alternation must finish within the max_iter=25 default
+    n = 40
+    e = _edges(spark, [(i, i + 1) for i in range(n)])
+    comp = g.connected_components(e)
+    vals = {r["component"] for r in comp.collect()}
+    assert vals == {0}
+    assert comp.count() == n + 1
+
+
+def test_cc_string_ids_lexicographic_min(spark):
+    e = _edges(spark, [("docB", "docC"), ("docC", "docA"), ("x", "y")])
+    out = {r["node"]: r["component"] for r in g.connected_components(e).collect()}
+    assert out == {
+        "docA": "docA",
+        "docB": "docA",
+        "docC": "docA",
+        "x": "x",
+        "y": "x",
+    }
+
+
+def test_cc_label_invariance_under_shuffle(spark):
+    # same graph presented with reversed/duplicated edges -> same labels
+    e1 = _edges(spark, [(5, 3), (3, 9), (9, 5), (2, 7)])
+    e2 = _edges(spark, [(9, 3), (3, 5), (7, 2), (2, 7), (5, 9), (5, 3)])
+    r1 = sorted(map(tuple, g.connected_components(e1).collect()))
+    r2 = sorted(map(tuple, g.connected_components(e2).collect()))
+    assert r1 == r2
+
+
+# ---------------------------------------------------------------- k-hop
+
+
+def test_k_hop_depths_directed(spark):
+    t = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("z", "a")],
+        cols=("subj", "obj"),
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    out = {r["node"]: r["depth"] for r in g.k_hop(t, seeds, k=3).collect()}
+    # directed: z->a is not reachable FROM a
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_k_hop_min_depth_on_diamond(spark):
+    # two paths a->b->d and a->d: d must be depth 1, not 2
+    t = _edges(spark, [("a", "b"), ("b", "d"), ("a", "d")], cols=("subj", "obj"))
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    out = {r["node"]: r["depth"] for r in g.k_hop(t, seeds, k=4).collect()}
+    assert out == {"a": 0, "b": 1, "d": 1}
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def test_triangle_k4(spark):
+    # K4 has C(4,3)=4 triangles; every node is in exactly 3
+    nodes = [1, 2, 3, 4]
+    e = _edges(spark, [(a, b) for a in nodes for b in nodes if a < b])
+    out = {r["node"]: r["n_triangles"] for r in g.triangle_count(e).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_none_on_star(spark):
+    e = _edges(spark, [(0, i) for i in range(1, 6)])
+    assert g.triangle_count(e).count() == 0
+
+
+def test_triangle_skewed_hub(spark):
+    # hub 0 connected to everyone; exactly the triangles through
+    # (0, i, i+1) edges exist. Degree orientation must not blow up.
+    e = _edges(spark, [(0, i) for i in range(1, 20)] + [(1, 2), (5, 6)])
+    out = {r["node"]: r["n_triangles"] for r in g.triangle_count(e).collect()}
+    assert out[0] == 2 and out[1] == 1 and out[2] == 1 and out[5] == 1
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_mass_conserved_and_symmetry(spark):
+    # directed cycle: perfect symmetry -> all ranks exactly 1/n
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    rows = g.pagerank(e, iters=4).collect()
+    assert all(abs(r["rank"] - 1 / 3) < 1e-12 for r in rows)
+
+
+def test_pagerank_sink_gets_more(spark):
+    # 1->3, 2->3: node 3 must outrank sources; total mass == 1
+    e = _edges(spark, [(1, 3), (2, 3)])
+    rows = {r["node"]: r["rank"] for r in g.pagerank(e, iters=5).collect()}
+    assert rows[3] > rows[1] == rows[2]
+    assert math.isclose(sum(rows.values()), 1.0, rel_tol=1e-9)
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    import numpy as np
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    n, d, iters = 4, 0.85, 6
+    pr = np.full(n, 1 / n)
+    out = {u: [v for a, v in edges if a == u] for u in range(n)}
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(pr[u] for u in range(n) if not out[u])
+        nxt += d * dangling / n
+        for u in range(n):
+            for v in out[u]:
+                nxt[v] += d * pr[u] / len(out[u])
+        pr = nxt
+    rows = {
+        r["node"]: r["rank"]
+        for r in g.pagerank(_edges(spark, edges), iters=iters).collect()
+    }
+    for u in range(n):
+        assert math.isclose(rows[u], pr[u], rel_tol=1e-9), (u, rows[u], pr[u])
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Seeded random graphs (mixed densities, disjoint id spaces merged
+    into ONE job) vs a driver-side union-find reference."""
+    import random
+
+    rng = random.Random(20260817)
+    edges, parent = [], {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for gi, (n, m) in enumerate([(12, 6), (30, 45), (50, 20), (8, 28), (40, 39)]):
+        off = gi * 1000
+        for _ in range(m):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.append((off + a, off + b))
+                union(off + a, off + b)
+    # union-find min-root labels (path-compress fully)
+    expect = {x: find(x) for x in parent}
+    got = {
+        r["node"]: r["component"]
+        for r in g.connected_components(_edges(spark, edges)).collect()
+    }
+    assert got == expect
