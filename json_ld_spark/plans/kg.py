@@ -53,7 +53,8 @@ def build_kg(
     ((graph, subj) keys), so neither adds an Exchange. Verified:
     3 shuffles → 1 for the extract→dedup→merge path.
     """
-    triples = transcript_triples(transcripts, engine=engine).repartition("subj")
+    raw = transcript_triples(transcripts, engine=engine)
+    triples = raw.repartition("subj")
     # dedup BEFORE the mention union: runs exchange-free on the subj
     # partitioning; the mention side is deduped separately (it is tiny
     # and its predicate — transcript#mentions — is disjoint from the
@@ -64,7 +65,19 @@ def build_kg(
 
     links = None
     if entity_dictionary is not None:
-        text_rows = triples.filter(F.col("pred") == TEXT_PRED).select("subj", F.col("obj").alias("text"))
+        # mention source branches off the PRE-shuffle extraction, not the
+        # deduped table: text rows are 1/7 of the quads and one-per-turn,
+        # so a dropDuplicates on (subj, text) gives the same rows the
+        # deduped table would — without making the mention path a second
+        # consumer of the corpus-wide repartition+dedup agg (measured
+        # 8.9s → 6.0s at 1.2M quads; at scale the branch is a
+        # column-pruned scan + a 1/7-size shuffle instead of a second
+        # full-corpus aggregation)
+        text_rows = (
+            raw.filter(F.col("pred") == TEXT_PRED)
+            .select("subj", F.col("obj").alias("text"))
+            .dropDuplicates(["subj", "text"])
+        )
         mentions = extract_mentions(text_rows, text_col="text", subject_col="subj")
         links = link_entities(mentions, entity_dictionary, strategy=link_strategy)
         mention_tr = dedup_triples(
