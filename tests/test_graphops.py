@@ -185,3 +185,63 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         for r in g.connected_components(_edges(spark, edges)).collect()
     }
     assert got == expect
+
+
+def test_triangles_match_bruteforce_on_random_graphs(spark):
+    """Seeded random graphs (disjoint id spaces, one job) vs per-node
+    triangle counts from brute-force combination enumeration."""
+    import itertools
+    import random
+
+    rng = random.Random(99173)
+    edges, adj = [], {}
+    for gi, (n, m) in enumerate([(10, 25), (25, 60), (14, 14), (9, 36)]):
+        off = gi * 1000
+        for _ in range(m):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                u, v = off + min(a, b), off + max(a, b)
+                edges.append((u, v))
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    expect = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for node in (x, y, z):
+                expect[node] = expect.get(node, 0) + 1
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in g.triangle_count(_edges(spark, edges)).collect()
+    }
+    assert got == expect
+
+
+def test_k_hop_matches_bfs_on_random_digraph(spark):
+    """Seeded random directed graph vs a driver-side BFS reference."""
+    import collections
+    import random
+
+    rng = random.Random(555888)
+    n, m, k = 60, 140, 4
+    edges = []
+    adj = collections.defaultdict(list)
+    for _ in range(m):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.append((a, b))
+            adj[a].append(b)
+    seeds = [0, 7, 41]
+    depth = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for d in range(1, k + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in depth:
+                    depth[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    t = _edges(spark, edges, cols=("subj", "obj"))
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {r["node"]: r["depth"] for r in g.k_hop(t, sdf, k=k).collect()}
+    assert got == depth
