@@ -576,6 +576,49 @@ def q_kg_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank_r"))
 
 
+def q_kg_bgp_assistant_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style BGP query over the constructed triple table
+    (operators/bgp.py): assistant turns with their conversation and
+    index — three patterns folded into two subj-keyed equi-joins, most
+    selective scan first. Oracle: the same conjunction as SQL
+    self-joins on the replayed triple table."""
+    from json_ld_spark.operators.bgp import bgp_query
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    triples = transcript_triples_native(t)
+    out = bgp_query(
+        triples,
+        [
+            ("?turn", _V + "role", "assistant"),
+            ("?turn", _V + "conversation", "?conv"),
+            ("?turn", _V + "turnIndex", "?idx"),
+        ],
+    )
+    return out.select("turn", "conv", "idx")
+
+
+def q_kg_bgp_dialogue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with a cross-subject variable join (the join-on-object case
+    that makes BGPs non-trivial): user turn and assistant turn bound to
+    the SAME conversation variable."""
+    from json_ld_spark.operators.bgp import bgp_query
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    triples = transcript_triples_native(t)
+    out = bgp_query(
+        triples,
+        [
+            ("?u", _V + "role", "user"),
+            ("?u", _V + "conversation", "?conv"),
+            ("?a", _V + "role", "assistant"),
+            ("?a", _V + "conversation", "?conv"),
+        ],
+    )
+    return out.select("u", "a", "conv")
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -960,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
         "kg_khop_parts": q_kg_khop_parts,
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
+        "kg_bgp_assistant_turns": q_kg_bgp_assistant_turns,
+        "kg_bgp_dialogue_pairs": q_kg_bgp_dialogue_pairs,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1469,6 +1514,27 @@ r{i + 1} AS (SELECT nodes.node,
 
 _PAGERANK_SQL = _pagerank_sql(iters=5, damping=0.85)
 
+# ---- BGP query oracles (operators/bgp.py): the same conjunctive
+# triple patterns written as SQL self-joins on the replayed triples ----
+
+_BGP_ASSISTANT_SQL = _TRIPLES_CTE + f"""
+SELECT DISTINCT r.subj AS turn, c.obj AS conv, i.obj AS idx
+FROM triples r
+JOIN triples c ON c.subj = r.subj AND c.pred = '{_V}conversation'
+JOIN triples i ON i.subj = r.subj AND i.pred = '{_V}turnIndex'
+WHERE r.pred = '{_V}role' AND r.obj = 'assistant'
+"""
+
+_BGP_PAIRS_SQL = _TRIPLES_CTE + f"""
+SELECT DISTINCT u.subj AS u, a.subj AS a, uc.obj AS conv
+FROM triples u
+JOIN triples uc ON uc.subj = u.subj AND uc.pred = '{_V}conversation'
+JOIN triples a ON a.pred = '{_V}role' AND a.obj = 'assistant'
+JOIN triples ac ON ac.subj = a.subj AND ac.pred = '{_V}conversation'
+               AND ac.obj = uc.obj
+WHERE u.pred = '{_V}role' AND u.obj = 'user'
+"""
+
 # All-pairs simhash oracle (md5 token hash = bit-identical across
 # engines; pigeonhole recall of the Spark block-LSH is exactly 1.0 for
 # hamming < n_blocks, so all-pairs equals the LSH output)
@@ -1914,6 +1980,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_copurchase_triangles": _TRIANGLES_SQL,
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,
+        "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
+        "kg_bgp_dialogue_pairs": _BGP_PAIRS_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,

@@ -1,0 +1,123 @@
+"""SPARQL-style Basic Graph Pattern (BGP) queries over the triple table.
+
+The reference ends at emitting RDF (toRdf, `crates/core/src/rdf/mod.rs`);
+the first thing a consumer of the constructed KG does is ask triple-
+pattern queries against it. `bgp_query` compiles a conjunctive pattern
+list — the SPARQL BGP core — into a chain of DataFrame equi-joins:
+
+    bgp_query(triples, [
+        ("?turn", V + "role",         "assistant"),
+        ("?turn", V + "conversation", "?conv"),
+    ])  # -> DataFrame(turn, conv)
+
+Each pattern becomes a filtered projection of the triple table
+(constants → pushed-down predicates on subj/pred/obj; `?name` terms →
+binding columns), and patterns are greedily ordered most-constants-
+first while staying connected, so every join is an equi-join on shared
+variables and the most selective scan anchors the chain. Catalyst then
+owns the physical strategy: the per-pattern filters reach the scan
+(PushedFilters on a parquet-backed triple table; partition pruning when
+the table is pred-partitioned, the standard layout for a triple store),
+and AQE picks broadcast vs shuffle per join from runtime sizes.
+
+Disconnected pattern groups multiply results (a cartesian product), so
+they are rejected unless `allow_cartesian=True` — at corpus scale an
+accidental cross join is a job-killer, not a semantics question.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_POS_COLS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def bgp_query(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    select: list[str] | None = None,
+    distinct: bool = True,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """Evaluate a conjunctive triple-pattern query; returns one column
+    per variable (without the leading '?'). A variable repeated inside
+    one pattern (e.g. ``("?x", p, "?x")``) becomes an intra-pattern
+    equality filter; repeated across patterns, an equi-join key."""
+    if not patterns:
+        raise ValueError("empty BGP")
+
+    # fully-constant patterns are existence gates (1-or-0-row cross
+    # join, not a cartesian hazard) — split them off the join chain
+    const_pats = [p for p in patterns if not any(_is_var(t) for t in p)]
+    patterns = [p for p in patterns if any(_is_var(t) for t in p)]
+    if not patterns:
+        raise ValueError("BGP with no variables has no bindings to return")
+
+    remaining = list(range(len(patterns)))
+    # greedy order: most constants first, then any pattern sharing a
+    # variable with what's already bound (connectivity beats raw
+    # selectivity for join-key availability)
+    def n_consts(i: int) -> int:
+        return sum(0 if _is_var(t) else 1 for t in patterns[i])
+
+    def pat_vars(i: int) -> set[str]:
+        return {t for t in patterns[i] if _is_var(t)}
+
+    order = [max(remaining, key=n_consts)]
+    remaining.remove(order[0])
+    bound = set(pat_vars(order[0]))
+    while remaining:
+        connected = [i for i in remaining if pat_vars(i) & bound]
+        if not connected:
+            if not allow_cartesian:
+                raise ValueError(
+                    "disconnected BGP (cartesian product); pass "
+                    "allow_cartesian=True to run it anyway"
+                )
+            connected = remaining
+        nxt = max(connected, key=n_consts)
+        remaining.remove(nxt)
+        order.append(nxt)
+        bound |= pat_vars(nxt)
+
+    result: DataFrame | None = None
+    for i in order:
+        scan = _pattern_scan(triples, patterns[i])
+        if result is None:
+            result = scan
+        else:
+            shared = [c for c in scan.columns if c in result.columns]
+            result = (
+                result.join(scan, on=shared, how="inner")
+                if shared
+                else result.crossJoin(scan)
+            )
+    assert result is not None
+    for gi, p in enumerate(const_pats):
+        gate = triples
+        for col, term in zip(_POS_COLS, p):
+            gate = gate.filter(F.col(col) == F.lit(term))
+        result = result.crossJoin(gate.limit(1).select(F.lit(1).alias(f"__g{gi}")))
+        result = result.drop(f"__g{gi}")
+    if select is not None:
+        result = result.select(*[v.lstrip("?") for v in select])
+    return result.dropDuplicates() if distinct else result
+
+
+def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
+    df = triples
+    out_cols = {}
+    for col, term in zip(_POS_COLS, pattern):
+        if _is_var(term):
+            name = term[1:]
+            if name in out_cols:  # same var twice in one pattern
+                df = df.filter(F.col(col) == F.col(out_cols[name]))
+            else:
+                out_cols[name] = col
+        else:
+            df = df.filter(F.col(col) == F.lit(term))
+    return df.select(*[F.col(c).alias(n) for n, c in out_cols.items()])
