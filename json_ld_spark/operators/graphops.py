@@ -83,12 +83,13 @@ def connected_components(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("u", "mn").alias("m"))
         )
+        # (no dedup here: `oriented`'s dropDuplicates below subsumes it —
+        # an extra exchange per round was a pure loss, measured)
         large = (
             e.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
-            .dropDuplicates()
         )
         # Small-Star on the large-star output: orient (big, small), then
         # for each a, m = min(N(a)); emit (v, m) for v in N(a)+{a}, v != m
@@ -96,6 +97,7 @@ def connected_components(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         ).dropDuplicates()
         smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        # (likewise no dedup on `small`: _symmetrize dedups after the union)
         small = (
             oriented.join(smins, "u")
             .select(
@@ -103,7 +105,6 @@ def connected_components(
                 F.col("m").alias("b"),
             )
             .where(F.col("a") != F.col("b"))
-            .dropDuplicates()
         )
         e2 = _symmetrize(small, "a", "b").localCheckpoint(eager=True)
         fp = _edge_fingerprint(e2)
