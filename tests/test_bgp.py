@@ -97,3 +97,82 @@ def test_select_projection_and_distinct(triples):
         select=["?c"],
     )
     assert sorted(r["c"] for r in out.collect()) == ["c1", "c2"]
+
+
+def test_bgp_matches_naive_matcher_on_random_patterns(spark):
+    """Seeded random triple store + random connected BGPs vs a naive
+    driver-side backtracking matcher."""
+    import random
+
+    rng = random.Random(424242)
+    subs = [f"s{i}" for i in range(12)]
+    preds = [f"p{i}" for i in range(4)]
+    objs = subs + ["x", "y", "z"]
+    store = sorted(
+        {
+            (rng.choice(subs), rng.choice(preds), rng.choice(objs))
+            for _ in range(80)
+        }
+    )
+    df = spark.createDataFrame(store, ["subj", "pred", "obj"]).cache()
+    df.count()
+
+    def naive(patterns):
+        results = [{}]
+        for s, p, o in patterns:
+            nxt = []
+            for binding in results:
+                for ts, tp, to in store:
+                    b = dict(binding)
+                    ok = True
+                    for term, val in ((s, ts), (p, tp), (o, to)):
+                        if term.startswith("?"):
+                            if b.get(term, val) != val:
+                                ok = False
+                                break
+                            b[term] = val
+                        elif term != val:
+                            ok = False
+                            break
+                    if ok:
+                        nxt.append(b)
+            results = nxt
+        vars_ = sorted({t for pat in patterns for t in pat if t.startswith("?")})
+        return {tuple(b[v] for v in vars_) for b in results}
+
+    n_checked = 0
+    for trial in range(12):
+        # random connected 2-3 pattern BGP: later patterns reuse a var
+        k = rng.choice([2, 3])
+        pats = []
+        var_pool = ["?a", "?b", "?c", "?d"]
+        used = []
+        for i in range(k):
+            def term(pos):
+                if rng.random() < 0.5:
+                    v = rng.choice(used) if (used and rng.random() < 0.7) else rng.choice(var_pool)
+                    return v
+                return rng.choice(preds if pos == 1 else subs + objs)
+            while True:
+                s, p, o = term(0), term(1), term(2)
+                pv = [t for t in (s, p, o) if t.startswith("?")]
+                if not pv:
+                    continue
+                if i == 0 or set(pv) & set(used) or not used:
+                    pats.append((s, p, o))
+                    used.extend(v for v in pv if v not in used)
+                    break
+        expect = naive(pats)
+        try:
+            got_df = bgp_query(df, pats)
+        except ValueError:
+            # disconnected draw (possible when pattern 2 shares with 3
+            # but not 1 transitively absent) — naive has no such guard
+            continue
+        cols = sorted(got_df.columns)
+        got = {tuple(r[c] for c in cols) for r in got_df.collect()}
+        exp_vars = sorted({t for pat in pats for t in pat if t.startswith("?")})
+        assert [c for c in cols] == [v[1:] for v in exp_vars], (cols, exp_vars)
+        assert got == expect, (pats, sorted(got)[:5], sorted(expect)[:5])
+        n_checked += 1
+    assert n_checked >= 8  # most random draws must actually be validated
