@@ -576,6 +576,42 @@ def q_kg_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank_r"))
 
 
+def q_kg_turn_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation turn-window adjacency quads (north-star
+    '(conv_id, turn_idx) ordering' materialized into the KG): one
+    conv-partitioned lead() window, whole-stage codegen, no Python.
+    Oracle: the same LEAD window in DuckDB."""
+    from json_ld_spark.operators.native import transcript_adjacency_native
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    return transcript_adjacency_native(t, with_doc_id=False).select(*TRIPLE_COLS)
+
+
+def q_kg_turn_chain_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS (graphops.k_hop) over the nextTurn chain graph from
+    every conversation's turn 0: depth d must equal turn index d for
+    d <= k — BFS on 16-deep directed chains, the north-star turn-window
+    traversal as a graph query. Oracle: bounded recursive CTE over the
+    SQL-replayed adjacency edges."""
+    from json_ld_spark.operators.graphops import k_hop
+    from json_ld_spark.operators.native import transcript_adjacency_native
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    adj = transcript_adjacency_native(t, with_doc_id=False)
+    seeds = (
+        t.filter(F.col("turn_idx") == 0)
+        .select(
+            F.concat(
+                F.lit("https://example.org/conv/"), F.col("conv_id"), F.lit("/turn/0")
+            ).alias("node")
+        )
+    )
+    out = k_hop(adj, seeds, k=5, src="subj", dst="obj")
+    return out.select("node", F.col("depth").cast("long").alias("depth"))
+
+
 def q_kg_bgp_assistant_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style BGP query over the constructed triple table
     (operators/bgp.py): assistant turns with their conversation and
@@ -1005,6 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
         "kg_bgp_assistant_turns": q_kg_bgp_assistant_turns,
         "kg_bgp_dialogue_pairs": q_kg_bgp_dialogue_pairs,
+        "kg_turn_adjacency": q_kg_turn_adjacency,
+        "kg_turn_chain_khop": q_kg_turn_chain_khop,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1514,6 +1552,46 @@ r{i + 1} AS (SELECT nodes.node,
 
 _PAGERANK_SQL = _pagerank_sql(iters=5, damping=0.85)
 
+# Turn-window adjacency: the same conv-partitioned LEAD window in SQL.
+_ADJACENCY_SQL = _BASE_CTE + f"""
+, adj AS (
+  SELECT conv_id, turn_idx,
+         LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM base
+)
+SELECT CAST(NULL AS VARCHAR) AS graph,
+       '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS subj,
+       '{_V}nextTurn' AS pred,
+       'iri' AS obj_kind,
+       '{_CB}' || conv_id || '/turn/' || CAST(nxt AS VARCHAR) AS obj,
+       CAST(NULL AS VARCHAR) AS datatype,
+       CAST(NULL AS VARCHAR) AS lang
+FROM adj WHERE nxt IS NOT NULL
+"""
+
+# BFS over the chain graph: bounded recursive CTE, min depth per node.
+_TURN_KHOP_SQL = "WITH RECURSIVE " + _BASE_CTE.strip()[len("WITH "):] + f"""
+, adj AS (
+  SELECT conv_id, turn_idx,
+         LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM base
+), edges AS (
+  SELECT '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS u,
+         '{_CB}' || conv_id || '/turn/' || CAST(nxt AS VARCHAR) AS v
+  FROM adj WHERE nxt IS NOT NULL
+), seeds AS (
+  SELECT DISTINCT '{_CB}' || conv_id || '/turn/0' AS node
+  FROM base WHERE turn_idx = 0
+), reach(node, depth) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.v, r.depth + 1 FROM reach r JOIN edges e ON e.u = r.node
+  WHERE r.depth < 5
+)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+FROM reach GROUP BY node
+"""
+
 # ---- BGP query oracles (operators/bgp.py): the same conjunctive
 # triple patterns written as SQL self-joins on the replayed triples ----
 
@@ -1982,6 +2060,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_suppliers": _PAGERANK_SQL,
         "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
         "kg_bgp_dialogue_pairs": _BGP_PAIRS_SQL,
+        "kg_turn_adjacency": _ADJACENCY_SQL,
+        "kg_turn_chain_khop": _TURN_KHOP_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,

@@ -94,3 +94,46 @@ def transcript_triples_native(transcripts: DataFrame, with_doc_id: bool = True) 
     )
     # null tool → no quad (expansion drops null values)
     return out.filter(F.col("obj").isNotNull())
+
+
+def transcript_adjacency_native(
+    transcripts: DataFrame, with_doc_id: bool = True
+) -> DataFrame:
+    """Per-conversation turn-window adjacency triples: for each turn
+    except the last, (turn_i, transcript#nextTurn, turn_{i+1}) as an
+    IRI-object quad — the `(conv_id, turn_idx)`-ordered turn window of
+    the north-star data model materialized INTO the graph, so
+    turn-sequence traversals (k-hop context windows, dialogue chains)
+    become plain edge queries. One window shuffle partitioned by
+    conv_id (a conversation's turns are always co-located; no skew —
+    window size = turns per conv), whole-stage-codegen'd like the rest
+    of the native path."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = F.lead("turn_idx").over(w)
+    subj = F.concat(
+        F.lit(CONV_BASE), F.col("conv_id"), F.lit("/turn/"),
+        F.col("turn_idx").cast("string"),
+    )
+    obj = F.concat(
+        F.lit(CONV_BASE), F.col("conv_id"), F.lit("/turn/"),
+        F.col("nxt").cast("string"),
+    )
+    doc_id = F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string"))
+    cols = [doc_id.alias("doc_id")] if with_doc_id else []
+    return (
+        transcripts.select("conv_id", "turn_idx")
+        .withColumn("nxt", nxt)
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            *cols,
+            F.lit(None).cast("string").alias("graph"),
+            subj.alias("subj"),
+            F.lit(TRANSCRIPT_VOCAB + "nextTurn").alias("pred"),
+            F.lit("iri").alias("obj_kind"),
+            obj.alias("obj"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
