@@ -865,6 +865,39 @@ def q_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("subj", "pred", "obj_kind", "obj")
 
 
+def q_streaming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming connected components over the nextTurn
+    adjacency chains, hash-split into two file micro-batches (so most
+    conversations' chains are SEVERED across batches and must be
+    re-merged by the star-edge state updater, streaming/stream.py).
+    Every turn's component must come out as its conversation's turn/0
+    ('0' sorts first in the turn-IRI lexicographic order), which the
+    oracle states analytically — a semantic ground truth rather than an
+    algorithm replay."""
+    import tempfile
+
+    from json_ld_spark.operators.native import transcript_adjacency_native
+    from json_ld_spark.streaming.stream import run_stream_components
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    e = transcript_adjacency_native(t, with_doc_id=False).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    base = tempfile.mkdtemp(prefix="stream_cc_")
+    e.filter(F.xxhash64("src", "dst") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{base}/in")
+    e.filter(F.xxhash64("src", "dst") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{base}/in")
+    out = run_stream_components(
+        spark, f"{base}/in", f"{base}/state", f"{base}/ckpt",
+        schema="src STRING, dst STRING",
+    )
+    return out.select("node", "component")
+
+
 # --------------------------------------------------------------------------
 # relational operator checklist (SURVEY.md §2-I) over TPC-H-ish tables
 # --------------------------------------------------------------------------
@@ -1043,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_dialogue_pairs": q_kg_bgp_dialogue_pairs,
         "kg_turn_adjacency": q_kg_turn_adjacency,
         "kg_turn_chain_khop": q_kg_turn_chain_khop,
+        "streaming_components": q_streaming_components,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1592,6 +1626,21 @@ SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
 FROM reach GROUP BY node
 """
 
+# Streaming CC over turn chains: the analytic ground truth — every turn
+# in a conversation's chain has component = that conversation's turn 0
+# (lexicographic min of the chain's IRIs). Turns with no adjacency edge
+# (single-turn conversations) never enter the edge stream, hence the
+# n_turns > 1 guard.
+_STREAM_CC_SQL = _BASE_CTE + f"""
+, conv_sizes AS (
+  SELECT conv_id, COUNT(*) AS n_turns FROM base GROUP BY conv_id
+)
+SELECT '{_CB}' || b.conv_id || '/turn/' || CAST(b.turn_idx AS VARCHAR) AS node,
+       '{_CB}' || b.conv_id || '/turn/0' AS component
+FROM base b JOIN conv_sizes cs ON cs.conv_id = b.conv_id
+WHERE cs.n_turns > 1
+"""
+
 # ---- BGP query oracles (operators/bgp.py): the same conjunctive
 # triple patterns written as SQL self-joins on the replayed triples ----
 
@@ -2062,6 +2111,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_dialogue_pairs": _BGP_PAIRS_SQL,
         "kg_turn_adjacency": _ADJACENCY_SQL,
         "kg_turn_chain_khop": _TURN_KHOP_SQL,
+        "streaming_components": _STREAM_CC_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,
