@@ -576,6 +576,27 @@ def q_kg_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank_r"))
 
 
+def q_kg_bgp_optional_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with an OPTIONAL group (SPARQL left-join semantics): every
+    assistant turn with its index, plus its tool IF a tool triple
+    exists (tool is emitted only for doc_id % 7 == 3 turns, so the
+    NULL and bound arms are both populated). Oracle: LEFT JOIN."""
+    from json_ld_spark.operators.bgp import bgp_query
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    triples = transcript_triples_native(t)
+    out = bgp_query(
+        triples,
+        [
+            ("?turn", _V + "role", "assistant"),
+            ("?turn", _V + "turnIndex", "?idx"),
+        ],
+        optional=[[("?turn", _V + "tool", "?tool")]],
+    )
+    return out.select("turn", "idx", "tool")
+
+
 def q_kg_turn_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation turn-window adjacency quads (north-star
     '(conv_id, turn_idx) ordering' materialized into the KG): one
@@ -1074,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
         "kg_bgp_assistant_turns": q_kg_bgp_assistant_turns,
         "kg_bgp_dialogue_pairs": q_kg_bgp_dialogue_pairs,
+        "kg_bgp_optional_tool": q_kg_bgp_optional_tool,
         "kg_turn_adjacency": q_kg_turn_adjacency,
         "kg_turn_chain_khop": q_kg_turn_chain_khop,
         "streaming_components": q_streaming_components,
@@ -1652,6 +1674,14 @@ JOIN triples i ON i.subj = r.subj AND i.pred = '{_V}turnIndex'
 WHERE r.pred = '{_V}role' AND r.obj = 'assistant'
 """
 
+_BGP_OPTIONAL_SQL = _TRIPLES_CTE + f"""
+SELECT DISTINCT r.subj AS turn, i.obj AS idx, tl.obj AS tool
+FROM triples r
+JOIN triples i ON i.subj = r.subj AND i.pred = '{_V}turnIndex'
+LEFT JOIN triples tl ON tl.subj = r.subj AND tl.pred = '{_V}tool'
+WHERE r.pred = '{_V}role' AND r.obj = 'assistant'
+"""
+
 _BGP_PAIRS_SQL = _TRIPLES_CTE + f"""
 SELECT DISTINCT u.subj AS u, a.subj AS a, uc.obj AS conv
 FROM triples u
@@ -2109,6 +2139,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_suppliers": _PAGERANK_SQL,
         "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
         "kg_bgp_dialogue_pairs": _BGP_PAIRS_SQL,
+        "kg_bgp_optional_tool": _BGP_OPTIONAL_SQL,
         "kg_turn_adjacency": _ADJACENCY_SQL,
         "kg_turn_chain_khop": _TURN_KHOP_SQL,
         "streaming_components": _STREAM_CC_SQL,

@@ -42,11 +42,26 @@ def bgp_query(
     select: list[str] | None = None,
     distinct: bool = True,
     allow_cartesian: bool = False,
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    filters: list[str] | None = None,
 ) -> DataFrame:
     """Evaluate a conjunctive triple-pattern query; returns one column
     per variable (without the leading '?'). A variable repeated inside
     one pattern (e.g. ``("?x", p, "?x")``) becomes an intra-pattern
-    equality filter; repeated across patterns, an equi-join key."""
+    equality filter; repeated across patterns, an equi-join key.
+
+    `optional`: SPARQL OPTIONAL — each entry is a pattern GROUP
+    evaluated as its own conjunctive BGP and LEFT-joined onto the
+    required bindings on their shared variables (unmatched rows keep
+    the required bindings with NULL optional columns). Groups are
+    applied left-to-right, each seeing bindings from earlier groups
+    (SPARQL's sequential-OPTIONAL semantics for the common
+    well-designed-pattern case). A group must share >= 1 variable with
+    the bindings it joins (else it would be a cartesian — rejected).
+
+    `filters`: SPARQL FILTER — SQL boolean expressions over the
+    variable columns (e.g. ``"idx > '2'"``), applied after all joins
+    (Catalyst pushes them down wherever legal)."""
     if not patterns:
         raise ValueError("empty BGP")
 
@@ -103,6 +118,19 @@ def bgp_query(
             gate = gate.filter(F.col(col) == F.lit(term))
         result = result.crossJoin(gate.limit(1).select(F.lit(1).alias(f"__g{gi}")))
         result = result.drop(f"__g{gi}")
+    for group in optional or []:
+        side = bgp_query(
+            triples, group, distinct=distinct, allow_cartesian=allow_cartesian
+        )
+        shared = [c for c in side.columns if c in result.columns]
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required "
+                "patterns (cartesian left join)"
+            )
+        result = result.join(side, on=shared, how="left")
+    for cond in filters or []:
+        result = result.filter(cond)
     if select is not None:
         result = result.select(*[v.lstrip("?") for v in select])
     return result.dropDuplicates() if distinct else result

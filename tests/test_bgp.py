@@ -176,3 +176,43 @@ def test_bgp_matches_naive_matcher_on_random_patterns(spark):
         assert got == expect, (pats, sorted(got)[:5], sorted(expect)[:5])
         n_checked += 1
     assert n_checked >= 8  # most random draws must actually be validated
+
+
+def test_optional_group_left_join(triples):
+    # every Turn, optionally its conversation; t3's conv exists, c1 (a
+    # Conversation node) has no conversation property -> NULL
+    out = bgp_query(
+        triples,
+        [("?t", TYPE, "Turn")],
+        optional=[[("?t", V + "conversation", "?c")]],
+    )
+    got = {r["t"]: r["c"] for r in out.collect()}
+    assert got == {"t1": "c1", "t2": "c1", "t3": "c2"}
+    # add a turn-like node with no conversation to exercise the NULL arm
+    out2 = bgp_query(
+        triples,
+        [("?s", V + "self", "?s2")],
+        optional=[[("?s", V + "conversation", "?c")]],
+    )
+    rows = out2.collect()
+    assert len(rows) == 1 and rows[0]["c"] is None
+
+
+def test_optional_rejects_disjoint_group(triples):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="OPTIONAL"):
+        bgp_query(
+            triples,
+            [("?t", TYPE, "Turn")],
+            optional=[[("?x", V + "self", "?y")]],
+        )
+
+
+def test_filter_expression(triples):
+    out = bgp_query(
+        triples,
+        [("?t", V + "role", "?r")],
+        filters=["r = 'assistant'", "t > 't2'"],
+    )
+    assert [tuple(r) for r in out.collect()] == [("t3", "assistant")]
