@@ -597,6 +597,26 @@ def q_kg_bgp_optional_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("turn", "idx", "tool")
 
 
+def q_kg_bgp_union_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP UNION over heterogeneous branches (user turns; tool-using
+    turns binding an extra ?tool var — NULL in the first branch,
+    SPARQL unbound semantics). Oracle: SQL UNION of the two branch
+    selects."""
+    from json_ld_spark.operators.bgp import bgp_union
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    triples = transcript_triples_native(t)
+    out = bgp_union(
+        triples,
+        [
+            [("?turn", _V + "role", "user")],
+            [("?turn", _V + "tool", "?tool")],
+        ],
+    )
+    return out.select("turn", "tool")
+
+
 def q_kg_turn_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation turn-window adjacency quads (north-star
     '(conv_id, turn_idx) ordering' materialized into the KG): one
@@ -1096,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_assistant_turns": q_kg_bgp_assistant_turns,
         "kg_bgp_dialogue_pairs": q_kg_bgp_dialogue_pairs,
         "kg_bgp_optional_tool": q_kg_bgp_optional_tool,
+        "kg_bgp_union_turns": q_kg_bgp_union_turns,
         "kg_turn_adjacency": q_kg_turn_adjacency,
         "kg_turn_chain_khop": q_kg_turn_chain_khop,
         "streaming_components": q_streaming_components,
@@ -1682,6 +1703,14 @@ LEFT JOIN triples tl ON tl.subj = r.subj AND tl.pred = '{_V}tool'
 WHERE r.pred = '{_V}role' AND r.obj = 'assistant'
 """
 
+_BGP_UNION_SQL = _TRIPLES_CTE + f"""
+SELECT r.subj AS turn, CAST(NULL AS VARCHAR) AS tool
+FROM triples r WHERE r.pred = '{_V}role' AND r.obj = 'user'
+UNION
+SELECT tl.subj AS turn, tl.obj AS tool
+FROM triples tl WHERE tl.pred = '{_V}tool'
+"""
+
 _BGP_PAIRS_SQL = _TRIPLES_CTE + f"""
 SELECT DISTINCT u.subj AS u, a.subj AS a, uc.obj AS conv
 FROM triples u
@@ -2140,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
         "kg_bgp_dialogue_pairs": _BGP_PAIRS_SQL,
         "kg_bgp_optional_tool": _BGP_OPTIONAL_SQL,
+        "kg_bgp_union_turns": _BGP_UNION_SQL,
         "kg_turn_adjacency": _ADJACENCY_SQL,
         "kg_turn_chain_khop": _TURN_KHOP_SQL,
         "streaming_components": _STREAM_CC_SQL,

@@ -149,3 +149,33 @@ def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFram
         else:
             df = df.filter(F.col(col) == F.lit(term))
     return df.select(*[F.col(c).alias(n) for n, c in out_cols.items()])
+
+
+def bgp_union(
+    triples: DataFrame,
+    groups: list[list[tuple[str, str, str]]],
+    select: list[str] | None = None,
+    distinct: bool = True,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """SPARQL UNION: evaluate each pattern group as its own BGP and
+    union the binding tables. Groups may bind different variable sets —
+    missing variables come back NULL (unionByName with
+    allowMissingColumns), exactly SPARQL's unbound semantics. Each
+    branch is an independent Catalyst subtree, so the branches' scans
+    and joins parallelize freely and the union is a zero-shuffle
+    concatenation."""
+    if not groups:
+        raise ValueError("empty UNION")
+    branches = [
+        bgp_query(
+            triples, g, distinct=False, allow_cartesian=allow_cartesian
+        )
+        for g in groups
+    ]
+    result = branches[0]
+    for b in branches[1:]:
+        result = result.unionByName(b, allowMissingColumns=True)
+    if select is not None:
+        result = result.select(*[v.lstrip("?") for v in select])
+    return result.dropDuplicates() if distinct else result

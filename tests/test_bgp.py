@@ -216,3 +216,33 @@ def test_filter_expression(triples):
         filters=["r = 'assistant'", "t > 't2'"],
     )
     assert [tuple(r) for r in out.collect()] == [("t3", "assistant")]
+
+
+def test_union_heterogeneous_branches(triples):
+    from json_ld_spark.operators.bgp import bgp_union
+
+    out = bgp_union(
+        triples,
+        [
+            [("?t", V + "role", "user")],
+            [("?t", V + "conversation", "?c")],
+        ],
+    )
+    got = {(r["t"], r["c"]) for r in out.collect()}
+    assert got == {
+        ("t1", None),          # user branch binds only ?t
+        ("t1", "c1"),
+        ("t2", "c1"),
+        ("t3", "c2"),
+    }
+
+
+def test_union_distinct_collapses_duplicates(triples):
+    from json_ld_spark.operators.bgp import bgp_union
+
+    out = bgp_union(
+        triples,
+        [[("?t", TYPE, "Turn")], [("?t", V + "role", "?r")]],
+        select=["?t"],
+    )
+    assert sorted(r["t"] for r in out.collect()) == ["t1", "t2", "t3"]
