@@ -522,3 +522,36 @@ def test_dataset_diff_matches_python_sets(spark):
         assert row["n_only_left"] == len(sa - sb), trial
         assert row["n_only_right"] == len(sb - sa), trial
         assert row["n_common"] == len(sa & sb), trial
+
+
+def test_build_kg_with_linking_engine_parity(spark, transcripts):
+    """Full build_kg (extraction + mention linking + dedup) must emit
+    the identical KG from the native and generic engines — including
+    the mention path, which branches off the pre-shuffle RAW extraction
+    of whichever engine is active."""
+    from json_ld_spark.plans.kg import build_kg
+
+    dictionary = spark.createDataFrame(
+        [
+            ("https://e/entity/test", "test", 0.4),
+            ("https://e/entity/ascii", "ascii", 0.3),
+            ("https://e/entity/data", "data", 0.3),
+        ],
+        "entity_id string, surface string, prior double",
+    )
+    cols = QUAD_COLS
+    a = {
+        tuple(r)
+        for r in build_kg(transcripts, dictionary, engine="native")["triples"]
+        .select(cols)
+        .collect()
+    }
+    b = {
+        tuple(r)
+        for r in build_kg(transcripts, dictionary, engine="generic")["triples"]
+        .select(cols)
+        .collect()
+    }
+    assert a == b and len(a) > 0
+    # the mention predicate must actually be present in the output
+    assert any(t[2].endswith("#mentions") for t in a)
