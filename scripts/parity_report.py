@@ -21,7 +21,8 @@ from json_ld_spark.options import JsonLdOptions  # noqa: E402
 SUITE = json.loads((REPO / "tests/fixtures/golden_suite.json").read_text())
 SUITE_V2 = json.loads((REPO / "tests/fixtures/golden_suite_v2.json").read_text())
 SUITE_V3 = json.loads((REPO / "tests/fixtures/golden_suite_v3.json").read_text())
-CASES = SUITE["cases"] + SUITE_V2["cases"] + SUITE_V3["cases"]
+SUITE_V4 = json.loads((REPO / "tests/fixtures/golden_suite_v4.json").read_text())
+CASES = SUITE["cases"] + SUITE_V2["cases"] + SUITE_V3["cases"] + SUITE_V4["cases"]
 
 
 def main() -> None:
