@@ -12,6 +12,7 @@ Jobs:
   generic    full JSON-LD engine toRdf (Arrow mapInPandas)
   canonical  generic + hash-canonical bnode labels (the scaling job)
   kg         full build_kg incl entity linking
+  graph      turn-adjacency CC (conversation membership) + BGP query
   materialize resumable WAP write to --out
 
 Prints one JSON metrics line (docs, triples, per-run seconds,
@@ -65,7 +66,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--amplify", type=int, default=1)
     ap.add_argument("--job", default="canonical",
-                    choices=["triples", "generic", "canonical", "kg", "materialize"])
+                    choices=["triples", "generic", "canonical", "kg", "graph",
+                             "materialize"])
     ap.add_argument("--partitions", type=int, default=128)
     ap.add_argument("--timed-runs", type=int, default=2)
     ap.add_argument("--out", default="/tmp/kg_out")
@@ -112,6 +114,26 @@ def main() -> None:
         run = lambda: node_table(  # noqa: E731
             dedup_triples(transcript_triples_native(inp).repartition("subj"))
         ).count()
+    elif args.job == "graph":
+        from json_ld_spark.operators.bgp import bgp_query
+        from json_ld_spark.operators.graphops import connected_components
+        from json_ld_spark.operators.native import transcript_adjacency_native
+        from json_ld_spark.sources.transcripts import TRANSCRIPT_VOCAB
+
+        inp = transcripts.cache()
+        n_docs = inp.count()
+
+        def run():  # noqa: E731 kept as def: two counted stages
+            adj = transcript_adjacency_native(inp, with_doc_id=False)
+            n_comp = connected_components(adj, src="subj", dst="obj").count()
+            q = bgp_query(
+                transcript_triples_native(inp),
+                [
+                    ("?t", TRANSCRIPT_VOCAB + "role", "assistant"),
+                    ("?t", TRANSCRIPT_VOCAB + "conversation", "?c"),
+                ],
+            )
+            return n_comp + q.count()
     elif args.job == "kg":
         inp = transcripts.cache()
         n_docs = inp.count()
