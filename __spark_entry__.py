@@ -696,6 +696,35 @@ def q_kg_bgp_dialogue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("u", "a", "conv")
 
 
+def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL register table over l_orderkey (operators/
+    sketches.py): md5-bridge hash, integer-only bucket/rank math —
+    every register value replays bit-for-bit in DuckDB. The sketch is
+    the 100 TB distinct-count tool: fixed 2^p-bucket state, mergeable
+    by register-wise max."""
+    from json_ld_spark.operators import sketches as sk
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    return sk.hll_registers(li, "l_orderkey", p=10).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("rho").cast("long").alias("rho"),
+    )
+
+
+def q_sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality estimate over l_orderkey: m / zero-register
+    count / scaled harmonic sum are integer-exact; the estimate (raw
+    harmonic branch at sf>=0.01, linear-counting branch at sf0.001)
+    rounds to 4 dp. Oracle replays the identical estimator with the
+    same repr-inlined alpha*m^2*2^32 constant."""
+    from json_ld_spark.operators import sketches as sk
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    return sk.hll_cardinality(li, "l_orderkey", p=10)
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -1120,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turn_adjacency": q_kg_turn_adjacency,
         "kg_turn_chain_khop": q_kg_turn_chain_khop,
         "streaming_components": q_streaming_components,
+        "sketch_hll_registers": q_sketch_hll_registers,
+        "sketch_hll_cardinality": q_sketch_hll_cardinality,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1669,6 +1700,54 @@ SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
 FROM reach GROUP BY node
 """
 
+# HLL sketch oracles: the md5-bridge hash and the bin()-length rank are
+# integer arithmetic in both engines; the harmonic sum stays a scaled
+# integer; alpha*m^2*2^32 is repr-inlined from the SAME Python constant
+# the Spark side uses.
+_HLL_REG_CTE = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM lineitem
+), br AS (
+  SELECT hv // 4194304 AS bucket, hv % 4194304 AS w FROM h
+), regs AS (
+  SELECT bucket,
+         MAX(CASE WHEN w = 0 THEN 23 ELSE 23 - length(bin(w)) END) AS rho
+  FROM br GROUP BY bucket
+)
+"""
+
+_HLL_REGISTERS_SQL = _HLL_REG_CTE + """
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rho AS BIGINT) AS rho FROM regs
+"""
+
+
+def _hll_cardinality_sql() -> str:
+    from json_ld_spark.operators.sketches import _alpha
+
+    m = 1 << 10
+    num = repr(float(_alpha(m)) * float(m * m * (1 << 32)))
+    return _HLL_REG_CTE + f"""
+, agg AS (
+  SELECT COUNT(*) AS n_present,
+         CAST(SUM(1::BIGINT << (32 - rho)) AS BIGINT) AS s_present
+  FROM regs
+), vals AS (
+  SELECT CAST({m} AS BIGINT) AS m,
+         CAST({m} - n_present AS BIGINT) AS n_zero,
+         CAST(s_present + ({m} - n_present) * 4294967296 AS BIGINT) AS s_scaled
+  FROM agg
+)
+SELECT m, n_zero, s_scaled,
+       round(CASE WHEN {num} / s_scaled <= {float(2.5 * m)!r} AND n_zero > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / n_zero)
+                  ELSE {num} / s_scaled END, 4) AS estimate_r
+FROM vals
+"""
+
+
+_HLL_CARDINALITY_SQL = _hll_cardinality_sql()
+
 # Streaming CC over turn chains: the analytic ground truth — every turn
 # in a conversation's chain has component = that conversation's turn 0
 # (lexicographic min of the chain's IRIs). Turns with no adjacency edge
@@ -2173,6 +2252,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_turn_adjacency": _ADJACENCY_SQL,
         "kg_turn_chain_khop": _TURN_KHOP_SQL,
         "streaming_components": _STREAM_CC_SQL,
+        "sketch_hll_registers": _HLL_REGISTERS_SQL,
+        "sketch_hll_cardinality": _HLL_CARDINALITY_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,
