@@ -725,6 +725,40 @@ def q_sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hll_cardinality(li, "l_orderkey", p=10)
 
 
+def q_sketch_cm_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch counters over l_orderkey (4 x 1024 cells):
+    exact integer sums under deterministic md5-salted hashes — the
+    sketch replays cell-for-cell in DuckDB with no rounding anywhere."""
+    from json_ld_spark.operators import sketches as sk
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    out = sk.cm_sketch(li, "l_orderkey", d=4, w=1024)
+    return out.select(
+        F.col("row").cast("long").alias("row"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def q_sketch_cm_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for a deterministic probe set
+    (every 100th order key): min over the 4 rows' counters — integer
+    exact, never under the true count."""
+    from json_ld_spark.operators import sketches as sk
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    sketch = sk.cm_sketch(li, "l_orderkey", d=4, w=1024)
+    items = (
+        li.filter(F.col("l_orderkey") % 100 == 0)
+        .select(F.col("l_orderkey").cast("string").alias("item"))
+        .distinct()
+    )
+    out = sk.cm_estimate(sketch, items, col="item", d=4, w=1024)
+    return out.select("item", F.col("est").cast("long").alias("est"))
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -1151,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_components": q_streaming_components,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_hll_cardinality": q_sketch_hll_cardinality,
+        "sketch_cm_counters": q_sketch_cm_counters,
+        "sketch_cm_estimates": q_sketch_cm_estimates,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1748,6 +1784,35 @@ FROM vals
 
 _HLL_CARDINALITY_SQL = _hll_cardinality_sql()
 
+_CM_CELLS_CTE = """
+WITH cells AS (
+  SELECT r.r AS row,
+         ('0x' || substr(md5('cm' || r.r || '|' || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 1024 AS bucket
+  FROM lineitem CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+), counters AS (
+  SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row, bucket
+)
+"""
+
+_CM_COUNTERS_SQL = _CM_CELLS_CTE + """
+SELECT CAST(row AS BIGINT) AS row, bucket, cnt FROM counters
+"""
+
+_CM_ESTIMATES_SQL = _CM_CELLS_CTE + """
+, probes AS (
+  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS item
+  FROM lineitem WHERE l_orderkey % 100 = 0
+), pc AS (
+  SELECT item, r.r AS row,
+         ('0x' || substr(md5('cm' || r.r || '|' || item), 1, 8))::BIGINT % 1024 AS bucket
+  FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+)
+SELECT pc.item AS item, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+FROM pc LEFT JOIN counters c ON c.row = pc.row AND c.bucket = pc.bucket
+GROUP BY pc.item
+"""
+
 # Streaming CC over turn chains: the analytic ground truth — every turn
 # in a conversation's chain has component = that conversation's turn 0
 # (lexicographic min of the chain's IRIs). Turns with no adjacency edge
@@ -2254,6 +2319,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_components": _STREAM_CC_SQL,
         "sketch_hll_registers": _HLL_REGISTERS_SQL,
         "sketch_hll_cardinality": _HLL_CARDINALITY_SQL,
+        "sketch_cm_counters": _CM_COUNTERS_SQL,
+        "sketch_cm_estimates": _CM_ESTIMATES_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,

@@ -100,3 +100,54 @@ def hll_cardinality(df: DataFrame, col: str, p: int = 10) -> DataFrame:
             4,
         ).alias("estimate_r"),
     )
+
+
+def cm_sketch(df: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): d independent
+    md5-bridge hash rows x w counters, each counter an EXACT integer
+    sum — the whole sketch is one groupBy over d*w cells of state, and
+    (unlike HLL) estimation never needs floats, so the cross-engine
+    replay is integer-exact end to end. Counters only over-count
+    (collisions), never under-count; error <= e*N/w with prob 1-e^-d.
+    Returns (row, bucket, cnt)."""
+    rows = []
+    for r in range(d):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{r}|"), F.col(col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        rows.append(
+            df.select(F.lit(r).alias("row"), (h % F.lit(w)).alias("bucket"))
+        )
+    all_rows = rows[0]
+    for t in rows[1:]:
+        all_rows = all_rows.unionByName(t)
+    return all_rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame, items: DataFrame, col: str = "item", d: int = 4, w: int = 1024
+) -> DataFrame:
+    """(item, est): est = min over the d rows of the item's counter —
+    a d-way join of the (small) item list against the sketch, then a
+    groupBy min. Missing cells count 0 (an item never hashed there)."""
+    probes = []
+    for r in range(d):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{r}|"), F.col(col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        probes.append(
+            items.select(F.col(col).alias("item"), F.lit(r).alias("row"), (h % F.lit(w)).alias("bucket"))
+        )
+    all_probes = probes[0]
+    for t in probes[1:]:
+        all_probes = all_probes.unionByName(t)
+    return (
+        all_probes.join(sketch, ["row", "bucket"], "left")
+        .select("item", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .groupBy("item")
+        .agg(F.min("cnt").alias("est"))
+    )

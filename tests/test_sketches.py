@@ -65,3 +65,25 @@ def test_hll_registers_deterministic_python_reference(spark):
         for r in sk.hll_registers(_ids(spark, n), "v", p=p).collect()
     }
     assert got == regs
+
+
+def test_cm_sketch_never_undercounts_and_is_tight_here(spark):
+    # skewed multiplicities: item k appears k times, k in 1..60
+    rows = [(f"k{k}",) for k in range(1, 61) for _ in range(k)]
+    df = spark.createDataFrame(rows, ["v"])
+    sk_df = sk.cm_sketch(df, "v")
+    items = df.select(F.col("v")).distinct()
+    est = {r["item"]: r["est"] for r in sk.cm_estimate(sk_df, items, col="v").collect()}
+    true = {f"k{k}": k for k in range(1, 61)}
+    assert all(est[i] >= true[i] for i in true)  # CM never under-counts
+    # N=1830 over w=1024, d=4: expect almost all exact
+    exact = sum(1 for i in true if est[i] == true[i])
+    assert exact >= 55
+
+
+def test_cm_total_mass_per_row(spark):
+    df = _ids(spark, 4_000)
+    sk_df = sk.cm_sketch(df, "v", d=4)
+    per_row = {r["row"]: r["s"] for r in
+               sk_df.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_row == {0: 4000, 1: 4000, 2: 4000, 3: 4000}
