@@ -759,6 +759,32 @@ def q_sketch_cm_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("item", F.col("est").cast("long").alias("est"))
 
 
+def q_sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe: part keys as the dictionary, a
+    probe set of half real keys / half absent keys (+10M offset).
+    maybe_present=false is definitive absence — the broadcastable
+    prefilter for a join whose build side is too big to broadcast.
+    Boolean-exact oracle (same salted bit positions in SQL)."""
+    from json_ld_spark.operators import sketches as sk
+
+    _utc(spark)
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    bits = sk.bloom_bits(part, "p_partkey", k=4, w=1 << 16)
+    real = (
+        li.filter(F.col("l_partkey") % 7 == 0)
+        .select(F.col("l_partkey").cast("string").alias("item"))
+        .distinct()
+    )
+    absent = (
+        li.filter(F.col("l_partkey") % 7 == 0)
+        .select((F.col("l_partkey") + 10_000_000).cast("string").alias("item"))
+        .distinct()
+    )
+    out = sk.bloom_probe(bits, real.unionByName(absent), col="item", k=4, w=1 << 16)
+    return out.select("item", "maybe_present")
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -1187,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_cardinality": q_sketch_hll_cardinality,
         "sketch_cm_counters": q_sketch_cm_counters,
         "sketch_cm_estimates": q_sketch_cm_estimates,
+        "sketch_bloom_prefilter": q_sketch_bloom_prefilter,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1799,6 +1826,28 @@ _CM_COUNTERS_SQL = _CM_CELLS_CTE + """
 SELECT CAST(row AS BIGINT) AS row, bucket, cnt FROM counters
 """
 
+_BLOOM_SQL = """
+WITH bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5('bf' || r.r || '|' || CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT % 65536 AS bit
+  FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+), probes AS (
+  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS item
+  FROM lineitem WHERE l_partkey % 7 = 0
+  UNION
+  SELECT DISTINCT CAST(l_partkey + 10000000 AS VARCHAR) AS item
+  FROM lineitem WHERE l_partkey % 7 = 0
+), pb AS (
+  SELECT item,
+    ('0x' || substr(md5('bf' || r.r || '|' || item), 1, 8))::BIGINT % 65536 AS bit
+  FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+)
+SELECT pb.item AS item,
+       CAST(MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS BOOLEAN) AS maybe_present
+FROM pb LEFT JOIN bits b ON b.bit = pb.bit
+GROUP BY pb.item
+"""
+
 _CM_ESTIMATES_SQL = _CM_CELLS_CTE + """
 , probes AS (
   SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS item
@@ -2321,6 +2370,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_cardinality": _HLL_CARDINALITY_SQL,
         "sketch_cm_counters": _CM_COUNTERS_SQL,
         "sketch_cm_estimates": _CM_ESTIMATES_SQL,
+        "sketch_bloom_prefilter": _BLOOM_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,

@@ -151,3 +151,52 @@ def cm_estimate(
         .groupBy("item")
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def bloom_bits(df: DataFrame, col: str, k: int = 4, w: int = 1 << 16) -> DataFrame:
+    """Bloom filter bit set: the k md5-salted hash positions of every
+    member, deduplicated — one (bit,) row per set bit. The scale story:
+    w bits of a 100M-entry dictionary is a few hundred KB, broadcastable
+    to prefilter a corpus-side join even when the dictionary itself is
+    far too big to broadcast (the generalization of linking.py's
+    broadcast semi-join prefilter). No false negatives by construction;
+    false-positive rate ~(1 - e^(-k*n/w))^k."""
+    parts = []
+    for r in range(k):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bf{r}|"), F.col(col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        parts.append(df.select((h % F.lit(w)).alias("bit")))
+    bits = parts[0]
+    for t in parts[1:]:
+        bits = bits.unionByName(t)
+    return bits.dropDuplicates()
+
+
+def bloom_probe(
+    bits: DataFrame, items: DataFrame, col: str = "item", k: int = 4, w: int = 1 << 16
+) -> DataFrame:
+    """(item, maybe_present): true iff ALL k of the item's bit
+    positions are set — a k-way left join against the bit set + an
+    all() aggregate. `maybe_present = false` is definitive absence
+    (prune safely); `true` needs the real join to confirm."""
+    probes = []
+    for r in range(k):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bf{r}|"), F.col(col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        probes.append(items.select(F.col(col).alias("item"), (h % F.lit(w)).alias("bit")))
+    all_probes = probes[0]
+    for t in probes[1:]:
+        all_probes = all_probes.unionByName(t)
+    hit = bits.withColumn("present", F.lit(True))
+    return (
+        all_probes.join(hit, "bit", "left")
+        .select("item", F.coalesce("present", F.lit(False)).alias("p"))
+        .groupBy("item")
+        .agg(F.min(F.col("p").cast("int")).cast("boolean").alias("maybe_present"))
+    )

@@ -87,3 +87,17 @@ def test_cm_total_mass_per_row(spark):
     per_row = {r["row"]: r["s"] for r in
                sk_df.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
     assert per_row == {0: 4000, 1: 4000, 2: 4000, 3: 4000}
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    members = _ids(spark, 2_000, "m")
+    bits = sk.bloom_bits(members, "v", k=4, w=1 << 16)
+    # probe: all members (must all hit) + 2000 non-members
+    non = _ids(spark, 2_000, "q")
+    probe = members.unionAll(non).withColumnRenamed("v", "item")
+    got = {r["item"]: r["maybe_present"]
+           for r in sk.bloom_probe(bits, probe).collect()}
+    assert all(got[f"m{i}"] for i in range(2_000))  # zero false negatives
+    fp = sum(1 for i in range(2_000) if got[f"q{i}"])
+    # n=2000, w=65536, k=4 -> theoretical fp ~ 2.4e-4; allow slack
+    assert fp <= 10
