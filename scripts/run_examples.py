@@ -1,0 +1,29 @@
+"""Execute every ```python block in EXAMPLES.md verbatim, in order,
+in one shared namespace — the doc is a test."""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    src = open("/root/repo/EXAMPLES.md").read()
+    blocks = re.findall(r"```python\n(.*?)```", src, re.S)
+    ns: dict = {}
+    for i, block in enumerate(blocks):
+        print(f"-- block {i + 1}/{len(blocks)} ({len(block.splitlines())} lines)")
+        exec(compile(block, f"EXAMPLES.md#block{i + 1}", "exec"), ns)
+    # light sanity on the artifacts the blocks left behind
+    assert ns["bindings"].count() > 0
+    assert ns["comp"].count() > 0
+    assert ns["survivors"].count() > 0
+    assert ns["card"]["estimate_r"] > 0
+    assert ns["components"].count() == ns["comp"].count()
+    print("EXAMPLES.md: all blocks executed, sanity checks pass")
+
+
+if __name__ == "__main__":
+    main()
