@@ -483,6 +483,20 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (SSJoin/PPJoin
+    family): rarest-first global token order, |T|-ceil(t|T|)+1 prefix,
+    equi-join on prefix tokens, exact-Jaccard verify. Recall is a
+    pigeonhole LEMMA (not a probabilistic band argument), so this
+    shares the MinHash query's brute-force oracle verbatim — two
+    independent candidate generators, one ground truth."""
+    _utc(spark)
+    corpus = _docs_with_dups(_read(spark, sf_dir, "documents"))
+    cands = dd.prefix_filter_candidates(corpus, threshold=0.7)
+    out = dd.jaccard_pairs(corpus, cands, threshold=0.7)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup GROUP ASSIGNMENT: connected components (Large-Star/
     Small-Star, O(log^2 n) rounds — graphops.connected_components) over
@@ -1198,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_prefix_filter": q_dedup_prefix_filter,
         "dedup_components": q_dedup_components,
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
         "kg_khop_parts": q_kg_khop_parts,
@@ -2355,6 +2370,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
         "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
+        "dedup_prefix_filter": _MINHASH_ORACLE_SQL,
         "dedup_components": _CC_SQL,
         "kg_copurchase_triangles": _TRIANGLES_SQL,
         "kg_khop_parts": _KHOP_SQL,

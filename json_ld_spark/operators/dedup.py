@@ -284,3 +284,56 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def prefix_filter_candidates(
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT-recall candidate pairs for Jaccard >= threshold via prefix
+    filtering (the SSJoin/PPJoin family, Chaudhuri et al. ICDE'06 /
+    Xiao et al. WWW'08) — the deterministic alternative to MinHash-LSH:
+    no probabilistic recall argument, the guarantee is a pigeonhole
+    lemma. Tokens are globally ordered rarest-first ((doc-frequency,
+    token) ascending); each doc keeps only its first
+    |T| - ceil(t*|T|) + 1 tokens under that order; any pair with
+    J >= t must share at least one prefix token.
+
+    Scale shape: the candidate join is an equi-join on prefix tokens,
+    and because prefixes keep the RAREST tokens, the per-token fan-in
+    is bounded by that token's document frequency with the hot head of
+    the distribution excluded from prefixes whenever |T| allows — the
+    inverse of the naive token-join's skew profile. Pair fan-in is
+    sum over prefix tokens of C(df, 2), dominated by the rare tail."""
+    sh = corpus.select(
+        F.col(id_col).alias("pf_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("gram"),
+    )
+    freq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df_cnt"))
+    toks = (
+        sh.join(freq, "gram")
+        .groupBy("pf_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df_cnt"), F.col("gram")))
+            ).alias("ts")
+        )
+    )
+    prefix_len = (
+        F.size("ts")
+        - F.ceil(F.lit(float(threshold)) * F.size("ts")).cast("int")
+        + F.lit(1)
+    )
+    pref = toks.select(
+        "pf_id", F.explode(F.slice("ts", F.lit(1), prefix_len)).alias("p")
+    ).select("pf_id", F.col("p.gram").alias("gram"))
+    return (
+        pref.alias("a")
+        .join(pref.alias("b"), "gram")
+        .where(F.col("a.pf_id") < F.col("b.pf_id"))
+        .select(F.col("a.pf_id").alias("doc_a"), F.col("b.pf_id").alias("doc_b"))
+        .dropDuplicates()
+    )

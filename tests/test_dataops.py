@@ -257,3 +257,38 @@ def test_minhash_recall_on_injected_duplicates(spark, sf_dir):
     # precision: every reported pair really has jaccard >= 0.95 (verified
     # by construction in jaccard_pairs; sanity: no self pairs)
     assert all(a < b for a, b in got)
+
+
+def test_prefix_filter_equals_bruteforce(spark):
+    """Prefix filtering is EXACT: verified candidates == brute-force
+    all-pairs Jaccard >= t, including near-threshold pairs."""
+    from json_ld_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup
+        (3, base.replace("kappa", "lambda")),        # near dup
+        (4, "one two three four five six"),          # unrelated
+        (5, base.replace("alpha", "mu").replace("beta", "nu")),  # weaker
+        (6, "one two three four five seven"),        # near dup of 4
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.5
+    cands = dd.prefix_filter_candidates(docs, threshold=t)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_pairs(docs, cands, threshold=t).collect()
+    }
+    ids = docs.select("doc_id")
+    allp = (
+        ids.selectExpr("doc_id as doc_a")
+        .crossJoin(ids.selectExpr("doc_id as doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    expect = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_pairs(docs, allp, threshold=t).collect()
+    }
+    assert got == expect and len(expect) >= 2
