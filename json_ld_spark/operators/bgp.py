@@ -23,6 +23,13 @@ and AQE picks broadcast vs shuffle per join from runtime sizes.
 Disconnected pattern groups multiply results (a cartesian product), so
 they are rejected unless `allow_cartesian=True` — at corpus scale an
 accidental cross join is a job-killer, not a semantics question.
+
+A pattern's predicate may also be a SPARQL property-path AST tuple
+(operators/paths.py, `parse_path`): the pattern then scans the path's
+(s, o) pair relation instead of the raw triple table — sequence /
+alternative / inverse / closures compose with ordinary patterns in one
+BGP. String predicates are always plain IRIs (IRIs contain `/`, so
+path syntax is never sniffed out of a string).
 """
 
 from __future__ import annotations
@@ -113,9 +120,12 @@ def bgp_query(
             )
     assert result is not None
     for gi, p in enumerate(const_pats):
-        gate = triples
-        for col, term in zip(_POS_COLS, p):
-            gate = gate.filter(F.col(col) == F.lit(term))
+        if isinstance(p[1], tuple):  # constant-endpoint path pattern
+            gate = _pattern_scan(triples, p)
+        else:
+            gate = triples
+            for col, term in zip(_POS_COLS, p):
+                gate = gate.filter(F.col(col) == F.lit(term))
         result = result.crossJoin(gate.limit(1).select(F.lit(1).alias(f"__g{gi}")))
         result = result.drop(f"__g{gi}")
     for group in optional or []:
@@ -137,6 +147,30 @@ def bgp_query(
 
 
 def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
+    # property-path predicate (tuple AST from paths.parse_path; string
+    # predicates are always plain IRIs — IRIs contain '/' so syntax
+    # sniffing is unsound): evaluate to an (s, o) pair relation via
+    # operators/paths.py, then bind subj/obj against it exactly like a
+    # plain triple scan
+    pred = pattern[1]
+    if isinstance(pred, tuple):
+        from json_ld_spark.operators.paths import path_pairs
+
+        pairs = path_pairs(triples, pred)
+        out_cols = {}
+        df = pairs
+        for col, term in zip(("s", "o"), (pattern[0], pattern[2])):
+            if _is_var(term):
+                name = term[1:]
+                if name in out_cols:
+                    df = df.filter(F.col(col) == F.col(out_cols[name]))
+                else:
+                    out_cols[name] = col
+            else:
+                df = df.filter(F.col(col) == F.lit(term))
+        if not out_cols:  # fully-constant path pattern: existence gate
+            return df.limit(1).select(F.lit(1).alias("__gate"))
+        return df.select(*[F.col(c).alias(n) for n, c in out_cols.items()])
     df = triples
     out_cols = {}
     for col, term in zip(_POS_COLS, pattern):
