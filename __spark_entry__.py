@@ -667,6 +667,54 @@ def q_kg_turn_chain_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("depth").cast("long").alias("depth"))
 
 
+def q_kg_path_turn_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property path ``nextTurn+`` (operators/paths.py):
+    semi-naive transitive closure over the per-conversation turn-chain
+    edges. Turn chains are linear and complete, so the closure equals
+    every ordered (earlier, later) turn pair within a conversation —
+    which is the closed-form SQL oracle (the Spark side still runs the
+    real fixpoint loop; the analytic form just makes it value-exact)."""
+    from json_ld_spark.operators.native import transcript_adjacency_native
+    from json_ld_spark.operators.paths import path_pairs
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    adj = transcript_adjacency_native(t, with_doc_id=False)
+    out = path_pairs(adj, f"<{_V}nextTurn>+")
+    return out.select("s", "o")
+
+
+def q_kg_path_next_speaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite property path ``^conversation/nextTurn/(role|tool)``:
+    inverse step (conversation → its turns), sequence joins on the
+    midpoints, and an alternative over two literal-valued predicates —
+    'which speaker roles / tools ever FOLLOW a turn of this
+    conversation'. Exercises inv + seq + alt of the path algebra in one
+    declarative plan (every atomic step is a pushed pred-filter scan).
+    Oracle: the same relation as plain SQL joins over the replayed
+    transcript table."""
+    from json_ld_spark.operators.native import (
+        transcript_adjacency_native,
+        transcript_triples_native,
+    )
+    from json_ld_spark.operators.paths import path_pairs
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    triples = transcript_triples_native(t, with_doc_id=False).select(
+        "subj", "pred", "obj"
+    )
+    adj = transcript_adjacency_native(t, with_doc_id=False).select(
+        "subj", "pred", "obj"
+    )
+    allt = triples.unionByName(adj)
+    out = path_pairs(
+        allt,
+        f"^<{_V}conversation>/<{_V}nextTurn>/(<{_V}role>|<{_V}tool>)",
+    )
+    return out.select("s", "o")
+
+
 def q_kg_bgp_assistant_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style BGP query over the constructed triple table
     (operators/bgp.py): assistant turns with their conversation and
@@ -1223,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_union_turns": q_kg_bgp_union_turns,
         "kg_turn_adjacency": q_kg_turn_adjacency,
         "kg_turn_chain_khop": q_kg_turn_chain_khop,
+        "kg_path_turn_closure": q_kg_path_turn_closure,
+        "kg_path_next_speaker": q_kg_path_next_speaker,
         "streaming_components": q_streaming_components,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_hll_cardinality": q_sketch_hll_cardinality,
@@ -1776,6 +1826,34 @@ _TURN_KHOP_SQL = "WITH RECURSIVE " + _BASE_CTE.strip()[len("WITH "):] + f"""
 )
 SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
 FROM reach GROUP BY node
+"""
+
+# nextTurn+ closure: the chain edges connect consecutive present turns
+# in (conv_id, turn_idx) order, so the transitive closure is exactly
+# every ordered pair of turns within a conversation — a closed-form
+# self-join, value-exact against the Spark fixpoint loop.
+_PATH_CLOSURE_SQL = _BASE_CTE + f"""
+SELECT DISTINCT
+  '{_CB}' || a.conv_id || '/turn/' || CAST(a.turn_idx AS VARCHAR) AS s,
+  '{_CB}' || b.conv_id || '/turn/' || CAST(b.turn_idx AS VARCHAR) AS o
+FROM base a JOIN base b
+  ON a.conv_id = b.conv_id AND a.turn_idx < b.turn_idx
+"""
+
+# ^conversation/nextTurn/(role|tool): conversation IRI joined through
+# its member turns to the role / tool literal of each turn's successor.
+_PATH_NEXT_SPEAKER_SQL = _BASE_CTE + f"""
+, adj AS (
+  SELECT conv_id, turn_idx,
+         LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM base
+)
+SELECT DISTINCT '{_CB}' || a.conv_id AS s, b.role AS o
+FROM adj a JOIN base b ON b.conv_id = a.conv_id AND b.turn_idx = a.nxt
+UNION
+SELECT DISTINCT '{_CB}' || a.conv_id AS s, b.tool AS o
+FROM adj a JOIN base b ON b.conv_id = a.conv_id AND b.turn_idx = a.nxt
+WHERE b.tool IS NOT NULL
 """
 
 # HLL sketch oracles: the md5-bridge hash and the bin()-length rank are
@@ -2381,6 +2459,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_union_turns": _BGP_UNION_SQL,
         "kg_turn_adjacency": _ADJACENCY_SQL,
         "kg_turn_chain_khop": _TURN_KHOP_SQL,
+        "kg_path_turn_closure": _PATH_CLOSURE_SQL,
+        "kg_path_next_speaker": _PATH_NEXT_SPEAKER_SQL,
         "streaming_components": _STREAM_CC_SQL,
         "sketch_hll_registers": _HLL_REGISTERS_SQL,
         "sketch_hll_cardinality": _HLL_CARDINALITY_SQL,

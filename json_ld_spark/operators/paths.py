@@ -285,22 +285,14 @@ def _closure(
         # frontier BFS keyed by reachable endpoint: state is (s, o)
         # pairs but each round's join input is only the new frontier
         seeds = subjects.select("s").dropDuplicates()
-        known = seeds.join(step, "s").dropDuplicates()
-        delta = known
-        for _ in range(max_iter):
-            delta = (
-                delta.select("s", F.col("o").alias("m"))
-                .join(step.select(F.col("s").alias("m"), "o"), "m")
-                .select("s", "o")
-                .dropDuplicates()
-                .join(known, ["s", "o"], "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            if delta.isEmpty():
-                break
-            known = known.unionByName(delta).localCheckpoint(eager=True)
-        return known
-    known = step.dropDuplicates().localCheckpoint(eager=True)
+        known = seeds.join(step, "s").dropDuplicates().localCheckpoint(eager=True)
+    else:
+        known = step.dropDuplicates().localCheckpoint(eager=True)
+    # Only the per-round delta is checkpointed: `known` stays a flat
+    # union of already-checkpointed deltas, so its lineage is depth-1
+    # regardless of round count (no 2^n plan growth) and we avoid
+    # re-materializing the whole growing closure every round —
+    # O(diameter × |closure|) checkpoint writes saved.
     delta = known
     for _ in range(max_iter):
         delta = (
@@ -313,5 +305,5 @@ def _closure(
         )
         if delta.isEmpty():
             break
-        known = known.unionByName(delta).localCheckpoint(eager=True)
+        known = known.unionByName(delta)
     return known
