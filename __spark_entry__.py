@@ -667,6 +667,27 @@ def q_kg_turn_chain_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("depth").cast("long").alias("depth"))
 
 
+def q_kg_bgp_values_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with a VALUES inline-binding block and a MINUS group
+    (SPARQL 1.1 algebra): speaker turns restricted to the roles
+    {user, assistant} via VALUES (broadcast inline table), minus every
+    turn that carries a tool triple (null-unsafe LEFT ANTI join on the
+    shared variable). Oracle: IN-list filter + tool IS NULL over the
+    replayed transcript table."""
+    from json_ld_spark.operators.bgp import bgp_query
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    triples = transcript_triples_native(t)
+    out = bgp_query(
+        triples,
+        [("?turn", _V + "role", "?r")],
+        values={"?r": ["user", "assistant"]},
+        minus=[[("?turn", _V + "tool", "?tl")]],
+    )
+    return out.select("turn", "r")
+
+
 def q_kg_path_turn_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 property path ``nextTurn+`` (operators/paths.py):
     semi-naive transitive closure over the per-conversation turn-chain
@@ -1271,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_union_turns": q_kg_bgp_union_turns,
         "kg_turn_adjacency": q_kg_turn_adjacency,
         "kg_turn_chain_khop": q_kg_turn_chain_khop,
+        "kg_bgp_values_minus": q_kg_bgp_values_minus,
         "kg_path_turn_closure": q_kg_path_turn_closure,
         "kg_path_next_speaker": q_kg_path_next_speaker,
         "streaming_components": q_streaming_components,
@@ -1826,6 +1848,17 @@ _TURN_KHOP_SQL = "WITH RECURSIVE " + _BASE_CTE.strip()[len("WITH "):] + f"""
 )
 SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
 FROM reach GROUP BY node
+"""
+
+# VALUES + MINUS: role IN-list (the inline binding table) and
+# tool IS NULL (no tool triple exists for the turn ↔ the MINUS group
+# finds no compatible solution on the shared ?turn variable).
+_BGP_VALUES_MINUS_SQL = _BASE_CTE + f"""
+SELECT DISTINCT
+  '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS turn,
+  role AS r
+FROM base
+WHERE role IN ('user', 'assistant') AND tool IS NULL
 """
 
 # nextTurn+ closure: the chain edges connect consecutive present turns
@@ -2459,6 +2492,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_union_turns": _BGP_UNION_SQL,
         "kg_turn_adjacency": _ADJACENCY_SQL,
         "kg_turn_chain_khop": _TURN_KHOP_SQL,
+        "kg_bgp_values_minus": _BGP_VALUES_MINUS_SQL,
         "kg_path_turn_closure": _PATH_CLOSURE_SQL,
         "kg_path_next_speaker": _PATH_NEXT_SPEAKER_SQL,
         "streaming_components": _STREAM_CC_SQL,

@@ -51,6 +51,10 @@ def bgp_query(
     allow_cartesian: bool = False,
     optional: list[list[tuple[str, str, str]]] | None = None,
     filters: list[str] | None = None,
+    values: tuple[list[str], list[tuple]] | dict[str, list] | None = None,
+    minus: list[list[tuple[str, str, str]]] | None = None,
+    exists: list[list[tuple[str, str, str]]] | None = None,
+    not_exists: list[list[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """Evaluate a conjunctive triple-pattern query; returns one column
     per variable (without the leading '?'). A variable repeated inside
@@ -68,7 +72,27 @@ def bgp_query(
 
     `filters`: SPARQL FILTER — SQL boolean expressions over the
     variable columns (e.g. ``"idx > '2'"``), applied after all joins
-    (Catalyst pushes them down wherever legal)."""
+    (Catalyst pushes them down wherever legal).
+
+    `values`: SPARQL VALUES — an inline binding table restricting the
+    solutions. Either ``{"?x": [v1, v2, ...]}`` (single variable) or
+    ``(["?x", "?y"], [(a, b), (c, None), ...])`` where ``None`` is
+    SPARQL's UNDEF (matches any binding of that variable on that row).
+    The inline table is tiny by construction, so it joins as a
+    broadcast: a plain equi-join when no UNDEFs appear, else a
+    broadcast theta-join with per-column ``IS NULL OR =`` compatibility.
+
+    `minus` / `exists` / `not_exists`: SPARQL MINUS and FILTER
+    (NOT) EXISTS — each entry is a pattern group evaluated as its own
+    BGP. MINUS drops solutions compatible with some group solution on a
+    shared *bound* variable: a null-unsafe LEFT ANTI join on the shared
+    columns implements this exactly (SPARQL keeps a solution whose
+    shared variables are all unbound — and NULL never equals, so the
+    anti-join keeps it too; a group sharing no variables removes
+    nothing, per spec). EXISTS / NOT EXISTS are a LEFT SEMI / LEFT ANTI
+    join when variables are shared, and degenerate to a whole-query
+    gate on the group's non-emptiness when none are (the spec's
+    correlated-filter semantics for uncorrelated groups)."""
     if not patterns:
         raise ValueError("empty BGP")
 
@@ -139,6 +163,40 @@ def bgp_query(
                 "patterns (cartesian left join)"
             )
         result = result.join(side, on=shared, how="left")
+    if values is not None:
+        result = _apply_values(result, values)
+    for group in minus or []:
+        side = bgp_query(triples, group, allow_cartesian=allow_cartesian)
+        shared = [c for c in side.columns if c in result.columns]
+        if shared:
+            # null-unsafe equality = SPARQL MINUS compatibility on the
+            # shared BOUND domain (see docstring)
+            result = result.join(
+                side.select(*shared).dropDuplicates(),
+                on=shared,
+                how="left_anti",
+            )
+        # no shared variables: SPARQL MINUS removes nothing
+    for kind, groups in (("left_semi", exists), ("left_anti", not_exists)):
+        for group in groups or []:
+            side = bgp_query(triples, group, allow_cartesian=allow_cartesian)
+            shared = [c for c in side.columns if c in result.columns]
+            if shared:
+                result = result.join(
+                    side.select(*shared).dropDuplicates(), on=shared, how=kind
+                )
+            else:
+                # uncorrelated (NOT) EXISTS: one boolean for the whole
+                # query — gate every row on the group's non-emptiness
+                n = F.broadcast(
+                    side.limit(1).select(F.lit(1).alias("__nonempty"))
+                )
+                if kind == "left_semi":
+                    result = result.crossJoin(n).drop("__nonempty")
+                else:
+                    result = result.join(
+                        n, F.lit(True), "left"
+                    ).filter(F.col("__nonempty").isNull()).drop("__nonempty")
     for cond in filters or []:
         result = result.filter(cond)
     if select is not None:
@@ -183,6 +241,50 @@ def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFram
         else:
             df = df.filter(F.col(col) == F.lit(term))
     return df.select(*[F.col(c).alias(n) for n, c in out_cols.items()])
+
+
+def _apply_values(
+    result: DataFrame,
+    values: tuple[list[str], list[tuple]] | dict[str, list],
+) -> DataFrame:
+    """Join the inline VALUES table onto the bindings. The table is
+    literal data (always small), so it is broadcast; rows containing
+    UNDEF (None) fall back to a per-column compatibility predicate."""
+    spark = result.sparkSession
+    if isinstance(values, dict):
+        (var, vals), *rest = values.items()
+        if rest:
+            raise ValueError(
+                "dict VALUES takes exactly one variable; use "
+                "(['?x', '?y'], rows) for multi-variable blocks"
+            )
+        names, rows = [var], [(v,) for v in vals]
+    else:
+        names, rows = values
+    cols = [v.lstrip("?") for v in names]
+    missing = [c for c in cols if c not in result.columns]
+    if missing:
+        raise ValueError(f"VALUES variables not bound by the BGP: {missing}")
+    if not rows:
+        raise ValueError("empty VALUES block")
+    inline = F.broadcast(
+        spark.createDataFrame(
+            [tuple(r) for r in rows], schema=[f"__v_{c}" for c in cols]
+        ).dropDuplicates()
+    )
+    if all(v is not None for r in rows for v in r):
+        cond = None
+        for c in cols:
+            eq = F.col(c) == F.col(f"__v_{c}")
+            cond = eq if cond is None else cond & eq
+    else:
+        # UNDEF rows: compatibility is (undef OR equal) per column
+        cond = None
+        for c in cols:
+            eq = F.col(f"__v_{c}").isNull() | (F.col(c) == F.col(f"__v_{c}"))
+            cond = eq if cond is None else cond & eq
+    joined = result.join(inline, cond, "left_semi")
+    return joined
 
 
 def bgp_union(

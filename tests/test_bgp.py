@@ -246,3 +246,130 @@ def test_union_distinct_collapses_duplicates(triples):
         select=["?t"],
     )
     assert sorted(r["t"] for r in out.collect()) == ["t1", "t2", "t3"]
+
+
+# ---------------------------------------------------------------------------
+# VALUES / MINUS / (NOT) EXISTS (SPARQL 1.1 algebra completion)
+# ---------------------------------------------------------------------------
+
+def test_values_single_var(triples):
+    out = bgp_query(
+        triples,
+        [("?t", V + "role", "?r")],
+        values={"?t": ["t1", "t3", "t9"]},
+    )
+    assert sorted(map(tuple, out.select("t", "r").collect())) == [
+        ("t1", "user"),
+        ("t3", "assistant"),
+    ]
+
+
+def test_values_multi_var_with_undef(triples):
+    # UNDEF conversation on the second row: matches ANY conversation
+    out = bgp_query(
+        triples,
+        [("?t", V + "role", "?r"), ("?t", V + "conversation", "?c")],
+        values=(
+            ["?r", "?c"],
+            [("user", "c1"), ("assistant", None)],
+        ),
+    )
+    assert sorted(map(tuple, out.select("t", "c").collect())) == [
+        ("t1", "c1"),
+        ("t2", "c1"),
+        ("t3", "c2"),
+    ]
+
+
+def test_values_unbound_var_rejected(triples):
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_query(
+            triples, [("?t", V + "role", "?r")], values={"?zzz": ["x"]}
+        )
+
+
+def test_minus_shared_var(triples):
+    # all turns, minus those in conversation c1
+    out = bgp_query(
+        triples,
+        [("?t", TYPE, "Turn")],
+        minus=[[("?t", V + "conversation", "c1")]],
+    )
+    assert sorted(r["t"] for r in out.collect()) == ["t3"]
+
+
+def test_minus_disjoint_vars_removes_nothing(triples):
+    # SPARQL MINUS with no shared variables is a no-op
+    out = bgp_query(
+        triples,
+        [("?t", TYPE, "Turn")],
+        minus=[[("?x", V + "self", "?y")]],
+    )
+    assert out.count() == 3
+
+
+def test_minus_null_shared_var_survives(triples):
+    # OPTIONAL leaves ?c NULL for turns without a conversation triple;
+    # SPARQL keeps such solutions (shared BOUND domain is empty) and the
+    # null-unsafe anti-join must too
+    extra = [("t9", TYPE, "Turn")]
+    df = triples.sparkSession.createDataFrame(
+        TRIPLES + extra, ["subj", "pred", "obj"]
+    )
+    out = bgp_query(
+        df,
+        [("?t", TYPE, "Turn")],
+        optional=[[("?t", V + "conversation", "?c")]],
+        minus=[[("?z", V + "conversation", "?c")]],
+    )
+    assert sorted(r["t"] for r in out.collect()) == ["t9"]
+
+
+def test_not_exists_shared_var(triples):
+    out = bgp_query(
+        triples,
+        [("?t", TYPE, "Turn")],
+        not_exists=[[("?t", V + "role", "assistant")]],
+    )
+    assert sorted(r["t"] for r in out.collect()) == ["t1"]
+
+
+def test_exists_shared_var(triples):
+    out = bgp_query(
+        triples,
+        [("?t", TYPE, "Turn")],
+        exists=[[("?t", V + "role", "assistant")]],
+    )
+    assert sorted(r["t"] for r in out.collect()) == ["t2", "t3"]
+
+
+def test_uncorrelated_not_exists_gates_whole_query(triples):
+    # group matches something → every row filtered out
+    none = bgp_query(
+        triples,
+        [("?t", TYPE, "Turn")],
+        not_exists=[[("?x", V + "self", "?y")]],
+    )
+    assert none.count() == 0
+    # group matches nothing → no-op
+    all_ = bgp_query(
+        triples,
+        [("?t", TYPE, "Turn")],
+        not_exists=[[("?x", V + "nosuch", "?y")]],
+    )
+    assert all_.count() == 3
+
+
+def test_uncorrelated_exists_gates_whole_query(triples):
+    kept = bgp_query(
+        triples,
+        [("?t", TYPE, "Turn")],
+        exists=[[("?x", V + "self", "?y")]],
+    )
+    assert kept.count() == 3
+    dropped = bgp_query(
+        triples,
+        [("?t", TYPE, "Turn")],
+        exists=[[("?x", V + "nosuch", "?y")]],
+    )
+    assert dropped.count() == 0
