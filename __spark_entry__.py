@@ -688,6 +688,43 @@ def q_kg_bgp_values_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("turn", "r")
 
 
+def q_kg_construct_responds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (bgp_construct): derive new KG edges from a
+    binding template — ``?a respondsTo ?u`` wherever a user turn ?u is
+    immediately followed (nextTurn) by an assistant turn ?a. The WHERE
+    block joins the adjacency relation with two role patterns; the
+    template instantiation is a projection and the result is a new
+    (subj, pred, obj) triple table ready to union into the KG. Oracle:
+    the consecutive-turn self-join with role predicates in SQL."""
+    from json_ld_spark.operators.bgp import bgp_construct
+    from json_ld_spark.operators.native import (
+        transcript_adjacency_native,
+        transcript_triples_native,
+    )
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    allt = (
+        transcript_triples_native(t, with_doc_id=False)
+        .select("subj", "pred", "obj")
+        .unionByName(
+            transcript_adjacency_native(t, with_doc_id=False).select(
+                "subj", "pred", "obj"
+            )
+        )
+    )
+    out = bgp_construct(
+        allt,
+        [
+            ("?u", _V + "role", "user"),
+            ("?u", _V + "nextTurn", "?a"),
+            ("?a", _V + "role", "assistant"),
+        ],
+        template=[("?a", _V + "respondsTo", "?u")],
+    )
+    return out.select("subj", "pred", "obj")
+
+
 def q_kg_path_turn_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 property path ``nextTurn+`` (operators/paths.py):
     semi-naive transitive closure over the per-conversation turn-chain
@@ -1293,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turn_adjacency": q_kg_turn_adjacency,
         "kg_turn_chain_khop": q_kg_turn_chain_khop,
         "kg_bgp_values_minus": q_kg_bgp_values_minus,
+        "kg_construct_responds": q_kg_construct_responds,
         "kg_path_turn_closure": q_kg_path_turn_closure,
         "kg_path_next_speaker": q_kg_path_next_speaker,
         "streaming_components": q_streaming_components,
@@ -1859,6 +1897,23 @@ SELECT DISTINCT
   role AS r
 FROM base
 WHERE role IN ('user', 'assistant') AND tool IS NULL
+"""
+
+# CONSTRUCT respondsTo: consecutive (user → assistant) turn pairs via
+# the LEAD adjacency, template-instantiated as reversed edges.
+_CONSTRUCT_RESPONDS_SQL = _BASE_CTE + f"""
+, adj AS (
+  SELECT conv_id, turn_idx, role,
+         LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt_role
+  FROM base
+)
+SELECT DISTINCT
+  '{_CB}' || conv_id || '/turn/' || CAST(nxt AS VARCHAR) AS subj,
+  '{_V}respondsTo' AS pred,
+  '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS obj
+FROM adj
+WHERE role = 'user' AND nxt_role = 'assistant'
 """
 
 # nextTurn+ closure: the chain edges connect consecutive present turns
@@ -2493,6 +2548,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_turn_adjacency": _ADJACENCY_SQL,
         "kg_turn_chain_khop": _TURN_KHOP_SQL,
         "kg_bgp_values_minus": _BGP_VALUES_MINUS_SQL,
+        "kg_construct_responds": _CONSTRUCT_RESPONDS_SQL,
         "kg_path_turn_closure": _PATH_CLOSURE_SQL,
         "kg_path_next_speaker": _PATH_NEXT_SPEAKER_SQL,
         "streaming_components": _STREAM_CC_SQL,

@@ -243,6 +243,67 @@ def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFram
     return df.select(*[F.col(c).alias(n) for n, c in out_cols.items()])
 
 
+def bgp_ask(triples: DataFrame, patterns: list[tuple[str, str, str]], **kw) -> bool:
+    """SPARQL ASK: does the pattern have at least one solution?
+    Evaluates the BGP lazily and probes one row — Spark stops the scan
+    at the first match (LocalLimit pushes through the join tree's
+    streaming side), so an ASK never materializes the full binding
+    set."""
+    return not bgp_query(triples, patterns, distinct=False, **kw).isEmpty()
+
+
+def bgp_construct(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    **kw,
+) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate `template` triple patterns once
+    per solution of the WHERE block, returning a new (subj, pred, obj)
+    triple table (deduplicated — CONSTRUCT produces a graph, i.e. a
+    set). Template terms are either ``?var`` references into the
+    binding columns or constants. Solutions leaving any template
+    variable NULL (e.g. from OPTIONAL) drop that template triple, per
+    spec. This is the derive-new-edges primitive: the bindings stay a
+    DataFrame, instantiation is a projection, and the result unions
+    into the source KG as just another triple source."""
+    bindings = bgp_query(triples, patterns, **kw)
+    out: DataFrame | None = None
+    for s, p, o in template:
+        row = bindings.select(
+            *(
+                (F.col(t[1:]) if _is_var(t) else F.lit(t)).alias(c)
+                for c, t in zip(_POS_COLS, (s, p, o))
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("empty CONSTRUCT template")
+    return (
+        out.where(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        ).dropDuplicates()
+    )
+
+
+def bgp_describe(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    var: str,
+    **kw,
+) -> DataFrame:
+    """SPARQL DESCRIBE (concise-bounded-description style, one level):
+    every triple whose subject is a binding of `var` — a LEFT SEMI join
+    of the triple table against the matched node set, so the output is
+    a sub-KG, not a binding table."""
+    nodes = bgp_query(triples, patterns, select=[var], **kw).select(
+        F.col(var.lstrip("?")).alias("subj")
+    )
+    return triples.join(nodes.dropDuplicates(), on="subj", how="left_semi")
+
+
 def _apply_values(
     result: DataFrame,
     values: tuple[list[str], list[tuple]] | dict[str, list],

@@ -373,3 +373,78 @@ def test_uncorrelated_exists_gates_whole_query(triples):
         exists=[[("?x", V + "nosuch", "?y")]],
     )
     assert dropped.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ASK / CONSTRUCT / DESCRIBE query forms
+# ---------------------------------------------------------------------------
+
+def test_ask(triples):
+    from json_ld_spark.operators.bgp import bgp_ask
+
+    assert bgp_ask(triples, [("?t", V + "role", "assistant")])
+    assert not bgp_ask(triples, [("?t", V + "role", "narrator")])
+
+
+def test_construct_derives_new_edges(triples):
+    from json_ld_spark.operators.bgp import bgp_construct
+
+    out = bgp_construct(
+        triples,
+        [
+            ("?u", V + "role", "user"),
+            ("?u", V + "conversation", "?c"),
+            ("?a", V + "role", "assistant"),
+            ("?a", V + "conversation", "?c"),
+        ],
+        template=[("?a", V + "respondsTo", "?u")],
+    )
+    assert out.columns == ["subj", "pred", "obj"]
+    assert sorted(map(tuple, out.collect())) == [
+        ("t2", V + "respondsTo", "t1")
+    ]
+
+
+def test_construct_multi_template_and_constants(triples):
+    from json_ld_spark.operators.bgp import bgp_construct
+
+    out = bgp_construct(
+        triples,
+        [("?t", V + "role", "assistant")],
+        template=[
+            ("?t", TYPE, "AssistantTurn"),
+            ("?t", V + "flagged", "true"),
+        ],
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert (
+        ("t2", TYPE, "AssistantTurn") in got
+        and ("t3", V + "flagged", "true") in got
+        and len(got) == 4
+    )
+
+
+def test_construct_null_binding_drops_triple(triples):
+    from json_ld_spark.operators.bgp import bgp_construct
+
+    # ?tool is NULL for assistant turns without a tool triple: that
+    # template instantiation must be dropped, not emitted with NULL
+    out = bgp_construct(
+        triples,
+        [("?t", V + "role", "assistant")],
+        template=[("?t", V + "usedTool", "?tool")],
+        optional=[[("?t", V + "tool", "?tool")]],
+    )
+    assert out.count() == 0  # no tool triples in the fixture at all
+
+
+def test_describe(triples):
+    from json_ld_spark.operators.bgp import bgp_describe
+
+    out = bgp_describe(triples, [("?t", V + "role", "user")], "?t")
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        ("t1", TYPE, "Turn"),
+        ("t1", V + "conversation", "c1"),
+        ("t1", V + "role", "user"),
+    ]
