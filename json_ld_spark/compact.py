@@ -662,19 +662,26 @@ def compact_value(
                 x = compact_iri(active, x, vocab=True, options=options)
             out[alias] = x
         return out
-    if "@language" in value:
-        if (
-            value.get("@language") == language
-            and value.get("@direction", None) == direction
-            and "@index" not in value
-        ):
+    # §12 step 9: a string value compacts to the bare string iff BOTH
+    # the language and the direction of the value match the active
+    # mappings — null matching null, values matching case-insensitively
+    # (language) / exactly (direction). A direction-only value (e.g.
+    # {"@value": "x", "@direction": "rtl"} under a term with
+    # @direction: rtl) therefore compacts too.
+    val_lang = value.get("@language")
+    val_dir = value.get("@direction")
+    lang_match = (val_lang is None and language is None) or (
+        isinstance(val_lang, str)
+        and isinstance(language, str)
+        and val_lang.lower() == language.lower()
+    )
+    dir_match = (val_dir is None and direction is None) or (
+        val_dir is not None and val_dir == direction
+    )
+    if isinstance(v, str):
+        if lang_match and dir_match and "@index" not in value:
             return v
-    elif isinstance(v, str):
-        if (language is None or (td is not None and td.language is None)) and (
-            direction is None or (td is not None and td.direction is None)
-        ) and "@index" not in value:
-            return v
-    elif not isinstance(v, str) and "@index" not in value:
+    elif "@index" not in value:
         return v
     out = {}
     for k, x in value.items():

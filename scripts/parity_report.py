@@ -22,7 +22,14 @@ SUITE = json.loads((REPO / "tests/fixtures/golden_suite.json").read_text())
 SUITE_V2 = json.loads((REPO / "tests/fixtures/golden_suite_v2.json").read_text())
 SUITE_V3 = json.loads((REPO / "tests/fixtures/golden_suite_v3.json").read_text())
 SUITE_V4 = json.loads((REPO / "tests/fixtures/golden_suite_v4.json").read_text())
-CASES = SUITE["cases"] + SUITE_V2["cases"] + SUITE_V3["cases"] + SUITE_V4["cases"]
+SUITE_V5 = json.loads((REPO / "tests/fixtures/golden_suite_v5.json").read_text())
+CASES = (
+    SUITE["cases"]
+    + SUITE_V2["cases"]
+    + SUITE_V3["cases"]
+    + SUITE_V4["cases"]
+    + SUITE_V5["cases"]
+)
 
 
 def main() -> None:
