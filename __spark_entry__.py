@@ -816,6 +816,67 @@ def q_kg_bgp_dialogue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("u", "a", "conv")
 
 
+def q_kg_bgp_agg_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SELECT aggregation (operators/bgp.py bgp_select): per
+    (conversation, role) turn counts with min/max turn index and a
+    HAVING gate. The aggregation runs as a map-side-partial groupBy on
+    the joined bindings — the shuffle carries one row per group per
+    partition, which is what lets the same query run over a 100 TB
+    triple table. Oracle: identical GROUP BY/HAVING over the replayed
+    triple table."""
+    from json_ld_spark.operators.bgp import bgp_select
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    triples = transcript_triples_native(t)
+    out = bgp_select(
+        triples,
+        [
+            ("?t", _V + "conversation", "?conv"),
+            ("?t", _V + "role", "?role"),
+            ("?t", _V + "turnIndex", "?idx"),
+        ],
+        group_by=["?conv", "?role"],
+        aggregates={
+            "?n": "COUNT(*)",
+            "?min_idx": "min(cast(?idx as int))",
+            "?max_idx": "max(cast(?idx as int))",
+        },
+        having=["?n >= 2"],
+    )
+    return out.select("conv", "role", "n", "min_idx", "max_idx")
+
+
+def q_kg_bgp_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SELECT solution modifiers end-to-end: GROUP BY +
+    deterministic GROUP_CONCAT, ORDER BY (count DESC, conv ASC — a
+    total order, so the page is reproducible), LIMIT 10 OFFSET 5.
+    Catalyst turns the sort+limit into TakeOrderedAndProject
+    (per-partition top-K, single merge) instead of a global sort.
+    Oracle: string_agg(... ORDER BY ...) + the same page in DuckDB."""
+    from json_ld_spark.operators.bgp import bgp_select, group_concat
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    triples = transcript_triples_native(t)
+    out = bgp_select(
+        triples,
+        [
+            ("?t", _V + "conversation", "?conv"),
+            ("?t", _V + "role", "?role"),
+        ],
+        group_by=["?conv"],
+        aggregates={
+            "?n": "COUNT(*)",
+            "?roles": group_concat("?role", ","),
+        },
+        order_by=["DESC(?n)", "?conv"],
+        limit=10,
+        offset=5,
+    )
+    return out.select("conv", "n", "roles")
+
+
 def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HLL register table over l_orderkey (operators/
     sketches.py): md5-bridge hash, integer-only bucket/rank math —
@@ -1330,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turn_adjacency": q_kg_turn_adjacency,
         "kg_turn_chain_khop": q_kg_turn_chain_khop,
         "kg_bgp_values_minus": q_kg_bgp_values_minus,
+        "kg_bgp_agg_roles": q_kg_bgp_agg_roles,
+        "kg_bgp_topk_convs": q_kg_bgp_topk_convs,
         "kg_construct_responds": q_kg_construct_responds,
         "kg_path_turn_closure": q_kg_path_turn_closure,
         "kg_path_next_speaker": q_kg_path_next_speaker,
@@ -2095,6 +2158,29 @@ JOIN triples ac ON ac.subj = a.subj AND ac.pred = '{_V}conversation'
 WHERE u.pred = '{_V}role' AND u.obj = 'user'
 """
 
+_BGP_AGG_SQL = _TRIPLES_CTE + f"""
+SELECT c.obj AS conv, r.obj AS role, COUNT(*) AS n,
+       MIN(CAST(i.obj AS INT)) AS min_idx,
+       MAX(CAST(i.obj AS INT)) AS max_idx
+FROM triples c
+JOIN triples r ON r.subj = c.subj AND r.pred = '{_V}role'
+JOIN triples i ON i.subj = c.subj AND i.pred = '{_V}turnIndex'
+WHERE c.pred = '{_V}conversation'
+GROUP BY c.obj, r.obj
+HAVING COUNT(*) >= 2
+"""
+
+_BGP_TOPK_SQL = _TRIPLES_CTE + f"""
+SELECT c.obj AS conv, COUNT(*) AS n,
+       string_agg(r.obj, ',' ORDER BY r.obj) AS roles
+FROM triples c
+JOIN triples r ON r.subj = c.subj AND r.pred = '{_V}role'
+WHERE c.pred = '{_V}conversation'
+GROUP BY c.obj
+ORDER BY n DESC, conv
+LIMIT 10 OFFSET 5
+"""
+
 # All-pairs simhash oracle (md5 token hash = bit-identical across
 # engines; pigeonhole recall of the Spark block-LSH is exactly 1.0 for
 # hamming < n_blocks, so all-pairs equals the LSH output)
@@ -2542,6 +2628,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,
         "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
+        "kg_bgp_agg_roles": _BGP_AGG_SQL,
+        "kg_bgp_topk_convs": _BGP_TOPK_SQL,
         "kg_bgp_dialogue_pairs": _BGP_PAIRS_SQL,
         "kg_bgp_optional_tool": _BGP_OPTIONAL_SQL,
         "kg_bgp_union_turns": _BGP_UNION_SQL,

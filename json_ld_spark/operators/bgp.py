@@ -34,9 +34,19 @@ path syntax is never sniffed out of a string).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 _POS_COLS = ("subj", "pred", "obj")
+
+_VAR_RE = re.compile(r"\?([A-Za-z_]\w*)")
+
+
+def _sub_vars(expr: str) -> str:
+    """Rewrite SPARQL ``?var`` references in a SQL expression to the
+    bare binding-column names (``?idx > 2`` -> ``idx > 2``)."""
+    return _VAR_RE.sub(r"\1", expr)
 
 
 def _is_var(term: str) -> bool:
@@ -346,6 +356,121 @@ def _apply_values(
             cond = eq if cond is None else cond & eq
     joined = result.join(inline, cond, "left_semi")
     return joined
+
+
+def group_concat(var: str, sep: str = " ") -> str:
+    """SPARQL ``GROUP_CONCAT(?var; SEPARATOR=sep)`` as a deterministic
+    Spark aggregate expression. SPARQL leaves the concatenation order
+    undefined; a distributed engine MUST pin it or the result differs
+    run-to-run with partitioning — we sort the collected values
+    (``array_sort(collect_list(...))``), which is also the only way the
+    same query gives the same bytes on 1 executor and on 1000."""
+    q = sep.replace("'", "\\'")
+    return f"array_join(array_sort(collect_list({var.lstrip('?')})), '{q}')"
+
+
+def bgp_select(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    *,
+    bind: list[tuple[str, str]] | None = None,
+    group_by: list[str] | None = None,
+    aggregates: dict[str, str] | None = None,
+    having: list[str] | None = None,
+    order_by: list[str] | None = None,
+    limit: int | None = None,
+    offset: int | None = None,
+    select: list[str] | None = None,
+    distinct: bool = False,
+    **bgp_kw,
+) -> DataFrame:
+    """Full SPARQL 1.1 SELECT over a BGP: the `bgp_query` algebra
+    (OPTIONAL/FILTER/VALUES/MINUS/EXISTS via ``**bgp_kw``) followed by
+    the solution-modifier pipeline in the spec's order —
+    BIND/extend, GROUP BY + aggregates, HAVING, projection, DISTINCT,
+    ORDER BY, OFFSET/LIMIT.
+
+    * ``bind`` — ordered ``("?new", "expr over ?vars")`` pairs
+      (SPARQL BIND/extend). The target must be unbound, per spec;
+      expressions are Spark SQL with ``?var`` references substituted,
+      so they stay JVM-side (whole-stage codegen), never a Python UDF.
+    * ``group_by`` + ``aggregates`` — ``aggregates`` maps result alias
+      to an aggregate expression over ``?vars`` (``COUNT(*)``,
+      ``count(distinct ?t)``, ``sum/min/max/avg(?x)``, or
+      :func:`group_concat`). An empty/None ``group_by`` with
+      aggregates is SPARQL's single implicit group. Spark computes
+      every aggregate with a map-side partial, so the shuffle carries
+      one row per (partition, group), not per solution — the 100 TB
+      behavior a naive sort-group would not have. SPARQL's SAMPLE(?x)
+      is nondeterministic by spec; write ``min(?x)`` for a
+      deterministic pick.
+    * ``having`` — boolean expressions over group keys/aliases,
+      filtered post-aggregation.
+    * ``order_by`` — ``"?v"`` / ``"ASC(?v)"`` ascending,
+      ``"-?v"`` / ``"DESC(?v)"`` descending. A global ORDER BY is a
+      range-partitioned total sort; with a LIMIT, Catalyst rewrites it
+      to TakeOrderedAndProject (per-partition top-K + single merge), so
+      ``order_by + limit`` is cheap at any scale while an unbounded
+      total sort of a 100 TB result is intentionally explicit.
+    * ``limit`` / ``offset`` — require ``order_by`` (a page of an
+      unordered distributed result is nondeterministic; SPARQL allows
+      it, a reproducible engine shouldn't).
+    * ``select`` — projection AFTER aggregation: group keys and
+      aggregate aliases only, like SPARQL. ``distinct`` applies to the
+      projected solutions. Order-by columns must survive projection.
+    """
+    result = bgp_query(triples, patterns, distinct=False, **bgp_kw)
+    for var, expr in bind or []:
+        name = var.lstrip("?")
+        if name in result.columns:
+            raise ValueError(
+                f"BIND target ?{name} is already bound (SPARQL forbids "
+                "rebinding; pick a fresh variable)"
+            )
+        result = result.withColumn(name, F.expr(_sub_vars(expr)))
+    if aggregates:
+        # SPARQL aggregation is over the DISTINCT solution multiset of
+        # the group pattern only when the inner query says so; the
+        # bgp_query above already ran with distinct=False, and callers
+        # wanting set semantics write count(distinct ?x) etc.
+        aggs = [
+            F.expr(_sub_vars(expr)).alias(alias.lstrip("?"))
+            for alias, expr in aggregates.items()
+        ]
+        keys = [v.lstrip("?") for v in group_by or []]
+        result = result.groupBy(*keys).agg(*aggs) if keys else result.agg(*aggs)
+    elif group_by:
+        raise ValueError("group_by given without aggregates")
+    for cond in having or []:
+        result = result.filter(_sub_vars(cond))
+    if select is not None:
+        result = result.select(*[v.lstrip("?") for v in select])
+    if distinct:
+        result = result.dropDuplicates()
+    if order_by:
+        sort_cols = []
+        for spec in order_by:
+            s = spec.strip()
+            desc = False
+            if s.upper().startswith("DESC(") and s.endswith(")"):
+                s, desc = s[5:-1].strip(), True
+            elif s.upper().startswith("ASC(") and s.endswith(")"):
+                s = s[4:-1].strip()
+            elif s.startswith("-"):
+                s, desc = s[1:].strip(), True
+            col = F.col(s.lstrip("?"))
+            sort_cols.append(col.desc() if desc else col.asc())
+        result = result.orderBy(*sort_cols)
+    if (limit is not None or offset is not None) and not order_by:
+        raise ValueError(
+            "LIMIT/OFFSET without ORDER BY selects a nondeterministic "
+            "page of a distributed result; add order_by"
+        )
+    if offset is not None:
+        result = result.offset(offset)
+    if limit is not None:
+        result = result.limit(limit)
+    return result
 
 
 def bgp_union(

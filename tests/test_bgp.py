@@ -448,3 +448,131 @@ def test_describe(triples):
         ("t1", V + "conversation", "c1"),
         ("t1", V + "role", "user"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# bgp_select: SPARQL SELECT solution modifiers + aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_select_aggregate_group_by(triples):
+    from json_ld_spark.operators.bgp import bgp_select
+
+    out = bgp_select(
+        triples,
+        [("?t", V + "role", "?r"), ("?t", V + "conversation", "?c")],
+        group_by=["?c"],
+        aggregates={"?n": "COUNT(*)", "?roles": "count(distinct ?r)"},
+    )
+    got = {r["c"]: (r["n"], r["roles"]) for r in out.collect()}
+    assert got == {"c1": (2, 2), "c2": (1, 1)}
+
+
+def test_select_implicit_single_group(triples):
+    from json_ld_spark.operators.bgp import bgp_select
+
+    out = bgp_select(
+        triples,
+        [("?t", V + "role", "?r")],
+        aggregates={"?n": "COUNT(*)", "?mx": "max(?r)"},
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0]["n"], rows[0]["mx"]) == (3, "user")
+
+
+def test_select_having(triples):
+    from json_ld_spark.operators.bgp import bgp_select
+
+    out = bgp_select(
+        triples,
+        [("?t", V + "conversation", "?c")],
+        group_by=["?c"],
+        aggregates={"?n": "COUNT(*)"},
+        having=["?n >= 2"],
+    )
+    assert [(r["c"], r["n"]) for r in out.collect()] == [("c1", 2)]
+
+
+def test_select_bind_and_filter_expression(triples):
+    from json_ld_spark.operators.bgp import bgp_select
+
+    out = bgp_select(
+        triples,
+        [("?t", V + "role", "?r")],
+        bind=[("?tag", "concat(?r, ':', ?t)")],
+        order_by=["?tag"],
+    )
+    assert [r["tag"] for r in out.collect()] == [
+        "assistant:t2",
+        "assistant:t3",
+        "user:t1",
+    ]
+
+
+def test_select_bind_rejects_rebinding(triples):
+    from json_ld_spark.operators.bgp import bgp_select
+
+    with pytest.raises(ValueError, match="already bound"):
+        bgp_select(
+            triples,
+            [("?t", V + "role", "?r")],
+            bind=[("?r", "upper(?r)")],
+        )
+
+
+def test_select_order_limit_offset(triples):
+    from json_ld_spark.operators.bgp import bgp_select
+
+    base = dict(order_by=["DESC(?t)"])
+    all_t = bgp_select(triples, [("?t", V + "role", "?r")], **base)
+    assert [r["t"] for r in all_t.collect()] == ["t3", "t2", "t1"]
+    page = bgp_select(
+        triples, [("?t", V + "role", "?r")], limit=1, offset=1, **base
+    )
+    assert [r["t"] for r in page.collect()] == ["t2"]
+
+
+def test_select_limit_requires_order(triples):
+    from json_ld_spark.operators.bgp import bgp_select
+
+    with pytest.raises(ValueError, match="ORDER BY"):
+        bgp_select(triples, [("?t", V + "role", "?r")], limit=1)
+
+
+def test_select_group_by_requires_aggregates(triples):
+    from json_ld_spark.operators.bgp import bgp_select
+
+    with pytest.raises(ValueError, match="without aggregates"):
+        bgp_select(triples, [("?t", V + "role", "?r")], group_by=["?r"])
+
+
+def test_select_group_concat_deterministic(triples):
+    from json_ld_spark.operators.bgp import bgp_select, group_concat
+
+    out = bgp_select(
+        triples,
+        [("?t", V + "conversation", "?c")],
+        group_by=["?c"],
+        aggregates={"?ts": group_concat("?t", ",")},
+        order_by=["?c"],
+    )
+    assert [(r["c"], r["ts"]) for r in out.collect()] == [
+        ("c1", "t1,t2"),
+        ("c2", "t3"),
+    ]
+
+
+def test_select_composes_with_optional_and_minus(triples):
+    from json_ld_spark.operators.bgp import bgp_select
+
+    # count turns per conversation, excluding user turns via MINUS
+    out = bgp_select(
+        triples,
+        [("?t", V + "conversation", "?c")],
+        minus=[[("?t", V + "role", "user")]],
+        group_by=["?c"],
+        aggregates={"?n": "COUNT(*)"},
+        order_by=["?c"],
+    )
+    assert [(r["c"], r["n"]) for r in out.collect()] == [("c1", 1), ("c2", 1)]
