@@ -1112,6 +1112,71 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py):
+    per-document md5-bridge bucket → 80/10/10 split with NO shuffle and
+    no RNG state — the assignment is a pure projection, invariant to
+    partitioning and cluster size (randomSplit is neither). Returns the
+    per-split doc counts and char volume; the oracle replays the exact
+    bucket math."""
+    from json_ld_spark.operators import sampling as sp
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = (
+        sp.hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    return out.select("split", "n_docs", "chars")
+
+
+def q_data_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling by language: down-sample the
+    majority language (en 20%) while keeping more of the tails (de 80%,
+    zh 50%); unlisted strata drop. Hash-threshold selection — the
+    sample is a filter, not an RNG draw, so it is reproducible and
+    monotone in the fraction."""
+    from json_ld_spark.operators import sampling as sp
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = sp.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.2, "de": 0.8, "zh": 0.5}
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def q_data_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic sample per group: 10 docs per language,
+    ranked inside each language by (hash bucket, doc_id) so the pick is
+    input-order-invariant. One shuffle on the group key; rank<=n caps
+    every group. Oracle: the same ROW_NUMBER in DuckDB."""
+    from json_ld_spark.operators import sampling as sp
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = sp.sample_per_key(docs, ["lang"], "doc_id", 10)
+    return out.select("doc_id", "lang")
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (operators/retrieval.py) for a fixed
+    query over the documents corpus: postings pre-filtered to the query
+    terms BEFORE any shuffle, per-doc score sum as one partial agg,
+    top-20 via TakeOrderedAndProject. Scores rounded to 6 dp (absorbs
+    float sum-order divergence, repo oracle convention)."""
+    from json_ld_spark.operators import retrieval as rt
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = rt.bm25(docs, ["shuffle", "join", "window"], top_k=20)
+    return out.select("doc_id", "score", "n_hit")
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
@@ -1409,6 +1474,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_canonicalize_distributed": q_jsonld_canonicalize_distributed,
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
+        "data_hash_split": q_data_hash_split,
+        "data_stratified_sample": q_data_stratified_sample,
+        "data_sample_per_key": q_data_sample_per_key,
+        "text_bm25_topk": q_text_bm25_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_image_features": q_multimodal_image_features,
@@ -2466,6 +2535,86 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+# sampling/split oracles: the md5-bridge bucket replayed exactly
+# (same recipe as the sketch oracles), so split membership is
+# bit-identical across engines
+_SPLIT_SQL = r"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS chars
+FROM b GROUP BY 1
+"""
+
+_STRAT_SAMPLE_SQL = r"""
+WITH b AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source FROM b
+WHERE (lang = 'en' AND bucket < 2000)
+   OR (lang = 'de' AND bucket < 8000)
+   OR (lang = 'zh' AND bucket < 5000)
+"""
+
+_SAMPLE_PER_KEY_SQL = r"""
+WITH rk AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('perkey|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 10000,
+                    doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM rk WHERE rk <= 10
+"""
+
+# BM25 oracle: same token normalization as the simhash/fingerprint
+# oracles; expression association mirrors retrieval.bm25 exactly so the
+# only cross-engine divergence is the per-doc SUM order (round 6)
+_BM25_SQL = r"""
+WITH words AS (
+  SELECT doc_id, t.e AS term
+  FROM documents CROSS JOIN UNNEST(
+    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t(e)
+  WHERE t.e <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM words WHERE term IN ('shuffle', 'join', 'window')
+  GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), dl AS (
+  SELECT doc_id,
+         len(list_filter(
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+           x -> x <> '')) AS dl
+  FROM documents
+), consts AS (
+  SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+         (SELECT AVG(dl) FROM dl)::DOUBLE AS avgdl
+)
+SELECT doc_id,
+       ROUND(SUM(
+         ln(1 + (n - df + 0.5) / (df + 0.5))
+           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       ), 6) AS score,
+       COUNT(*) AS n_hit
+FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
 _TEXT_STATS_SQL = r"""
 WITH w AS (
   SELECT doc_id, text,
@@ -2651,6 +2800,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_near_duplicates": _ANN_NEAR_DUP_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
+        "data_hash_split": _SPLIT_SQL,
+        "data_stratified_sample": _STRAT_SAMPLE_SQL,
+        "data_sample_per_key": _SAMPLE_PER_KEY_SQL,
+        "text_bm25_topk": _BM25_SQL,
         "multimodal_features": _MM_FEATURES_SQL,
         "multimodal_audio_features": _AUDIO_FEATURES_SQL,
         "multimodal_image_features": _IMAGE_FEATURES_SQL,

@@ -1,0 +1,154 @@
+"""Ranked full-text retrieval over a document corpus: TF-IDF term
+weights and BM25 query scoring — the classic lexical-retrieval stack a
+training-data pipeline uses for corpus curation (find documents about
+X, weight duplicates, build hard negatives for embedding training).
+
+Everything is DataFrame algebra with exactly the shuffles the problem
+requires and no more:
+
+* `term_freqs` — explode(words) + groupBy(doc, term): ONE shuffle,
+  map-side partial counts, state one long per (doc, term).
+* `doc_freqs` / `tfidf` — a second groupBy(term) over the already
+  per-doc-deduped terms; df state is one long per term.
+* `bm25` — the query is a handful of terms, so the term postings are
+  pre-filtered with an `isin` (pushed to the scan) BEFORE any shuffle:
+  the join carries only matching postings, never the corpus. The
+  per-document score sum is a groupBy(doc) partial agg; top-k is
+  orderBy+limit, which Catalyst executes as TakeOrderedAndProject
+  (per-partition heap + single merge — no global sort at any scale).
+
+Float determinism: scores are IEEE-double expressions of integer
+counts, identical across engines except for addend order in the final
+per-doc SUM; round(score, 6) absorbs that (the repo-wide oracle
+convention, see __spark_entry__ determinism notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _words(col: Column) -> Column:
+    # the corpus-wide token normalization (same as textops/simhash):
+    # lower, trim, split on whitespace runs
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def term_freqs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf) — raw term counts per document."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_words(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl) — whitespace token count per document (BM25's
+    length normalizer). A pure projection, no shuffle."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(_words(F.col(text_col)), lambda w: w != F.lit(""))).alias(
+            "dl"
+        ),
+    )
+
+
+def doc_freqs(tf: DataFrame) -> DataFrame:
+    """(term, df) from a `term_freqs` table — documents containing the
+    term. `tf` is already one row per (doc, term), so this is a plain
+    count, not a count_distinct (no expanded agg state)."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf) with the smoothed formulation
+    ``(1 + ln(tf)) * ln((N + 1) / (df + 1))`` — strictly positive,
+    defined for every present term. Pass `n_docs` when the caller
+    already knows the corpus size (saves a count job); otherwise it is
+    computed once on the driver (a scalar, not a collect of data)."""
+    tf = term_freqs(docs, id_col, text_col)
+    n = n_docs if n_docs is not None else docs.count()
+    df = doc_freqs(tf)
+    return tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            (F.lit(1.0) + F.log(F.col("tf").cast("double")))
+            * F.log(F.lit(float(n + 1)) / (F.col("df").cast("double") + 1.0))
+        ).alias("tfidf"),
+    )
+
+
+def bm25(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """Score every document containing >= 1 query term with Okapi BM25
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5))) and return
+    (doc_id, score, n_hit) — `n_hit` = how many distinct query terms
+    matched. With `top_k`, results are the deterministic top page
+    ordered by (score desc, doc_id asc).
+
+    N and avgdl are corpus scalars; at repeated-query scale compute
+    them once and pass them in. df (document frequency) is computed on
+    the POST-filter postings — identical to corpus df for the query
+    terms, at a fraction of the shuffle."""
+    terms = sorted({t for t in (q.strip().lower() for q in query_terms) if t})
+    if not terms:
+        raise ValueError("empty query")
+    n = n_docs if n_docs is not None else docs.count()
+    if avgdl is None:
+        dl_tbl = doc_lengths(docs, id_col, text_col)
+        avgdl = float(dl_tbl.agg(F.avg("dl")).first()[0] or 1.0)
+
+    tf = term_freqs(docs, id_col, text_col).filter(F.col("term").isin(terms))
+    df = doc_freqs(tf)
+    dl = doc_lengths(docs, id_col, text_col)
+
+    tf_d = F.col("tf").cast("double")
+    df_d = F.col("df").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n)) - df_d + 0.5) / (df_d + 0.5)
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    contrib = idf * tf_d * (k1 + 1.0) / (tf_d + norm)
+
+    scored = (
+        tf.join(df, "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+    )
+    if top_k is not None:
+        scored = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+            top_k
+        )
+    return scored

@@ -1,0 +1,136 @@
+"""Deterministic dataset splitting and sampling for training-data
+pipelines: hash-based train/val/test splits, stratified sampling, and
+fixed-size per-key samples.
+
+Why not `DataFrame.randomSplit` / `sample`? Their assignment depends on
+partition layout and traversal order, so the "same" split changes when
+the cluster size, file order, or AQE plan changes — a training/eval
+leak waiting to happen at 100 TB. Everything here derives the decision
+from a hash of a caller-named key column instead:
+
+* reproducible across reruns, partitionings, and engine versions;
+* zero-shuffle: split/sample assignment is a pure projection, so it
+  composes with any downstream plan without adding an Exchange;
+* cross-engine replayable: the bucket is the repo's md5 bridge
+  (first 8 md5 hex chars as a big-endian int — the same recipe the
+  sketch/fingerprint oracles replay bit-for-bit in DuckDB).
+
+The reference engine (timothee-haudebourg/json-ld) stops at document
+processing; these are the corpus-management operators its users need
+next to the KG (see SURVEY.md "LLM-data-pipeline" inventory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: bucket resolution: fractions are quantized to 1/10000
+N_BUCKETS = 10_000
+
+
+def split_bucket(col: Column, seed: str = "") -> Column:
+    """Deterministic bucket in [0, N_BUCKETS) from a key column: the
+    md5-bridge hash of ``seed + "|" + key``. Changing `seed` produces
+    an independent assignment (fresh folds without touching the data).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h % N_BUCKETS).cast("int")
+
+
+def _thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to > 0")
+    out, acc = [], 0.0
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative split weight for {name!r}")
+        acc += w / total
+        out.append((name, round(acc * N_BUCKETS)))
+    # force the last edge to cover the full range despite rounding
+    out[-1] = (out[-1][0], N_BUCKETS)
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default,
+    80/10/10) by hashing `key_col`. Weights are normalized and
+    quantized to 1/10000. All rows sharing a key land in the same
+    split — pass a document id to split documents, a conversation id
+    to keep whole conversations together (the grouped-split that
+    prevents dialogue-level leakage)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = split_bucket(F.col(key_col), seed)
+    expr: Column | None = None
+    prev = 0
+    for name, edge in _thresholds(weights):
+        cond = b < F.lit(edge) if prev == 0 else (b >= prev) & (b < edge)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        prev = edge
+    assert expr is not None
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float] | float,
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash
+    bucket falls under the stratum's fraction. `fractions` is either a
+    single fraction for every stratum or a {stratum: fraction} dict
+    (strata absent from the dict are dropped — the down-sample-the-
+    majority-language use case). Unlike `sampleBy`, the decision is a
+    per-row hash comparison: no RNG state, no shuffle, and the sampled
+    set only shrinks/grows monotonically as fractions move."""
+    b = split_bucket(F.col(key_col), seed)
+    if isinstance(fractions, dict):
+        if not fractions:
+            raise ValueError("empty fractions dict")
+        edge: Column | None = None
+        for stratum, frac in fractions.items():
+            cond = F.col(strata_col) == F.lit(stratum)
+            val = F.lit(int(round(frac * N_BUCKETS)))
+            edge = F.when(cond, val) if edge is None else edge.when(cond, val)
+        assert edge is not None
+        return df.filter(b < edge.otherwise(F.lit(0)))
+    return df.filter(b < F.lit(int(round(float(fractions) * N_BUCKETS))))
+
+
+def sample_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    n: int,
+    seed: str = "perkey",
+) -> DataFrame:
+    """Exactly min(n, group size) rows per key, chosen uniformly-ish and
+    deterministically: rank rows inside each key by (hash bucket, id)
+    and keep the first n. The window shuffles once on the key columns;
+    the (bucket, id) tiebreak makes the pick independent of input
+    order. For pathologically hot keys the sort is per-group top-n, not
+    global — Spark's WindowExec spills, and a rank<=n filter right
+    above it keeps downstream state at n rows per key."""
+    if n <= 0:
+        raise ValueError("n must be >= 1")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(split_bucket(F.col(id_col), seed), F.col(id_col))
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )

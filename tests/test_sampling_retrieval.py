@@ -1,0 +1,200 @@
+"""Deterministic splits/sampling (operators/sampling.py) and lexical
+retrieval (operators/retrieval.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from json_ld_spark.operators import retrieval, sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"doc {i} " + " ".join(f"w{j}" for j in range(i % 5 + 1)), ["en", "de", "fr"][i % 3])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).cache()
+    df.count()
+    return df
+
+
+# ---------------------------------------------------------------------------
+# hash_split
+# ---------------------------------------------------------------------------
+
+
+def test_hash_split_partitions_everything(docs):
+    out = sampling.hash_split(docs, "doc_id").cache()
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == 300
+    # 80/10/10 within generous tolerance on 300 keys
+    assert counts["train"] > 200
+    assert 10 <= counts.get("val", 0) <= 70
+    assert 10 <= counts.get("test", 0) <= 70
+
+
+def test_hash_split_invariant_to_partitioning(docs):
+    a = sampling.hash_split(docs, "doc_id").select("doc_id", "split")
+    b = sampling.hash_split(docs.repartition(7), "doc_id").select("doc_id", "split")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hash_split_seed_changes_assignment(docs):
+    a = dict(map(tuple, sampling.hash_split(docs, "doc_id").select("doc_id", "split").collect()))
+    b = dict(map(tuple, sampling.hash_split(docs, "doc_id", seed="fold2").select("doc_id", "split").collect()))
+    assert a != b  # independent folds
+
+
+def test_hash_split_rejects_bad_weights(docs):
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, "doc_id", weights={"a": 0.0})
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, "doc_id", weights={"a": -1.0, "b": 2.0})
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_drops_unlisted_strata(docs):
+    out = sampling.stratified_sample(docs, "doc_id", "lang", {"en": 0.5})
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    n_en = docs.filter("lang = 'en'").count()
+    assert 0 < out.count() < n_en
+
+
+def test_stratified_sample_monotone_in_fraction(docs):
+    small = {r["doc_id"] for r in sampling.stratified_sample(docs, "doc_id", "lang", 0.2).collect()}
+    large = {r["doc_id"] for r in sampling.stratified_sample(docs, "doc_id", "lang", 0.6).collect()}
+    assert small <= large  # hash thresholding grows monotonically
+
+
+# ---------------------------------------------------------------------------
+# sample_per_key
+# ---------------------------------------------------------------------------
+
+
+def test_sample_per_key_exact_counts(docs):
+    out = sampling.sample_per_key(docs, ["lang"], "doc_id", 7)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"en": 7, "de": 7, "fr": 7}
+
+
+def test_sample_per_key_order_invariant(docs):
+    a = sampling.sample_per_key(docs, ["lang"], "doc_id", 5).select("doc_id")
+    b = sampling.sample_per_key(
+        docs.orderBy("text").repartition(11), ["lang"], "doc_id", 5
+    ).select("doc_id")
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_sample_per_key_caps_at_group_size(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["id", "k"])
+    out = sampling.sample_per_key(df, ["k"], "id", 10)
+    assert out.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# tfidf / bm25 vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+CORPUS = [
+    (0, "spark shuffle join shuffle"),
+    (1, "spark broadcast join"),
+    (2, "duck db oracle oracle oracle"),
+    (3, "join order and shuffle order"),
+    (4, "tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"]).cache()
+    df.count()
+    return df
+
+
+def _py_tf():
+    tf = {}
+    for i, text in CORPUS:
+        for w in text.lower().split():
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    return tf
+
+
+def test_term_freqs(corpus):
+    got = {(r["doc_id"], r["term"]): r["tf"] for r in retrieval.term_freqs(corpus).collect()}
+    assert got == _py_tf()
+
+
+def test_tfidf_matches_reference(corpus):
+    tf = _py_tf()
+    n = len(CORPUS)
+    dfreq = {}
+    for (_, w) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    got = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in retrieval.tfidf(corpus).collect()
+    }
+    assert set(got) == set(tf)
+    for (i, w), v in got.items():
+        exp = (1 + math.log(tf[(i, w)])) * math.log((n + 1) / (dfreq[w] + 1))
+        assert abs(v - exp) < 1e-9, (i, w)
+
+
+def _py_bm25(query, k1=1.2, b=0.75):
+    tf = _py_tf()
+    n = len(CORPUS)
+    dls = {i: len(t.split()) for i, t in CORPUS}
+    avgdl = sum(dls.values()) / n
+    dfreq = {}
+    for (_, w) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    scores = {}
+    hits = {}
+    for q in query:
+        if q not in dfreq:
+            continue
+        idf = math.log(1 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+        for i, _ in CORPUS:
+            t = tf.get((i, q))
+            if not t:
+                continue
+            denom = t + k1 * (1 - b + b * dls[i] / avgdl)
+            scores[i] = scores.get(i, 0.0) + idf * t * (k1 + 1) / denom
+            hits[i] = hits.get(i, 0) + 1
+    return {i: (round(s, 6), hits[i]) for i, s in scores.items()}
+
+
+def test_bm25_matches_reference(corpus):
+    query = ["shuffle", "join", "oracle"]
+    got = {
+        r["doc_id"]: (r["score"], r["n_hit"])
+        for r in retrieval.bm25(corpus, query).collect()
+    }
+    exp = _py_bm25(query)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][1] == exp[i][1]
+        assert abs(got[i][0] - exp[i][0]) < 2e-6
+
+
+def test_bm25_topk_deterministic_page(corpus):
+    out = retrieval.bm25(corpus, ["shuffle", "join", "oracle"], top_k=2)
+    rows = [(r["doc_id"], r["score"]) for r in out.collect()]
+    exp = sorted(_py_bm25(["shuffle", "join", "oracle"]).items(), key=lambda kv: (-kv[1][0], kv[0]))[:2]
+    assert [i for i, _ in rows] == [i for i, _ in exp]
+
+
+def test_bm25_empty_query_rejected(corpus):
+    with pytest.raises(ValueError, match="empty query"):
+        retrieval.bm25(corpus, ["  "])
