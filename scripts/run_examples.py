@@ -22,6 +22,9 @@ def main() -> None:
     assert ns["survivors"].count() > 0
     assert ns["card"]["estimate_r"] > 0
     assert ns["components"].count() == ns["comp"].count()
+    assert ns["top_convs"].count() <= 5
+    assert ns["train"].count() > 0
+    assert ns["hits"].count() > 0
     print("EXAMPLES.md: all blocks executed, sanity checks pass")
 
 
