@@ -391,6 +391,74 @@ def q_jsonld_compact_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonld_frame_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD 1.1 FRAMING (frame.py + operators/jsonld.frame_stage —
+    beyond-reference: the Rust workspace has no framing crate). Each
+    per-turn document carries a @graph of [turn node, conversation
+    node]; the frame selects Turn nodes and @embed:@always-s the
+    conversation they reference, so the framed output is the nested
+    reshape a KG consumer asks for. Every framed field (incl. the
+    embedded conversation's label) is extracted and value-checked
+    against the DuckDB-reconstructed expectation."""
+    from json_ld_spark.operators.jsonld import frame_stage
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    ctx = {**TRANSCRIPT_CONTEXT, "label": _V + "label"}
+    ts_lex = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    turn_el = F.struct(
+        F.concat(F.col("conv_id"), F.lit("/turn/"),
+                 F.col("turn_idx").cast("string")).alias("@id"),
+        F.lit("Turn").alias("@type"),
+        F.col("role").alias("role"),
+        F.col("text").alias("text"),
+        F.col("tool").alias("tool"),
+        ts_lex.alias("ts"),
+        F.col("conv_id").alias("conv"),
+        F.col("turn_idx").alias("turn"),
+        F.lit(None).cast("string").alias("label"),
+    )
+    conv_el = F.struct(
+        F.col("conv_id").alias("@id"),
+        F.lit("Conversation").alias("@type"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("string").alias("ts"),
+        F.lit(None).cast("string").alias("conv"),
+        F.lit(None).cast("int").alias("turn"),
+        F.concat(F.lit("conversation "), F.col("conv_id")).alias("label"),
+    )
+    docs = t.select(
+        F.concat(F.col("conv_id"), F.lit("#"),
+                 F.col("turn_idx").cast("string")).alias("doc_id"),
+        F.to_json(
+            F.struct(F.array(turn_el, conv_el).alias("@graph")),
+            {"ignoreNullFields": "true"},
+        ).alias("doc"),
+    )
+    framed = frame_stage(
+        docs,
+        frame_doc={"@context": ctx, "@type": "Turn",
+                   "conv": {"@embed": "@always"}},
+        context=ctx,
+    )
+    return framed.select(
+        "doc_id",
+        F.get_json_object("framed", "$.@id").alias("f_id"),
+        F.get_json_object("framed", "$.@type").alias("f_type"),
+        F.get_json_object("framed", "$.role").alias("f_role"),
+        F.get_json_object("framed", "$.text").alias("f_text"),
+        F.get_json_object("framed", "$.tool").alias("f_tool"),
+        F.get_json_object("framed", "$.ts").alias("f_ts"),
+        F.get_json_object("framed", "$.turn").cast("long").alias("f_turn"),
+        F.get_json_object("framed", "$.conv.@id").alias("f_conv_id"),
+        F.get_json_object("framed", "$.conv.@type").alias("f_conv_type"),
+        F.get_json_object("framed", "$.conv.label").alias("f_conv_label"),
+        F.col("error").alias("f_err"),
+    )
+
+
 # --------------------------------------------------------------------------
 # deduplication family (training-data ops)
 # --------------------------------------------------------------------------
@@ -1440,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dataset_diff": q_kg_dataset_diff,
         "jsonld_fromrdf_roundtrip": q_jsonld_fromrdf_roundtrip,
         "jsonld_compact_generic": q_jsonld_compact_generic,
+        "jsonld_frame_generic": q_jsonld_frame_generic,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1728,6 +1797,25 @@ SELECT pred, CAST(n AS BIGINT) AS n_triples FROM counts
 
 # compact roundtrip: @id/conv compact back to @base-relative IRIs, @type
 # to the @vocab term, properties to their context terms
+# framing oracle: the transcript synthesis fully determines the framed
+# output — the turn's own fields plus the @embed:@always-ed
+# conversation node (id/type/label)
+_FRAME_ORACLE_SQL = _BASE_CTE + """
+SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,
+       conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS f_id,
+       'Turn' AS f_type,
+       role AS f_role,
+       text AS f_text,
+       tool AS f_tool,
+       ts_lex AS f_ts,
+       CAST(turn_idx AS BIGINT) AS f_turn,
+       conv_id AS f_conv_id,
+       'Conversation' AS f_conv_type,
+       'conversation ' || conv_id AS f_conv_label,
+       CAST(NULL AS VARCHAR) AS f_err
+FROM base
+"""
+
 _COMPACT_ORACLE_SQL = _BASE_CTE + """
 SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,
        conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS c_id,
@@ -2767,6 +2855,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_flatten_generic": _FLATTEN_ORACLE_SQL,
         "jsonld_fromrdf_roundtrip": _FROMRDF_ORACLE_SQL,
         "jsonld_compact_generic": _COMPACT_ORACLE_SQL,
+        "jsonld_frame_generic": _FRAME_ORACLE_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,

@@ -13,6 +13,7 @@ Layout:
 """
 
 from .api import compact, compare, expand, flatten, to_rdf  # noqa: F401
+from .frame import frame  # noqa: F401
 from .options import JsonLdOptions  # noqa: F401
 
 __version__ = "0.1.0"

@@ -54,7 +54,7 @@ def _build_options(args) -> JsonLdOptions:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="json_ld_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("expand", "flatten", "compact", "tordf", "fromrdf"):
+    for name in ("expand", "flatten", "compact", "tordf", "fromrdf", "frame"):
         p = sub.add_parser(name)
         p.add_argument("input", help="input file, or - for stdin")
         p.add_argument("--base", default=None)
@@ -66,6 +66,9 @@ def main(argv=None) -> int:
         p.add_argument("--expand-context", default=None)
         if name == "compact":
             p.add_argument("--context", required=True)
+        if name == "frame":
+            p.add_argument("--frame", required=True,
+                           help="frame document (JSON file)")
         if name == "tordf":
             p.add_argument("--rdf-direction", default=None,
                            choices=["i18n-datatype", "compound-literal"])
@@ -113,6 +116,12 @@ def main(argv=None) -> int:
         print(json.dumps(compact(doc, ctx, options=opts), indent=2, ensure_ascii=False))
     elif args.cmd == "tordf":
         sys.stdout.write(to_nquads(to_rdf(doc, options=opts)))
+    elif args.cmd == "frame":
+        from .frame import frame as _frame
+
+        fr = json.load(open(args.frame))
+        print(json.dumps(_frame(doc, fr, options=opts), indent=2,
+                         ensure_ascii=False))
     elif args.cmd == "fromrdf":
         quads = [tuple(q) for q in doc]
         print(json.dumps(from_rdf(quads, options=opts), indent=2, ensure_ascii=False))

@@ -75,6 +75,12 @@ def _filter_top_level_item(item: Any) -> bool:
     return not (isinstance(item, dict) and ("@value" in item or "@list" in item))
 
 
+# keywords only meaningful inside frame documents (json-ld11-framing)
+_FRAME_KEYWORDS = frozenset(
+    {"@default", "@embed", "@explicit", "@omitDefault", "@requireAll"}
+)
+
+
 def _is_keyword(v: Any) -> bool:
     return isinstance(v, str) and v in KEYWORDS
 
@@ -230,6 +236,11 @@ def _expand_element(
     if "@value" in result:
         keys = set(result.keys())
         allowed = {"@value", "@language", "@direction", "@type", "@index"}
+        if options.frame_expansion:
+            # value patterns carry wildcards/lists; structural key check only
+            if not keys <= (allowed | {"@default"}):
+                raise E.InvalidValueObject(str(keys))
+            return result
         if not keys <= allowed or (
             "@language" in keys and "@type" in keys
         ) or ("@direction" in keys and "@type" in keys):
@@ -268,7 +279,11 @@ def _expand_element(
         return None
 
     # 19: null-ish node objects when not in a graph position
-    if active_property is None or active_property == "@graph":
+    # (frame expansion keeps them: {} is the wildcard frame and
+    # @id-only objects are id constraints — json-ld11-framing §2.1)
+    if (active_property is None or active_property == "@graph") and (
+        not options.frame_expansion
+    ):
         if not result or "@value" in result or "@list" in result:
             return None
         if set(result.keys()) == {"@id"}:
@@ -294,6 +309,19 @@ def _expand_object_entries(
     for key in keys:
         value = element[key]
         if key == "@context":
+            continue
+        if options.frame_expansion and key in _FRAME_KEYWORDS:
+            # framing keywords survive frame expansion (json-ld11-framing
+            # §2.1); @default values expand like property values, with
+            # null becoming the @null sentinel
+            if key == "@default":
+                if value is None:
+                    result["@default"] = ["@null"]
+                else:
+                    dv = _expand_element(state, active, active_property, value, base_url)
+                    result["@default"] = _as_array(dv)
+            else:
+                result[key] = value
             continue
         expanded_property = expand_iri(
             active, key, vocab=True,
@@ -393,6 +421,20 @@ def _expand_keyword_entry(
         raise E.CollidingKeywords(expanded_property)
 
     if expanded_property == "@id":
+        if options.frame_expansion and isinstance(value, dict) and not value:
+            result["@id"] = []  # {} wildcard: any @id
+            return
+        if options.frame_expansion and isinstance(value, list):
+            if not all(isinstance(v, str) for v in value):
+                raise E.InvalidIdValue(repr(value))
+            result["@id"] = [
+                expand_iri(
+                    active, v, document_relative=True, vocab=False,
+                    processing_mode=options.processing_mode, loader=options.loader,
+                )
+                for v in value
+            ]
+            return
         if not isinstance(value, str):
             raise E.InvalidIdValue(repr(value))
         result["@id"] = expand_iri(
@@ -401,6 +443,24 @@ def _expand_keyword_entry(
         )
     elif expanded_property == "@type":
         vals = _as_array(value)
+        if options.frame_expansion:
+            # {} wildcard entries pass through; strings expand normally
+            if not all(
+                isinstance(v, str) or (isinstance(v, dict) and not v)
+                for v in vals
+            ):
+                raise E.InvalidTypeValue(repr(value))
+            expanded_types = [
+                v if isinstance(v, dict) else expand_iri(
+                    type_scoped, v, vocab=True, document_relative=True,
+                    processing_mode=options.processing_mode, loader=options.loader,
+                )
+                for v in vals
+            ]
+            expanded_types = [t for t in expanded_types if t is not None]
+            prev = _as_array(result.get("@type"))
+            result["@type"] = prev + expanded_types
+            return
         if not all(isinstance(v, str) for v in vals):
             raise E.InvalidTypeValue(repr(value))
         expanded_types = [
@@ -427,7 +487,17 @@ def _expand_keyword_entry(
             raise E.JsonLdError("invalid @included value")
         result.setdefault("@included", []).extend(expanded)
     elif expanded_property == "@value":
-        if input_type == "@json" and options.processing_mode != "json-ld-1.0":
+        if options.frame_expansion and isinstance(value, (list, dict)):
+            # value pattern: {} wildcard or a list of admissible scalars
+            if isinstance(value, dict) and value:
+                raise E.InvalidValueObjectValue(repr(value))
+            if isinstance(value, list) and not all(
+                v is None or isinstance(v, (str, int, float, bool))
+                for v in value
+            ):
+                raise E.InvalidValueObjectValue(repr(value))
+            result["@value"] = value
+        elif input_type == "@json" and options.processing_mode != "json-ld-1.0":
             # any JSON value allowed; @type: @json arrives via the @type entry
             result["@value"] = value
         else:
@@ -437,10 +507,19 @@ def _expand_keyword_entry(
                 raise E.InvalidValueObjectValue(repr(value))
             result["@value"] = value
     elif expanded_property == "@language":
-        if not isinstance(value, str):
+        if options.frame_expansion and isinstance(value, (list, dict)):
+            if isinstance(value, dict) and value:
+                raise E.InvalidLanguageTaggedString(repr(value))
+            if isinstance(value, list) and not all(
+                isinstance(v, str) for v in value
+            ):
+                raise E.InvalidLanguageTaggedString(repr(value))
+            result["@language"] = value
+        elif not isinstance(value, str):
             raise E.InvalidLanguageTaggedString(repr(value))
-        # well-formedness warning only (reference keeps the tag as-is)
-        result["@language"] = value
+        else:
+            # well-formedness warning only (reference keeps the tag as-is)
+            result["@language"] = value
     elif expanded_property == "@direction":
         if options.processing_mode == "json-ld-1.0":
             return

@@ -277,6 +277,85 @@ def flatten_stage(
     return df.mapInPandas(run, schema=FLATTENED_SCHEMA)
 
 
+FRAMED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("framed", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def frame_stage(
+    df: DataFrame,
+    frame_doc: dict,
+    context: Any = None,
+    options: JsonLdOptions | None = None,
+    context_registry: dict | None = None,
+    doc_col: str = "doc",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed JSON-LD framing (frame.py — beyond-reference: the
+    reference workspace has no framing crate): per-document
+    expand → frame → compact against the frame's context.
+
+    The frame is an authored document (small by construction), so it is
+    frame-expanded ONCE on the driver and shipped to executors as plain
+    JSON in the task closure — per-row work is document-local, the
+    stage is a mapInPandas projection with no shuffle, and output JSON
+    is key-sorted so byte-equality is partition-invariant."""
+    from ..api import expand as _expand
+    from ..frame import finalize_framed, frame_expanded
+
+    opts = options or JsonLdOptions()
+    frame_opts = opts.with_(
+        frame_expansion=True,
+        loader=dict_loader(context_registry) if context_registry else no_loader,
+    )
+    expanded_frame_json = json.dumps(_expand(frame_doc, frame_opts, opts.base))
+    frame_ctx_json = json.dumps(
+        frame_doc.get("@context") if isinstance(frame_doc, dict) else None
+    )
+    ctx_json = json.dumps(context) if context is not None else None
+    base, mode, policy = opts.base, opts.processing_mode, opts.policy
+    registry = context_registry
+    omit_graph, prune = opts.omit_graph, opts.prune_blank_node_identifiers
+    explicit, require_all = opts.explicit, opts.require_all
+    omit_default = opts.omit_default
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local_opts = JsonLdOptions(
+            base=base, processing_mode=mode, policy=policy,
+            loader=dict_loader(registry) if registry else no_loader,
+            omit_graph=omit_graph, prune_blank_node_identifiers=prune,
+            explicit=explicit, require_all=require_all,
+            omit_default=omit_default,
+        )
+        expanded_frame = json.loads(expanded_frame_json)
+        frame_ctx = json.loads(frame_ctx_json)
+        active = _active_context(ctx_json, base, mode, registry)
+        for pdf in batches:
+            ids, outs, errs = [], [], []
+            for doc_id, doc in zip(pdf[id_col], pdf[doc_col]):
+                try:
+                    expanded, _w = expand_document(
+                        _loads(doc), active, local_opts, base
+                    )
+                    framed = frame_expanded(expanded, expanded_frame, local_opts)
+                    result = finalize_framed(framed, frame_ctx, local_opts, base)
+                    outs.append(
+                        json.dumps(result, ensure_ascii=False, sort_keys=True)
+                    )
+                    errs.append(None)
+                except Exception as ex:  # noqa: BLE001 - quarantine row
+                    outs.append(None)
+                    errs.append(f"{type(ex).__name__}: {ex}")
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "framed": outs, "error": errs})
+
+    return df.mapInPandas(run, schema=FRAMED_SCHEMA)
+
+
 def from_rdf_stage(
     triples: DataFrame,
     group_col: str = "doc_id",

@@ -30,6 +30,13 @@ class JsonLdOptions:
     use_rdf_type: bool = False      # fromRdf: keep rdf:type as property
     policy: str = POLICY_STANDARD
     loader: Loader = field(default=no_loader)
+    # framing (json-ld11-framing; see frame.py)
+    frame_expansion: bool = False   # expansion tolerances for frame docs
+    explicit: bool = False          # only frame-listed properties in output
+    require_all: bool = False       # all frame constraints must match
+    omit_default: bool = False      # suppress @default fill-ins
+    omit_graph: Optional[bool] = None  # None: per processing mode (1.1: True)
+    prune_blank_node_identifiers: bool = True
 
     def with_(self, **kw) -> "JsonLdOptions":
         from dataclasses import replace
