@@ -1180,6 +1180,49 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/textops.py): deterministic
+    PII injection (so the corpus actually contains matches), per-
+    category regexp counts, and an md5 over the redacted text — the
+    whole scrub is a JVM projection (regexp_count/regexp_replace), no
+    shuffle. Patterns stay in the Java-regex/RE2 common subset so the
+    DuckDB oracle replays them byte-for-byte."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" contact alice@example.com or bob.smith@test.org")
+                   ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" from 192.168.1.77")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = tx.pii_counts(F.col("text"))
+    return injected.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["ip"].cast("long").alias("n_ip"),
+        counts["phone"].cast("long").alias("n_phone"),
+        F.md5(tx.redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+def q_text_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-rule family): per-doc word
+    totals, distinct words, top-word count, duplicate-word fraction —
+    two partial-agg shuffles, integer-exact except the 6-dp fraction."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return tx.word_repetition(docs).select(
+        "doc_id", "n_words", "n_distinct", "top_count", "dup_frac"
+    )
+
+
 def q_data_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (operators/sampling.py):
     per-document md5-bridge bucket → 80/10/10 split with NO shuffle and
@@ -1543,6 +1586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_canonicalize_distributed": q_jsonld_canonicalize_distributed,
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
+        "text_pii_scan": q_text_pii_scan,
+        "text_word_repetition": q_text_word_repetition,
         "data_hash_split": q_data_hash_split,
         "data_stratified_sample": q_data_stratified_sample,
         "data_sample_per_key": q_data_sample_per_key,
@@ -2623,6 +2668,52 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+# PII oracle: injection + regex counts + redaction chain replayed in
+# DuckDB (RE2) against Spark (Java regex) — the patterns are written in
+# the common subset of the two engines
+_PII_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' contact alice@example.com or bob.smith@test.org'
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.1.77' ELSE '' END
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+  len(regexp_extract_all(text,
+      '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g')) AS redacted_md5
+FROM t
+"""
+
+_WORD_REP_SQL = r"""
+WITH w AS (
+  SELECT doc_id, t.e AS word
+  FROM documents CROSS JOIN UNNEST(
+    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t(e)
+  WHERE t.e <> ''
+), c AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+)
+SELECT doc_id,
+       SUM(c)::BIGINT AS n_words,
+       COUNT(*)::BIGINT AS n_distinct,
+       MAX(c)::BIGINT AS top_count,
+       ROUND(1.0 - COUNT(*) / SUM(c)::DOUBLE, 6) AS dup_frac
+FROM c GROUP BY doc_id
+"""
+
 # sampling/split oracles: the md5-bridge bucket replayed exactly
 # (same recipe as the sketch oracles), so split membership is
 # bit-identical across engines
@@ -2889,6 +2980,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_near_duplicates": _ANN_NEAR_DUP_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
+        "text_pii_scan": _PII_SQL,
+        "text_word_repetition": _WORD_REP_SQL,
         "data_hash_split": _SPLIT_SQL,
         "data_stratified_sample": _STRAT_SAMPLE_SQL,
         "data_sample_per_key": _SAMPLE_PER_KEY_SQL,

@@ -98,6 +98,61 @@ def fingerprint_md5(col: Column, window: int = 4) -> Column:
     return F.array_min(grams)
 
 
+# PII patterns: kept to the Java-regex / RE2 common subset (no
+# lookaround, no backrefs) so a DuckDB oracle replays them exactly
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category PII occurrence counts (JVM regexp_count)."""
+    return {
+        name: F.regexp_count(col, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with a typed placeholder token —
+    applied in fixed (email, ip, phone) order so overlapping-ish
+    matches resolve identically everywhere. A pure column expression:
+    the 100 TB scrub is a projection, no shuffle, no Python."""
+    out = col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def word_repetition(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family):
+    per-document word totals, distinct words, the top word's count, and
+    the duplicate-word fraction. Two partial-agg shuffles — the
+    (doc, word) count state is one long per pair and the per-doc
+    rollup one row per doc; nothing is collected."""
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_words(F.col(text_col))).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return words.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("c").cast("double"), 6
+        ).alias("dup_frac"),
+    )
+
+
 def analyze_documents(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

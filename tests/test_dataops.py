@@ -292,3 +292,43 @@ def test_prefix_filter_equals_bruteforce(spark):
         for r in dd.jaccard_pairs(docs, allp, threshold=t).collect()
     }
     assert got == expect and len(expect) >= 2
+
+
+def test_redact_pii_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from json_ld_spark.operators import textops as tx
+
+    rows = [
+        (1, "mail me at a.b+c@example.co.uk or x@y.io today"),
+        (2, "server 10.0.0.1 and phone 555-123-4567"),
+        (3, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    c = tx.pii_counts(F.col("text"))
+    out = df.select(
+        "doc_id",
+        c["email"].alias("e"), c["ip"].alias("i"), c["phone"].alias("p"),
+        tx.redact_pii(F.col("text")).alias("red"),
+    ).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert (by[1]["e"], by[1]["i"], by[1]["p"]) == (2, 0, 0)
+    assert (by[2]["e"], by[2]["i"], by[2]["p"]) == (0, 1, 1)
+    assert (by[3]["e"], by[3]["i"], by[3]["p"]) == (0, 0, 0)
+    assert by[1]["red"] == "mail me at [EMAIL] or [EMAIL] today"
+    assert by[2]["red"] == "server [IP] and phone [PHONE]"
+    assert by[3]["red"] == rows[2][1]
+
+
+def test_word_repetition_signals(spark):
+    from json_ld_spark.operators import textops as tx
+
+    rows = [
+        (1, "a a a b"),          # 4 words, 2 distinct, top 3
+        (2, "x y z"),            # no repetition
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in tx.word_repetition(df).collect()}
+    assert (out[1]["n_words"], out[1]["n_distinct"], out[1]["top_count"]) == (4, 2, 3)
+    assert abs(out[1]["dup_frac"] - 0.5) < 1e-9
+    assert out[2]["dup_frac"] == 0.0
