@@ -25,6 +25,7 @@ def main() -> None:
     assert ns["top_convs"].count() <= 5
     assert ns["train"].count() > 0
     assert ns["hits"].count() > 0
+    assert ns["framed"]["conversation"]["name"] == "support thread"
     print("EXAMPLES.md: all blocks executed, sanity checks pass")
 
 

@@ -226,3 +226,59 @@ def test_stream_components_replay_idempotent(spark, tmp_path):
     upd(b1, 1)  # replay
     after_replay = {tuple(r) for r in spark.read.parquet(f"{state}/v=1").collect()}
     assert after_first == after_replay == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_stream_framing_matches_batch(spark, tmp_path_factory):
+    """frame_stage is a stateless projection, so it runs unmodified on
+    a streaming DataFrame — framed output over micro-batches equals the
+    batch run on the same files."""
+    import json as _json
+
+    from json_ld_spark.operators.jsonld import frame_stage
+
+    d = tmp_path_factory.mktemp("frame_stream")
+    rows = []
+    for i in range(9):
+        doc = {
+            "@context": {"@vocab": "http://example.org/"},
+            "@graph": [
+                {"@id": f"http://example.org/t{i}", "@type": "Turn",
+                 "role": ["user", "assistant"][i % 2],
+                 "conversation": {"@id": f"http://example.org/c{i % 3}"}},
+                {"@id": f"http://example.org/c{i % 3}",
+                 "@type": "Conversation", "name": f"conv {i % 3}"},
+            ],
+        }
+        rows.append((f"d{i}", _json.dumps(doc)))
+    df = spark.createDataFrame(rows, "doc_id string, doc string")
+    df.repartition(3).write.mode("overwrite").parquet(str(d))
+
+    fr = {"@context": {"@vocab": "http://example.org/"},
+          "@type": "Turn", "conversation": {"@embed": "@always"}}
+
+    batch = {
+        r["doc_id"]: r["framed"]
+        for r in frame_stage(spark.read.parquet(str(d)), fr).collect()
+    }
+    stream = (
+        spark.readStream.schema("doc_id string, doc string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        frame_stage(stream, fr)
+        .writeStream.format("memory")
+        .queryName("framed_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: r["framed"]
+        for r in spark.table("framed_stream").collect()
+    }
+    assert got == batch
+    assert all(v is not None for v in got.values())
