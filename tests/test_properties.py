@@ -165,3 +165,60 @@ def test_compact_expand_roundtrip_no_compact_arrays(doc):
     assert json.dumps(_norm(re_expanded), sort_keys=True) == json.dumps(
         _norm(expanded), sort_keys=True
     )
+
+
+@given(node_docs())
+@settings(max_examples=40, deadline=None)
+def test_frame_wildcard_preserves_quads(doc):
+    """4. framing conservation: framing with the wildcard frame {} only
+    RESHAPES the graph — the canonical quad set of the framed output
+    equals that of the input document."""
+    from json_ld_spark.frame import frame
+
+    framed = frame(_with_ctx(doc), {"@context": CTX})
+    q_orig = canonicalize_quads(to_rdf(_with_ctx(doc)))
+    q_framed = canonicalize_quads(to_rdf(framed))
+    assert set(q_orig) == set(q_framed)
+
+
+@given(node_docs())
+@settings(max_examples=40, deadline=None)
+def test_frame_deterministic_and_never_invents_nodes(doc):
+    """5. framed output ids come from the input graph (no invented
+    IRIs) and framing the same input twice is byte-identical."""
+    from json_ld_spark.frame import frame
+
+    a = frame(_with_ctx(doc), {"@context": CTX})
+    b = frame(_with_ctx(doc), {"@context": CTX})
+    assert json.dumps(a, sort_keys=True) == json.dumps(b, sort_keys=True)
+
+    in_iris = set()
+
+    def walk_in(v):
+        if isinstance(v, dict):
+            i = v.get("@id")
+            if isinstance(i, str) and not i.startswith("_:"):
+                in_iris.add(i)
+            for x in v.values():
+                walk_in(x)
+        elif isinstance(v, list):
+            for x in v:
+                walk_in(x)
+
+    walk_in(expand(_with_ctx(doc)))
+    out_iris = set()
+
+    def walk_out(v):
+        if isinstance(v, dict):
+            i = v.get("@id")
+            if isinstance(i, str) and not i.startswith("_:"):
+                out_iris.add(i)
+            for x in v.values():
+                walk_out(x)
+        elif isinstance(v, list):
+            for x in v:
+                walk_out(x)
+
+    body = {k: v for k, v in a.items() if k != "@context"}
+    walk_out(body.get("@graph", body))
+    assert out_iris <= in_iris
