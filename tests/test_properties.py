@@ -172,10 +172,20 @@ def test_compact_expand_roundtrip_no_compact_arrays(doc):
 def test_frame_wildcard_preserves_quads(doc):
     """4. framing conservation: framing with the wildcard frame {} only
     RESHAPES the graph — the canonical quad set of the framed output
-    equals that of the input document."""
-    from json_ld_spark.frame import frame
+    (in expanded form) equals that of the input document. The check
+    runs on the framed EXPANDED output: the final compaction step is
+    spec-lossy for nodes carrying multiple @json literals (an array of
+    JSON values re-expands as one array literal — a REC corner, not a
+    framing defect), so compaction stays out of the conservation
+    claim."""
+    from json_ld_spark.frame import frame_expanded
+    from json_ld_spark.options import JsonLdOptions
 
-    framed = frame(_with_ctx(doc), {"@context": CTX})
+    opts = JsonLdOptions()
+    expanded = expand(_with_ctx(doc))
+    framed = frame_expanded(
+        expanded, expand({}, opts.with_(frame_expansion=True)), opts
+    )
     q_orig = canonicalize_quads(to_rdf(_with_ctx(doc)))
     q_framed = canonicalize_quads(to_rdf(framed))
     assert set(q_orig) == set(q_framed)
