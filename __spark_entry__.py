@@ -945,6 +945,36 @@ def q_kg_bgp_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv", "n", "roles")
 
 
+def q_kg_bgp_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subselect composition: an aggregated inner SELECT
+    (conversations with a full 16 turns) joins back into the outer
+    pattern on the shared variable — spec bottom-up semantics, planned
+    by Catalyst as a broadcast of the tiny aggregate onto the outer
+    join chain. Oracle: the same HAVING-subquery join in SQL."""
+    from json_ld_spark.operators.bgp import bgp_query, bgp_select
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    triples = transcript_triples_native(t)
+    inner = bgp_select(
+        triples,
+        [("?t", _V + "conversation", "?conv")],
+        group_by=["?conv"],
+        aggregates={"?n": "COUNT(*)"},
+        having=["?n >= 16"],
+        select=["?conv"],
+    )
+    out = bgp_query(
+        triples,
+        [
+            ("?turn", _V + "conversation", "?conv"),
+            ("?turn", _V + "role", "?role"),
+        ],
+        subqueries=[inner],
+    )
+    return out.select("turn", "conv", "role")
+
+
 def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HLL register table over l_orderkey (operators/
     sketches.py): md5-bridge hash, integer-only bucket/rank math —
@@ -1570,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_values_minus": q_kg_bgp_values_minus,
         "kg_bgp_agg_roles": q_kg_bgp_agg_roles,
         "kg_bgp_topk_convs": q_kg_bgp_topk_convs,
+        "kg_bgp_subquery": q_kg_bgp_subquery,
         "kg_construct_responds": q_kg_construct_responds,
         "kg_path_turn_closure": q_kg_path_turn_closure,
         "kg_path_next_speaker": q_kg_path_next_speaker,
@@ -2372,6 +2403,19 @@ GROUP BY c.obj, r.obj
 HAVING COUNT(*) >= 2
 """
 
+_BGP_SUBQ_SQL = _TRIPLES_CTE + f"""
+, full_convs AS (
+  SELECT c.obj AS conv FROM triples c
+  WHERE c.pred = '{_V}conversation'
+  GROUP BY c.obj HAVING COUNT(*) >= 16
+)
+SELECT DISTINCT c.subj AS turn, c.obj AS conv, r.obj AS role
+FROM triples c
+JOIN triples r ON r.subj = c.subj AND r.pred = '{_V}role'
+JOIN full_convs f ON f.conv = c.obj
+WHERE c.pred = '{_V}conversation'
+"""
+
 _BGP_TOPK_SQL = _TRIPLES_CTE + f"""
 SELECT c.obj AS conv, COUNT(*) AS n,
        string_agg(r.obj, ',' ORDER BY r.obj) AS roles
@@ -2959,6 +3003,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
         "kg_bgp_agg_roles": _BGP_AGG_SQL,
         "kg_bgp_topk_convs": _BGP_TOPK_SQL,
+        "kg_bgp_subquery": _BGP_SUBQ_SQL,
         "kg_bgp_dialogue_pairs": _BGP_PAIRS_SQL,
         "kg_bgp_optional_tool": _BGP_OPTIONAL_SQL,
         "kg_bgp_union_turns": _BGP_UNION_SQL,

@@ -65,6 +65,7 @@ def bgp_query(
     minus: list[list[tuple[str, str, str]]] | None = None,
     exists: list[list[tuple[str, str, str]]] | None = None,
     not_exists: list[list[tuple[str, str, str]]] | None = None,
+    subqueries: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Evaluate a conjunctive triple-pattern query; returns one column
     per variable (without the leading '?'). A variable repeated inside
@@ -91,6 +92,14 @@ def bgp_query(
     The inline table is tiny by construction, so it joins as a
     broadcast: a plain equi-join when no UNDEFs appear, else a
     broadcast theta-join with per-column ``IS NULL OR =`` compatibility.
+
+    `subqueries`: SPARQL subselects — binding tables (typically from
+    `bgp_select`, whose aggregates/modifiers evaluate independently per
+    the spec's bottom-up semantics) inner-joined onto the outer
+    solutions on their shared variable columns. A subquery sharing no
+    variable with the outer pattern would be a cartesian — rejected.
+    Catalyst plans each join from runtime sizes (an aggregated
+    subselect is usually tiny → broadcast).
 
     `minus` / `exists` / `not_exists`: SPARQL MINUS and FILTER
     (NOT) EXISTS — each entry is a pattern group evaluated as its own
@@ -207,6 +216,14 @@ def bgp_query(
                     result = result.join(
                         n, F.lit(True), "left"
                     ).filter(F.col("__nonempty").isNull()).drop("__nonempty")
+    for sub in subqueries or []:
+        shared = [c for c in sub.columns if c in result.columns]
+        if not shared:
+            raise ValueError(
+                "subquery shares no variable with the outer pattern "
+                "(cartesian product)"
+            )
+        result = result.join(sub, on=shared, how="inner")
     for cond in filters or []:
         result = result.filter(cond)
     if select is not None:

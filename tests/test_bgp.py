@@ -576,3 +576,30 @@ def test_select_composes_with_optional_and_minus(triples):
         order_by=["?c"],
     )
     assert [(r["c"], r["n"]) for r in out.collect()] == [("c1", 1), ("c2", 1)]
+
+
+def test_subquery_join(triples):
+    from json_ld_spark.operators.bgp import bgp_query, bgp_select
+
+    inner = bgp_select(
+        triples,
+        [("?t", V + "conversation", "?c")],
+        group_by=["?c"],
+        aggregates={"?n": "COUNT(*)"},
+        having=["?n >= 2"],
+        select=["?c"],
+    )
+    out = bgp_query(
+        triples,
+        [("?t", V + "conversation", "?c")],
+        subqueries=[inner],
+    )
+    assert sorted(r["t"] for r in out.collect()) == ["t1", "t2"]
+
+
+def test_subquery_disjoint_rejected(triples):
+    from json_ld_spark.operators.bgp import bgp_query
+
+    other = triples.sparkSession.createDataFrame([(1,)], ["unrelated"])
+    with pytest.raises(ValueError, match="subquery"):
+        bgp_query(triples, [("?t", V + "role", "?r")], subqueries=[other])
