@@ -1080,6 +1080,23 @@ def _emb_double(df: DataFrame) -> DataFrame:
     )
 
 
+def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram quantile sketch (operators/sketches.py):
+    p50/p90/p99 of l_extendedprice from a 1000-bucket histogram — ONE
+    bounded-state shuffle over the data; the cumulative window runs
+    over the bucket table (<=1000 rows), never the rows. Deterministic
+    integer bucket math → the oracle replays bins, ranks, and edges
+    exactly."""
+    from json_ld_spark.operators import sketches as sk
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    return sk.histogram_quantiles(
+        li, "l_extendedprice", lo=0.0, hi=100000.0, bins=1000,
+        qs=(0.5, 0.9, 0.99),
+    ).select("q", "bucket", "rank", "total", "est_r")
+
+
 def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 per sampled query (broadcast queries, codegen
     dot product via zip_with/aggregate)."""
@@ -1610,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cm_counters": q_sketch_cm_counters,
         "sketch_cm_estimates": q_sketch_cm_estimates,
         "sketch_bloom_prefilter": q_sketch_bloom_prefilter,
+        "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -2712,6 +2730,33 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+# histogram-quantile oracle: integer bucket math + bucket-table window
+# replayed exactly; q values forced DOUBLE to match Spark's schema
+_HISTQ_SQL = r"""
+WITH h AS (
+  SELECT LEAST(999, GREATEST(0,
+           CAST(FLOOR(((CAST(l_extendedprice AS DOUBLE) - 0.0) / 100000.0)
+                      * 1000) AS INT))) AS bucket,
+         COUNT(*) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  GROUP BY 1
+), cum AS (
+  SELECT bucket,
+         SUM(c) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS total
+  FROM h
+), qs AS (
+  SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q
+)
+SELECT q, MIN(bucket) AS bucket,
+       CAST(CEIL(q * MAX(total)) AS BIGINT) AS rank,
+       MAX(total)::BIGINT AS total,
+       ROUND(0.0 + (MIN(bucket) + 1) * 100.0, 6) AS est_r
+FROM cum JOIN qs ON cum.cum >= CEIL(qs.q * cum.total)
+GROUP BY q
+"""
+
 # PII oracle: injection + regex counts + redaction chain replayed in
 # DuckDB (RE2) against Spark (Java regex) — the patterns are written in
 # the common subset of the two engines
@@ -3019,6 +3064,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cm_counters": _CM_COUNTERS_SQL,
         "sketch_cm_estimates": _CM_ESTIMATES_SQL,
         "sketch_bloom_prefilter": _BLOOM_SQL,
+        "sketch_histogram_quantiles": _HISTQ_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,

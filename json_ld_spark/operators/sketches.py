@@ -200,3 +200,78 @@ def bloom_probe(
         .groupBy("item")
         .agg(F.min(F.col("p").cast("int")).cast("boolean").alias("maybe_present"))
     )
+
+
+def histogram_counts(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int = 1024
+) -> DataFrame:
+    """Fixed-bin histogram over a known value range: bucket =
+    clamp(floor(((x-lo)/(hi-lo))*bins)). ONE partial-agg shuffle with
+    at most `bins` rows of state regardless of input size — the
+    quantile/distribution sketch for a 100 TB column when the range is
+    known (prices, scores, lengths). Mergeable by bucket-wise sum.
+    Deterministic: integer bucket math on an explicit float expression
+    both engines evaluate identically."""
+    x = F.col(col).cast("double")
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(((x - F.lit(float(lo))) / F.lit(float(hi - lo))) * bins).cast("int"),
+        ),
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from the fixed-bin histogram: for each q the
+    smallest bucket whose cumulative count reaches ceil(q*total);
+    the estimate is that bucket's upper edge (error <= one bin width).
+    The cumulative window runs over the BUCKET TABLE (<= `bins` rows,
+    one task by construction), never over the data. Returns
+    (q, bucket, rank, total, est_r)."""
+    from pyspark.sql import Window
+
+    counts = histogram_counts(df, col, lo, hi, bins)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "bucket",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("total"),
+    )
+    spark = df.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame([(float(q),) for q in qs], ["q"])
+    )
+    width = float(hi - lo) / bins
+    hit = (
+        cum.join(qdf, F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("q")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.max("total").alias("total"),
+        )
+    )
+    return hit.select(
+        "q",
+        "bucket",
+        F.ceil(F.col("q") * F.col("total")).alias("rank"),
+        "total",
+        F.round(
+            F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(width), 6
+        ).alias("est_r"),
+    )

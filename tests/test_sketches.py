@@ -101,3 +101,37 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     fp = sum(1 for i in range(2_000) if got[f"q{i}"])
     # n=2000, w=65536, k=4 -> theoretical fp ~ 2.4e-4; allow slack
     assert fp <= 10
+
+
+def test_histogram_quantiles_accuracy_and_bounds(spark):
+    import numpy as np
+
+    from json_ld_spark.operators import sketches as sk
+
+    rng = np.random.RandomState(7)
+    vals = rng.uniform(0, 1000, size=5000).tolist()
+    df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    out = {
+        r["q"]: r
+        for r in sk.histogram_quantiles(
+            df, "x", 0, 1000, bins=200, qs=(0.5, 0.9, 0.99)
+        ).collect()
+    }
+    width = 1000 / 200
+    for q, row in out.items():
+        exact = float(np.percentile(vals, q * 100))
+        # estimate is the covering bucket's upper edge: within one bin
+        assert exact - width <= row["est_r"] <= exact + width
+        assert row["total"] == 5000
+
+
+def test_histogram_counts_clamps_out_of_range(spark):
+    from json_ld_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (999.0,), (5000.0,)], ["x"]
+    )
+    got = {r["bucket"]: r["c"] for r in
+           sk.histogram_counts(df, "x", 0, 1000, bins=10).collect()}
+    assert got[0] == 2      # -5 clamps into bucket 0
+    assert got[9] == 2      # 999 lands in 9; 5000 clamps into 9
