@@ -975,6 +975,55 @@ def q_kg_bgp_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("turn", "conv", "role")
 
 
+def q_rel_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): every event picks the
+    user's latest click at-or-before its timestamp — union-marker +
+    one keyed window, no range predicate in any join condition (the
+    plan is one shuffle + sort, not a theta join). Oracle: DuckDB's
+    native ASOF LEFT JOIN over the identical deduped snapshot stream."""
+    from json_ld_spark.operators.temporal import asof_join
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    snaps = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("snap_value"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        snaps, on="user_id", right_cols=["snap_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.col("asof_ts"), F.col("asof_snap_value").alias("asof_value"),
+    )
+
+
+def q_rel_interval_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (operators/temporal.py): views falling in
+    the 10-minute window after each error, joined via fixed-width time
+    buckets (equi-join + containment filter — never a theta join), then
+    aggregated per error window. Oracle: plain BETWEEN join in SQL."""
+    from json_ld_spark.operators.temporal import interval_join
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts"
+    )
+    joined = interval_join(
+        views, errors, on="user_id", point_time="ts",
+        start_col="s", end_col="e", bucket_seconds=600,
+    )
+    return joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_views"))
+
+
 def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HLL register table over l_orderkey (operators/
     sketches.py): md5-bridge hash, integer-only bucket/rank math —
@@ -1653,6 +1702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_string_array_wordcount": q_rel_string_array_wordcount,
         "rel_json_events": q_rel_json_events,
         "rel_sessionize_events": q_rel_sessionize_events,
+        "rel_asof_snapshot": q_rel_asof_snapshot,
+        "rel_interval_windows": q_rel_interval_windows,
         "rel_semi_anti_customers": q_rel_semi_anti_customers,
         "rel_distinct_topk_orders": q_rel_distinct_topk_orders,
     }
@@ -2730,6 +2781,33 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+# as-of oracle: DuckDB's native ASOF LEFT JOIN is the ground truth for
+# the union-marker window implementation; the snapshot stream is
+# deduped per (user, ts) on both sides so equal-timestamp picks agree
+_ASOF_SQL = """
+WITH snaps AS (
+  SELECT user_id, ts, MAX(value) AS snap_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       s.ts AS asof_ts, s.snap_value AS asof_value
+FROM events e ASOF LEFT JOIN snaps s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+_INTERVAL_SQL = """
+WITH err AS (
+  SELECT event_id AS err_id, user_id, ts AS s,
+         ts + INTERVAL 10 MINUTE AS e
+  FROM events WHERE event_type = 'error'
+), v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT err_id, COUNT(*) AS n_views
+FROM err JOIN v ON v.user_id = err.user_id AND v.ts BETWEEN err.s AND err.e
+GROUP BY err_id
+"""
+
 # histogram-quantile oracle: integer bucket math + bucket-table window
 # replayed exactly; q values forced DOUBLE to match Spark's schema
 _HISTQ_SQL = r"""
@@ -3088,6 +3166,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_string_array_wordcount": _WORDCOUNT_SQL,
         "rel_json_events": _JSON_EVENTS_SQL,
         "rel_sessionize_events": _SESSIONIZE_SQL,
+        "rel_asof_snapshot": _ASOF_SQL,
+        "rel_interval_windows": _INTERVAL_SQL,
         "rel_semi_anti_customers": _SEMI_ANTI_SQL,
         "rel_distinct_topk_orders": _TOPK_SQL,
     }

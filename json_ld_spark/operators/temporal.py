@@ -1,0 +1,140 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and
+interval (range) join — expressed so Catalyst plans them as ordinary
+shuffles instead of the nested-loop/theta joins a naive translation
+produces.
+
+As-of join (each left row picks the latest right row at-or-before its
+timestamp — market-data / slowly-changing-dimension semantics): the
+union-marker technique. Tag both sides, union, ONE shuffle on the key,
+one linear window pass carrying the last-seen right payload; left rows
+read it, right rows are dropped. No join condition ever touches the
+timestamp, so there is no range predicate for the planner to mis-plan:
+cost is sort-within-partition, state is one payload struct per key.
+A per-key sort of a hot key is the skew hazard — same profile as any
+windowed op; salt the key upstream if one entity dominates.
+
+Interval join (point-in-range): banding. Intervals explode into the
+fixed-width time buckets they cover, points map to their bucket, and
+the join is a plain equi-join on (key, bucket) + an exact containment
+filter. Fan-out = interval_length / bucket_width per interval, bounded
+and chosen by the caller; the alternative — a theta join — is a
+cartesian per key at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str = "ts",
+    right_time: str = "ts",
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    `right_time` <= `left_time` (direction="backward", inclusive) or
+    the least `right_time` >= `left_time` ("forward") sharing the `on`
+    key(s). Unmatched left rows keep NULLs. Right side should be unique
+    per (key, time) — pre-aggregate duplicates or the picked row among
+    equal timestamps is unspecified (DuckDB's ASOF has the same
+    caveat). Output: every left column + prefixed right time/columns.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in keys and c != right_time
+    ]
+    payload_src = right.select(
+        *keys, F.col(right_time).alias("__t"),
+        F.struct(
+            F.col(right_time).alias(f"{prefix}{right_time}"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in rcols],
+        ).alias("__rp"),
+    )
+    payload_type = payload_src.schema["__rp"].dataType
+    lpacked = left.select(
+        *keys, F.col(left_time).alias("__t"), F.lit(0).alias("__r"),
+        F.struct(*[c for c in left.columns]).alias("__l"),
+        F.lit(None).cast(payload_type).alias("__rp"),
+    )
+    rpacked = payload_src.select(
+        *keys, "__t", F.lit(1).alias("__r"),
+        F.lit(None).cast(lpacked.schema["__l"].dataType).alias("__l"),
+        "__rp",
+    )
+    both = lpacked.unionByName(rpacked)
+    if direction == "backward":
+        # right rows sort BEFORE left at equal t (inclusive match)
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__r").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = both.withColumn(
+            "__hit", F.last("__rp", ignorenulls=True).over(w)
+        )
+    else:
+        # left rows sort before right at equal t; look forward
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__r").asc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        filled = both.withColumn(
+            "__hit", F.first("__rp", ignorenulls=True).over(w)
+        )
+    out = filled.filter(F.col("__r") == 0)
+    return out.select("__l.*", "__hit.*")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    point_time: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point to every interval containing it
+    (`start <= t <= end`, same key) via fixed-width time banding:
+    intervals replicate into each covered bucket (sequence + explode —
+    JVM-side), points map to one bucket, the match is an equi-join on
+    (key, bucket) followed by the exact containment filter. Choose
+    `bucket_seconds` near the typical interval length: fan-out per
+    interval is len/bucket + 1. Only inner/left_semi supported (a
+    containment MISS has no bucket to preserve)."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError("how must be 'inner' or 'left_semi'")
+    keys = [on] if isinstance(on, str) else list(on)
+    b = F.lit(bucket_seconds)
+    ivals = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b),
+                F.floor(F.unix_timestamp(F.col(end_col)) / b),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(point_time)) / b)
+    )
+    cond = [pts[k] == ivals[k] for k in keys] + [
+        pts["__bucket"] == ivals["__bucket"],
+        pts[point_time] >= ivals[start_col],
+        pts[point_time] <= ivals[end_col],
+    ]
+    joined = pts.join(ivals, cond, how)
+    if how == "left_semi":
+        return joined.drop("__bucket")
+    return joined.drop(ivals["__bucket"]).drop(pts["__bucket"]).drop(
+        *[ivals[k] for k in keys]
+    )

@@ -1,0 +1,112 @@
+"""As-of and interval joins (operators/temporal.py) vs brute-force
+references."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from json_ld_spark.operators.temporal import asof_join, interval_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+
+EVENTS = [  # (event_id, user, t_minutes)
+    (0, "u1", 5), (1, "u1", 10), (2, "u1", 20),
+    (3, "u2", 7), (4, "u2", 30),
+    (5, "u3", 1),          # user with no snapshots
+]
+SNAPS = [  # (user, t_minutes, price)
+    ("u1", 3, 100.0), ("u1", 10, 110.0), ("u1", 15, 120.0),
+    ("u2", 8, 200.0),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    ev = spark.createDataFrame(
+        [(i, u, _ts(m)) for i, u, m in EVENTS],
+        "event_id long, user string, ts timestamp",
+    )
+    sn = spark.createDataFrame(
+        [(u, _ts(m), p) for u, m, p in SNAPS],
+        "user string, ts timestamp, price double",
+    )
+    return ev, sn
+
+
+def _ref_backward(i, u, m):
+    cand = [(sm, p) for su, sm, p in SNAPS if su == u and sm <= m]
+    return max(cand)[1] if cand else None
+
+
+def _ref_forward(i, u, m):
+    cand = [(sm, p) for su, sm, p in SNAPS if su == u and sm >= m]
+    return min(cand)[1] if cand else None
+
+
+def test_asof_backward_matches_reference(frames):
+    ev, sn = frames
+    out = asof_join(ev, sn, on="user", right_cols=["price"])
+    got = {r["event_id"]: r["asof_price"] for r in out.collect()}
+    assert got == {i: _ref_backward(i, u, m) for i, u, m in EVENTS}
+    assert out.count() == len(EVENTS)  # every left row survives
+
+
+def test_asof_backward_tie_is_inclusive(frames):
+    ev, sn = frames
+    out = asof_join(ev, sn, on="user", right_cols=["price"])
+    # event 1 at t=10 matches the snapshot AT t=10, not the earlier one
+    assert {r["event_id"]: r["asof_price"] for r in out.collect()}[1] == 110.0
+
+
+def test_asof_forward(frames):
+    ev, sn = frames
+    out = asof_join(ev, sn, on="user", right_cols=["price"],
+                    direction="forward")
+    got = {r["event_id"]: r["asof_price"] for r in out.collect()}
+    assert got == {i: _ref_forward(i, u, m) for i, u, m in EVENTS}
+
+
+def test_asof_partition_invariant(frames):
+    ev, sn = frames
+    a = asof_join(ev, sn, on="user", right_cols=["price"])
+    b = asof_join(ev.repartition(7), sn.repartition(3), on="user",
+                  right_cols=["price"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_interval_join_matches_bruteforce(spark):
+    pts = spark.createDataFrame(
+        [(i, "k", _ts(i * 3)) for i in range(20)],
+        "pid long, k string, t timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(100, "k", _ts(5), _ts(20)), (101, "k", _ts(18), _ts(40)),
+         (102, "k", _ts(55), _ts(58))],
+        "iid long, k string, s timestamp, e timestamp",
+    )
+    out = interval_join(pts, ivs, on="k", point_time="t",
+                        start_col="s", end_col="e", bucket_seconds=600)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    exp = sorted(
+        (i, iid)
+        for i in range(20)
+        for iid, s, e in ((100, 5, 20), (101, 18, 40), (102, 55, 58))
+        if s <= i * 3 <= e
+    )
+    assert got == exp
+
+
+def test_interval_join_bucket_width_invariant(spark):
+    pts = spark.createDataFrame(
+        [(i, "k", _ts(i)) for i in range(30)], "pid long, k string, t timestamp")
+    ivs = spark.createDataFrame(
+        [(1, "k", _ts(4), _ts(11))], "iid long, k string, s timestamp, e timestamp")
+    for width in (60, 300, 3600):
+        out = interval_join(pts, ivs, on="k", point_time="t",
+                            start_col="s", end_col="e", bucket_seconds=width)
+        assert sorted(r["pid"] for r in out.collect()) == list(range(4, 12))
