@@ -256,3 +256,24 @@ def run_resumable(
         return {"run_id": None, "published_buckets": [], "total_rows": 0}
     out = transform(todo)
     return write_audit_publish(out, out_dir, n_buckets, key_col)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 256,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame hash-bucketed (and optionally sorted) on its
+    join key(s). Reads of two tables bucketed the same way join with
+    ZERO Exchange — the shuffle is paid once at write time and amortized
+    over every later join/aggregation on the key (the triple-store
+    layout for a 100 TB KG: bucket by subj). Evidence: the bucketed
+    subj-join plan is Exchange-free (tests/test_layout.py,
+    PLANS.md §19)."""
+    w = df.write.bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.mode(mode).format("parquet").saveAsTable(table)
