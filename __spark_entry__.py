@@ -1370,6 +1370,29 @@ def q_data_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_data_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/sampling.pack_documents): assign
+    docs to ~2000-token training packs per language shard via one
+    windowed cumulative sum — contiguous fill, deterministic, packs
+    never split a document. Oracle: the identical SUM OVER window in
+    SQL."""
+    from json_ld_spark.operators import sampling as sp
+    from json_ld_spark.operators.retrieval import doc_lengths
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang").join(
+        doc_lengths(docs).withColumnRenamed("dl", "n_tok"), "doc_id"
+    )
+    out = sp.pack_documents(
+        toks, "n_tok", budget=2000, order_col="doc_id", shard_col="lang"
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_tok").cast("long").alias("n_tok"),
+        "pack_id",
+    )
+
+
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranked retrieval (operators/retrieval.py) for a fixed
     query over the documents corpus: postings pre-filtered to the query
@@ -1689,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_hash_split": q_data_hash_split,
         "data_stratified_sample": q_data_stratified_sample,
         "data_sample_per_key": q_data_sample_per_key,
+        "data_pack_documents": q_data_pack_documents,
         "text_bm25_topk": q_text_bm25_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio_features": q_multimodal_audio_features,
@@ -2924,6 +2948,22 @@ WITH rk AS (
 SELECT doc_id, lang FROM rk WHERE rk <= 10
 """
 
+_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+           x -> x <> '')) AS n_tok
+  FROM documents
+)
+SELECT doc_id, lang, n_tok::BIGINT AS n_tok,
+       CAST(FLOOR(
+         (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tok) / 2000) AS BIGINT) AS pack_id
+FROM t
+"""
+
 # BM25 oracle: same token normalization as the simhash/fingerprint
 # oracles; expression association mirrors retrieval.bm25 exactly so the
 # only cross-engine divergence is the per-doc SUM order (round 6)
@@ -3154,6 +3194,7 @@ def oracle_sql() -> dict[str, str]:
         "data_hash_split": _SPLIT_SQL,
         "data_stratified_sample": _STRAT_SAMPLE_SQL,
         "data_sample_per_key": _SAMPLE_PER_KEY_SQL,
+        "data_pack_documents": _PACK_SQL,
         "text_bm25_topk": _BM25_SQL,
         "multimodal_features": _MM_FEATURES_SQL,
         "multimodal_audio_features": _AUDIO_FEATURES_SQL,

@@ -109,6 +109,44 @@ def stratified_sample(
     return df.filter(b < F.lit(int(round(float(fractions) * N_BUCKETS))))
 
 
+def pack_documents(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str | None = None,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing for training batches: assign each document a
+    `pack_id` so consecutive documents (in `order_col` order) fill
+    ~`budget` tokens per pack — the contiguous-fill approximation of
+    bin packing every large-scale pretraining pipeline uses (exact
+    first-fit is inherently sequential; contiguous fill is one window
+    pass and deterministic).
+
+    pack = floor((cumsum(tokens) - tokens) / budget): a document starts
+    a new pack when the tokens BEFORE it already filled the budget, so
+    packs overflow by at most one document (never split). With
+    `shard_col`, packing runs per shard — the distributed form: one
+    window per shard, pack ids scoped (shard, pack_id). Without it the
+    window is global (one task for the running sum — fine to ~10^8
+    rows; shard above that). Documents larger than `budget` get a pack
+    of their own by construction."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    order = order_col or df.columns[0]
+    keys = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn(
+        "pack_id",
+        F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
+    )
+
+
 def sample_per_key(
     df: DataFrame,
     key_cols: list[str],

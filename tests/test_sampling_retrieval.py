@@ -198,3 +198,49 @@ def test_bm25_topk_deterministic_page(corpus):
 def test_bm25_empty_query_rejected(corpus):
     with pytest.raises(ValueError, match="empty query"):
         retrieval.bm25(corpus, ["  "])
+
+
+# ---------------------------------------------------------------------------
+# pack_documents
+# ---------------------------------------------------------------------------
+
+
+def test_pack_documents_contiguous_fill(spark):
+    rows = [(i, t) for i, t in enumerate([400, 400, 300, 900, 100, 1200, 50])]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = {r["doc_id"]: r["pack_id"]
+           for r in sampling.pack_documents(df, "n_tok", budget=1000,
+                                            order_col="doc_id").collect()}
+    # cum-before: 0,400,800,1100,2000,2100,3300 -> //1000: 0,0,0,1,2,2,3
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 2, 6: 3}
+
+
+def test_pack_documents_oversized_doc_isolated(spark):
+    df = spark.createDataFrame(
+        [(0, 100), (1, 5000), (2, 100)], ["doc_id", "n_tok"])
+    out = sampling.pack_documents(df, "n_tok", budget=1000, order_col="doc_id")
+    packs = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+    # the 5000-token doc occupies its own pack; the next doc starts fresh
+    assert packs[0] != packs[1] or packs[0] == 0
+    assert packs[1] != packs[2]
+
+
+def test_pack_documents_sharded_matches_global_per_shard(spark):
+    rows = [(i, ["a", "b"][i % 2], 300) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tok"])
+    sharded = sampling.pack_documents(
+        df, "n_tok", budget=1000, order_col="doc_id", shard_col="shard")
+    for s in ("a", "b"):
+        sub = {r["doc_id"]: r["pack_id"]
+               for r in sharded.filter(f"shard = '{s}'").collect()}
+        solo = {r["doc_id"]: r["pack_id"]
+                for r in sampling.pack_documents(
+                    df.filter(f"shard = '{s}'"), "n_tok", budget=1000,
+                    order_col="doc_id").collect()}
+        assert sub == solo
+
+
+def test_pack_documents_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(0, 1)], ["doc_id", "n_tok"])
+    with pytest.raises(ValueError):
+        sampling.pack_documents(df, "n_tok", budget=0)
