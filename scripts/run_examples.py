@@ -26,6 +26,8 @@ def main() -> None:
     assert ns["train"].count() > 0
     assert ns["hits"].count() > 0
     assert ns["framed"]["conversation"]["name"] == "support thread"
+    assert ns["quants"].count() == 3
+    assert ns["in_window"].count() >= 0
     print("EXAMPLES.md: all blocks executed, sanity checks pass")
 
 
