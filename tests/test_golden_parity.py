@@ -28,12 +28,14 @@ SUITE_V2 = json.loads((_FIXDIR / "golden_suite_v2.json").read_text())
 SUITE_V3 = json.loads((_FIXDIR / "golden_suite_v3.json").read_text())
 SUITE_V4 = json.loads((_FIXDIR / "golden_suite_v4.json").read_text())
 SUITE_V5 = json.loads((_FIXDIR / "golden_suite_v5.json").read_text())
+SUITE_V6 = json.loads((_FIXDIR / "golden_suite_v6.json").read_text())
 CASES = (
     SUITE["cases"]
     + SUITE_V2["cases"]
     + SUITE_V3["cases"]
     + SUITE_V4["cases"]
     + SUITE_V5["cases"]
+    + SUITE_V6["cases"]
 )
 
 
