@@ -110,3 +110,71 @@ def test_interval_join_bucket_width_invariant(spark):
         out = interval_join(pts, ivs, on="k", point_time="t",
                             start_col="s", end_col="e", bucket_seconds=width)
         assert sorted(r["pid"] for r in out.collect()) == list(range(4, 12))
+
+
+# ---------------------------------------------------------------------------
+# randomized fuzz vs brute force (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_events = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+    min_size=1, max_size=25,
+)
+_snaps = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50),
+              st.integers(0, 999)),
+    min_size=0, max_size=25,
+    unique_by=lambda r: (r[0], r[1]),  # unique per (key, ts), per contract
+)
+
+
+@given(_events, _snaps)
+@settings(max_examples=25, deadline=None)
+def test_asof_fuzz_matches_bruteforce(spark, evs, sns):
+    ev = spark.createDataFrame(
+        [(i, k, _ts(m)) for i, (k, m) in enumerate(evs)],
+        "event_id long, user string, ts timestamp",
+    )
+    sn_rows = [(k, _ts(m), float(p)) for k, m, p in sns]
+    sn = spark.createDataFrame(
+        sn_rows or [("zzz", _ts(0), 0.0)],
+        "user string, ts timestamp, price double",
+    )
+    out = {r["event_id"]: r["asof_price"]
+           for r in asof_join(ev, sn, on="user",
+                              right_cols=["price"]).collect()}
+    for i, (k, m) in enumerate(evs):
+        cand = [(sm, p) for sk, sm, p in sns if sk == k and sm <= m]
+        exp = float(max(cand)[1]) if cand else None
+        assert out[i] == exp, (i, k, m)
+
+
+@given(_events, st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 40),
+              st.integers(0, 15)),
+    min_size=1, max_size=10))
+@settings(max_examples=20, deadline=None)
+def test_interval_fuzz_matches_bruteforce(spark, evs, ivs):
+    pts = spark.createDataFrame(
+        [(i, k, _ts(m)) for i, (k, m) in enumerate(evs)],
+        "pid long, k string, t timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(j, k, _ts(s), _ts(s + w)) for j, (k, s, w) in enumerate(ivs)],
+        "iid long, k string, s timestamp, e timestamp",
+    )
+    out = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, iv, on="k", point_time="t",
+                               start_col="s", end_col="e",
+                               bucket_seconds=240).collect()
+    )
+    exp = sorted(
+        (i, j)
+        for i, (k, m) in enumerate(evs)
+        for j, (ik, s, w) in enumerate(ivs)
+        if ik == k and s <= m <= s + w
+    )
+    assert out == exp
