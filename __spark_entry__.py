@@ -459,6 +459,46 @@ def q_jsonld_frame_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_frame_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framing composed with the corpus pipeline: triples → one
+    expanded JSON-LD document PER CONVERSATION (from_rdf_stage grouped
+    on the conv prefix — group state is one conversation's quads) →
+    frame_stage selecting assistant turns (@requireAll pins the match
+    to type∧role). Demonstrates the KG→document reshape path end to
+    end; the oracle recomputes the per-conversation assistant count
+    and lexicographic-min turn IRI analytically."""
+    from json_ld_spark.operators.jsonld import frame_stage, from_rdf_stage
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    triples = transcript_triples_native(t).withColumn(
+        "conv_id", F.substring_index(F.col("doc_id"), "#", 1)
+    ).drop("doc_id")
+    conv_docs = from_rdf_stage(triples, group_col="conv_id").select(
+        F.col("conv_id").alias("doc_id"), F.col("expanded").alias("doc")
+    )
+    framed = frame_stage(
+        conv_docs,
+        frame_doc={
+            "@context": TRANSCRIPT_CONTEXT,
+            "@type": "Turn",
+            "role": "assistant",
+            "@requireAll": True,
+        },
+    )
+    g = F.get_json_object("framed", "$.@graph")
+    single = F.get_json_object("framed", "$.@id")
+    return framed.select(
+        F.col("doc_id").alias("conv_id"),
+        F.when(g.isNotNull(), F.json_array_length(g))
+        .when(single.isNotNull(), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("n_assistant"),
+        F.coalesce(
+            F.get_json_object("framed", "$.@graph[0].@id"), single
+        ).alias("first_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # deduplication family (training-data ops)
 # --------------------------------------------------------------------------
@@ -1671,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_fromrdf_roundtrip": q_jsonld_fromrdf_roundtrip,
         "jsonld_compact_generic": q_jsonld_compact_generic,
         "jsonld_frame_generic": q_jsonld_frame_generic,
+        "kg_frame_conversations": q_kg_frame_conversations,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1966,6 +2007,20 @@ SELECT pred, CAST(n AS BIGINT) AS n_triples FROM counts
 
 # compact roundtrip: @id/conv compact back to @base-relative IRIs, @type
 # to the @vocab term, properties to their context terms
+# corpus-framing oracle: assistant turns per conversation; first_id is
+# the lexicographic-min RELATIVE turn IRI (frame context @base makes
+# compacted @ids relative), matching the framed @graph's sorted order
+_FRAME_CONV_SQL = _BASE_CTE + """
+, convs AS (SELECT DISTINCT conv_id FROM base),
+  assist AS (
+  SELECT conv_id, COUNT(*) AS n,
+         MIN(conv_id || '/turn/' || CAST(turn_idx AS VARCHAR)) AS first_id
+  FROM base WHERE role = 'assistant' GROUP BY conv_id
+)
+SELECT c.conv_id, COALESCE(a.n, 0)::BIGINT AS n_assistant, a.first_id
+FROM convs c LEFT JOIN assist a ON a.conv_id = c.conv_id
+"""
+
 # framing oracle: the transcript synthesis fully determines the framed
 # output — the turn's own fields plus the @embed:@always-ed
 # conversation node (id/type/label)
@@ -3154,6 +3209,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_fromrdf_roundtrip": _FROMRDF_ORACLE_SQL,
         "jsonld_compact_generic": _COMPACT_ORACLE_SQL,
         "jsonld_frame_generic": _FRAME_ORACLE_SQL,
+        "kg_frame_conversations": _FRAME_CONV_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
