@@ -315,3 +315,19 @@ def test_cli_frame(tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out)
     assert out["@type"] == "Library"
     assert out["contains"]["@type"] == "Book"
+
+
+def test_frame_stage_shared_context(spark):
+    """Docs WITHOUT inline @context expand against the stage-level
+    shared context (same contract as expand_stage)."""
+    import json as _json
+
+    from json_ld_spark.operators.jsonld import frame_stage
+
+    ctx = {"@vocab": "http://example.org/"}
+    doc = {"@id": "http://example.org/n1", "@type": "Thing", "name": "x"}
+    df = spark.createDataFrame([("d1", _json.dumps(doc))],
+                               "doc_id string, doc string")
+    out = frame_stage(df, {"@context": ctx, "@type": "Thing"}, context=ctx)
+    framed = _json.loads(out.collect()[0]["framed"])
+    assert framed["@type"] == "Thing" and framed["name"] == "x"

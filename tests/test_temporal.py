@@ -178,3 +178,25 @@ def test_interval_fuzz_matches_bruteforce(spark, evs, ivs):
         if ik == k and s <= m <= s + w
     )
     assert out == exp
+
+
+def test_interval_join_left_semi(spark):
+    pts = spark.createDataFrame(
+        [(i, "k", _ts(i)) for i in range(10)], "pid long, k string, t timestamp")
+    ivs = spark.createDataFrame(
+        [(1, "k", _ts(2), _ts(4)), (2, "k", _ts(3), _ts(6))],
+        "iid long, k string, s timestamp, e timestamp")
+    out = interval_join(pts, ivs, on="k", point_time="t",
+                        start_col="s", end_col="e", bucket_seconds=60,
+                        how="left_semi")
+    # semi: each point at most once even when two intervals cover it
+    assert sorted(r["pid"] for r in out.collect()) == [2, 3, 4, 5, 6]
+    assert out.columns == ["pid", "k", "t"]
+
+
+def test_interval_join_rejects_other_how(spark):
+    df = spark.createDataFrame([(1, "k", _ts(0))], "i long, k string, t timestamp")
+    with pytest.raises(ValueError, match="how"):
+        interval_join(df, df.selectExpr("i", "k", "t as s", "t as e"),
+                      on="k", point_time="t", start_col="s", end_col="e",
+                      bucket_seconds=60, how="left")
