@@ -10,12 +10,17 @@ requires and no more:
   map-side partial counts, state one long per (doc, term).
 * `doc_freqs` / `tfidf` — a second groupBy(term) over the already
   per-doc-deduped terms; df state is one long per term.
-* `bm25` — the query is a handful of terms, so the term postings are
-  pre-filtered with an `isin` (pushed to the scan) BEFORE any shuffle:
-  the join carries only matching postings, never the corpus. The
-  per-document score sum is a groupBy(doc) partial agg; top-k is
+* `bm25` — ONE corpus scan, ONE shuffle. The scan explodes tokens
+  once and aggregates per document: dl plus one conditional-sum tf
+  column per query term (a pivot — queries are a handful of terms).
+  `stack` unpivots the hit rows WITHOUT a shuffle (the groupBy(doc)
+  hash partitioning is preserved through project/filter/broadcast-join,
+  so the final per-doc score aggregation adds no Exchange), df is a
+  tiny broadcast aggregate of the hit rows, and top-k is
   orderBy+limit, which Catalyst executes as TakeOrderedAndProject
   (per-partition heap + single merge — no global sort at any scale).
+  The plan was audited with .explain: a naive tf⋈df⋈dl formulation
+  re-scanned and re-exploded the corpus for the df branch.
 
 Float determinism: scores are IEEE-double expressions of integer
 counts, identical across engines except for addend order in the final
@@ -124,9 +129,46 @@ def bm25(
         dl_tbl = doc_lengths(docs, id_col, text_col)
         avgdl = float(dl_tbl.agg(F.avg("dl")).first()[0] or 1.0)
 
-    tf = term_freqs(docs, id_col, text_col).filter(F.col("term").isin(terms))
-    df = doc_freqs(tf)
-    dl = doc_lengths(docs, id_col, text_col)
+    k = len(terms)
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_words(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    per_doc = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    hit = per_doc
+    cond = None
+    for i in range(k):
+        c = F.col(f"tf_{i}") > 0
+        cond = c if cond is None else (cond | c)
+    hit = per_doc.filter(cond)
+    stack_expr = (
+        f"stack({k}, "
+        + ", ".join(f"{i}, tf_{i}" for i in range(k))
+        + ") as (ti, tf)"
+    )
+    tf_long = hit.select("doc_id", "dl", F.expr(stack_expr)).filter(
+        F.col("tf") > 0
+    )
+    # df via a window, NOT a groupBy+join: a second consumer of tf_long
+    # would re-run its whole lineage (Spark has no cross-consumer CSE),
+    # i.e. a second corpus scan+explode. The window consumes the subtree
+    # once; its shuffle carries only the hit postings (|terms| ≪ corpus)
+    from pyspark.sql import Window
+
+    tf_long = tf_long.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("ti"))
+    )
 
     tf_d = F.col("tf").cast("double")
     df_d = F.col("df").cast("double")
@@ -139,9 +181,7 @@ def bm25(
     contrib = idf * tf_d * (k1 + 1.0) / (tf_d + norm)
 
     scored = (
-        tf.join(df, "term")
-        .join(dl, "doc_id")
-        .groupBy("doc_id")
+        tf_long.groupBy("doc_id")
         .agg(
             F.round(F.sum(contrib), 6).alias("score"),
             F.count(F.lit(1)).alias("n_hit"),
