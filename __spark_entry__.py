@@ -1493,6 +1493,22 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_features(media)
 
 
+def q_multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode (operators/multimodal.py avi_decode —
+    pure-stdlib uncompressed-AVI RIFF parser, no ffmpeg): per-video
+    dimensions, frame count, integer channel sums over all frames, and
+    a motion proxy (Σ|r_t − r_{t−1}|). The synthesized AVIs use an
+    integer-closed-form pixel formula, so the DuckDB oracle regenerates
+    every statistic from generate_series — same pattern as the WAV and
+    PNG codecs."""
+    _utc(spark)
+    media = mm.synthesize_avi_media(spark, n=24)
+    return mm.video_features(media).select(
+        "media_id", "width", "height", "n_frames",
+        "sum_r", "sum_g", "sum_b", "motion",
+    )
+
+
 def q_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest → triple extraction → memory sink,
     drained over file micro-batches; returns the collected batch result
@@ -1758,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_video_features": q_multimodal_video_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "streaming_triples": q_streaming_triples,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -2644,6 +2661,44 @@ FROM m
 # synthesize_png_media(n=48): w=8+i%9, h=8+(3i)%9, per-pixel channels
 # r=(7x+13y+i)%256 g=(3x+5y+2i)%256 b=(11x+y+3i)%256 — the engine
 # decodes the actual PNG bytes; the oracle regenerates the pixels.
+# video oracle: regenerate the closed-form AVI frames analytically
+# (dims w=8+i%5, h=6+i%4, nf=2+i%3; generate_series bounds are the
+# maxima, masked by the per-video dims)
+_VIDEO_FEATURES_SQL = """
+WITH dims AS (
+  SELECT s.i AS i, 8 + s.i % 5 AS w, 6 + s.i % 4 AS h, 2 + s.i % 3 AS nf
+  FROM generate_series(0, 23) s(i)
+), px AS (
+  SELECT d.i, tt.t, yy.y, xx.x,
+         (7*xx.x + 13*yy.y + 17*tt.t + d.i) % 256 AS r,
+         (3*xx.x + 5*yy.y + 23*tt.t + 2*d.i) % 256 AS g,
+         (11*xx.x + yy.y + 29*tt.t + 3*d.i) % 256 AS b
+  FROM dims d
+  CROSS JOIN generate_series(0, 3) tt(t)
+  CROSS JOIN generate_series(0, 8) yy(y)
+  CROSS JOIN generate_series(0, 11) xx(x)
+  WHERE tt.t < d.nf AND yy.y < d.h AND xx.x < d.w
+), sums AS (
+  SELECT i, SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+         SUM(b)::BIGINT AS sum_b
+  FROM px GROUP BY i
+), mo AS (
+  SELECT d.i,
+         SUM(ABS(((7*xx.x + 13*yy.y + 17*tt.t + d.i) % 256)
+               - ((7*xx.x + 13*yy.y + 17*(tt.t-1) + d.i) % 256)))::BIGINT AS motion
+  FROM dims d
+  CROSS JOIN generate_series(1, 3) tt(t)
+  CROSS JOIN generate_series(0, 8) yy(y)
+  CROSS JOIN generate_series(0, 11) xx(x)
+  WHERE tt.t < d.nf AND yy.y < d.h AND xx.x < d.w
+  GROUP BY d.i
+)
+SELECT d.i AS media_id, d.w::BIGINT AS width, d.h::BIGINT AS height,
+       d.nf::BIGINT AS n_frames, s.sum_r, s.sum_g, s.sum_b,
+       COALESCE(m.motion, 0)::BIGINT AS motion
+FROM dims d JOIN sums s ON s.i = d.i LEFT JOIN mo m ON m.i = d.i
+"""
+
 _IMAGE_FEATURES_SQL = """
 WITH px AS (
   SELECT m.i AS media_id,
@@ -3255,6 +3310,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MM_FEATURES_SQL,
         "multimodal_audio_features": _AUDIO_FEATURES_SQL,
         "multimodal_image_features": _IMAGE_FEATURES_SQL,
+        "multimodal_video_features": _VIDEO_FEATURES_SQL,
         "multimodal_frame_plan": _FRAME_PLAN_SQL,
         "rel_agg_pricing": _AGG_PRICING_SQL,
         "rel_join_topnations": _TOPNATIONS_SQL,

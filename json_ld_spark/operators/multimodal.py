@@ -271,9 +271,11 @@ def decode_media(payload: bytes, kind: str):
 
     - audio: stdlib `wave` (PCM WAV) → {sample_rate, n_channels,
       samples: list[int]} — fully functional, no third-party deps;
-    - image: Pillow when importable (optional-import branch), else
-      NotImplementedError;
-    - video: NotImplementedError (no ffmpeg in this container).
+    - image: PNG via the stdlib codec; Pillow when importable for other
+      formats, else NotImplementedError;
+    - video: uncompressed AVI via the stdlib codec (avi_decode);
+      compressed codecs raise NotImplementedError (no ffmpeg in this
+      container).
 
     The import-gated branches are the documented codec boundary; the
     pipeline plumbing itself (schemas, Arrow batches, partitioning) is
@@ -308,6 +310,14 @@ def decode_media(payload: bytes, kind: str):
                 "formats need pillow (not in this container)"
             ) from ex
         return Image.open(io.BytesIO(bytes(payload)))
+    if kind == "video":
+        if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
+            w, h, nf, frames = avi_decode(bytes(payload))
+            return {"width": w, "height": h, "n_frames": nf, "frames": frames}
+        raise NotImplementedError(
+            "uncompressed AVI decodes for real via the stdlib codec; "
+            "compressed video needs ffmpeg (not in this container)"
+        )
     raise NotImplementedError(
         f"no codec for {kind} in this environment; install ffmpeg "
         "and swap into extract_features"
@@ -401,4 +411,210 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
                 )
             ).alias("sample_ms"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Minimal pure-stdlib AVI codec (round-3, late): RIFF container with
+# uncompressed 24-bit BGR DIB frames ('DIB ' fourcc, bottom-up rows,
+# 4-byte row padding — the classic raw-video AVI). Makes the VIDEO path
+# REAL in this container: no ffmpeg needed for uncompressed AVI; every
+# compressed codec (mp4/h264/...) remains the documented
+# NotImplementedError boundary.
+# ---------------------------------------------------------------------------
+
+
+def _dib_stride(width: int) -> int:
+    return ((width * 3) + 3) // 4 * 4
+
+
+def avi_encode(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Frames (each a top-down row-major RGB buffer) → a well-formed
+    uncompressed AVI: RIFF('AVI ' LIST hdrl(avih + LIST strl(strh,
+    strf)) LIST movi('00db' DIB...)). DIB frames store bottom-up BGR
+    rows padded to 4 bytes, per the format."""
+    import struct
+
+    stride = _dib_stride(width)
+    pad = stride - width * 3
+    frame_bytes = stride * height
+
+    def dib(rgb: bytes) -> bytes:
+        rows = []
+        for y in range(height - 1, -1, -1):
+            row = bytearray()
+            for x in range(width):
+                o = (y * width + x) * 3
+                row += bytes((rgb[o + 2], rgb[o + 1], rgb[o]))  # BGR
+            row += b"\x00" * pad
+            rows.append(bytes(row))
+        return b"".join(rows)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # HASINDEX-less, flags
+        n, 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+        frame_bytes, 0, frame_bytes, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
+    """AVI → (width, height, n_frames, frames as top-down row-major RGB
+    buffers). Supports uncompressed 24-bit DIB frames only — compressed
+    fourccs raise NotImplementedError (the honest no-ffmpeg boundary)."""
+    import struct
+
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF header)")
+
+    width = height = None
+    bitcount = compression = None
+    frames_raw: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, bitcount, compression
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + length)
+            elif tag == b"strf" and width is None:
+                (
+                    _size, w, h, _planes, bc, comp, *_rest
+                ) = struct.unpack_from("<IiiHHII", data, body_start)
+                width, height, bitcount, compression = w, abs(h), bc, comp
+            elif tag in (b"00db", b"00dc"):
+                frames_raw.append(data[body_start : body_start + length])
+            pos = body_start + length + (length % 2)
+
+    walk(12, len(data))
+    if width is None:
+        raise ValueError("missing strf header")
+    if compression != 0 or bitcount != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit DIB AVI supported "
+            f"(biCompression={compression}, biBitCount={bitcount}); "
+            "compressed codecs need ffmpeg (not in this container)"
+        )
+    stride = _dib_stride(width)
+    frames: list[bytearray] = []
+    for raw in frames_raw:
+        if len(raw) != stride * height:
+            raise ValueError("frame size mismatch")
+        out = bytearray(width * height * 3)
+        for y in range(height):
+            src = (height - 1 - y) * stride
+            for x in range(width):
+                o = (y * width + x) * 3
+                s = src + x * 3
+                out[o] = raw[s + 2]      # R
+                out[o + 1] = raw[s + 1]  # G
+                out[o + 2] = raw[s]      # B
+        frames.append(out)
+    return width, height, len(frames), frames
+
+
+def synthesize_avi_media(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Video media table with REAL uncompressed-AVI payloads:
+    deterministic per-id dims w=8+i%5, h=6+i%4, frames nf=2+i%3 and the
+    integer-closed-form pixel formula r=(7x+13y+17t+i)%256,
+    g=(3x+5y+23t+2i)%256, b=(11x+y+29t+3i)%256 — the DuckDB oracle
+    regenerates every statistic from generate_series."""
+    rows = []
+    for i in range(n):
+        w, h, nf = 8 + i % 5, 6 + i % 4, 2 + i % 3
+        frames = []
+        for t in range(nf):
+            buf = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    buf += bytes((
+                        (7 * x + 13 * y + 17 * t + i) % 256,
+                        (3 * x + 5 * y + 23 * t + 2 * i) % 256,
+                        (11 * x + y + 29 * t + 3 * i) % 256,
+                    ))
+            frames.append(bytes(buf))
+        payload = avi_encode(frames, w, h, fps=10)
+        rows.append(
+            (i, "video", "video/x-msvideo", bytearray(payload),
+             (w, h, nf * 100))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("motion", T.LongType(), False),
+    ]
+)
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """REAL video feature extraction: Arrow-batched mapInPandas decoding
+    each AVI with the stdlib codec; integer-exact channel sums over all
+    frames plus a motion proxy (Σ |r_t − r_{t−1}| over consecutive
+    frames, per pixel) — every value replays analytically in DuckDB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k.name: [] for k in VIDEO_FEATURE_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, nf, frames = avi_decode(bytes(payload))
+                arrs = [
+                    np.frombuffer(bytes(f), dtype=np.uint8)
+                    .reshape(-1, 3).astype(np.int64)
+                    for f in frames
+                ]
+                stacked = np.concatenate(arrs) if arrs else np.zeros((0, 3), np.int64)
+                motion = 0
+                for t in range(1, nf):
+                    motion += int(np.abs(arrs[t][:, 0] - arrs[t - 1][:, 0]).sum())
+                out["media_id"].append(int(media_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["sum_r"].append(int(stacked[:, 0].sum()))
+                out["sum_g"].append(int(stacked[:, 1].sum()))
+                out["sum_b"].append(int(stacked[:, 2].sum()))
+                out["motion"].append(motion)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=VIDEO_FEATURE_SCHEMA
     )
