@@ -1509,6 +1509,42 @@ def q_multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame extraction end to end: AVI decode → keep every 2nd
+    frame → re-encode each as a PNG thumbnail → decode the PNG back and
+    emit per-frame channel sums. Exercises the video→image handoff with
+    both stdlib codecs in one Arrow pass; the oracle regenerates every
+    sampled frame's statistics from the closed-form pixel formula."""
+    _utc(spark)
+    media = mm.synthesize_avi_media(spark, n=24)
+    frames = mm.sample_video_frames(media, every_n=2)
+
+    import pandas as pd_
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "sum_r": [], "sum_g": [],
+                   "sum_b": []}
+            for mid, idx, png in zip(pdf["media_id"], pdf["frame_idx"],
+                                     pdf["png"]):
+                w, h, ch, px = mm.png_decode(bytes(png))
+                a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(-1, ch)
+                a = a.astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["frame_idx"].append(int(idx))
+                out["sum_r"].append(int(a[:, 0].sum()))
+                out["sum_g"].append(int(a[:, 1].sum()))
+                out["sum_b"].append(int(a[:, 2].sum()))
+            yield pd_.DataFrame(out)
+
+    return frames.mapInPandas(
+        stats,
+        schema="media_id long, frame_idx long, sum_r long, sum_g long, sum_b long",
+    )
+
+
 def q_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest → triple extraction → memory sink,
     drained over file micro-batches; returns the collected batch result
@@ -1775,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_video_features": q_multimodal_video_features,
+        "multimodal_frame_extract": q_multimodal_frame_extract,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "streaming_triples": q_streaming_triples,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -2699,6 +2736,25 @@ SELECT d.i AS media_id, d.w::BIGINT AS width, d.h::BIGINT AS height,
 FROM dims d JOIN sums s ON s.i = d.i LEFT JOIN mo m ON m.i = d.i
 """
 
+# frame-extract oracle: sampled frames are t = 0, 2, ... < nf; stats
+# are the same closed-form sums per (i, t)
+_FRAME_EXTRACT_SQL = """
+WITH dims AS (
+  SELECT s.i AS i, 8 + s.i % 5 AS w, 6 + s.i % 4 AS h, 2 + s.i % 3 AS nf
+  FROM generate_series(0, 23) s(i)
+)
+SELECT d.i AS media_id, tt.t AS frame_idx,
+       SUM((7*xx.x + 13*yy.y + 17*tt.t + d.i) % 256)::BIGINT AS sum_r,
+       SUM((3*xx.x + 5*yy.y + 23*tt.t + 2*d.i) % 256)::BIGINT AS sum_g,
+       SUM((11*xx.x + yy.y + 29*tt.t + 3*d.i) % 256)::BIGINT AS sum_b
+FROM dims d
+CROSS JOIN generate_series(0, 3) tt(t)
+CROSS JOIN generate_series(0, 8) yy(y)
+CROSS JOIN generate_series(0, 11) xx(x)
+WHERE tt.t < d.nf AND tt.t % 2 = 0 AND yy.y < d.h AND xx.x < d.w
+GROUP BY d.i, tt.t
+"""
+
 _IMAGE_FEATURES_SQL = """
 WITH px AS (
   SELECT m.i AS media_id,
@@ -3311,6 +3367,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_features": _AUDIO_FEATURES_SQL,
         "multimodal_image_features": _IMAGE_FEATURES_SQL,
         "multimodal_video_features": _VIDEO_FEATURES_SQL,
+        "multimodal_frame_extract": _FRAME_EXTRACT_SQL,
         "multimodal_frame_plan": _FRAME_PLAN_SQL,
         "rel_agg_pricing": _AGG_PRICING_SQL,
         "rel_join_topnations": _TOPNATIONS_SQL,

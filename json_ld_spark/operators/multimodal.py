@@ -1,10 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata. The Spark-side contract (schemas, partition shape,
-Arrow batch flow through mapInPandas) is real and tested. Codecs:
-audio (PCM WAV, stdlib `wave`) and image (PNG, pure-stdlib zlib +
-scanline unfilter below) decode for REAL in this container; JPEG is
-Pillow-import-gated and video stays NotImplementedError (no ffmpeg) —
-the remaining documented codec boundary.
+Arrow batch flow through mapInPandas) is real and tested. Codecs: ALL
+THREE modalities decode for REAL in this container with pure-stdlib
+codecs — audio (PCM WAV via `wave`), image (PNG: zlib + scanline
+unfilter below), video (uncompressed AVI: RIFF/DIB parser below). The
+remaining documented boundaries: JPEG is Pillow-import-gated and
+COMPRESSED video (mp4/h264/…) raises NotImplementedError (no ffmpeg).
 """
 
 from __future__ import annotations
@@ -617,4 +618,44 @@ def video_features(media: DataFrame) -> DataFrame:
 
     return media.filter(F.col("kind") == "video").mapInPandas(
         run, schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
+SAMPLED_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("png", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling end to end: decode each AVI (stdlib codec),
+    keep every `every_n`-th frame, re-encode each kept frame as a PNG
+    thumbnail (stdlib codec) — the video→image handoff of a training
+    pipeline (frame dataset extraction), with both codecs real in this
+    container. One Arrow-batched pass, output fans out to one row per
+    sampled frame; at corpus scale the fan-out is bounded by
+    n_frames/every_n per video and the stage stays shuffle-free."""
+    if every_n <= 0:
+        raise ValueError("every_n must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in SAMPLED_FRAME_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, nf, frames = avi_decode(bytes(payload))
+                for t in range(0, nf, every_n):
+                    out["media_id"].append(int(media_id))
+                    out["frame_idx"].append(t)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["png"].append(png_encode(w, h, bytes(frames[t])))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=SAMPLED_FRAME_SCHEMA
     )

@@ -174,3 +174,26 @@ def test_video_features_match_python_reference(spark):
             int(allpx[:, c].sum()) for c in range(3)
         )
         assert r["motion"] == motion
+
+
+def test_sample_video_frames_roundtrip_pngs(spark):
+    from json_ld_spark.operators import multimodal as mm
+
+    media = mm.synthesize_avi_media(spark, n=4)
+    rows = mm.sample_video_frames(media, every_n=2).collect()
+    # every 2nd frame of each video: nf = 2+i%3 -> sampled = ceil(nf/2)
+    expect = sum(-(-(2 + i % 3) // 2) for i in range(4))
+    assert len(rows) == expect
+    for r in rows:
+        w, h, ch, px = mm.png_decode(bytes(r["png"]))
+        assert (w, h, ch) == (r["width"], r["height"], 3)
+        assert r["frame_idx"] % 2 == 0
+
+
+def test_sample_video_frames_rejects_bad_step(spark):
+    import pytest as _pytest
+
+    from json_ld_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError):
+        mm.sample_video_frames(mm.synthesize_avi_media(spark, n=1), every_n=0)
