@@ -603,3 +603,32 @@ def test_subquery_disjoint_rejected(triples):
     other = triples.sparkSession.createDataFrame([(1,)], ["unrelated"])
     with pytest.raises(ValueError, match="subquery"):
         bgp_query(triples, [("?t", V + "role", "?r")], subqueries=[other])
+
+
+def test_select_aggregates_fuzz_vs_python(spark):
+    """Randomized triple sets: bgp_select GROUP BY aggregates must
+    equal a plain Python group-by over the same solutions."""
+    import random
+
+    rnd = random.Random(77)
+    for trial in range(6):
+        rows = [
+            (f"s{rnd.randrange(6)}", V + "p", f"o{rnd.randrange(4)}")
+            for _ in range(rnd.randrange(5, 30))
+        ]
+        rows = sorted(set(rows))
+        df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+        from json_ld_spark.operators.bgp import bgp_select
+
+        out = bgp_select(
+            df,
+            [("?s", V + "p", "?o")],
+            group_by=["?o"],
+            aggregates={"?n": "COUNT(*)", "?mn": "min(?s)"},
+        )
+        got = {r["o"]: (r["n"], r["mn"]) for r in out.collect()}
+        exp: dict = {}
+        for s, _p, o in rows:
+            n, mn = exp.get(o, (0, None))
+            exp[o] = (n + 1, s if mn is None else min(mn, s))
+        assert got == exp, f"trial {trial}"

@@ -244,3 +244,21 @@ def test_pack_documents_rejects_bad_budget(spark):
     df = spark.createDataFrame([(0, 1)], ["doc_id", "n_tok"])
     with pytest.raises(ValueError):
         sampling.pack_documents(df, "n_tok", budget=0)
+
+
+def test_pack_documents_fuzz_vs_cumsum(spark):
+    import random
+
+    rnd = random.Random(11)
+    for trial in range(5):
+        toks = [rnd.randrange(1, 900) for _ in range(rnd.randrange(3, 40))]
+        budget = rnd.randrange(500, 2500)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(toks)], ["doc_id", "n_tok"])
+        got = {r["doc_id"]: r["pack_id"]
+               for r in sampling.pack_documents(
+                   df, "n_tok", budget=budget, order_col="doc_id").collect()}
+        cum = 0
+        for i, t in enumerate(toks):
+            assert got[i] == cum // budget, (trial, i)
+            cum += t
