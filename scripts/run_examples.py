@@ -28,6 +28,7 @@ def main() -> None:
     assert ns["framed"]["conversation"]["name"] == "support thread"
     assert ns["quants"].count() == 3
     assert ns["in_window"].count() >= 0
+    assert ns["vf"].count() == 8
     print("EXAMPLES.md: all blocks executed, sanity checks pass")
 
 
