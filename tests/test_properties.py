@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 
-from hypothesis import assume, given, settings, strategies as st
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
 
 from json_ld_spark.api import compact, expand, to_rdf
 from json_ld_spark.canonicalize import canonicalize_quads
@@ -47,7 +47,7 @@ iris = st.sampled_from(
 
 
 @st.composite
-def node_docs(draw, depth: int = 2):
+def node_docs(draw, depth: int = 2, allow_json: bool = True):
     doc: dict = {}
     if draw(st.booleans()):
         doc["@id"] = draw(iris)
@@ -61,7 +61,7 @@ def node_docs(draw, depth: int = 2):
         elif key == "count":
             doc[key] = draw(st.integers(min_value=-10**6, max_value=10**6))
         elif depth > 0 and draw(st.booleans()):
-            doc[key] = draw(node_docs(depth=depth - 1))
+            doc[key] = draw(node_docs(depth=depth - 1, allow_json=allow_json))
         else:
             doc[key] = draw(st.one_of(scalars, st.lists(scalars, max_size=3)))
     if depth > 0 and draw(st.booleans()):
@@ -72,14 +72,14 @@ def node_docs(draw, depth: int = 2):
         doc["meta"] = {"name": draw(st.text(max_size=6))}
     if depth > 0 and draw(st.booleans()):
         doc["children"] = [{"@id": draw(iris)}]
-    if draw(st.booleans()):
+    if allow_json and draw(st.booleans()):
         doc["data"] = draw(st.dictionaries(st.sampled_from(["a", "b"]), scalars, max_size=2))
     if draw(st.booleans()):
         doc["rtl"] = draw(st.text(max_size=6))
     if depth > 0 and draw(st.booleans()):
-        doc["posts"] = {"i1": draw(node_docs(depth=0))}
+        doc["posts"] = {"i1": draw(node_docs(depth=0, allow_json=allow_json))}
     if depth > 0 and draw(st.booleans()):
-        doc["@included"] = [draw(node_docs(depth=0))]
+        doc["@included"] = [draw(node_docs(depth=0, allow_json=allow_json))]
     return doc
 
 
@@ -96,7 +96,11 @@ def _has_empty_node(v) -> bool:
 
 
 @given(node_docs())
-@settings(max_examples=60, deadline=None)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.filter_too_much],
+)
 def test_expand_idempotent(doc):
     expanded = expand(_with_ctx(doc))
     # spec corner: an empty node object survives expansion under a term
@@ -145,8 +149,12 @@ def test_compact_expand_roundtrip(doc):
     )
 
 
-@given(node_docs())
-@settings(max_examples=40, deadline=None)
+@given(node_docs(allow_json=False))
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.filter_too_much],
+)
 def test_compact_expand_roundtrip_no_compact_arrays(doc):
     """Roundtrip with compact_arrays=False (arrays preserved). Skips the
     spec-inherent ambiguity: a bare @json literal cannot be told apart
