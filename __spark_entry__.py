@@ -97,6 +97,26 @@ def q_kg_triples_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trip.select(*TRIPLE_COLS)
 
 
+def q_kg_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Quads sink + source roundtrip (sources/nquads.py; the reference
+    consumes N-Quads via nquads-syntax in tests/to_rdf.rs:16): native
+    triples serialized to wire lines (pure-JVM escape), written as text,
+    re-read through the one-regex distributed parser. Output = the same
+    triple table, so the kg_triples_native oracle applies verbatim."""
+    import shutil
+    import tempfile
+
+    from json_ld_spark.sources.nquads import read_nquads, write_nquads
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    quads = transcript_triples_native(t).select(*TRIPLE_COLS)
+    out = tempfile.mkdtemp(prefix="nquads_rt_")
+    shutil.rmtree(out, ignore_errors=True)
+    write_nquads(quads, out)
+    return read_nquads(spark, out).select(*TRIPLE_COLS)
+
+
 def q_kg_node_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed node-map merge (merge_node, node_map.rs:211-262) as a
     hash aggregation over the deduped triple table."""
@@ -1750,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_native": q_kg_triples_native,
         "kg_triples_generic": q_kg_triples_generic,
+        "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_node_table": q_kg_node_table,
         "kg_entity_links": q_kg_entity_links,
         "kg_entity_links_salted": q_kg_entity_links_salted,
@@ -3305,6 +3326,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
         "kg_triples_generic": _TRIPLES_SQL,
+        "kg_nquads_roundtrip": _TRIPLES_SQL,
         "streaming_triples": _STREAM_TRIPLES_SQL,
         "kg_triples_interned": _TRIPLES_SQL,
         "kg_node_table": _NODES_SQL,

@@ -1,0 +1,149 @@
+"""Distributed N-Quads source/sink (sources/nquads.py).
+
+Parity targets: the sink mirrors rdf.quad_to_nquad byte-for-byte; the
+source inverts it exactly (reference consumes N-Quads via the
+nquads-syntax crate in tests/to_rdf.rs:16)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from json_ld_spark.api import to_rdf
+from json_ld_spark.rdf import quad_to_nquad
+from json_ld_spark.sources.nquads import (
+    nquad_lines,
+    parse_nquads_df,
+    read_nquads,
+    write_nquads,
+)
+
+COLS = ["graph", "subj", "pred", "obj_kind", "obj", "datatype", "lang"]
+QSCHEMA = ("graph string, subj string, pred string, obj_kind string, "
+           "obj string, datatype string, lang string")
+XS = "http://www.w3.org/2001/XMLSchema#string"
+
+NASTY = [
+    'plain',
+    'he said "hi"',
+    'back\\slash',
+    'line1\nline2',
+    'cr\rhere',
+    'tab\there',          # raw tab is legal in a literal, no escape needed
+    'café 😀 中文',
+    '\\\\double " \n mix',
+    'ends with backslash\\',
+    '"',
+    '',
+]
+
+
+def _quads():
+    q = [
+        (None, "http://ex/s", "http://ex/p", "iri", "http://ex/o", None, None),
+        ("http://ex/g", "_:b0", "http://ex/p", "bnode", "_:b1", None, None),
+        (None, "http://ex/s", "_:bp", "literal", "gen", XS, None),  # generalized
+        (None, "http://ex/s", "http://ex/p", "literal", "bonjour", None, "fr"),
+        (None, "http://ex/s", "http://ex/p", "literal", "42",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("_:bg", "http://ex/s", "http://ex/p", "literal", "in bnode graph", XS, None),
+    ]
+    for i, s in enumerate(NASTY):
+        q.append((None, f"http://ex/n{i}", "http://ex/p", "literal", s, XS, None))
+    return q
+
+
+def _key(t):
+    return tuple("" if x is None else x for x in t)
+
+
+def test_sink_matches_quad_to_nquad(spark):
+    quads = _quads()
+    df = spark.createDataFrame(quads, QSCHEMA)
+    got = sorted(r.value for r in nquad_lines(df).collect())
+    want = sorted(quad_to_nquad(q) for q in quads)
+    assert got == want
+
+
+def test_roundtrip_exact(spark):
+    quads = _quads()
+    lines = [(quad_to_nquad(q),) for q in quads]
+    lines += [("# a comment",), ("",), ("   ",), ("not a quad at all",)]
+    back = parse_nquads_df(spark.createDataFrame(lines, ["value"]))
+    got = sorted((tuple(r) for r in back.collect()), key=_key)
+    assert got == sorted(quads, key=_key)
+
+
+def test_permissive_flags_malformed(spark):
+    df = spark.createDataFrame(
+        [("<http://ex/s> <http://ex/p> <http://ex/o> .",), ("garbage .",)],
+        ["value"],
+    )
+    rows = parse_nquads_df(df, mode="permissive").collect()
+    flags = sorted((r.malformed, r.subj is None) for r in rows)
+    assert flags == [(False, False), (True, True)]
+
+
+def test_foreign_escapes_decoded(spark):
+    df = spark.createDataFrame(
+        [
+            ('<http://ex/s> <http://ex/p> "caf\\u00E9 \\U0001F600 \\t\\b\\f" .',),
+            ("<http://ex/\\u0073> <http://ex/p> <http://ex/o> .",),
+        ],
+        ["value"],
+    )
+    rows = parse_nquads_df(df).orderBy("obj").collect()
+    objs = {r.obj for r in rows}
+    assert "café 😀 \t\b\f" in objs
+    assert {r.subj for r in rows} == {"http://ex/s"}
+
+
+def test_file_roundtrip_via_engine_quads(spark, tmp_path):
+    """to_rdf(document) -> write_nquads -> read_nquads == original quads
+    (lang literal, list, typed literals all covered)."""
+    doc = {
+        "@context": {"@vocab": "http://ex/"},
+        "@id": "http://ex/n",
+        "name": {"@value": "café \"x\"\n", "@language": "fr"},
+        "count": 3,
+        "steps": {"@list": ["a", "b"]},
+    }
+    quads = to_rdf(doc)
+    df = spark.createDataFrame(quads, QSCHEMA)
+    out = str(tmp_path / "q")
+    write_nquads(df, out)
+    back = read_nquads(spark, out)
+    got = sorted((tuple(r) for r in back.collect()), key=_key)
+    assert got == sorted(quads, key=_key)
+
+
+@pytest.mark.parametrize("n", [0, 1])
+def test_empty_and_single(spark, n):
+    quads = _quads()[:n]
+    df = spark.createDataFrame(quads, QSCHEMA)
+    lines = [(r.value,) for r in nquad_lines(df).collect()]
+    back = parse_nquads_df(
+        spark.createDataFrame(lines, "value string")
+        if lines else spark.createDataFrame([], "value string")
+    )
+    assert back.count() == n
+
+
+def test_hypothesis_literal_roundtrip(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.lists(st.text(max_size=24), min_size=1, max_size=12))
+    @settings(max_examples=20, deadline=None)
+    def prop(texts):
+        quads = [
+            (None, "http://ex/s", "http://ex/p", "literal", t, XS, None)
+            for t in texts
+        ]
+        df = spark.createDataFrame(quads, QSCHEMA)
+        lines = [(r.value,) for r in nquad_lines(df).collect()]
+        back = parse_nquads_df(spark.createDataFrame(lines, ["value"]))
+        got = sorted((tuple(r) for r in back.collect()), key=_key)
+        assert got == sorted(quads, key=_key), json.dumps(texts)
+
+    prop()
