@@ -117,6 +117,35 @@ def q_kg_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_nquads(spark, out).select(*TRIPLE_COLS)
 
 
+def q_kg_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS (ρdf) entailment materialization (operators/entailment.py;
+    beyond-reference — the Rust workspace stops at toRdf): the
+    transcript KG under a 3-level class hierarchy with subPropertyOf,
+    domain and range. Schema closure is iterative on the tiny ontology;
+    the corpus is only touched by broadcast joins."""
+    from json_ld_spark.operators.entailment import (
+        DOMAIN, RANGE, SUB_CLASS, SUB_PROP, rdfs_closure,
+    )
+
+    _utc(spark)
+    v = "https://example.org/transcript#"
+    onto = spark.createDataFrame(
+        [
+            (None, v + "Turn", SUB_CLASS, "iri", v + "Utterance", None, None),
+            (None, v + "Utterance", SUB_CLASS, "iri", v + "Resource", None, None),
+            (None, v + "Conversation", SUB_CLASS, "iri", v + "Resource", None, None),
+            (None, v + "role", SUB_PROP, "iri", v + "attribute", None, None),
+            (None, v + "conversation", DOMAIN, "iri", v + "Turn", None, None),
+            (None, v + "conversation", RANGE, "iri", v + "Conversation", None, None),
+        ],
+        "graph string, subj string, pred string, obj_kind string, "
+        "obj string, datatype string, lang string",
+    )
+    t = transcripts_from_documents(spark, sf_dir)
+    quads = transcript_triples_native(t).select(*TRIPLE_COLS).unionByName(onto)
+    return rdfs_closure(quads).select(*TRIPLE_COLS)
+
+
 def q_kg_node_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed node-map merge (merge_node, node_map.rs:211-262) as a
     hash aggregation over the deduped triple table."""
@@ -1771,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_native": q_kg_triples_native,
         "kg_triples_generic": q_kg_triples_generic,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
+        "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_node_table": q_kg_node_table,
         "kg_entity_links": q_kg_entity_links,
         "kg_entity_links_salted": q_kg_entity_links_salted,
@@ -1903,6 +1933,49 @@ _TRIPLES_CTE = _BASE_CTE + f"""
 
 _TRIPLES_SQL = _TRIPLES_CTE + """
 SELECT graph, subj, pred, obj_kind, obj, datatype, lang FROM triples
+"""
+
+# kg_rdfs_closure: the ontology is fixed and 3 levels deep, so the ρdf
+# closure unrolls by hand — rdfs7 (role→attribute), rdfs2/3 (domain/
+# range of conversation), rdfs9/11 (Turn ⊑ Utterance ⊑ Resource,
+# Conversation ⊑ Resource) — and DISTINCT absorbs rederivations.
+_SCO = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+_SPO = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+_DOM = "http://www.w3.org/2000/01/rdf-schema#domain"
+_RNG = "http://www.w3.org/2000/01/rdf-schema#range"
+_RDFS_CLOSURE_SQL = _TRIPLES_CTE + f"""
+, onto AS (
+  SELECT * FROM (VALUES
+    (CAST(NULL AS VARCHAR), '{_V}Turn', '{_SCO}', 'iri', '{_V}Utterance',
+     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+    (NULL, '{_V}Utterance', '{_SCO}', 'iri', '{_V}Resource', NULL, NULL),
+    (NULL, '{_V}Conversation', '{_SCO}', 'iri', '{_V}Resource', NULL, NULL),
+    (NULL, '{_V}role', '{_SPO}', 'iri', '{_V}attribute', NULL, NULL),
+    (NULL, '{_V}conversation', '{_DOM}', 'iri', '{_V}Turn', NULL, NULL),
+    (NULL, '{_V}conversation', '{_RNG}', 'iri', '{_V}Conversation', NULL, NULL),
+    (NULL, '{_V}Turn', '{_SCO}', 'iri', '{_V}Resource', NULL, NULL)
+  ) AS t(graph, subj, pred, obj_kind, obj, datatype, lang)
+), turns AS (
+  SELECT DISTINCT subj FROM triples
+  WHERE pred = '{_RDF_TYPE}' AND obj = '{_V}Turn'
+), convs AS (
+  SELECT DISTINCT obj FROM triples WHERE pred = '{_V}conversation'
+)
+SELECT DISTINCT graph, subj, pred, obj_kind, obj, datatype, lang FROM (
+  SELECT graph, subj, pred, obj_kind, obj, datatype, lang FROM triples
+  UNION ALL SELECT * FROM onto
+  UNION ALL SELECT CAST(NULL AS VARCHAR), subj, '{_V}attribute', 'literal',
+    obj, '{_XS}', CAST(NULL AS VARCHAR)
+    FROM triples WHERE pred = '{_V}role'
+  UNION ALL SELECT NULL, subj, '{_RDF_TYPE}', 'iri', '{_V}Utterance',
+    NULL, NULL FROM turns
+  UNION ALL SELECT NULL, subj, '{_RDF_TYPE}', 'iri', '{_V}Resource',
+    NULL, NULL FROM turns
+  UNION ALL SELECT NULL, obj, '{_RDF_TYPE}', 'iri', '{_V}Conversation',
+    NULL, NULL FROM convs
+  UNION ALL SELECT NULL, obj, '{_RDF_TYPE}', 'iri', '{_V}Resource',
+    NULL, NULL FROM convs
+)
 """
 
 _STREAM_TRIPLES_SQL = _TRIPLES_CTE + """
@@ -3327,6 +3400,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_native": _TRIPLES_SQL,
         "kg_triples_generic": _TRIPLES_SQL,
         "kg_nquads_roundtrip": _TRIPLES_SQL,
+        "kg_rdfs_closure": _RDFS_CLOSURE_SQL,
         "streaming_triples": _STREAM_TRIPLES_SQL,
         "kg_triples_interned": _TRIPLES_SQL,
         "kg_node_table": _NODES_SQL,
