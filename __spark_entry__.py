@@ -1353,6 +1353,31 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py; GPT-3-style
+    exact n-gram overlap): docs with doc_id % 23 = 5 play the held-out
+    benchmark; every corpus doc is flagged if it shares any word
+    6-gram. Benchmark n-grams broadcast; one corpus scan."""
+    from json_ld_spark.operators.curation import decontaminate
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 5)
+    return decontaminate(docs, bench, n=6).orderBy("doc_id")
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/curation.py): bigram
+    add-one model trained on the corpus itself, per-doc mean log-prob.
+    One tokenize pass; counts via window functions (no join-back —
+    Spark has no cross-consumer CSE)."""
+    from json_ld_spark.operators.curation import lm_score
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return lm_score(docs).orderBy("doc_id")
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash document fingerprint, md5-gram
     variant so DuckDB reproduces it exactly (the xxhash64 variant in
@@ -1850,6 +1875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_near_duplicates": q_ann_near_duplicates,
         "jsonld_canonicalize_distributed": q_jsonld_canonicalize_distributed,
         "text_stats": q_text_stats,
+        "text_decontaminate": q_text_decontaminate,
+        "text_lm_score": q_text_lm_score,
         "text_fingerprint": q_text_fingerprint,
         "text_pii_scan": q_text_pii_scan,
         "text_word_repetition": q_text_word_repetition,
@@ -3261,6 +3288,67 @@ ORDER BY score DESC, doc_id
 LIMIT 20
 """
 
+# curation.decontaminate replay: same tokenizer, n-grams as a list
+# comprehension over positions, benchmark = doc_id % 23 = 5, distinct-
+# overlap counts via join + count(DISTINCT g).
+_DECONTAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CAST(greatest(len(t) - 5, 0) AS BIGINT) AS n_grams,
+         list_transform(generate_series(1, greatest(len(t) - 5, 0)),
+                        i -> array_to_string(t[i:i+5], ' ')) AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 23 = 5
+), dg AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams
+), hits AS (
+  SELECT dg.doc_id, count(DISTINCT dg.g) AS n_hits
+  FROM dg JOIN bench USING (g) GROUP BY dg.doc_id
+)
+SELECT g.doc_id, g.n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+ORDER BY g.doc_id
+"""
+
+# curation.lm_score replay: bigram add-one LM; window counts mirror the
+# Spark plan, BIGINT/BIGINT division is DOUBLE in both engines, ln is
+# libm on both, round(6) absorbs per-group float-sum order.
+_LM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM documents
+), v AS (
+  SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+), cnt AS (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY w1, w2) AS c2,
+         COUNT(*) OVER (PARTITION BY w1) AS c1
+  FROM bg
+), sc AS (
+  SELECT doc_id,
+         round(avg(ln((c2 + 1) / (c1 + (SELECT v FROM v)))), 6) AS avg_logprob,
+         CAST(count(*) AS BIGINT) AS n_bigrams
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id, sc.avg_logprob,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+ORDER BY doc_id
+"""
+
 _TEXT_STATS_SQL = r"""
 WITH w AS (
   SELECT doc_id, text,
@@ -3451,6 +3539,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _ANN_IVF_SQL,
         "ann_near_duplicates": _ANN_NEAR_DUP_SQL,
         "text_stats": _TEXT_STATS_SQL,
+        "text_decontaminate": _DECONTAM_SQL,
+        "text_lm_score": _LM_SCORE_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_pii_scan": _PII_SQL,
         "text_word_repetition": _WORD_REP_SQL,

@@ -1,0 +1,150 @@
+"""Corpus-curation operators: benchmark decontamination and n-gram
+language-model quality scoring.
+
+Standard large-scale training-data hygiene (GPT-3 appendix C
+13-gram decontamination; CCNet-style LM perplexity filtering) expressed
+Spark-first:
+
+- **decontamination**: the benchmark side is small by definition
+  (eval suites are MBs), so its distinct n-grams become a broadcast
+  build side; the corpus is scanned once, its n-grams generated as a
+  JVM array expression (``transform`` over a position ``sequence`` +
+  ``slice`` — no explode until the join needs rows), and matches
+  resolve through one broadcast semi/inner join. No corpus shuffle
+  except the per-doc count aggregation, which is partial-agg friendly.
+  Join key is the n-gram STRING (broadcast map lookup — exact, no
+  collision caveat); pass ``hashed=True`` to switch the key to
+  ``xxhash64`` when the benchmark set is too wide to broadcast raw.
+
+- **LM scoring**: a bigram add-one-smoothed model trained on the
+  corpus itself, P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V). One tokenize
+  pass produces the bigram relation; c2 and c1 come from two window
+  counts over it (no join-back — Spark has no cross-consumer CSE, a
+  groupBy+join would re-run the tokenize lineage per consumer); the
+  per-doc mean log-prob is one final aggregation. V (distinct-token
+  count) is the only scalar driver value (bounded collect, same
+  contract as linking.py's corpus total).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped (split on a
+    zero-width leading match yields '')."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda w: w != ""
+    )
+
+
+def ngrams(col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams — pure JVM: transform over a
+    position sequence + slice, no explode."""
+    toks = _tokens(col)
+    m = F.size(toks) - F.lit(n - 1)
+    return F.when(m <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """Flag training documents sharing any word n-gram with a benchmark
+    corpus. Returns (id_col, n_grams, n_hits, contaminated) for every
+    doc; n_hits counts DISTINCT overlapping n-grams."""
+    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+
+    bench = (
+        benchmark.select(F.explode(ngrams(F.col(bench_text_col), n)).alias("g"))
+        .select(key(F.col("g")).alias("bk"))
+        .dropDuplicates()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.size(ngrams(F.col(text_col), n)).cast("long").alias("n_grams"),
+        F.explode_outer(F.array_distinct(ngrams(F.col(text_col), n))).alias("g"),
+    )
+    hits = (
+        doc_grams.join(
+            F.broadcast(bench), key(F.col("g")) == F.col("bk"), "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count(F.col("bk")).cast("long").alias("n_hits"),
+        )
+    )
+    return hits.select(
+        id_col, "n_grams", "n_hits", (F.col("n_hits") > 0).alias("contaminated")
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bigram add-one LM trained on the corpus, scored per document:
+    avg_logprob = mean over bigrams of ln((c(w1,w2)+1)/(c(w1)+V)),
+    where c(w1) counts w1 as a bigram PREFIX and V is the corpus
+    distinct-token count. Rounded so cross-engine float-sum order can't
+    flip low bits. Docs with <2 tokens get NULL (no bigrams).
+
+    Plan: tokenize once -> bigram rows -> two window counts -> per-doc
+    agg. Window counts shuffle by (w1,w2) then w1 — both partial-agg
+    free but bounded by vocabulary skew; hot unigrams ('the') are the
+    skew hazard, and the window variant degrades gracefully under AQE
+    skew-split because no row explosion happens after the count."""
+    toks = _tokens(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bigrams = docs.select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    v_distinct = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .agg(F.countDistinct("w"))
+        .first()[0]
+    )
+
+    c2 = F.count("*").over(Window.partitionBy("w1", "w2"))
+    c1 = F.count("*").over(Window.partitionBy("w1"))
+    scored = bigrams.withColumn("c2", c2).withColumn("c1", c1).select(
+        id_col,
+        F.log((F.col("c2") + F.lit(1)) / (F.col("c1") + F.lit(v_distinct)))
+        .alias("lp"),
+    )
+    return (
+        docs.select(id_col)
+        .join(
+            scored.groupBy(id_col).agg(
+                F.round(F.avg("lp"), round_digits).alias("avg_logprob"),
+                F.count("*").cast("long").alias("n_bigrams"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "avg_logprob",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        )
+    )

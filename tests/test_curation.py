@@ -1,0 +1,127 @@
+"""Curation operators (operators/curation.py): decontamination and
+bigram-LM scoring, verified against plain-Python references."""
+
+from __future__ import annotations
+
+import math
+
+from json_ld_spark.operators.curation import decontaminate, lm_score, ngrams
+
+import pyspark.sql.functions as F
+
+
+def _py_tokens(text):
+    return [w for w in text.strip().lower().split() if w]
+
+
+def _py_ngrams(text, n):
+    t = _py_tokens(text)
+    return [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+
+
+def test_ngrams_column(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("  X  y ",), ("one",), ("",)], ["text"]
+    )
+    rows = df.select(ngrams(F.col("text"), 2).alias("g")).collect()
+    assert rows[0].g == ["a b", "b c", "c d"]
+    assert rows[1].g == ["x y"]
+    assert rows[2].g == []
+    assert rows[3].g == []
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "totally different words here now"),
+            (3, "prefix beta gamma delta suffix"),
+            (4, "x"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "zzz beta gamma delta qqq")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert out[1].contaminated and out[1].n_hits == 1  # 'beta gamma delta'
+    assert out[3].contaminated and out[3].n_hits == 1
+    assert not out[2].contaminated and out[2].n_hits == 0
+    assert not out[4].contaminated and out[4].n_grams == 0
+    assert out[1].n_grams == len(_py_ngrams("alpha beta gamma delta epsilon", 3))
+
+
+def test_decontaminate_distinct_hits(spark):
+    # repeated contaminated n-gram counts once
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "a b")], ["doc_id", "text"])
+    row = decontaminate(docs, bench, n=2).collect()[0]
+    # doc grams: {'a b' x3, 'b a' x2}; bench has only 'a b' -> ONE
+    # distinct hit despite three occurrences
+    assert row.n_hits == 1
+    assert row.n_grams == 5
+
+
+def test_decontaminate_hashed_matches_plain(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common phrase tail {i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(0, "common phrase tail")], ["doc_id", "text"])
+    a = sorted(map(tuple, decontaminate(docs, bench, n=2).collect()))
+    b = sorted(map(tuple, decontaminate(docs, bench, n=2, hashed=True).collect()))
+    assert a == b
+
+
+def _py_lm(texts):
+    """Reference bigram add-one model."""
+    toks = {d: _py_tokens(t) for d, t in texts}
+    vocab = {w for ws in toks.values() for w in ws}
+    v = len(vocab)
+    c1, c2 = {}, {}
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            c1[a] = c1.get(a, 0) + 1
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    out = {}
+    for d, ws in toks.items():
+        lps = [
+            math.log((c2[(a, b)] + 1) / (c1[a] + v))
+            for a, b in zip(ws, ws[1:])
+        ]
+        out[d] = (
+            round(sum(lps) / len(lps), 6) if lps else None,
+            len(lps),
+        )
+    return out
+
+
+def test_lm_score_matches_python(spark):
+    texts = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "a dog sat on a log"),
+        (4, "solo"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r.doc_id: (r.avg_logprob, r.n_bigrams) for r in lm_score(df).collect()}
+    want = _py_lm(texts)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][1] == want[d][1], d
+        if want[d][0] is None:
+            assert got[d][0] is None
+        else:
+            assert got[d][0] is not None and abs(got[d][0] - want[d][0]) < 2e-6, d
+
+
+def test_lm_score_repeated_bigrams_score_higher(spark):
+    # a doc made of corpus-frequent bigrams must beat a doc of rare ones
+    rows = [(i, "good flow good flow good flow") for i in range(5)]
+    rows.append((100, "rare weird pairing indeed"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.avg_logprob for r in lm_score(df).collect()}
+    assert got[0] > got[100]
