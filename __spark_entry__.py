@@ -663,6 +663,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup needs: pick one survivor per group. Oracle: DuckDB recursive
     CTE computing min reachable id over the same pair set."""
     _utc(spark)
+    docs, sim_pairs = _dup_doc_pairs(spark, sf_dir)
+    ids = docs.select("doc_id")
+    comp = gops.connected_components(sim_pairs, src="doc_a", dst="doc_b")
+    return (
+        ids.join(comp, ids["doc_id"] == comp["node"], "left")
+        .select(
+            ids["doc_id"].alias("doc_id"),
+            F.coalesce(comp["component"], ids["doc_id"]).cast("long").alias("dup_group"),
+        )
+    )
+
+
+def _dup_doc_pairs(spark: SparkSession, sf_dir: str):
+    """Shared by dedup_components / data_cluster_split: the sampled
+    duplicate-heavy corpus and its exact-3-gram-Jaccard near-dup pairs
+    (all-pairs generation is the deterministic test-sized candidate
+    source; production generators are the LSH families)."""
     docs = (
         _docs_with_dups(_read(spark, sf_dir, "documents"))
         .filter(F.col("doc_id") % 25 == 0)
@@ -674,14 +691,21 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
     sim_pairs = dd.jaccard_pairs(docs, pairs, threshold=0.2).select("doc_a", "doc_b")
-    comp = gops.connected_components(sim_pairs, src="doc_a", dst="doc_b")
-    return (
-        ids.join(comp, ids["doc_id"] == comp["node"], "left")
-        .select(
-            ids["doc_id"].alias("doc_id"),
-            F.coalesce(comp["component"], ids["doc_id"]).cast("long").alias("dup_group"),
-        )
-    )
+    return docs, sim_pairs
+
+
+def q_data_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (sampling.leakage_safe_split):
+    near-dup pairs -> connected components -> hash_split keyed on the
+    component representative, so a duplicate cluster never straddles
+    splits. Oracle: recursive-CTE components + md5-bucket replay on
+    the group id."""
+    from json_ld_spark.operators.sampling import leakage_safe_split
+
+    _utc(spark)
+    docs, sim_pairs = _dup_doc_pairs(spark, sf_dir)
+    out = leakage_safe_split(docs.select("doc_id"), sim_pairs)
+    return out.select("doc_id", F.col("dup_group").cast("long").alias("dup_group"), "split")
 
 
 def q_kg_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1881,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": q_text_pii_scan,
         "text_word_repetition": q_text_word_repetition,
         "data_hash_split": q_data_hash_split,
+        "data_cluster_split": q_data_cluster_split,
         "data_stratified_sample": q_data_stratified_sample,
         "data_sample_per_key": q_data_sample_per_key,
         "data_pack_documents": q_data_pack_documents,
@@ -2347,7 +2372,7 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 # Large-Star/Small-Star (the CTE's reach table is sum(comp_size^2)
 # rows — fine at oracle scale; the star algorithm is the form that
 # scales, the CTE is the spec).
-_CC_SQL = r"""
+_CC_CORE_SQL = r"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -2374,9 +2399,29 @@ WITH RECURSIVE corpus AS (
   SELECT doc_id, doc_id FROM sampled
   UNION
   SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+), groups AS (
+  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS dup_group
+  FROM reach GROUP BY a
 )
-SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS dup_group
-FROM reach GROUP BY a
+"""
+
+_CC_SQL = _CC_CORE_SQL + """
+SELECT doc_id, dup_group FROM groups
+"""
+
+# data_cluster_split: same components, then the md5-bucket split replay
+# keyed on the GROUP representative (hash_split's bucket recipe).
+_CLUSTER_SPLIT_SQL = _CC_CORE_SQL + """
+SELECT doc_id, dup_group,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, dup_group,
+         ('0x' || substr(md5('split|' || CAST(dup_group AS VARCHAR)), 1, 8))::BIGINT
+           % 10000 AS bucket
+  FROM groups
+)
 """
 
 # Each x<y<z triangle counted once off the canonical u<v edge list,
@@ -3545,6 +3590,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scan": _PII_SQL,
         "text_word_repetition": _WORD_REP_SQL,
         "data_hash_split": _SPLIT_SQL,
+        "data_cluster_split": _CLUSTER_SPLIT_SQL,
         "data_stratified_sample": _STRAT_SAMPLE_SQL,
         "data_sample_per_key": _SAMPLE_PER_KEY_SQL,
         "data_pack_documents": _PACK_SQL,

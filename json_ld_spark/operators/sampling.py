@@ -172,3 +172,34 @@ def sample_per_key(
         .filter(F.col("__rk") <= n)
         .drop("__rk")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    out_col: str = "split",
+    group_col: str = "dup_group",
+) -> DataFrame:
+    """Cluster-aware split: near-duplicate PAIRS (from any dedup
+    candidate generator — minhash/simhash/jaccard) are closed into
+    connected components, and the split key is the component
+    representative rather than the document id. A duplicate cluster
+    therefore never straddles train/test — the standard fix for
+    eval contamination via near-copies (retains `hash_split`'s
+    determinism and engine-replayability; the only extra cost over a
+    plain split is the component join).
+
+    Singletons (docs in no pair) keep their own id as the group."""
+    from .graphops import connected_components
+
+    comp = connected_components(dup_pairs, src=src, dst=dst)
+    grouped = df.join(comp, df[id_col] == comp["node"], "left").select(
+        df["*"],
+        F.coalesce(comp["component"], df[id_col].cast("long")).alias(group_col),
+    )
+    return hash_split(grouped, group_col, weights, seed, out_col)

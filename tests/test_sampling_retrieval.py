@@ -262,3 +262,37 @@ def test_pack_documents_fuzz_vs_cumsum(spark):
         for i, t in enumerate(toks):
             assert got[i] == cum // budget, (trial, i)
             cum += t
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    # clusters: {1,2,3} (chain), {4,5}; singletons 6..40
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 41)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["doc_a", "doc_b"]
+    )
+    out = sampling.leakage_safe_split(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 40
+    # cluster members share group and split
+    assert by_id[1].dup_group == by_id[2].dup_group == by_id[3].dup_group == 1
+    assert by_id[4].dup_group == by_id[5].dup_group == 4
+    assert by_id[1].split == by_id[2].split == by_id[3].split
+    assert by_id[4].split == by_id[5].split
+    # singleton group = own id, and split matches a plain hash_split of
+    # the group key (same seed) — determinism across the composition
+    plain = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(docs, "doc_id").collect()
+    }
+    for i in range(6, 41):
+        assert by_id[i].dup_group == i
+        assert by_id[i].split == plain[i]
+
+
+def test_leakage_safe_split_no_pairs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = sampling.leakage_safe_split(docs, pairs).collect()
+    assert {r.doc_id: r.dup_group for r in out} == {i: i for i in range(5)}
