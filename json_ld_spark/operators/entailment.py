@@ -21,13 +21,20 @@ Scale shape — the asymmetry is the whole design:
   (`dropDuplicates` over the quad key), and even that is skippable
   via ``deduplicate=False`` when the consumer dedups anyway.
 
-Rule application order is the classical stratification (spo closure →
-rdfs7 → rdfs2/3 → sco closure → rdfs9), complete for ρdf in ONE pass —
-no instance-level fixpoint is needed because derived triples only ever
-add rdf:type facts or re-predicate existing facts, neither of which
-feeds back into the schema. (Ontologies that derive NEW schema triples
-through subPropertyOf-of-rdfs-vocabulary are out of fragment,
-documented.)
+Rule COMPOSITION happens on the schema side, not the corpus side:
+instead of chaining corpus-level derivations (rdfs7 then rdfs2 on its
+output then rdfs9 on that — each stage a new consumer that re-runs the
+corpus lineage, since Spark has no cross-consumer CSE), the schema
+tables are pre-composed — effective-domain = spo⁺ ∘ domain ∘ sco*,
+effective-range likewise — so every instance-level consequence falls
+out of exactly TWO corpus passes: one pred-keyed broadcast join
+emitting rdfs7 + rdfs2 + rdfs3 consequences in a single projection,
+and one obj-keyed broadcast join on the (filter-pushed) rdf:type
+subset for rdfs9. This is complete for ρdf — derived triples only add
+rdf:type facts or re-predicate existing facts, and both feedbacks are
+absorbed by the pre-composition (proven against an unstratified naive
+fixpoint in tests). Ontologies that derive NEW schema triples through
+subPropertyOf-of-rdfs-vocabulary are out of fragment, documented.
 
 Derived triples inherit the graph of the instance triple that fired
 the rule; schema-closure triples (rdfs5/11) carry a NULL graph (the
@@ -109,51 +116,77 @@ def rdfs_closure(
     diameter contract as paths/canonicalize).
     """
     src = schema if schema is not None else triples
+    # each schema-pair extraction is a corpus scan when schema comes
+    # from the corpus itself — materialize each ONCE (ontology-sized,
+    # so the checkpoint is bytes, not a data copy); every downstream
+    # consumer then reads the flat block instead of re-scanning
     sco = _transitive(_pairs(src, SUB_CLASS), max_iter)
     spo = _transitive(_pairs(src, SUB_PROP), max_iter)
-    dom = _pairs(src, DOMAIN)
-    rng = _pairs(src, RANGE)
+    dom = _pairs(src, DOMAIN).localCheckpoint(eager=True)
+    rng = _pairs(src, RANGE).localCheckpoint(eager=True)
 
-    # rdfs7: (s p o) & p ⊑q q  =>  (s q o) — keeps kind/datatype/lang
-    d7 = (
-        triples.join(
-            F.broadcast(spo), triples["pred"] == spo["sub"], "inner"
+    def compose(ab: DataFrame, bc: DataFrame) -> DataFrame:
+        return (
+            ab.select(F.col("sub"), F.col("sup").alias("m"))
+            .join(F.broadcast(bc.select(F.col("sub").alias("m"), "sup")), "m")
+            .select("sub", "sup")
         )
-        .select(
-            "graph", "subj", F.col("sup").alias("pred"),
-            "obj_kind", "obj", "datatype", "lang",
-        )
-    )
-    props = triples.select(*QUAD_COLS).unionByName(d7)
 
-    # rdfs2: (s p o) & p domain C => (s a C)
-    d2 = (
-        props.join(F.broadcast(dom), props["pred"] == dom["sub"], "inner")
-        .select(
-            "graph", "subj", F.lit(RDF_TYPE).alias("pred"),
-            F.lit("iri").alias("obj_kind"), F.col("sup").alias("obj"),
-            F.lit(None).cast("string").alias("datatype"),
-            F.lit(None).cast("string").alias("lang"),
+    # effective domain/range: p ⊑+ q & q domain C & C ⊑* D  =>  p ↦ D.
+    # Pre-composing here is what keeps the corpus passes at two: the
+    # d7→d2→d9 feedback chains collapse into these tiny-table joins.
+    dom1 = dom.unionByName(compose(spo, dom)).dropDuplicates()
+    dom_f = dom1.unionByName(compose(dom1, sco)).dropDuplicates()
+    rng1 = rng.unionByName(compose(spo, rng)).dropDuplicates()
+    rng_f = rng1.unionByName(compose(rng1, sco)).dropDuplicates()
+
+    # one pred-keyed rule table: mode selects the consequence shape
+    rules = (
+        spo.select("sub", F.col("sup").alias("out"), F.lit("reprop").alias("mode"))
+        .unionByName(
+            dom_f.select("sub", F.col("sup").alias("out"), F.lit("dom").alias("mode"))
         )
-    )
-    # rdfs3: (s p o) & p range C & o is a node => (o a C)
-    d3 = (
-        props.filter(F.col("obj_kind").isin("iri", "bnode"))
-        .join(F.broadcast(rng), props["pred"] == rng["sub"], "inner")
-        .select(
-            "graph", F.col("obj").alias("subj"),
-            F.lit(RDF_TYPE).alias("pred"),
-            F.lit("iri").alias("obj_kind"), F.col("sup").alias("obj"),
-            F.lit(None).cast("string").alias("datatype"),
-            F.lit(None).cast("string").alias("lang"),
+        .unionByName(
+            rng_f.select("sub", F.col("sup").alias("out"), F.lit("rng").alias("mode"))
         )
+        .localCheckpoint(eager=True)
     )
 
-    typed = props.unionByName(d2).unionByName(d3)
-    # rdfs9/11: type propagation up the closed class hierarchy
+    # corpus pass 1: rdfs7 + rdfs2 + rdfs3 in a single broadcast join
+    # + projection (rng consequences only fire on node objects)
+    joined = triples.join(
+        F.broadcast(rules), triples["pred"] == rules["sub"], "inner"
+    ).filter(
+        ~((F.col("mode") == "rng") & (F.col("obj_kind") == "literal"))
+    )
+    d_pred = joined.select(
+        "graph",
+        F.when(F.col("mode") == "rng", F.col("obj"))
+        .otherwise(F.col("subj"))
+        .alias("subj"),
+        F.when(F.col("mode") == "reprop", F.col("out"))
+        .otherwise(F.lit(RDF_TYPE))
+        .alias("pred"),
+        F.when(F.col("mode") == "reprop", F.col("obj_kind"))
+        .otherwise(F.lit("iri"))
+        .alias("obj_kind"),
+        F.when(F.col("mode") == "reprop", F.col("obj"))
+        .otherwise(F.col("out"))
+        .alias("obj"),
+        F.when(F.col("mode") == "reprop", F.col("datatype"))
+        .cast("string")
+        .alias("datatype"),
+        F.when(F.col("mode") == "reprop", F.col("lang"))
+        .cast("string")
+        .alias("lang"),
+    )
+
+    # corpus pass 2 (filter-pushed to the rdf:type subset): rdfs9 over
+    # the closed hierarchy; dom/rng-derived types were already lifted
+    # through sco in dom_f/rng_f above
+    typed_in = triples.filter(F.col("pred") == RDF_TYPE)
     d9 = (
-        typed.filter(F.col("pred") == RDF_TYPE)
-        .join(F.broadcast(sco), typed["obj"] == sco["sub"], "inner")
+        typed_in.join(F.broadcast(sco), typed_in["obj"] == sco["sub"], "inner")
         .select(
             "graph", "subj", F.lit(RDF_TYPE).alias("pred"),
             F.lit("iri").alias("obj_kind"), F.col("sup").alias("obj"),
@@ -163,7 +196,9 @@ def rdfs_closure(
     )
 
     out = (
-        typed.unionByName(d9)
+        triples.select(*QUAD_COLS)
+        .unionByName(d_pred)
+        .unionByName(d9)
         .unionByName(_as_schema_triples(sco, SUB_CLASS))
         .unionByName(_as_schema_triples(spo, SUB_PROP))
     )
