@@ -29,6 +29,8 @@ def main() -> None:
     assert ns["quants"].count() == 3
     assert ns["in_window"].count() >= 0
     assert ns["vf"].count() == 8
+    assert ns["utterances"].count() > 0
+    assert ns["decontam_clean"].count() > 0
     print("EXAMPLES.md: all blocks executed, sanity checks pass")
 
 
