@@ -146,6 +146,60 @@ def q_kg_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_closure(quads).select(*TRIPLE_COLS)
 
 
+def q_kg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG lifecycle (operators/maintenance.py): absorb a transcript
+    delta without rebuilding the world — base KG (turns < 12) gets its
+    tool facts retracted and the new turns (>= 12) merged in; the node
+    table is splice-refreshed (only delta-touched subjects recompute).
+    Output = the refreshed node table; oracle = full recompute in SQL
+    (the splice == full-recompute invariant, driver-checked)."""
+    from json_ld_spark.operators.maintenance import (
+        affected_subjects, merge_triples, refresh_node_table,
+    )
+
+    _utc(spark)
+    v = "https://example.org/transcript#"
+    t = transcripts_from_documents(spark, sf_dir)
+    base = transcript_triples_native(t.filter(F.col("turn_idx") < 12))
+    adds = transcript_triples_native(t.filter(F.col("turn_idx") >= 12))
+    deletes = base.filter(F.col("pred") == v + "tool")
+    merged = merge_triples(base, adds=adds, deletes=deletes)
+    old_nodes = node_table(dedup_triples(base))
+    nodes = refresh_node_table(
+        old_nodes, merged, affected_subjects(adds=adds, deletes=deletes)
+    )
+    return nodes.select(
+        "node_id",
+        F.array_join("types", ",").alias("types_csv"),
+        F.array_join("preds", ",").alias("preds_csv"),
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def q_kg_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 UPDATE (maintenance.update_where): DELETE {?t role
+    ?r} INSERT {?t speakerRole ?r} WHERE {?t role ?r} — the WHERE
+    bindings evaluate once, both templates instantiate as projections,
+    delete-before-insert semantics."""
+    from json_ld_spark.operators.maintenance import update_where
+
+    _utc(spark)
+    v = "https://example.org/transcript#"
+    t = transcripts_from_documents(spark, sf_dir)
+    tri3 = (
+        transcript_triples_native(t)
+        .select("subj", "pred", "obj")
+        .dropDuplicates()
+    )
+    return update_where(
+        tri3,
+        where=[("?t", v + "role", "?r")],
+        delete=[("?t", v + "role", "?r")],
+        insert=[("?t", v + "speakerRole", "?r")],
+    )
+
+
 def q_kg_node_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed node-map merge (merge_node, node_map.rs:211-262) as a
     hash aggregation over the deduped triple table."""
@@ -1850,6 +1904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_generic": q_kg_triples_generic,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_rdfs_closure": q_kg_rdfs_closure,
+        "kg_delta_merge": q_kg_delta_merge,
+        "kg_update_where": q_kg_update_where,
         "kg_node_table": q_kg_node_table,
         "kg_entity_links": q_kg_entity_links,
         "kg_entity_links_salted": q_kg_entity_links_salted,
@@ -2261,6 +2317,33 @@ SELECT subj AS node_id,
        COUNT(DISTINCT doc_id) AS n_docs
 FROM triples
 GROUP BY subj
+"""
+
+# kg_delta_merge: merged = (base − base-tool-facts) ∪ new-turn triples
+# = all triples except tool quads of turns < 12; node table recomputed
+# in full (the Spark side splices — equality IS the check).
+_DELTA_NODES_SQL = _TRIPLES_CTE + f"""
+, merged AS (
+  SELECT * FROM triples
+  WHERE NOT (pred = '{_V}tool'
+             AND CAST(split_part(doc_id, '#', 2) AS INT) < 12)
+)
+SELECT subj AS node_id,
+       array_to_string(list_sort(list_distinct(list(CASE WHEN pred = '{_RDF_TYPE}' THEN obj END))), ',') AS types_csv,
+       array_to_string(list_sort(list_distinct(list(pred))), ',') AS preds_csv,
+       COUNT(*) AS out_degree,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM merged
+GROUP BY subj
+"""
+
+# kg_update_where: predicate rename is the whole effect (role objects
+# move to speakerRole; nothing else matches the WHERE block).
+_UPDATE_WHERE_SQL = _TRIPLES_CTE + f"""
+SELECT DISTINCT subj,
+       CASE WHEN pred = '{_V}role' THEN '{_V}speakerRole' ELSE pred END AS pred,
+       obj
+FROM triples
 """
 
 _LINKS_SQL = """
@@ -3534,6 +3617,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_generic": _TRIPLES_SQL,
         "kg_nquads_roundtrip": _TRIPLES_SQL,
         "kg_rdfs_closure": _RDFS_CLOSURE_SQL,
+        "kg_delta_merge": _DELTA_NODES_SQL,
+        "kg_update_where": _UPDATE_WHERE_SQL,
         "streaming_triples": _STREAM_TRIPLES_SQL,
         "kg_triples_interned": _TRIPLES_SQL,
         "kg_node_table": _NODES_SQL,

@@ -295,6 +295,16 @@ def bgp_construct(
     DataFrame, instantiation is a projection, and the result unions
     into the source KG as just another triple source."""
     bindings = bgp_query(triples, patterns, **kw)
+    return instantiate_template(bindings, template)
+
+
+def instantiate_template(
+    bindings: DataFrame, template: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Instantiate CONSTRUCT/UPDATE template triples once per solution
+    row: `?var` terms project binding columns, constants become
+    literals; NULL-leaving solutions drop that template triple (spec);
+    the result is a deduplicated triple set."""
     out: DataFrame | None = None
     for s, p, o in template:
         row = bindings.select(
@@ -305,7 +315,7 @@ def bgp_construct(
         )
         out = row if out is None else out.unionByName(row)
     if out is None:
-        raise ValueError("empty CONSTRUCT template")
+        raise ValueError("empty triple template")
     return (
         out.where(
             F.col("subj").isNotNull()

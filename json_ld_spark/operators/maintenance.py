@@ -1,0 +1,142 @@
+"""KG lifecycle maintenance: batch delta merge, document retraction,
+incremental node-table refresh, and SPARQL-1.1-style DELETE/INSERT
+WHERE updates.
+
+The reference processes documents one at a time — re-running it IS its
+maintenance story (crates/core/src/document/expanded.rs). At 100 TB
+the KG must instead absorb a day's transcripts without rebuilding the
+world; these operators keep every corpus-sized input on one side of a
+delta-sized join:
+
+- ``merge_triples``: (base − deletes) ∪ adds. Deletes resolve through
+  a LEFT ANTI join on the quad key — when the delta is small it
+  broadcasts (AQE decides), so the base table is one scan, no shuffle;
+  adds union in follow-up.
+- ``retract_documents``: everything a set of doc_ids contributed,
+  via broadcast anti join on the lineage column the triple tables
+  already carry.
+- ``refresh_node_table``: splice-update — node rows whose subject is
+  touched by the delta are recomputed from the merged triple table
+  (semi-join restricted, i.e. delta-sized work when the base is
+  bucketed by subj), everything else passes through untouched. The
+  refreshed table is exactly ``node_table(merged)`` (asserted in
+  tests), at delta cost instead of corpus cost.
+- ``update_where``: SPARQL UPDATE's ``DELETE {…} INSERT {…} WHERE
+  {…}`` over a (subj, pred, obj) triple table — the WHERE block is
+  evaluated ONCE (bindings optionally localCheckpoint'ed: with no
+  cross-consumer CSE, two template instantiations would otherwise
+  re-run the whole BGP join chain), both templates instantiate as
+  projections of the same solution set, then delete-before-insert per
+  spec semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .jsonld import node_table
+
+QUAD_KEY = ["graph", "subj", "pred", "obj_kind", "obj", "datatype", "lang"]
+TRIPLE_KEY = ["subj", "pred", "obj"]
+
+
+def _key_of(df: DataFrame) -> list[str]:
+    cols = set(df.columns)
+    return QUAD_KEY if set(QUAD_KEY) <= cols else TRIPLE_KEY
+
+
+def merge_triples(
+    base: DataFrame,
+    adds: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+    deduplicate: bool = True,
+) -> DataFrame:
+    """(base − deletes) ∪ adds over the quad (or 3-col triple) key.
+    Anti join is null-safe on the nullable quad columns so a delete of
+    a NULL-datatype quad actually lands."""
+    key = _key_of(base)
+    out = base
+    if deletes is not None:
+        # rename the delete side before joining: deletes are routinely
+        # DERIVED from base (a filter), and a self-join on same-named
+        # columns risks Spark resolving both sides of the condition to
+        # one lineage (the "trivially true" ambiguity)
+        dels = deletes.select(
+            *(F.col(k).alias(f"__del_{k}") for k in key)
+        ).dropDuplicates()
+        cond = [out[k].eqNullSafe(dels[f"__del_{k}"]) for k in key]
+        out = out.join(dels, cond, "left_anti")
+    if adds is not None:
+        out = out.unionByName(
+            adds.select(*base.columns), allowMissingColumns=False
+        )
+        if deduplicate:
+            out = out.dropDuplicates(key)
+    return out
+
+
+def retract_documents(
+    base: DataFrame, doc_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Remove every triple contributed by the given documents (lineage
+    anti join; doc_ids is retraction-sized, so it broadcasts)."""
+    return base.join(
+        F.broadcast(doc_ids.select(id_col).dropDuplicates()), id_col, "left_anti"
+    )
+
+
+def affected_subjects(
+    adds: DataFrame | None = None, deletes: DataFrame | None = None
+) -> DataFrame:
+    parts = [d.select("subj") for d in (adds, deletes) if d is not None]
+    if not parts:
+        raise ValueError("need at least one of adds/deletes")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates()
+
+
+def refresh_node_table(
+    old_nodes: DataFrame,
+    merged_triples: DataFrame,
+    subjects: DataFrame,
+    node_id_col: str = "node_id",
+) -> DataFrame:
+    """Splice-update the node table: recompute rows for `subjects`
+    from the merged triple table, keep the rest. Invariant (tested):
+    result == node_table(merged_triples), at delta cost."""
+    subs = subjects.select(F.col("subj")).dropDuplicates()
+    keep = old_nodes.join(
+        F.broadcast(subs), old_nodes[node_id_col] == subs["subj"], "left_anti"
+    )
+    recomputed = node_table(
+        merged_triples.join(F.broadcast(subs), "subj", "left_semi")
+    )
+    return keep.unionByName(recomputed)
+
+
+def update_where(
+    triples: DataFrame,
+    where: list[tuple[str, str, str]],
+    insert: list[tuple[str, str, str]] | None = None,
+    delete: list[tuple[str, str, str]] | None = None,
+    materialize_bindings: bool = True,
+    **kw,
+) -> DataFrame:
+    """SPARQL 1.1 ``DELETE {delete} INSERT {insert} WHERE {where}``
+    applied to a (subj, pred, obj) triple table; returns the updated
+    graph. Solutions with an unbound template variable drop that
+    template triple (CONSTRUCT rule); deletes apply before inserts so
+    an insert of a deleted triple survives, per UPDATE semantics."""
+    from .bgp import bgp_query, instantiate_template
+
+    if insert is None and delete is None:
+        raise ValueError("update_where needs insert and/or delete templates")
+    bindings = bgp_query(triples, where, **kw)
+    if materialize_bindings and insert is not None and delete is not None:
+        # two template consumers would re-run the BGP join chain
+        bindings = bindings.localCheckpoint(eager=True)
+    dels = instantiate_template(bindings, delete) if delete else None
+    ins = instantiate_template(bindings, insert) if insert else None
+    return merge_triples(triples, adds=ins, deletes=dels)

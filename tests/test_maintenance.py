@@ -1,0 +1,142 @@
+"""KG maintenance (operators/maintenance.py): delta merge, retraction,
+incremental node refresh (splice == full recompute), SPARQL UPDATE."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from json_ld_spark.operators.jsonld import node_table
+from json_ld_spark.operators.maintenance import (
+    affected_subjects,
+    merge_triples,
+    refresh_node_table,
+    retract_documents,
+    update_where,
+)
+
+QSCHEMA = ("doc_id string, graph string, subj string, pred string, "
+           "obj_kind string, obj string, datatype string, lang string")
+TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _quads(spark, rows):
+    return spark.createDataFrame(rows, QSCHEMA)
+
+
+def _q(doc, s, p, o, kind="iri", dt=None):
+    return (doc, None, s, p, kind, o, dt, None)
+
+
+def _base(spark):
+    return _quads(spark, [
+        _q("d1", "n1", TYPE, "T"),
+        _q("d1", "n1", "p", "hello", kind="literal",
+           dt="http://www.w3.org/2001/XMLSchema#string"),
+        _q("d2", "n2", TYPE, "T"),
+        _q("d2", "n2", "q", "n1"),
+        _q("d3", "n3", "p", "x", kind="literal", dt=None),  # NULL datatype
+    ])
+
+
+def _set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_merge_add_delete_nullsafe(spark):
+    base = _base(spark)
+    deletes = _quads(spark, [
+        _q("d3", "n3", "p", "x", kind="literal", dt=None),
+        _q("zz", "n9", "p", "absent"),  # deleting a non-row is a no-op
+    ]).drop("doc_id")
+    adds = _quads(spark, [
+        _q("d4", "n4", TYPE, "T"),
+        _q("d1", "n1", TYPE, "T"),  # re-add of an existing quad dedups
+    ])
+    out = merge_triples(base, adds=adds, deletes=deletes)
+    got = _set(out.select("subj", "pred", "obj"))
+    assert ("n3", "p", "x") not in got           # null-datatype delete landed
+    assert ("n4", TYPE, "T") in got
+    assert out.filter((F.col("subj") == "n1") & (F.col("pred") == TYPE)).count() == 1
+
+
+def test_merge_triple_key_fallback(spark):
+    base = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "c")], ["subj", "pred", "obj"]
+    )
+    out = merge_triples(
+        base,
+        deletes=spark.createDataFrame([("a", "p", "c")], ["subj", "pred", "obj"]),
+    )
+    assert _set(out) == {("a", "p", "b")}
+
+
+def test_retract_documents(spark):
+    base = _base(spark)
+    out = retract_documents(
+        base, spark.createDataFrame([("d1",)], ["doc_id"])
+    )
+    assert set(r.doc_id for r in out.collect()) == {"d2", "d3"}
+
+
+def test_refresh_node_table_equals_full_recompute(spark):
+    base = _base(spark)
+    adds = _quads(spark, [
+        _q("d4", "n2", "r", "n3"),          # touches existing node n2
+        _q("d4", "n5", TYPE, "U"),          # brand-new node n5
+    ])
+    deletes = _quads(spark, [_q("d3", "n3", "p", "x", kind="literal", dt=None)])
+    merged = merge_triples(base, adds=adds, deletes=deletes)
+
+    old_nodes = node_table(base)
+    refreshed = refresh_node_table(
+        old_nodes, merged, affected_subjects(adds=adds, deletes=deletes)
+    )
+    full = node_table(merged)
+    key = lambda t: tuple("" if x is None else str(x) for x in t)
+    assert sorted(map(tuple, refreshed.collect()), key=key) == \
+        sorted(map(tuple, full.collect()), key=key)
+    # n3 lost its only triple -> gone from both
+    assert refreshed.filter(F.col("node_id") == "n3").count() == 0
+
+
+def test_update_where_rename_predicate(spark):
+    triples = spark.createDataFrame(
+        [("t1", "role", "user"), ("t2", "role", "assistant"),
+         ("t1", "text", "hi")],
+        ["subj", "pred", "obj"],
+    )
+    out = update_where(
+        triples,
+        where=[("?t", "role", "?r")],
+        delete=[("?t", "role", "?r")],
+        insert=[("?t", "speakerRole", "?r")],
+    )
+    got = _set(out)
+    assert got == {
+        ("t1", "speakerRole", "user"),
+        ("t2", "speakerRole", "assistant"),
+        ("t1", "text", "hi"),
+    }
+
+
+def test_update_where_delete_before_insert(spark):
+    # inserting the SAME triple the delete removes must survive
+    triples = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
+    out = update_where(
+        triples,
+        where=[("?s", "p", "?o")],
+        delete=[("?s", "p", "?o")],
+        insert=[("?s", "p", "?o")],
+    )
+    assert _set(out) == {("a", "p", "b")}
+
+
+def test_update_where_insert_only_and_validation(spark):
+    triples = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
+    out = update_where(
+        triples, where=[("?s", "p", "?o")], insert=[("?o", "pInv", "?s")]
+    )
+    assert _set(out) == {("a", "p", "b"), ("b", "pInv", "a")}
+    with pytest.raises(ValueError):
+        update_where(triples, where=[("?s", "p", "?o")])
