@@ -30,6 +30,23 @@ def read_transcript_stream(
     )
 
 
+def read_nquads_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4,
+    mode: str = "drop",
+) -> DataFrame:
+    """Streaming N-Quads ingest: readStream.text + the stateless
+    one-regex parser (sources/nquads.parse_nquads_df) — a pure
+    projection, so it is append-mode safe and composes with every
+    downstream streaming stage (dedup, linking, components)."""
+    from ..sources.nquads import parse_nquads_df
+
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    return parse_nquads_df(lines, mode=mode)
+
+
 def streaming_triples(stream: DataFrame) -> DataFrame:
     """Same triple extraction as batch — stateless projection, append-mode
     safe."""

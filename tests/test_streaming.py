@@ -282,3 +282,34 @@ def test_stream_framing_matches_batch(spark, tmp_path_factory):
     }
     assert got == batch
     assert all(v is not None for v in got.values())
+
+
+def test_streaming_nquads_matches_batch(spark, tmp_path):
+    """Streaming N-Quads ingest == batch parse of the same files."""
+    from json_ld_spark.sources.nquads import read_nquads, write_nquads
+    from json_ld_spark.streaming.stream import read_nquads_stream
+
+    quads = spark.createDataFrame(
+        [
+            (None, "http://ex/s", "http://ex/p", "literal",
+             'tricky "quote"\nand\\slash', "http://www.w3.org/2001/XMLSchema#string", None),
+            ("http://ex/g", "_:b0", "http://ex/p", "iri", "http://ex/o", None, None),
+        ],
+        "graph string, subj string, pred string, obj_kind string, "
+        "obj string, datatype string, lang string",
+    )
+    src = str(tmp_path / "nq")
+    write_nquads(quads, src)
+
+    out = read_nquads_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nq_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM nq_stream_test").collect()}
+    want = {tuple(r) for r in read_nquads(spark, src).collect()}
+    assert got == want and len(got) == 2
