@@ -602,10 +602,16 @@ def create_term_definition(
         c = v["@container"]
         cset = _validate_container(c, processing_mode)
         definition.container = cset
-        if definition.type_mapping in ("@json",) and not (
-            cset <= {"@set", "@index"} or not cset
-        ):
-            pass
+        # step 19.3 (api spec create-term-definition): a @type container
+        # restricts the type mapping to @id/@vocab and defaults it to
+        # @id (reference: context-processing/src/algorithm/define.rs:605-618)
+        if "@type" in cset:
+            if definition.type_mapping is None:
+                definition.type_mapping = "@id"
+            elif definition.type_mapping not in ("@id", "@vocab"):
+                raise E.InvalidTypeMapping(
+                    f"{term}: @container: @type requires @id/@vocab type"
+                )
     # @index
     if "@index" in v:
         if processing_mode == "json-ld-1.0" or "@index" not in definition.container:

@@ -29,6 +29,7 @@ SUITE_V3 = json.loads((_FIXDIR / "golden_suite_v3.json").read_text())
 SUITE_V4 = json.loads((_FIXDIR / "golden_suite_v4.json").read_text())
 SUITE_V5 = json.loads((_FIXDIR / "golden_suite_v5.json").read_text())
 SUITE_V6 = json.loads((_FIXDIR / "golden_suite_v6.json").read_text())
+SUITE_V7 = json.loads((_FIXDIR / "golden_suite_v7.json").read_text())
 CASES = (
     SUITE["cases"]
     + SUITE_V2["cases"]
@@ -36,6 +37,7 @@ CASES = (
     + SUITE_V4["cases"]
     + SUITE_V5["cases"]
     + SUITE_V6["cases"]
+    + SUITE_V7["cases"]
 )
 
 
