@@ -1142,6 +1142,79 @@ def q_kg_bgp_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("turn", "conv", "role")
 
 
+def q_kg_bgp_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE (bgp.bgp_describe): the sub-KG of every turn
+    that used the search tool — a left-semi join of the triple table
+    against the matched node set."""
+    from json_ld_spark.operators.bgp import bgp_describe
+
+    _utc(spark)
+    v = "https://example.org/transcript#"
+    t = transcripts_from_documents(spark, sf_dir)
+    tri3 = (
+        transcript_triples_native(t)
+        .select("subj", "pred", "obj")
+        .dropDuplicates()
+    )
+    return bgp_describe(tri3, [("?t", v + "tool", "search")], "?t")
+
+
+def q_kg_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK (bgp.bgp_ask): boolean existence probes — one
+    pattern that matches (search tool) and one that cannot (browser
+    never appears in the synthesized corpus)."""
+    from json_ld_spark.operators.bgp import bgp_ask
+
+    _utc(spark)
+    v = "https://example.org/transcript#"
+    t = transcripts_from_documents(spark, sf_dir)
+    tri3 = (
+        transcript_triples_native(t)
+        .select("subj", "pred", "obj")
+        .dropDuplicates()
+    )
+    a1 = bgp_ask(tri3, [("?t", v + "tool", "search")])
+    a2 = bgp_ask(tri3, [("?t", v + "tool", "browser")])
+    return spark.createDataFrame(
+        [(a1, a2)], "ask_search boolean, ask_browser boolean"
+    )
+
+
+def q_rel_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS coverage: ROLLUP(l_returnflag, l_linestatus) with
+    grouping_id — subtotal and grand-total rows alongside the detail,
+    integer-cents exact."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents("l_extendedprice")) / 100.0).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+def q_rel_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT coverage: order-status columns per priority (explicit
+    pivot values so the plan is a single pass, no distinct-collect),
+    integer-cents sums."""
+    _utc(spark)
+    orders = _read(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(_cents("o_totalprice")))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("O").alias("cents_o"),
+        F.col("F").alias("cents_f"),
+        F.col("P").alias("cents_p"),
+    )
+
+
 def q_rel_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/temporal.py): every event picks the
     user's latest click at-or-before its timestamp — union-marker +
@@ -1980,6 +2053,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_string_array_wordcount": q_rel_string_array_wordcount,
         "rel_json_events": q_rel_json_events,
         "rel_sessionize_events": q_rel_sessionize_events,
+        "kg_bgp_describe": q_kg_bgp_describe,
+        "kg_bgp_ask": q_kg_bgp_ask,
+        "rel_rollup_pricing": q_rel_rollup_pricing,
+        "rel_pivot_orders": q_rel_pivot_orders,
         "rel_asof_snapshot": q_rel_asof_snapshot,
         "rel_interval_windows": q_rel_interval_windows,
         "rel_semi_anti_customers": q_rel_semi_anti_customers,
@@ -3519,6 +3596,42 @@ SELECT doc_id,
 FROM lang
 """
 
+_BGP_DESCRIBE_SQL = _TRIPLES_CTE + f"""
+SELECT DISTINCT subj, pred, obj FROM triples
+WHERE subj IN (SELECT subj FROM triples
+               WHERE pred = '{_V}tool' AND obj = 'search')
+"""
+
+_BGP_ASK_SQL = _TRIPLES_CTE + f"""
+SELECT EXISTS(SELECT 1 FROM triples
+              WHERE pred = '{_V}tool' AND obj = 'search') AS ask_search,
+       EXISTS(SELECT 1 FROM triples
+              WHERE pred = '{_V}tool' AND obj = 'browser') AS ask_browser
+"""
+
+# GROUPING(c1, c2) bitmask convention verified identical to Spark's
+# grouping_id() (first grouping column = MSB) on this engine pair.
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+       COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS cents_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS cents_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS cents_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
 _AGG_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
        SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
@@ -3686,6 +3799,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_features": _VIDEO_FEATURES_SQL,
         "multimodal_frame_extract": _FRAME_EXTRACT_SQL,
         "multimodal_frame_plan": _FRAME_PLAN_SQL,
+        "kg_bgp_describe": _BGP_DESCRIBE_SQL,
+        "kg_bgp_ask": _BGP_ASK_SQL,
+        "rel_rollup_pricing": _ROLLUP_SQL,
+        "rel_pivot_orders": _PIVOT_SQL,
         "rel_agg_pricing": _AGG_PRICING_SQL,
         "rel_join_topnations": _TOPNATIONS_SQL,
         "rel_window_events": _WINDOW_SQL,
