@@ -205,3 +205,28 @@ def rdfs_closure(
     if deduplicate:
         out = out.dropDuplicates(QUAD_COLS)
     return out
+
+
+def rdfs_closure_delta(
+    base_closed: DataFrame,
+    delta: DataFrame,
+    schema: DataFrame,
+    max_iter: int = 20,
+    deduplicate: bool = True,
+) -> DataFrame:
+    """Incremental maintenance: with a FIXED schema, every instance
+    rule (rdfs7/2/3/9) has a single instance-triple premise, so the
+    closure is a per-triple map and distributes over union:
+    closure(base ∪ delta) = closure(base) ∪ closure(delta). A day's
+    transcript delta therefore entails at delta cost — the already-
+    closed base is only touched by the final dedup (skippable when the
+    sink dedups, e.g. merge_triples). Asserted equal to the full
+    recompute in tests. Only schema CHANGES require a full re-run
+    (rules are monotone; retraction likewise falls back to
+    maintenance.merge_triples + re-closure of affected docs)."""
+    inc = rdfs_closure(delta, schema=schema, max_iter=max_iter,
+                       deduplicate=False)
+    out = base_closed.unionByName(inc)
+    if deduplicate:
+        out = out.dropDuplicates(QUAD_COLS)
+    return out

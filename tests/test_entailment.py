@@ -179,3 +179,22 @@ def test_randomized_vs_naive_fixpoint(spark, seed):
     got = _run(spark, sorted(quads))
     want = _norm(_naive_closure(quads))
     assert got == want
+
+
+def test_delta_closure_equals_full_recompute(spark):
+    from json_ld_spark.operators.entailment import rdfs_closure, rdfs_closure_delta
+
+    onto = [
+        _t("C1", SUB_CLASS, "C2"), _t("C2", SUB_CLASS, "C3"),
+        _t("p", SUB_PROP, "q"), _t("p", DOMAIN, "C1"), _t("q", RANGE, "C3"),
+    ]
+    base = [_t("x", "p", "y"), _t("x", RDF_TYPE, "C1")]
+    delta = [_t("z", "p", "w"), _t("w", RDF_TYPE, "C2")]
+    df = lambda rows: spark.createDataFrame(rows, QSCHEMA)
+
+    schema = df(onto)
+    base_closed = rdfs_closure(df(base), schema=schema)
+    incremental = rdfs_closure_delta(base_closed, df(delta), schema)
+    full = rdfs_closure(df(base + delta), schema=schema)
+    assert {tuple(r) for r in incremental.collect()} == \
+        {tuple(r) for r in full.collect()}
