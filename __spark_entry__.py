@@ -1529,6 +1529,17 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs).orderBy("doc_id")
 
 
+def q_data_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking (curation.chunk_documents):
+    40-token windows, 8-token overlap — pure JVM transform+slice per
+    doc, one explode, no shuffle."""
+    from json_ld_spark.operators.curation import chunk_documents
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=40, overlap=8)
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash document fingerprint, md5-gram
     variant so DuckDB reproduces it exactly (the xxhash64 variant in
@@ -2035,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_word_repetition": q_text_word_repetition,
         "data_hash_split": q_data_hash_split,
         "data_cluster_split": q_data_cluster_split,
+        "data_chunk_documents": q_data_chunk_documents,
         "data_stratified_sample": q_data_stratified_sample,
         "data_sample_per_key": q_data_sample_per_key,
         "data_pack_documents": q_data_pack_documents,
@@ -3523,6 +3535,27 @@ FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
 ORDER BY g.doc_id
 """
 
+# curation.chunk_documents replay: stride windows via generate_series +
+# 1-based inclusive list slicing (Spark slice(pos, len) == t[a:b]).
+_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM documents
+), ch AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil((len(t) - 8) / 32.0) AS INT), 1) AS n_chunks
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(t[i*32 + 1 : i*32 + 40]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[i*32 + 1 : i*32 + 40], ' ') AS chunk_text,
+       CAST(i * 32 AS BIGINT) AS tok_start
+FROM ch, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+"""
+
 # curation.lm_score replay: bigram add-one LM; window counts mirror the
 # Spark plan, BIGINT/BIGINT division is DOUBLE in both engines, ln is
 # libm on both, round(6) absorbs per-group float-sum order.
@@ -3789,6 +3822,7 @@ def oracle_sql() -> dict[str, str]:
         "text_word_repetition": _WORD_REP_SQL,
         "data_hash_split": _SPLIT_SQL,
         "data_cluster_split": _CLUSTER_SPLIT_SQL,
+        "data_chunk_documents": _CHUNK_SQL,
         "data_stratified_sample": _STRAT_SAMPLE_SQL,
         "data_sample_per_key": _SAMPLE_PER_KEY_SQL,
         "data_pack_documents": _PACK_SQL,

@@ -148,3 +148,62 @@ def lm_score(
             F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG/retrieval-style sliding-window chunking: split each document
+    into word-token windows of `max_tokens` with `overlap` tokens of
+    context carried between consecutive chunks (stride =
+    max_tokens - overlap).
+
+    Pure JVM: windows are a `transform` over a stride `sequence` +
+    `slice` (the n-gram construction generalized), exploded to one row
+    per chunk — per-document work, no shuffle, embarrassingly parallel
+    at any corpus size. Output: (id_col, chunk_idx, n_chunk_tokens,
+    chunk_text, tok_start) with tok_start the 0-based token offset so
+    spans map back into the source. Empty documents produce no chunks;
+    a final shorter window is kept (never dropped, never padded). The
+    last chunk starts at the last stride position whose window still
+    adds NEW tokens — a document of exactly max_tokens yields one
+    chunk."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    stride = max_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunks = ceil((n - overlap) / stride), floored at 1 for any
+    # non-empty doc (short docs still get their single chunk); guard
+    # the sequence — sequence(0, -1) DESCENDS in Spark
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    chunks = F.when(n <= 0, F.array().cast(
+        "array<struct<chunk_idx:int,tok_start:int,win:array<string>>>"
+    )).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                (i * stride).cast("int").alias("tok_start"),
+                F.slice(toks, i * stride + 1, max_tokens).alias("win"),
+            ),
+        )
+    )
+    out = docs.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    )
+    return out.select(
+        id_col,
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("c.win").cast("long").alias("n_chunk_tokens"),
+        F.array_join("c.win", " ").alias("chunk_text"),
+        F.col("c.tok_start").cast("long").alias("tok_start"),
+    )

@@ -125,3 +125,63 @@ def test_lm_score_repeated_bigrams_score_higher(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r.doc_id: r.avg_logprob for r in lm_score(df).collect()}
     assert got[0] > got[100]
+
+
+def _py_chunks(text, max_tokens, overlap):
+    t = _py_tokens(text)
+    if not t:
+        return []
+    stride = max_tokens - overlap
+    n_chunks = max(-(-(len(t) - overlap) // stride), 1)
+    return [
+        (i, len(t[i * stride:i * stride + max_tokens]),
+         " ".join(t[i * stride:i * stride + max_tokens]), i * stride)
+        for i in range(n_chunks)
+    ]
+
+
+def test_chunk_documents_matches_python(spark):
+    texts = [
+        (1, " ".join(f"w{i}" for i in range(23))),
+        (2, "only three words"),
+        (3, ""),
+        (4, " ".join(f"w{i}" for i in range(10))),   # exactly max
+        (5, " ".join(f"w{i}" for i in range(11))),   # one over
+    ]
+    from json_ld_spark.operators.curation import chunk_documents
+
+    out = chunk_documents(spark.createDataFrame(texts, ["doc_id", "text"]),
+                          max_tokens=10, overlap=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.n_chunk_tokens, r.chunk_text, r.tok_start))
+    for d, text in texts:
+        assert sorted(got.get(d, [])) == _py_chunks(text, 10, 3), d
+    # every token of doc 1 appears in some chunk; consecutive chunks
+    # share exactly `overlap` tokens
+    c1 = sorted(got[1])
+    assert c1[0][2].split()[-3:] == c1[1][2].split()[:3]
+
+
+def test_chunk_documents_no_overlap_partitions_exactly(spark):
+    from json_ld_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12)))], ["doc_id", "text"])
+    rows = sorted(chunk_documents(df, max_tokens=5, overlap=0).collect(),
+                  key=lambda r: r.chunk_idx)
+    rebuilt = " ".join(r.chunk_text for r in rows)
+    assert rebuilt == " ".join(f"t{i}" for i in range(12))
+    assert [r.n_chunk_tokens for r in rows] == [5, 5, 2]
+
+
+def test_chunk_documents_validation(spark):
+    import pytest
+    from json_ld_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=5, overlap=5)
