@@ -1899,6 +1899,22 @@ def q_rel_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operators: INTERSECT ALL / EXCEPT ALL (bag
+    semantics with duplicate part keys on both sides — the
+    multiplicity math is the point; the distinct variants are
+    rel_setops_customers)."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0).select(F.col("l_partkey").alias("k"))
+    b = li.filter(F.col("l_suppkey") % 3 == 0).select(F.col("l_partkey").alias("k"))
+    return (
+        a.intersectAll(b).withColumn("tag", F.lit("inter_all"))
+        .unionByName(a.exceptAll(b).withColumn("tag", F.lit("except_all")))
+        .select("tag", "k")
+    )
+
+
 def q_rel_string_array_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String + array functions: split/explode word count over part names."""
     _utc(spark)
@@ -2062,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_join_topnations": q_rel_join_topnations,
         "rel_window_events": q_rel_window_events,
         "rel_setops_customers": q_rel_setops_customers,
+        "rel_setops_all": q_rel_setops_all,
         "rel_string_array_wordcount": q_rel_string_array_wordcount,
         "rel_json_events": q_rel_json_events,
         "rel_sessionize_events": q_rel_sessionize_events,
@@ -3702,6 +3719,14 @@ UNION ALL
 SELECT 'rich_only' AS tag, k FROM (SELECT k FROM rich EXCEPT SELECT k FROM seg)
 """
 
+_SETOPS_ALL_SQL = """
+WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_orderkey % 2 = 0),
+     b AS (SELECT l_partkey AS k FROM lineitem WHERE l_suppkey % 3 = 0)
+SELECT 'inter_all' AS tag, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+UNION ALL
+SELECT 'except_all' AS tag, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+"""
+
 _WORDCOUNT_SQL = """
 SELECT w.e AS word, COUNT(*) AS n
 FROM part CROSS JOIN UNNEST(string_split(lower(p_name), ' ')) AS w(e)
@@ -3841,6 +3866,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_join_topnations": _TOPNATIONS_SQL,
         "rel_window_events": _WINDOW_SQL,
         "rel_setops_customers": _SETOPS_SQL,
+        "rel_setops_all": _SETOPS_ALL_SQL,
         "rel_string_array_wordcount": _WORDCOUNT_SQL,
         "rel_json_events": _JSON_EVENTS_SQL,
         "rel_sessionize_events": _SESSIONIZE_SQL,
