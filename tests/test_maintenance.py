@@ -140,3 +140,62 @@ def test_update_where_insert_only_and_validation(spark):
     assert _set(out) == {("a", "p", "b"), ("b", "pInv", "a")}
     with pytest.raises(ValueError):
         update_where(triples, where=[("?s", "p", "?o")])
+
+
+def test_update_where_fuzz_vs_naive(spark):
+    """Randomized DELETE/INSERT WHERE against a brute-force evaluator."""
+    import itertools
+    import random
+
+    def naive_bindings(triples, patterns):
+        sols = [dict()]
+        for (ps, pp, po) in patterns:
+            new = []
+            for sol in sols:
+                for (s, p, o) in triples:
+                    trial = dict(sol)
+                    ok = True
+                    for term, val in ((ps, s), (pp, p), (po, o)):
+                        if term.startswith("?"):
+                            v = term[1:]
+                            if v in trial and trial[v] != val:
+                                ok = False
+                                break
+                            trial[v] = val
+                        elif term != val:
+                            ok = False
+                            break
+                    if ok:
+                        new.append(trial)
+            sols = new
+        return sols
+
+    def naive_instantiate(sols, template):
+        out = set()
+        for sol in sols:
+            for (s, p, o) in template:
+                row = tuple(sol.get(t[1:]) if t.startswith("?") else t
+                            for t in (s, p, o))
+                if all(x is not None for x in row):
+                    out.add(row)
+        return out
+
+    rnd = random.Random(5)
+    nodes = [f"n{i}" for i in range(5)]
+    preds = ["p", "q", "r"]
+    for trial in range(4):
+        triples = sorted({
+            (rnd.choice(nodes), rnd.choice(preds), rnd.choice(nodes))
+            for _ in range(12)
+        })
+        where = [("?a", rnd.choice(preds), "?b"), ("?b", rnd.choice(preds), "?c")]
+        delete = [("?a", "q", "?b")]
+        insert = [("?c", "derived", "?a")]
+        df = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+        got = {tuple(r) for r in update_where(
+            df, where=where, delete=delete, insert=insert).collect()}
+
+        sols = naive_bindings(triples, where)
+        want = (set(triples) - naive_instantiate(sols, delete)) \
+            | naive_instantiate(sols, insert)
+        assert got == want, (trial, where)
