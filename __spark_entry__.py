@@ -1215,6 +1215,31 @@ def q_rel_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL TEXT end-to-end (json_ld_spark/sparql.py): the parser
+    front end over the BGP layer — join chain, FILTER NOT EXISTS,
+    aggregation, HAVING, deterministic ordered page."""
+    from json_ld_spark.sparql import sparql
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    tri3 = (
+        transcript_triples_native(t)
+        .select("subj", "pred", "obj")
+        .dropDuplicates()
+    )
+    return sparql(tri3, """
+        PREFIX t: <https://example.org/transcript#>
+        SELECT ?conv (COUNT(*) AS ?n)
+        WHERE {
+            ?turn t:role "assistant" ; t:conversation ?conv .
+            FILTER NOT EXISTS { ?turn t:tool ?x }
+        }
+        GROUP BY ?conv HAVING (COUNT(*) >= 2)
+        ORDER BY DESC(?n) ?conv LIMIT 50
+    """)
+
+
 def q_rel_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/temporal.py): every event picks the
     user's latest click at-or-before its timestamp — union-marker +
@@ -2082,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_string_array_wordcount": q_rel_string_array_wordcount,
         "rel_json_events": q_rel_json_events,
         "rel_sessionize_events": q_rel_sessionize_events,
+        "kg_sparql_select": q_kg_sparql_select,
         "kg_bgp_describe": q_kg_bgp_describe,
         "kg_bgp_ask": q_kg_bgp_ask,
         "rel_rollup_pricing": q_rel_rollup_pricing,
@@ -3646,6 +3672,18 @@ SELECT doc_id,
 FROM lang
 """
 
+_SPARQL_SELECT_SQL = _TRIPLES_CTE + f"""
+SELECT conv, n FROM (
+  SELECT c.obj AS conv, COUNT(*) AS n
+  FROM triples r
+  JOIN triples c ON r.subj = c.subj AND c.pred = '{_V}conversation'
+  WHERE r.pred = '{_V}role' AND r.obj = 'assistant'
+    AND NOT EXISTS (SELECT 1 FROM triples x
+                    WHERE x.subj = r.subj AND x.pred = '{_V}tool')
+  GROUP BY c.obj HAVING COUNT(*) >= 2
+) ORDER BY n DESC, conv LIMIT 50
+"""
+
 _BGP_DESCRIBE_SQL = _TRIPLES_CTE + f"""
 SELECT DISTINCT subj, pred, obj FROM triples
 WHERE subj IN (SELECT subj FROM triples
@@ -3858,6 +3896,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_features": _VIDEO_FEATURES_SQL,
         "multimodal_frame_extract": _FRAME_EXTRACT_SQL,
         "multimodal_frame_plan": _FRAME_PLAN_SQL,
+        "kg_sparql_select": _SPARQL_SELECT_SQL,
         "kg_bgp_describe": _BGP_DESCRIBE_SQL,
         "kg_bgp_ask": _BGP_ASK_SQL,
         "rel_rollup_pricing": _ROLLUP_SQL,

@@ -1,0 +1,184 @@
+"""SPARQL text front end (json_ld_spark/sparql.py): the parser must
+reproduce the direct operator-API results exactly — it introduces no
+new evaluation code, only syntax."""
+
+from __future__ import annotations
+
+import pytest
+
+from json_ld_spark.sparql import SparqlSyntaxError, parse_sparql, sparql
+
+V = "http://v/"
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    return spark.createDataFrame(
+        [
+            ("t1", V + "role", "user"), ("t1", V + "conv", "c1"),
+            ("t2", V + "role", "assistant"), ("t2", V + "conv", "c1"),
+            ("t3", V + "role", "assistant"), ("t3", V + "conv", "c2"),
+            ("t4", V + "role", "user"), ("t4", V + "conv", "c2"),
+            ("t2", V + "tool", "search"),
+            ("c1", V + "next", "c2"), ("c2", V + "next", "c3"),
+            ("t1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", V + "Turn"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_select_join_chain(kg):
+    out = sparql(kg, f'''
+        PREFIX v: <{V}>
+        SELECT ?t ?c WHERE {{ ?t v:role "assistant" ; v:conv ?c . }}''')
+    assert _rows(out) == [("t2", "c1"), ("t3", "c2")]
+
+
+def test_matches_direct_api(kg):
+    from json_ld_spark.operators.bgp import bgp_query
+
+    out = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT ?t ?c WHERE {{ ?t v:conv ?c . ?t v:role "user" }}''')
+    direct = bgp_query(
+        kg, [("?t", V + "conv", "?c"), ("?t", V + "role", "user")],
+        select=["?t", "?c"],
+    )
+    assert _rows(out) == _rows(direct)
+
+
+def test_rdf_type_a_shorthand(kg):
+    out = sparql(kg, f'PREFIX v: <{V}> SELECT ?t WHERE {{ ?t a v:Turn }}')
+    assert _rows(out) == [("t1",)]
+
+
+def test_aggregates_group_having_order_limit(kg):
+    out = sparql(kg, f'''
+        PREFIX v: <{V}>
+        SELECT ?c (COUNT(*) AS ?n) WHERE {{ ?t v:conv ?c }}
+        GROUP BY ?c HAVING (COUNT(*) >= 2) ORDER BY DESC(?n) ?c LIMIT 3''')
+    assert _rows(out) == [("c1", 2), ("c2", 2)]
+
+
+def test_optional_and_filter(kg):
+    out = sparql(kg, f'''
+        PREFIX v: <{V}>
+        SELECT ?t ?tool WHERE {{
+            ?t v:role "assistant" .
+            OPTIONAL {{ ?t v:tool ?tool }}
+            FILTER (?t != "t9" && bound(?t))
+        }}''')
+    assert _rows(out) == [("t2", "search"), ("t3", None)]
+
+
+def test_property_path_plus(kg):
+    out = sparql(kg, f'PREFIX v: <{V}> SELECT ?a ?b WHERE {{ ?a v:next+ ?b }}')
+    assert _rows(out) == [("c1", "c2"), ("c1", "c3"), ("c2", "c3")]
+
+
+def test_property_path_inverse_alt(kg):
+    out = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT ?x WHERE {{ "search" ^v:tool/v:conv ?x }}''')
+    assert _rows(out) == [("c1",)]
+
+
+def test_union(kg):
+    out = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT ?t WHERE {{
+          {{ ?t v:role "user" }} UNION {{ ?t v:tool "search" }} }}''')
+    assert _rows(out) == [("t1",), ("t2",), ("t4",)]
+
+
+def test_values_and_undef(kg):
+    out = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT ?t ?r WHERE {{ ?t v:role ?r .
+          VALUES (?t ?r) {{ ("t1" UNDEF) (UNDEF "assistant") }} }}''')
+    assert _rows(out) == [("t1", "user"), ("t2", "assistant"), ("t3", "assistant")]
+
+
+def test_bind_and_functions(kg):
+    out = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT ?t ?u WHERE {{ ?t v:role ?r .
+          BIND (ucase(?r) AS ?u) FILTER (strstarts(?r, "use")) }}''')
+    assert _rows(out) == [("t1", "USER"), ("t4", "USER")]
+
+
+def test_minus_and_not_exists_agree(kg):
+    a = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT ?t WHERE {{ ?t v:conv ?c .
+          FILTER NOT EXISTS {{ ?t v:tool ?x }} }}''')
+    b = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT ?t WHERE {{ ?t v:conv ?c . MINUS {{ ?t v:tool ?x }} }}''')
+    assert _rows(a) == _rows(b) == [("t1",), ("t3",), ("t4",)]
+
+
+def test_subselect(kg):
+    out = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT DISTINCT ?c ?n WHERE {{
+            ?t v:conv ?c .
+            {{ SELECT ?c (COUNT(*) AS ?n) WHERE {{ ?x v:conv ?c }} GROUP BY ?c }}
+        }}''')
+    assert _rows(out) == [("c1", 2), ("c2", 2)]
+
+
+def test_ask_construct_describe(kg):
+    assert sparql(kg, f'ASK {{ ?t <{V}tool> "search" }}') is True
+    assert sparql(kg, f'ASK {{ ?t <{V}tool> "browser" }}') is False
+
+    built = sparql(kg, f'''PREFIX v: <{V}>
+        CONSTRUCT {{ ?c v:hasTurn ?t }} WHERE {{ ?t v:conv ?c }}''')
+    assert ("c1", V + "hasTurn", "t1") in set(map(tuple, built.collect()))
+
+    desc = sparql(kg, f'PREFIX v: <{V}> DESCRIBE ?t WHERE {{ ?t v:tool "search" }}')
+    assert _rows(desc) == [
+        ("t2", V + "conv", "c1"), ("t2", V + "role", "assistant"),
+        ("t2", V + "tool", "search"),
+    ]
+
+
+def test_group_concat_separator(kg):
+    out = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT ?c (GROUP_CONCAT(?t; SEPARATOR="|") AS ?ts)
+        WHERE {{ ?t v:conv ?c }} GROUP BY ?c ORDER BY ?c LIMIT 9''')
+    assert _rows(out) == [("c1", "t1|t2"), ("c2", "t3|t4")]
+
+
+def test_comments_and_langtag_and_typed_literals(kg, spark):
+    t = spark.createDataFrame(
+        [("n", V + "p", "bonjour"), ("n", V + "q", "42")],
+        ["subj", "pred", "obj"],
+    )
+    out = sparql(t, f'''# find the greeting
+        PREFIX v: <{V}>
+        SELECT ?s WHERE {{
+          ?s v:p "bonjour"@fr .        # lang dropped: lexical match
+          ?s v:q "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        }}''')
+    assert _rows(out) == [("n",)]
+
+
+def test_syntax_errors():
+    for bad in [
+        "SELECT ?x WHERE { ?x }",
+        "PREFIX : <http://e/> SELECT ?x WHERE { GRAPH ?g { ?x :p ?y } }",
+        "SELECT ?x WHERE { ?x <http://e/p> ?y",
+        "FROB ?x",
+        "SELECT ?x WHERE { ?x undeclared:p ?y }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad) if "{" not in bad else parse_sparql(bad)
+
+
+def test_parse_only_structure():
+    q = parse_sparql('''
+        BASE <http://b/>
+        PREFIX v: <http://v/>
+        SELECT DISTINCT ?a WHERE { ?a v:p ?b . FILTER(?b > 3) }
+        ORDER BY ?a OFFSET 2 LIMIT 10''')
+    assert q.form == "select" and q.distinct
+    assert q.group.patterns == [("?a", "http://v/p", "?b")]
+    assert q.group.filters == ["?b > 3"]
+    assert q.order_by == ["?a"] and q.limit == 10 and q.offset == 2
