@@ -799,3 +799,79 @@ def _order_page(df: DataFrame, q: _Query) -> DataFrame:
     if q.limit is not None:
         df = df.limit(q.limit)
     return df
+
+
+# --------------------------------------------------------------------------
+# SPARQL UPDATE text (DELETE/INSERT WHERE)
+# --------------------------------------------------------------------------
+
+def sparql_update(triples: DataFrame, text: str, **kw) -> DataFrame:
+    """Parse and apply a SPARQL 1.1 UPDATE of the form
+    ``DELETE { … } INSERT { … } WHERE { … }`` (either template may be
+    omitted; ``DELETE WHERE { … }`` uses the pattern block as its own
+    template). Returns the updated graph via
+    maintenance.update_where — bindings evaluate once, delete before
+    insert. Graph-management operations (LOAD/CLEAR/DROP …) are out of
+    scope."""
+    from .operators.maintenance import update_where
+
+    p = _Parser(text)
+    p.prologue()
+    delete = insert = None
+    if p.kw("delete"):
+        if p.at_kw("where"):
+            # DELETE WHERE { patterns }: pattern block doubles as template
+            p.next()
+            g = p.group_graph_pattern()
+            if p.peek().kind != "EOF":
+                raise SparqlSyntaxError("trailing input after DELETE WHERE")
+            return update_where(
+                triples, g.patterns, delete=g.patterns,
+                **_group_kw(g, kw),
+            )
+        delete = []
+        p.expect_op("{")
+        while not p.at_op("}"):
+            p.triples_block(delete)
+        p.next()
+    if p.kw("insert"):
+        insert = []
+        p.expect_op("{")
+        while not p.at_op("}"):
+            p.triples_block(insert)
+        p.next()
+    if delete is None and insert is None:
+        raise SparqlSyntaxError("UPDATE needs DELETE and/or INSERT")
+    if not p.kw("where"):
+        raise SparqlSyntaxError("UPDATE needs a WHERE block")
+    g = p.group_graph_pattern()
+    if p.peek().kind != "EOF":
+        raise SparqlSyntaxError(f"trailing input from {p.peek().val!r}")
+    return update_where(
+        triples, g.patterns, insert=insert, delete=delete,
+        **_group_kw(g, kw),
+    )
+
+
+def _group_kw(g: _Group, kw: dict) -> dict:
+    from .operators.bgp import _sub_vars
+
+    if g.union or g.binds or g.subselects:
+        raise SparqlSyntaxError(
+            "UPDATE WHERE supports patterns/FILTER/OPTIONAL/MINUS/"
+            "EXISTS/VALUES only"
+        )
+    out = dict(kw)
+    if g.optional:
+        out["optional"] = g.optional
+    if g.filters:
+        out["filters"] = [_sub_vars(f) for f in g.filters]
+    if g.minus:
+        out["minus"] = g.minus
+    if g.exists:
+        out["exists"] = g.exists
+    if g.not_exists:
+        out["not_exists"] = g.not_exists
+    if g.values is not None:
+        out["values"] = g.values
+    return out

@@ -182,3 +182,38 @@ def test_parse_only_structure():
     assert q.group.patterns == [("?a", "http://v/p", "?b")]
     assert q.group.filters == ["?b > 3"]
     assert q.order_by == ["?a"] and q.limit == 10 and q.offset == 2
+
+
+def test_sparql_update_rename(kg, spark):
+    from json_ld_spark.sparql import sparql_update
+
+    t = spark.createDataFrame(
+        [("t1", "role", "user"), ("t2", "role", "assistant"), ("t1", "txt", "hi")],
+        ["subj", "pred", "obj"],
+    )
+    out = sparql_update(t, '''
+        DELETE { ?t <role> ?r } INSERT { ?t <speakerRole> ?r }
+        WHERE { ?t <role> ?r FILTER (?r != "system") }''')
+    assert _rows(out) == [
+        ("t1", "speakerRole", "user"), ("t1", "txt", "hi"),
+        ("t2", "speakerRole", "assistant"),
+    ]
+
+
+def test_sparql_update_delete_where_shorthand(spark):
+    from json_ld_spark.sparql import sparql_update
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "q", "c")], ["subj", "pred", "obj"])
+    out = sparql_update(t, 'DELETE WHERE { ?s <p> ?o }')
+    assert _rows(out) == [("a", "q", "c")]
+
+
+def test_sparql_update_insert_only_and_errors(spark):
+    from json_ld_spark.sparql import sparql_update
+
+    t = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
+    out = sparql_update(t, 'INSERT { ?o <pInv> ?s } WHERE { ?s <p> ?o }')
+    assert _rows(out) == [("a", "p", "b"), ("b", "pInv", "a")]
+    with pytest.raises(SparqlSyntaxError):
+        sparql_update(t, 'WHERE { ?s <p> ?o }')
