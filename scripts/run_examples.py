@@ -31,6 +31,7 @@ def main() -> None:
     assert ns["vf"].count() == 8
     assert ns["utterances"].count() > 0
     assert ns["decontam_clean"].count() > 0
+    assert ns["sparql_ok"].count() > 0
     print("EXAMPLES.md: all blocks executed, sanity checks pass")
 
 
