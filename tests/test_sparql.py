@@ -217,3 +217,46 @@ def test_sparql_update_insert_only_and_errors(spark):
     assert _rows(out) == [("a", "p", "b"), ("b", "pInv", "a")]
     with pytest.raises(SparqlSyntaxError):
         sparql_update(t, 'WHERE { ?s <p> ?o }')
+
+
+def test_fuzz_rendered_text_vs_direct_api(kg):
+    """Render random BGPs as SPARQL text and check the parser-driven
+    result equals the direct bgp_query call."""
+    import random
+
+    from json_ld_spark.operators.bgp import bgp_query
+
+    rnd = random.Random(17)
+    preds = ["role", "conv", "tool", "next"]
+    consts = ["user", "assistant", "search", "c1", "c2", "t2"]
+    for trial in range(6):
+        n_pat = rnd.randint(1, 3)
+        patterns = []
+        var_pool = ["?a", "?b", "?c"]
+        for k in range(n_pat):
+            s = rnd.choice(var_pool)
+            p = V + rnd.choice(preds)
+            o = rnd.choice(var_pool + consts)
+            patterns.append((s, p, o))
+        # keep the BGP connected: force every pattern after the first
+        # to reuse the first subject variable
+        patterns = [patterns[0]] + [
+            (patterns[0][0], p, o) for (_, p, o) in patterns[1:]
+        ]
+        text = "PREFIX v: <" + V + "> SELECT * WHERE { " + " . ".join(
+            " ".join(
+                t if t.startswith("?") else
+                (f"<{t}>" if t.startswith("http") else f'"{t}"')
+                for t in pat
+            )
+            for pat in patterns
+        ) + " }"
+        try:
+            direct = bgp_query(kg, patterns)
+        except ValueError:
+            continue  # e.g. no variables to bind
+        got = sparql(kg, text)
+        assert sorted(got.columns) == sorted(direct.columns), (trial, text)
+        key = lambda t: tuple("" if x is None else str(x) for x in t)
+        assert sorted(map(tuple, got.collect()), key=key) == \
+            sorted(map(tuple, direct.collect()), key=key), (trial, text)
