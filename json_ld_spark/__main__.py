@@ -74,7 +74,20 @@ def main(argv=None) -> int:
                            choices=["i18n-datatype", "compound-literal"])
             p.add_argument("--generalized", action="store_true")
 
+    sp = sub.add_parser(
+        "sparql",
+        help="run a SPARQL query (file or inline) against an N-Quads "
+             "file/dir through a local Spark session",
+    )
+    sp.add_argument("query", help="query file, inline query text, or -")
+    sp.add_argument("--data", required=True, help="N-Quads file or dir")
+    sp.add_argument("--update", action="store_true",
+                    help="treat the input as DELETE/INSERT WHERE update "
+                         "text and print the updated graph as N-Quads")
+
     args = ap.parse_args(argv)
+    if args.cmd == "sparql":
+        return _run_sparql(args)
     opts = _build_options(args)
 
     is_url = args.input.startswith(("http://", "https://"))
@@ -125,6 +138,41 @@ def main(argv=None) -> int:
     elif args.cmd == "fromrdf":
         quads = [tuple(q) for q in doc]
         print(json.dumps(from_rdf(quads, options=opts), indent=2, ensure_ascii=False))
+    return 0
+
+
+def _run_sparql(args) -> int:
+    """CLI query runner: N-Quads in, TSV bindings (or N-Quads for
+    CONSTRUCT/DESCRIBE/--update, 'yes'/'no' for ASK) out."""
+    import os
+
+    q = args.query
+    if q == "-":
+        q = sys.stdin.read()
+    elif os.path.exists(q):
+        q = open(q).read()
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from .session import get_spark
+    from .sources.nquads import read_nquads
+    from .sparql import sparql, sparql_update
+
+    spark = get_spark()
+    quads = read_nquads(spark, args.data)
+    tri3 = quads.select("subj", "pred", "obj").dropDuplicates()
+
+    # results print as TSV (term-lexical, like the 3-col triple view);
+    # ASK prints yes/no
+    res = sparql_update(tri3, q) if args.update else sparql(tri3, q)
+    if isinstance(res, bool):
+        print("yes" if res else "no")
+        return 0
+    cols = res.columns
+    print("\t".join(cols))
+    key = lambda t: tuple("" if x is None else str(x) for x in t)
+    for row in sorted((tuple(r) for r in res.collect()), key=key):
+        print("\t".join("" if v is None else str(v) for v in row))
     return 0
 
 

@@ -260,3 +260,39 @@ def test_fuzz_rendered_text_vs_direct_api(kg):
         key = lambda t: tuple("" if x is None else str(x) for x in t)
         assert sorted(map(tuple, got.collect()), key=key) == \
             sorted(map(tuple, direct.collect()), key=key), (trial, text)
+
+
+def test_cli_sparql(tmp_path, spark, capsys):
+    from json_ld_spark.__main__ import main
+    from json_ld_spark.sources.nquads import write_nquads
+
+    quads = spark.createDataFrame(
+        [
+            (None, "http://e/t1", "http://e/role", "literal", "user",
+             "http://www.w3.org/2001/XMLSchema#string", None),
+            (None, "http://e/t2", "http://e/role", "literal", "assistant",
+             "http://www.w3.org/2001/XMLSchema#string", None),
+        ],
+        "graph string, subj string, pred string, obj_kind string, "
+        "obj string, datatype string, lang string",
+    )
+    data = str(tmp_path / "d")
+    write_nquads(quads, data)
+
+    rc = main(["sparql",
+               'SELECT ?t WHERE { ?t <http://e/role> "user" }',
+               "--data", data])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and out == ["t", "http://e/t1"]
+
+    rc = main(["sparql", 'ASK { ?t <http://e/role> "assistant" }',
+               "--data", data])
+    assert rc == 0 and capsys.readouterr().out.strip() == "yes"
+
+    rc = main(["sparql", "--update",
+               'DELETE { ?t <http://e/role> ?r } '
+               'INSERT { ?t <http://e/speaker> ?r } '
+               'WHERE { ?t <http://e/role> ?r }',
+               "--data", data])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and any("speaker" in l for l in out[1:])
