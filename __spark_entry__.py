@@ -1565,6 +1565,34 @@ def q_data_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, max_tokens=40, overlap=8)
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace normalization (textops.normalize_text):
+    deterministic mess injected (decomposed e+combining-acute, control
+    chars, run whitespace), NFC composed in an Arrow UDF only rows
+    with non-ASCII enter, cleanup in JVM regex; DuckDB replays via
+    nfc_normalize (probed byte-identical to Python NFC). The two sides
+    intentionally inject DIFFERENT pre-images (Spark: precomposed é,
+    no control char; SQL: e+combining-acute and a BEL) that must
+    converge to identical normalized bytes — hash equality therefore
+    proves the normalization actually ran on both engines."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("  café"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\txy"))
+            .otherwise(F.lit(" z")),
+        ).alias("text"),
+    )
+    out = tx.normalize_text(F.col("text"))
+    return messy.select(
+        "doc_id",
+        F.md5(out).alias("norm_md5"),
+        F.length(out).cast("long").alias("n_chars"),
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash document fingerprint, md5-gram
     variant so DuckDB reproduces it exactly (the xxhash64 variant in
@@ -2081,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_canonicalize_distributed": q_jsonld_canonicalize_distributed,
         "text_stats": q_text_stats,
         "text_decontaminate": q_text_decontaminate,
+        "text_normalize": q_text_normalize,
         "text_lm_score": q_text_lm_score,
         "text_fingerprint": q_text_fingerprint,
         "text_pii_scan": q_text_pii_scan,
@@ -3599,6 +3628,28 @@ SELECT doc_id,
 FROM ch, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
 """
 
+# textops.normalize_text replay: nfc_normalize (probed == Python NFC),
+# then the same RE2/Java-common control-strip + whitespace collapse.
+_TEXT_NORMALIZE_SQL = r"""
+WITH messy AS (
+  SELECT doc_id,
+         text || '  cafe' || chr(769) ||
+         CASE WHEN doc_id % 3 = 0 THEN chr(9) || 'x' || chr(7) || 'y'
+              ELSE ' z' END AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(nfc_normalize(text),
+                          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+           '\s+', ' ', 'g')) AS out
+  FROM messy
+)
+SELECT doc_id, md5(out) AS norm_md5,
+       CAST(length(out) AS BIGINT) AS n_chars
+FROM norm
+"""
+
 # curation.lm_score replay: bigram add-one LM; window counts mirror the
 # Spark plan, BIGINT/BIGINT division is DOUBLE in both engines, ln is
 # libm on both, round(6) absorbs per-group float-sum order.
@@ -3879,6 +3930,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_near_duplicates": _ANN_NEAR_DUP_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_decontaminate": _DECONTAM_SQL,
+        "text_normalize": _TEXT_NORMALIZE_SQL,
         "text_lm_score": _LM_SCORE_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_pii_scan": _PII_SQL,

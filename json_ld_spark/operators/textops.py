@@ -165,3 +165,35 @@ def analyze_documents(
         F.round(quality_score(t), 6).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def normalize_text(col: Column) -> Column:
+    """Unicode/whitespace normalization for pre-dedup text hygiene:
+    NFC-compose, strip C0 control characters (keeping \\t \\n), collapse
+    whitespace runs to single spaces, trim.
+
+    The NFC step is the only part Spark lacks a JVM builtin for — it
+    runs in an Arrow-batched pandas UDF entered ONLY by rows containing
+    non-ASCII bytes (ASCII is NFC-closed), so an ASCII-dominant crawl
+    never leaves the JVM; the regex cleanup is JVM codegen either way.
+    Cross-engine exact: DuckDB's nfc_normalize matches Python's
+    unicodedata NFC on this container (probed), so the whole chain
+    replays in SQL."""
+    import pandas as _pd  # noqa: F401  (module-level import exists)
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _nfc(vals):
+        import unicodedata
+
+        return vals.map(
+            lambda s: None if s is None else unicodedata.normalize("NFC", s)
+        )
+
+    composed = F.when(
+        col.rlike("[^\\x00-\\x7F]"), _nfc(col)
+    ).otherwise(col)
+    cleaned = F.regexp_replace(
+        composed, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""
+    )
+    return F.trim(F.regexp_replace(cleaned, "\\s+", " "))

@@ -185,3 +185,29 @@ def test_chunk_documents_validation(spark):
         chunk_documents(df, max_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=5, overlap=5)
+
+
+def test_normalize_text(spark):
+    import unicodedata
+
+    from json_ld_spark.operators import textops as tx
+
+    rows = [
+        ("café   x\tb",),          # decomposed -> composed, ws collapse
+        ("plain  ascii\x07ctrl",),        # control strip, never leaves JVM
+        ("é café",),            # already NFC: unchanged
+        ("",), (None,),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = [r.t for r in df.select(tx.normalize_text(F.col("text")).alias("t")).collect()]
+
+    def py_norm(s):
+        if s is None:
+            return None
+        import re
+        s = unicodedata.normalize("NFC", s)
+        s = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", s)
+        return re.sub(r"\s+", " ", s).strip()
+
+    assert got == [py_norm(s) for (s,) in rows]
+    assert got[0] == "café x b"
