@@ -211,3 +211,19 @@ def test_normalize_text(spark):
 
     assert got == [py_norm(s) for (s,) in rows]
     assert got[0] == "café x b"
+
+
+def test_normalize_text_idempotent(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from json_ld_spark.operators import textops as tx
+
+    @given(st.lists(st.text(max_size=20), min_size=1, max_size=8))
+    @settings(max_examples=15, deadline=None)
+    def prop(texts):
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        once = df.select(tx.normalize_text(F.col("text")).alias("t"))
+        twice = once.select(tx.normalize_text(F.col("t")).alias("t"))
+        assert [r.t for r in once.collect()] == [r.t for r in twice.collect()]
+
+    prop()
