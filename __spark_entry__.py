@@ -1142,6 +1142,27 @@ def q_kg_bgp_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("turn", "conv", "role")
 
 
+def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL text with a property path (seq + inverse): same-
+    conversation turn pairs via ?a t:conversation/^t:conversation ?b —
+    the parser hands the path to paths.parse_path and the BGP layer
+    evaluates it; filter keeps the pair count bounded and asymmetric."""
+    from json_ld_spark.sparql import sparql
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    tri3 = (
+        transcript_triples_native(t.filter(F.col("turn_idx") < 4))
+        .select("subj", "pred", "obj")
+        .dropDuplicates()
+    )
+    return sparql(tri3, """
+        PREFIX t: <https://example.org/transcript#>
+        SELECT ?a ?b
+        WHERE { ?a t:conversation/^t:conversation ?b FILTER (?a < ?b) }
+    """)
+
+
 def q_kg_bgp_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE (bgp.bgp_describe): the sub-KG of every turn
     that used the search tool — a left-semi join of the triple table
@@ -2137,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_json_events": q_rel_json_events,
         "rel_sessionize_events": q_rel_sessionize_events,
         "kg_sparql_select": q_kg_sparql_select,
+        "kg_sparql_path": q_kg_sparql_path,
         "kg_bgp_describe": q_kg_bgp_describe,
         "kg_bgp_ask": q_kg_bgp_ask,
         "rel_rollup_pricing": q_rel_rollup_pricing,
@@ -3735,6 +3757,17 @@ SELECT conv, n FROM (
 ) ORDER BY n DESC, conv LIMIT 50
 """
 
+_SPARQL_PATH_SQL = _TRIPLES_CTE + f"""
+, conv AS (
+  SELECT subj, obj AS c FROM triples
+  WHERE pred = '{_V}conversation'
+    AND CAST(split_part(subj, '/turn/', 2) AS INT) < 4
+)
+SELECT DISTINCT a.subj AS a, b.subj AS b
+FROM conv a JOIN conv b ON a.c = b.c
+WHERE a.subj < b.subj
+"""
+
 _BGP_DESCRIBE_SQL = _TRIPLES_CTE + f"""
 SELECT DISTINCT subj, pred, obj FROM triples
 WHERE subj IN (SELECT subj FROM triples
@@ -3949,6 +3982,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_extract": _FRAME_EXTRACT_SQL,
         "multimodal_frame_plan": _FRAME_PLAN_SQL,
         "kg_sparql_select": _SPARQL_SELECT_SQL,
+        "kg_sparql_path": _SPARQL_PATH_SQL,
         "kg_bgp_describe": _BGP_DESCRIBE_SQL,
         "kg_bgp_ask": _BGP_ASK_SQL,
         "rel_rollup_pricing": _ROLLUP_SQL,
