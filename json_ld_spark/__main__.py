@@ -48,6 +48,10 @@ def _build_options(args) -> JsonLdOptions:
         rdf_direction=getattr(args, "rdf_direction", None),
         produce_generalized_rdf=getattr(args, "generalized", False),
         ordered=True,
+        policy_vocab=(
+            "reject" if getattr(args, "no_vocab", False) else "keep"
+        ),
+        allow_undefined=not getattr(args, "no_undef", False),
     )
 
 
@@ -73,6 +77,15 @@ def main(argv=None) -> int:
             p.add_argument("--rdf-direction", default=None,
                            choices=["i18n-datatype", "compound-literal"])
             p.add_argument("--generalized", action="store_true")
+        if name == "expand":
+            # reference CLI parity (crates/cli/src/main.rs:48-51)
+            p.add_argument("--no-vocab", action="store_true",
+                           help="reject terms expanded via @vocab "
+                                "(reference --no-vocab)")
+            p.add_argument("--no-undef", action="store_true",
+                           help="error on keys with no IRI mapping "
+                                "instead of dropping (reference "
+                                "--no-undef)")
 
     sp = sub.add_parser(
         "sparql",

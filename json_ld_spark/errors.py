@@ -99,6 +99,18 @@ class InvalidIriMapping(JsonLdError):
     code = "invalid IRI mapping"
 
 
+class ForbiddenVocab(JsonLdError):
+    # reference expansion Policy.vocab = Reject
+    # (context-processing/src/algorithm/iri.rs:168 Error::ForbiddenVocab)
+    code = "forbidden vocab"
+
+
+class KeyExpansionFailed(JsonLdError):
+    # reference expansion Policy.allow_undefined = false
+    # (expansion/src/node.rs:997 Error::KeyExpansionFailed)
+    code = "key expansion failed"
+
+
 class InvalidReverseProperty(JsonLdError):
     code = "invalid reverse property"
 

@@ -327,6 +327,9 @@ def _expand_object_entries(
             active, key, vocab=True,
             processing_mode=options.processing_mode, loader=options.loader,
         )
+        expanded_property = _apply_vocab_policy(
+            state, active, key, expanded_property
+        )
         if expanded_property is None or (
             not _is_keyword(expanded_property)
             and ":" not in expanded_property
@@ -336,6 +339,10 @@ def _expand_object_entries(
             if options.policy == POLICY_KEEP and expanded_property:
                 pass  # keep the (invalid) term as property name
             else:
+                # reference Policy.allow_undefined=false: a key that
+                # would be dropped errors instead (node.rs:997)
+                if not options.allow_undefined:
+                    raise E.KeyExpansionFailed(key)
                 state.warn(f"dropped key with no IRI mapping: {key!r}")
                 continue
 
@@ -396,6 +403,33 @@ def _is_graph_object(v: Any) -> bool:
     }
 
 
+def _apply_vocab_policy(state, ctx, raw: str, expanded):
+    """Reference expansion Policy.vocab (context-processing/src/
+    algorithm/iri.rs:156-169): fires exactly when `raw` was expanded by
+    concatenating the active @vocab mapping (no term definition used).
+    keep → unchanged; drop → None (the term then flows into the normal
+    dropped-key handling, where allow_undefined applies — matching the
+    reference's Ok(None) flow); reject → ForbiddenVocab."""
+    opts = state.options
+    if (
+        opts.policy_vocab == "keep"
+        or expanded is None
+        or not isinstance(raw, str)
+        or _is_keyword(expanded)
+    ):
+        return expanded
+    if (
+        ctx.vocab is not None
+        and ctx.terms.get(raw) is None
+        and expanded == ctx.vocab + raw
+    ):
+        if opts.policy_vocab == "reject":
+            raise E.ForbiddenVocab(raw)
+        state.warn(f"dropped vocab-mapped term: {raw!r}")
+        return None
+    return expanded
+
+
 def _expand_keyword_entry(
     state: ExpansionState,
     active: ActiveContext,
@@ -451,9 +485,12 @@ def _expand_keyword_entry(
             ):
                 raise E.InvalidTypeValue(repr(value))
             expanded_types = [
-                v if isinstance(v, dict) else expand_iri(
-                    type_scoped, v, vocab=True, document_relative=True,
-                    processing_mode=options.processing_mode, loader=options.loader,
+                v if isinstance(v, dict) else _apply_vocab_policy(
+                    state, type_scoped, v, expand_iri(
+                        type_scoped, v, vocab=True, document_relative=True,
+                        processing_mode=options.processing_mode,
+                        loader=options.loader,
+                    )
                 )
                 for v in vals
             ]
@@ -464,13 +501,22 @@ def _expand_keyword_entry(
         if not all(isinstance(v, str) for v in vals):
             raise E.InvalidTypeValue(repr(value))
         expanded_types = [
-            expand_iri(
-                type_scoped, v, vocab=True, document_relative=True,
-                processing_mode=options.processing_mode, loader=options.loader,
+            _apply_vocab_policy(
+                state, type_scoped, v, expand_iri(
+                    type_scoped, v, vocab=True, document_relative=True,
+                    processing_mode=options.processing_mode,
+                    loader=options.loader,
+                )
             )
             for v in vals
         ]
         expanded_types = [t for t in expanded_types if t is not None]
+        if (
+            not expanded_types and vals
+            and options.policy_vocab == "drop"
+            and "@type" not in result
+        ):
+            return  # every type was vocab-dropped: no @type entry at all
         if isinstance(value, str) and len(expanded_types) == 1 and "@type" not in result:
             result["@type"] = expanded_types[0]
         else:

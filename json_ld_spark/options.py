@@ -29,6 +29,15 @@ class JsonLdOptions:
     use_native_types: bool = True   # fromRdf: decode xsd int/bool/double
     use_rdf_type: bool = False      # fromRdf: keep rdf:type as property
     policy: str = POLICY_STANDARD
+    # reference Policy.vocab (expansion/src/options.rs:53-63): action for
+    # terms expanded by CONCATENATING the @vocab mapping — "keep"
+    # (default), "drop" (term vanishes), "reject" (ForbiddenVocab; the
+    # reference CLI's --no-vocab)
+    policy_vocab: str = "keep"
+    # reference Policy.allow_undefined: when False, a key that would be
+    # silently dropped (no IRI mapping) raises KeyExpansionFailed (the
+    # reference CLI's --no-undef)
+    allow_undefined: bool = True
     loader: Loader = field(default=no_loader)
     # framing (json-ld11-framing; see frame.py)
     frame_expansion: bool = False   # expansion tolerances for frame docs

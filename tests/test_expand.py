@@ -624,3 +624,66 @@ def test_double_reverse():
             }
         ],
     )
+
+
+def test_policy_vocab_and_allow_undefined():
+    """Reference expansion Policy parity (expansion/src/options.rs:53-63,
+    CLI --no-vocab / --no-undef)."""
+    import pytest
+
+    from json_ld_spark import errors as E
+    from json_ld_spark.api import expand
+    from json_ld_spark.options import JsonLdOptions
+
+    doc = {"@context": {"@vocab": "http://v/", "t": "http://t/t"},
+           "name": "x", "t": "y", "@type": "Thing"}
+
+    # keep (default): vocab concat applies
+    out = expand(doc)
+    assert "http://v/name" in out[0] and out[0]["@type"] == ["http://v/Thing"]
+
+    # drop: vocab-mapped keys and types vanish; defined terms survive
+    out = expand(doc, JsonLdOptions(policy_vocab="drop"))
+    assert out == [{"http://t/t": [{"@value": "y"}]}]
+
+    # reject: ForbiddenVocab
+    with pytest.raises(E.ForbiddenVocab):
+        expand(doc, JsonLdOptions(policy_vocab="reject"))
+    # a document not touching @vocab passes under reject
+    ok = expand({"@context": {"t": "http://t/t"}, "t": "y"},
+                JsonLdOptions(policy_vocab="reject"))
+    assert ok == [{"http://t/t": [{"@value": "y"}]}]
+
+    # allow_undefined=False: dropped keys become errors
+    und = {"@context": {"t": "http://t/t"}, "t": "y", "undefined_key": 1}
+    assert expand(und) == [{"http://t/t": [{"@value": "y"}]}]
+    with pytest.raises(E.KeyExpansionFailed):
+        expand(und, JsonLdOptions(allow_undefined=False))
+
+    # drop + allow_undefined=False: the dropped vocab key errors
+    # (reference flow: Ok(None) then the undefined check fires)
+    with pytest.raises(E.KeyExpansionFailed):
+        expand(doc, JsonLdOptions(policy_vocab="drop", allow_undefined=False))
+
+
+def test_cli_no_vocab_no_undef(tmp_path, capsys):
+    import json
+
+    import pytest
+
+    from json_ld_spark.__main__ import main
+
+    p = tmp_path / "d.json"
+    p.write_text(json.dumps({"@context": {"@vocab": "http://v/"}, "k": 1}))
+    rc = main(["expand", str(p)])
+    assert rc == 0 and "http://v/k" in capsys.readouterr().out
+
+    from json_ld_spark import errors as E
+    with pytest.raises(E.ForbiddenVocab):
+        main(["expand", str(p), "--no-vocab"])
+
+    p2 = tmp_path / "u.json"
+    p2.write_text(json.dumps({"undefined": 1, "@id": "http://n/1",
+                              "@type": "http://t/T"}))
+    with pytest.raises(E.KeyExpansionFailed):
+        main(["expand", str(p2), "--no-undef"])
