@@ -78,7 +78,7 @@ def main(argv=None) -> int:
                            choices=["i18n-datatype", "compound-literal"])
             p.add_argument("--generalized", action="store_true")
         if name == "expand":
-            # reference CLI parity (crates/cli/src/main.rs:48-51)
+            # reference CLI parity (crates/cli/src/main.rs:34-51)
             p.add_argument("--no-vocab", action="store_true",
                            help="reject terms expanded via @vocab "
                                 "(reference --no-vocab)")
@@ -86,6 +86,17 @@ def main(argv=None) -> int:
                            help="error on keys with no IRI mapping "
                                 "instead of dropping (reference "
                                 "--no-undef)")
+            p.add_argument("-l", "--relabel", action="store_true",
+                           help="give every node an @id; blank ids "
+                                "relabeled _:b0, _:b1, ... (reference "
+                                "--relabel)")
+            p.add_argument("-c", "--canonicalize", action="store_true",
+                           help="canonical number form (with --relabel: "
+                                "relabel_and_canonicalize)")
+
+    fp = sub.add_parser("fetch", help="download and pretty-print a remote "
+                                      "JSON-LD document (reference fetch)")
+    fp.add_argument("url")
 
     sp = sub.add_parser(
         "sparql",
@@ -101,6 +112,12 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.cmd == "sparql":
         return _run_sparql(args)
+    if args.cmd == "fetch":
+        from .httploader import HttpLoader
+
+        remote = HttpLoader().load(args.url)
+        print(json.dumps(remote.document, indent=2, ensure_ascii=False))
+        return 0
     opts = _build_options(args)
 
     is_url = args.input.startswith(("http://", "https://"))
@@ -134,7 +151,18 @@ def main(argv=None) -> int:
         doc = json.loads(raw)
 
     if args.cmd == "expand":
-        print(json.dumps(expand(doc, options=opts), indent=2, ensure_ascii=False))
+        out = expand(doc, options=opts)
+        if getattr(args, "relabel", False):
+            from .canonicalize import relabel_expanded
+
+            out = relabel_expanded(
+                out, canonicalize=getattr(args, "canonicalize", False)
+            )
+        elif getattr(args, "canonicalize", False):
+            from .canonicalize import canonicalize_expanded
+
+            out = canonicalize_expanded(out)
+        print(json.dumps(out, indent=2, ensure_ascii=False))
     elif args.cmd == "flatten":
         print(json.dumps(flatten(doc, options=opts), indent=2, ensure_ascii=False))
     elif args.cmd == "compact":

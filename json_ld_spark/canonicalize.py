@@ -198,3 +198,120 @@ def quad_set_prf(
     r = inter / len(b) if b else 0.0
     f = 2 * p * r / (p + r) if (p + r) else 0.0
     return p, r, f
+
+
+def relabel_expanded(
+    expanded: list, prefix: str = "b", canonicalize: bool = False
+) -> list:
+    """Reference ``ExpandedDocument::relabel`` /
+    ``relabel_and_canonicalize`` (document/expanded.rs:99-157, CLI
+    --relabel/--canonicalize): give every node object an ``@id`` —
+    existing blank ids remapped consistently through one document-wide
+    map, anonymous nodes get fresh ``_:b<N>`` labels in document
+    order — and (optionally) put number literals into canonical
+    ECMAScript form (integral floats become ints; note Python renders
+    |x| in [1e16, 1e21) in exponent form where ryu-js uses fixed —
+    a cosmetic divergence outside the i53 range real data uses).
+    Returns a new structure; the input is not mutated."""
+    counter = 0
+    mapping: dict[str, str] = {}
+
+    def fresh() -> str:
+        nonlocal counter
+        label = f"_:{prefix}{counter}"
+        counter += 1
+        return label
+
+    def relabel_id(old):
+        if old is None:
+            return fresh()
+        if isinstance(old, str) and old.startswith("_:"):
+            if old not in mapping:
+                mapping[old] = fresh()
+            return mapping[old]
+        return old
+
+    def canon_number(v):
+        if canonicalize and isinstance(v, float) and not isinstance(v, bool):
+            if v == int(v) and abs(v) <= 2**53:
+                return int(v)
+        return v
+
+    def walk_json(v):
+        if isinstance(v, dict):
+            return {k: walk_json(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [walk_json(x) for x in v]
+        return canon_number(v)
+
+    def walk(v):
+        if isinstance(v, list):
+            return [walk(x) for x in v]
+        if not isinstance(v, dict):
+            return v
+        if "@value" in v:
+            out = dict(v)
+            if v.get("@type") == "@json":
+                out["@value"] = walk_json(v["@value"])
+            else:
+                out["@value"] = canon_number(v["@value"])
+            return out
+        if "@list" in v:
+            return {**v, "@list": [walk(x) for x in v["@list"]]}
+        # node object: relabel @id (fresh when anonymous), remap blank
+        # @type entries, recurse into properties/@reverse/@graph
+        out = {}
+        out["@id"] = relabel_id(v.get("@id"))
+        for k, val in v.items():
+            if k == "@id":
+                continue
+            if k == "@type":
+                ts = val if isinstance(val, list) else [val]
+                mapped = [
+                    relabel_id(t) if isinstance(t, str) and t.startswith("_:")
+                    else t
+                    for t in ts
+                ]
+                out[k] = mapped if isinstance(val, list) else mapped[0]
+            elif k == "@reverse":
+                out[k] = {p: walk(x) for p, x in val.items()}
+            elif k in ("@index",):
+                out[k] = val
+            else:
+                out[k] = walk(val)
+        return out
+
+    return [walk(x) for x in expanded]
+
+
+def canonicalize_expanded(expanded) -> list:
+    """Number canonicalization only, ids untouched (reference
+    ``ExpandedDocument::canonicalize``, document/expanded.rs:160-176):
+    the CLI's --canonicalize without --relabel."""
+    def canon(v):
+        if isinstance(v, float) and not isinstance(v, bool):
+            if v == int(v) and abs(v) <= 2**53:
+                return int(v)
+        return v
+
+    def walk(v):
+        if isinstance(v, list):
+            return [walk(x) for x in v]
+        if isinstance(v, dict):
+            return {k: (walk(x) if k != "@value" else _walk_value(x))
+                    for k, x in v.items()}
+        return v
+
+    def _walk_value(x):
+        if isinstance(x, (dict, list)):  # @json literal body
+            return walk_json(x)
+        return canon(x)
+
+    def walk_json(v):
+        if isinstance(v, dict):
+            return {k: walk_json(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [walk_json(x) for x in v]
+        return canon(v)
+
+    return [walk(x) for x in expanded]

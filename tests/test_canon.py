@@ -189,3 +189,49 @@ def test_canonicalize_long_uniform_chain():
     b = set(canonicalize_quads(chain(lambda i: f"_:w{1000 - i}")))
     assert a == b
     assert len(a) == len(set(chain(lambda i: f"_:b{i}", 20)))
+
+
+def test_relabel_expanded_reference_semantics():
+    """relabel/relabel_and_canonicalize parity
+    (document/expanded.rs:99-157)."""
+    from json_ld_spark.api import expand
+    from json_ld_spark.canonicalize import (
+        canonicalize_expanded, relabel_expanded,
+    )
+
+    doc = {"@context": {"@vocab": "http://v/"},
+           "@graph": [
+               {"name": "anon", "child": {"@id": "_:x", "n": 2.0}},
+               {"@id": "_:x", "age": 2.5},
+               {"@id": "http://n/1", "ref": {"@id": "_:x"}},
+           ]}
+    e = expand(doc, None)
+    r = relabel_expanded(e, canonicalize=True)
+    # every node identified; _:x consistently remapped; 2.0 -> 2
+    assert r[0]["@id"] == "_:b0"
+    child = r[0]["http://v/child"][0]
+    assert child["@id"] == r[1]["@id"] == r[2]["http://v/ref"][0]["@id"]
+    assert child["http://v/n"][0]["@value"] == 2
+    assert isinstance(child["http://v/n"][0]["@value"], int)
+    assert r[1]["http://v/age"][0]["@value"] == 2.5  # non-integral kept
+    # relabel only: numbers untouched
+    r2 = relabel_expanded(e)
+    assert r2[0]["http://v/child"][0]["http://v/n"][0]["@value"] == 2.0
+    # canonicalize only: ids untouched, numbers canonical
+    c = canonicalize_expanded(e)
+    assert "@id" not in c[0] or c[0].get("@id") != "_:b0"
+    assert c[0]["http://v/child"][0]["http://v/n"][0]["@value"] == 2
+
+
+def test_cli_expand_relabel_fetch(tmp_path, capsys):
+    import json
+
+    from json_ld_spark.__main__ import main
+
+    p = tmp_path / "d.json"
+    p.write_text(json.dumps({"@context": {"@vocab": "http://v/"},
+                             "name": "x", "n": 3.0}))
+    rc = main(["expand", str(p), "--relabel", "--canonicalize"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out[0]["@id"] == "_:b0"
+    assert out[0]["http://v/n"][0]["@value"] == 3
