@@ -27,7 +27,7 @@ from ..canonicalize import canonicalize_quads
 from ..context import ActiveContext, Loader, dict_loader, no_loader, process_context
 from ..expand import expand_document
 from ..nodemap import BlankGen, flatten_expanded
-from ..options import JsonLdOptions
+from ..options import JsonLdOptions, options_payload
 from ..rdf import expanded_to_quads
 
 try:  # orjson is ~5x stdlib json for parse; fall back transparently
@@ -123,12 +123,12 @@ def expand_stage(
     ctx_json = json.dumps(context) if context is not None else None
     base = opts.base
     mode = opts.processing_mode
-    policy = opts.policy
+    payload = options_payload(opts)
     registry = context_registry
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local_opts = JsonLdOptions(
-            base=base, processing_mode=mode, policy=policy,
+            **payload,
             loader=dict_loader(registry) if registry else no_loader,
         )
         active = _active_context(ctx_json, base, mode, registry)
@@ -177,14 +177,15 @@ def triples_stage(
     """
     opts = options or JsonLdOptions()
     ctx_json = json.dumps(context) if context is not None else None
-    base, mode, policy = opts.base, opts.processing_mode, opts.policy
+    base, mode = opts.base, opts.processing_mode
     rdf_direction = opts.rdf_direction
     generalized = opts.produce_generalized_rdf
+    payload = options_payload(opts)
     registry = context_registry
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local_opts = JsonLdOptions(
-            base=base, processing_mode=mode, policy=policy,
+            **payload,
             loader=dict_loader(registry) if registry else no_loader,
         )
         active = _active_context(ctx_json, base, mode, registry)
@@ -243,12 +244,13 @@ def flatten_stage(
     """doc → one row per flattened node (expanded → node map → flat)."""
     opts = options or JsonLdOptions()
     ctx_json = json.dumps(context) if context is not None else None
-    base, mode, policy = opts.base, opts.processing_mode, opts.policy
+    base, mode = opts.base, opts.processing_mode
+    payload = options_payload(opts)
     registry = context_registry
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local_opts = JsonLdOptions(
-            base=base, processing_mode=mode, policy=policy,
+            **payload,
             loader=dict_loader(registry) if registry else no_loader,
         )
         active = _active_context(ctx_json, base, mode, registry)
@@ -317,19 +319,14 @@ def frame_stage(
         frame_doc.get("@context") if isinstance(frame_doc, dict) else None
     )
     ctx_json = json.dumps(context) if context is not None else None
-    base, mode, policy = opts.base, opts.processing_mode, opts.policy
+    base, mode = opts.base, opts.processing_mode
+    payload = options_payload(opts)
     registry = context_registry
-    omit_graph, prune = opts.omit_graph, opts.prune_blank_node_identifiers
-    explicit, require_all = opts.explicit, opts.require_all
-    omit_default = opts.omit_default
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local_opts = JsonLdOptions(
-            base=base, processing_mode=mode, policy=policy,
+            **payload,
             loader=dict_loader(registry) if registry else no_loader,
-            omit_graph=omit_graph, prune_blank_node_identifiers=prune,
-            explicit=explicit, require_all=require_all,
-            omit_default=omit_default,
         )
         expanded_frame = json.loads(expanded_frame_json)
         frame_ctx = json.loads(frame_ctx_json)

@@ -51,3 +51,20 @@ class JsonLdOptions:
         from dataclasses import replace
 
         return replace(self, **kw)
+
+
+def options_payload(opts: JsonLdOptions) -> dict:
+    """Picklable field dict (the loader excluded — it is rebuilt
+    executor-side from the shipped context registry) for sending
+    options into Arrow-stage closures. Shipping the WHOLE dataclass
+    means newly added option fields flow into the distributed path
+    automatically instead of being dropped by hand-copied subsets
+    (which is exactly what happened to the round-3 policy knobs before
+    this helper existed)."""
+    from dataclasses import fields as _fields
+
+    return {
+        f.name: getattr(opts, f.name)
+        for f in _fields(JsonLdOptions)
+        if f.name != "loader"
+    }

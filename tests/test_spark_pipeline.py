@@ -555,3 +555,32 @@ def test_build_kg_with_linking_engine_parity(spark, transcripts):
     assert a == b and len(a) > 0
     # the mention predicate must actually be present in the output
     assert any(t[2].endswith("#mentions") for t in a)
+
+
+def test_stage_threads_new_option_fields(spark):
+    """Options ship whole into Arrow stages (options_payload): the
+    round-3 policy knobs must reach executors, not silently drop."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from json_ld_spark.operators.jsonld import expand_stage
+    from json_ld_spark.options import JsonLdOptions
+
+    docs = spark.createDataFrame(
+        [("d1", json.dumps({"@context": {"@vocab": "http://v/"},
+                            "@id": "http://n/1", "k": "x"}))],
+        ["doc_id", "doc"],
+    )
+    keep = expand_stage(docs, options=JsonLdOptions()).collect()[0]
+    assert "http://v/k" in keep.expanded
+
+    dropped = expand_stage(
+        docs, options=JsonLdOptions(policy_vocab="drop")
+    ).collect()[0]
+    assert dropped.error is None and "http://v/k" not in dropped.expanded
+
+    rejected = expand_stage(
+        docs, options=JsonLdOptions(policy_vocab="reject")
+    ).collect()[0]
+    assert rejected.error is not None  # quarantined, not silently kept
