@@ -762,6 +762,21 @@ def q_data_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("dup_group").cast("long").alias("dup_group"), "split")
 
 
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span discovery (dedup.repeated_spans; the
+    candidate stage of substring-level dedup, Lee et al. 2022): word
+    10-grams occurring >= 2 times across the duplicate-heavy corpus,
+    reported as per-gram stats."""
+    _utc(spark)
+    corpus = _docs_with_dups(_read(spark, sf_dir, "documents"))
+    spans = dd.repeated_spans(corpus, n=10, min_count=2)
+    return (
+        spans.select(F.md5("gram").alias("gram_md5"),
+                     "n_occurrences", "n_docs")
+        .dropDuplicates()
+    )
+
+
 def q_kg_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the co-purchase graph via
     degree-ordered edge orientation (graphops.triangle_count) — wedge
@@ -2100,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "dedup_components": q_dedup_components,
+        "dedup_repeated_spans": q_dedup_repeated_spans,
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
         "kg_khop_parts": q_kg_khop_parts,
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
@@ -2638,6 +2654,26 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 # Large-Star/Small-Star (the CTE's reach table is sum(comp_size^2)
 # rows — fine at oracle scale; the star algorithm is the form that
 # scales, the CTE is the spec).
+_REPEATED_SPANS_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+), toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS t
+  FROM corpus
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i+9], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 9, 0))) AS u(i)
+)
+SELECT md5(gram) AS gram_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+"""
+
 _CC_CORE_SQL = r"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
@@ -3934,6 +3970,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "dedup_prefix_filter": _MINHASH_ORACLE_SQL,
         "dedup_components": _CC_SQL,
+        "dedup_repeated_spans": _REPEATED_SPANS_SQL,
         "kg_copurchase_triangles": _TRIANGLES_SQL,
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,

@@ -337,3 +337,55 @@ def prefix_filter_candidates(
         .select(F.col("a.pf_id").alias("doc_a"), F.col("b.pf_id").alias("doc_b"))
         .dropDuplicates()
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 12,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-span discovery — the candidate stage of
+    substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): every word n-gram occurring
+    at least `min_count` times corpus-wide, with the (doc, token
+    position) of each occurrence so the caller can splice spans out.
+
+    Returns (id_col, pos, gram, n_occurrences, n_docs). Plan: one
+    posexplode of the JVM n-gram array, then TWO window counts over the
+    gram key (occurrences; distinct docs via the dense-rank trick — a
+    count(distinct) window is unsupported), then the filter. At corpus
+    scale nearly all n-grams are unique (Zipf tail), so the shuffle is
+    gram-keyed with no hot keys EXCEPT true repeats — which are exactly
+    the rows that survive; AQE skew-split handles pathological
+    boilerplate grams (the n-gram length caps per-key fan-in at total
+    occurrence count, not corpus size)."""
+    from .curation import ngrams as _word_ngrams
+
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(_word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+    )
+    w = Window.partitionBy("gram")
+    w_doc = Window.partitionBy("gram", id_col)
+    occ = F.count("*").over(w)
+    # distinct docs per gram: dense_rank over doc within gram, maxed
+    first_in_doc = F.row_number().over(
+        w_doc.orderBy("pos")
+    )
+    out = (
+        grams.withColumn("n_occurrences", occ)
+        .withColumn("__fid", first_in_doc)
+        .withColumn(
+            "n_docs",
+            F.sum(F.when(F.col("__fid") == 1, 1).otherwise(0)).over(w),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .select(
+            id_col, F.col("pos").cast("long").alias("pos"), "gram",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+    return out

@@ -332,3 +332,39 @@ def test_word_repetition_signals(spark):
     assert (out[1]["n_words"], out[1]["n_distinct"], out[1]["top_count"]) == (4, 2, 3)
     assert abs(out[1]["dup_frac"] - 0.5) < 1e-9
     assert out[2]["dup_frac"] == 0.0
+
+
+def test_repeated_spans_reference(spark):
+    from json_ld_spark.operators.dedup import repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a lazy dog saw the quick brown fox sleeping"),
+            (3, "entirely different words here"),
+            (4, "the quick brown fox jumps again and the quick brown fox"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = repeated_spans(docs, n=4, min_count=2).collect()
+    rows = {(r.doc_id, r.pos, r.gram): (r.n_occurrences, r.n_docs) for r in out}
+
+    # python reference
+    from collections import defaultdict
+    occ = defaultdict(list)
+    for d, t in [(r, t) for r, t in
+                 [(1, "the quick brown fox jumps"),
+                  (2, "a lazy dog saw the quick brown fox sleeping"),
+                  (3, "entirely different words here"),
+                  (4, "the quick brown fox jumps again and the quick brown fox")]]:
+        toks = t.split()
+        for i in range(len(toks) - 3):
+            occ[" ".join(toks[i:i+4])].append((d, i))
+    want = {}
+    for g, lst in occ.items():
+        if len(lst) >= 2:
+            nd = len({d for d, _ in lst})
+            for d, p in lst:
+                want[(d, p, g)] = (len(lst), nd)
+    assert rows == want
+    assert any(g == "the quick brown fox" for (_, _, g) in rows)
