@@ -1178,6 +1178,33 @@ def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH clause over per-conversation named graphs: the
+    transcript KG with each conversation's triples in its own named
+    graph (the natural quad layout for a conversation corpus), queried
+    as GRAPH ?g { ... } — the graph variable ranges over named graphs
+    and joins into the aggregation."""
+    from json_ld_spark.sparql import sparql
+
+    _utc(spark)
+    v = "https://example.org/transcript#"
+    t = transcripts_from_documents(spark, sf_dir)
+    quads = (
+        transcript_triples_native(t)
+        .select(
+            F.regexp_extract(F.col("subj"), r"^(.*)/turn/", 1).alias("graph"),
+            "subj", "pred", "obj",
+        )
+        .dropDuplicates()
+    )
+    return sparql(quads, f"""
+        PREFIX t: <{v}>
+        SELECT ?g (COUNT(*) AS ?n)
+        WHERE {{ GRAPH ?g {{ ?turn t:role "assistant" }} }}
+        GROUP BY ?g HAVING (COUNT(*) >= 3) ORDER BY DESC(?n) ?g LIMIT 40
+    """)
+
+
 def q_kg_bgp_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE (bgp.bgp_describe): the sub-KG of every turn
     that used the search tool — a left-semi join of the triple table
@@ -2175,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sessionize_events": q_rel_sessionize_events,
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_path": q_kg_sparql_path,
+        "kg_sparql_graph": q_kg_sparql_graph,
         "kg_bgp_describe": q_kg_bgp_describe,
         "kg_bgp_ask": q_kg_bgp_ask,
         "rel_rollup_pricing": q_rel_rollup_pricing,
@@ -3804,6 +3832,16 @@ FROM conv a JOIN conv b ON a.c = b.c
 WHERE a.subj < b.subj
 """
 
+_SPARQL_GRAPH_SQL = _TRIPLES_CTE + f"""
+SELECT g, n FROM (
+  SELECT regexp_extract(subj, '^(.*)/turn/', 1) AS g, COUNT(*) AS n
+  FROM (SELECT DISTINCT regexp_extract(subj, '^(.*)/turn/', 1) AS gg,
+               subj, pred, obj FROM triples) q
+  WHERE pred = '{_V}role' AND obj = 'assistant'
+  GROUP BY 1 HAVING COUNT(*) >= 3
+) ORDER BY n DESC, g LIMIT 40
+"""
+
 _BGP_DESCRIBE_SQL = _TRIPLES_CTE + f"""
 SELECT DISTINCT subj, pred, obj FROM triples
 WHERE subj IN (SELECT subj FROM triples
@@ -4020,6 +4058,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_plan": _FRAME_PLAN_SQL,
         "kg_sparql_select": _SPARQL_SELECT_SQL,
         "kg_sparql_path": _SPARQL_PATH_SQL,
+        "kg_sparql_graph": _SPARQL_GRAPH_SQL,
         "kg_bgp_describe": _BGP_DESCRIBE_SQL,
         "kg_bgp_ask": _BGP_ASK_SQL,
         "rel_rollup_pricing": _ROLLUP_SQL,

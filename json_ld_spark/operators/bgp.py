@@ -239,6 +239,11 @@ def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFram
     # plain triple scan
     pred = pattern[1]
     if isinstance(pred, tuple):
+        if len(pattern) == 4:
+            raise ValueError(
+                "property paths inside GRAPH are not supported (the "
+                "closure would need per-graph evaluation)"
+            )
         from json_ld_spark.operators.paths import path_pairs
 
         pairs = path_pairs(triples, pred)
@@ -258,7 +263,22 @@ def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFram
         return df.select(*[F.col(c).alias(n) for n, c in out_cols.items()])
     df = triples
     out_cols = {}
-    for col, term in zip(_POS_COLS, pattern):
+    # 4-term patterns (s, p, o, g) are GRAPH-clause quad patterns: the
+    # 4th term matches the `graph` column of a quad table. Per SPARQL
+    # 13.3, GRAPH ranges over NAMED graphs only, so a graph VARIABLE
+    # additionally excludes default-graph (NULL) rows; plain 3-term
+    # patterns over a quad table keep union-default-graph semantics
+    # (every row, whatever its graph — the common triple-table
+    # deployment, same default as rdflib's union dataset).
+    cols = _POS_COLS if len(pattern) == 3 else _POS_COLS + ("graph",)
+    if len(pattern) == 4:
+        if "graph" not in df.columns:
+            raise ValueError(
+                "GRAPH pattern requires a quad table with a 'graph' column"
+            )
+        if _is_var(pattern[3]):
+            df = df.filter(F.col("graph").isNotNull())
+    for col, term in zip(cols, pattern):
         if _is_var(term):
             name = term[1:]
             if name in out_cols:  # same var twice in one pattern

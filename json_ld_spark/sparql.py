@@ -41,10 +41,15 @@ emits is already oracle-tested):
   length/upper/lower/string; everything else passes through as Spark
   SQL with ``?var`` references substituted.
 
-Out of scope (raises SparqlSyntaxError): GRAPH/SERVICE/named-graph
-clauses (the quad table's ``graph`` column is exposed through the
-DataFrame API instead), federated queries, and UPDATE text (the
-DELETE/INSERT WHERE algebra lives in operators/maintenance.update_where).
+- ``GRAPH ?g|<iri> { … }`` over a QUAD table (a DataFrame carrying a
+  ``graph`` column): contained patterns become 4-term quad patterns;
+  a graph variable ranges over named graphs only (SPARQL 13.3) while
+  plain patterns keep union-default-graph semantics (the common
+  triple-table deployment). Property paths inside GRAPH are rejected.
+
+Out of scope (raises SparqlSyntaxError): SERVICE/federated queries;
+UPDATE graph-management text (the DELETE/INSERT WHERE algebra lives in
+operators/maintenance.update_where).
 
 Literals match the 3-column triple table's lexical convention: the
 parser strips quotes and keeps the lexical form (``"42"`` and ``42``
@@ -163,7 +168,7 @@ _FN_MAP = {
     "strends": "endswith", "contains": "contains", "strlen": "length",
     "ucase": "upper", "lcase": "lower", "str": "string", "sample": "min",
 }
-_UNSUPPORTED = {"graph", "service", "from", "insert", "delete", "with"}
+_UNSUPPORTED = {"service", "from", "insert", "delete", "with"}
 
 
 class _Parser:
@@ -380,7 +385,32 @@ class _Parser:
                 raise SparqlSyntaxError(
                     f"{t.val.upper()} is outside the supported subset"
                 )
-            if self.kw("optional"):
+            if self.kw("graph"):
+                # GRAPH ?g|<iri> { patterns }: each contained triple
+                # pattern becomes a 4-term quad pattern (s, p, o, g) —
+                # the BGP layer matches the quad table's graph column
+                # (named graphs only for a variable, SPARQL 13.3)
+                gt = self.peek()
+                if gt.kind == "VAR":
+                    self.next()
+                    gterm = "?" + gt.val[1:]
+                elif gt.kind == "IRI":
+                    self.next()
+                    gterm = gt.val[1:-1]
+                elif gt.kind == "PNAME":
+                    self.next()
+                    gterm = self._expand_pname(gt.val)
+                else:
+                    raise SparqlSyntaxError("GRAPH needs ?var or <iri>")
+                sub = self.group_graph_pattern()
+                self._require_patterns_only(sub, "GRAPH")
+                for (ps, pp, po) in sub.patterns:
+                    if isinstance(pp, tuple):
+                        raise SparqlSyntaxError(
+                            "property paths inside GRAPH are unsupported"
+                        )
+                    g.patterns.append((ps, pp, po, gterm))
+            elif self.kw("optional"):
                 sub = self.group_graph_pattern()
                 self._require_patterns_only(sub, "OPTIONAL")
                 g.optional.append(sub.patterns)

@@ -163,7 +163,7 @@ def test_comments_and_langtag_and_typed_literals(kg, spark):
 def test_syntax_errors():
     for bad in [
         "SELECT ?x WHERE { ?x }",
-        "PREFIX : <http://e/> SELECT ?x WHERE { GRAPH ?g { ?x :p ?y } }",
+        "PREFIX : <http://e/> SELECT ?x WHERE { SERVICE <http://r/> { ?x :p ?y } }",
         "SELECT ?x WHERE { ?x <http://e/p> ?y",
         "FROB ?x",
         "SELECT ?x WHERE { ?x undeclared:p ?y }",
@@ -296,3 +296,50 @@ def test_cli_sparql(tmp_path, spark, capsys):
                "--data", data])
     out = capsys.readouterr().out.strip().splitlines()
     assert rc == 0 and any("speaker" in l for l in out[1:])
+
+
+@pytest.fixture(scope="module")
+def quad_kg(spark):
+    return spark.createDataFrame(
+        [
+            (None, "t0", V + "role", "user"),
+            ("http://g/1", "t1", V + "role", "assistant"),
+            ("http://g/1", "t1", V + "text", "hi"),
+            ("http://g/2", "t2", V + "role", "assistant"),
+        ],
+        ["graph", "subj", "pred", "obj"],
+    )
+
+
+def test_graph_variable_named_only(quad_kg):
+    out = sparql(quad_kg, f'''PREFIX v: <{V}>
+        SELECT ?g ?t WHERE {{ GRAPH ?g {{ ?t v:role ?r }} }}''')
+    # default-graph row t0 excluded: GRAPH ranges over named graphs
+    assert _rows(out) == [("http://g/1", "t1"), ("http://g/2", "t2")]
+
+
+def test_graph_constant_and_union_default(quad_kg):
+    out = sparql(quad_kg, f'''PREFIX v: <{V}>
+        SELECT ?t WHERE {{ GRAPH <http://g/1> {{ ?t v:role ?r }} }}''')
+    assert _rows(out) == [("t1",)]
+    # plain patterns: union-default-graph semantics (all rows)
+    allr = sparql(quad_kg, f'PREFIX v: <{V}> SELECT ?t WHERE {{ ?t v:role ?r }}')
+    assert _rows(allr) == [("t0",), ("t1",), ("t2",)]
+
+
+def test_graph_var_joins_inside_block(quad_kg):
+    out = sparql(quad_kg, f'''PREFIX v: <{V}>
+        SELECT ?g WHERE {{ GRAPH ?g {{ ?t v:role "assistant" . ?t v:text ?x }} }}''')
+    assert _rows(out) == [("http://g/1",)]
+
+
+def test_graph_requires_quad_table(kg):
+    with pytest.raises(Exception, match="graph"):
+        sparql(kg, f'''PREFIX v: <{V}>
+            SELECT ?g WHERE {{ GRAPH ?g {{ ?t v:role ?r }} }}''').collect()
+
+
+def test_graph_rejects_paths(quad_kg):
+    with pytest.raises(SparqlSyntaxError):
+        sparql(quad_kg, f'''PREFIX v: <{V}>
+            SELECT ?g WHERE {{ GRAPH ?g {{ ?a v:next+ ?b }} }}''')
