@@ -201,11 +201,15 @@ def _run_sparql(args) -> int:
 
     spark = get_spark()
     quads = read_nquads(spark, args.data)
+    # queries keep the graph column (GRAPH-clause support; plain
+    # patterns ignore it — union-default-graph semantics); UPDATE works
+    # on the 3-col merged view, its output being a plain graph
+    tri4 = quads.select("graph", "subj", "pred", "obj").dropDuplicates()
     tri3 = quads.select("subj", "pred", "obj").dropDuplicates()
 
     # results print as TSV (term-lexical, like the 3-col triple view);
     # ASK prints yes/no
-    res = sparql_update(tri3, q) if args.update else sparql(tri3, q)
+    res = sparql_update(tri3, q) if args.update else sparql(tri4, q)
     if isinstance(res, bool):
         print("yes" if res else "no")
         return 0

@@ -343,3 +343,26 @@ def test_graph_rejects_paths(quad_kg):
     with pytest.raises(SparqlSyntaxError):
         sparql(quad_kg, f'''PREFIX v: <{V}>
             SELECT ?g WHERE {{ GRAPH ?g {{ ?a v:next+ ?b }} }}''')
+
+
+def test_cli_sparql_graph_clause(tmp_path, spark, capsys):
+    from json_ld_spark.__main__ import main
+    from json_ld_spark.sources.nquads import write_nquads
+
+    quads = spark.createDataFrame(
+        [
+            ("http://g/1", "http://e/t1", "http://e/p", "iri", "http://e/o",
+             None, None),
+            (None, "http://e/t2", "http://e/p", "iri", "http://e/o",
+             None, None),
+        ],
+        "graph string, subj string, pred string, obj_kind string, "
+        "obj string, datatype string, lang string",
+    )
+    data = str(tmp_path / "g")
+    write_nquads(quads, data)
+    rc = main(["sparql",
+               'SELECT ?g WHERE { GRAPH ?g { ?s <http://e/p> ?o } }',
+               "--data", data])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and out == ["g", "http://g/1"]
