@@ -147,3 +147,25 @@ def test_hypothesis_literal_roundtrip(spark):
         assert got == sorted(quads, key=_key), json.dumps(texts)
 
     prop()
+
+
+def test_permissive_never_throws_on_garbage(spark):
+    """Robustness: arbitrary junk lines parse to malformed flags, never
+    exceptions (crawl-scale dumps contain garbage)."""
+    from hypothesis import given, settings, strategies as st
+
+    from json_ld_spark.sources.nquads import parse_nquads_df
+
+    @given(st.lists(st.text(max_size=60), min_size=1, max_size=10))
+    @settings(max_examples=15, deadline=None)
+    def prop(lines):
+        df = spark.createDataFrame([(l,) for l in lines], "value string")
+        rows = parse_nquads_df(df, mode="permissive").collect()
+        # every non-blank non-comment line yields exactly one row
+        expected = sum(
+            1 for l in lines
+            if l.strip() and not l.strip().startswith("#")
+        )
+        assert len(rows) == expected
+
+    prop()

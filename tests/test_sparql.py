@@ -366,3 +366,15 @@ def test_cli_sparql_graph_clause(tmp_path, spark, capsys):
                "--data", data])
     out = capsys.readouterr().out.strip().splitlines()
     assert rc == 0 and out == ["g", "http://g/1"]
+
+
+def test_filter_numeric_cast(kg, spark):
+    """Numeric comparison via CAST — the transpiler passes Spark SQL
+    casts through, so lexical obj columns compare numerically."""
+    t = spark.createDataFrame(
+        [("a", "n", "9"), ("b", "n", "10"), ("c", "n", "2")],
+        ["subj", "pred", "obj"],
+    )
+    out = sparql(t, '''SELECT ?s WHERE {
+        ?s <n> ?v FILTER (CAST(?v AS INT) >= 9) }''')
+    assert _rows(out) == [("a",), ("b",)]
