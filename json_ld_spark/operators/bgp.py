@@ -246,7 +246,17 @@ def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFram
             )
         from json_ld_spark.operators.paths import path_pairs
 
-        pairs = path_pairs(triples, pred)
+        # constant SUBJECT seeds the evaluation: the closure then runs
+        # as frontier BFS over the reachable set only (work ∝ what the
+        # seed can reach, not corpus size — the 100 TB form path_pairs
+        # already implements; previously the BGP integration always
+        # evaluated the full pair relation and filtered after)
+        subjects = None
+        if not _is_var(pattern[0]):
+            subjects = triples.sparkSession.createDataFrame(
+                [(pattern[0],)], "s string"
+            )
+        pairs = path_pairs(triples, pred, subjects=subjects)
         out_cols = {}
         df = pairs
         for col, term in zip(("s", "o"), (pattern[0], pattern[2])):

@@ -225,3 +225,26 @@ def test_fuzz_vs_naive(spark):
             expect = _naive(rows, path, terms)
             got = _pairs(path_pairs(df, path))
             assert got == expect, f"trial={trial} path={path}"
+
+
+def test_bgp_constant_subject_seeds_path(spark):
+    """A constant-subject path pattern inside a BGP must produce the
+    same bindings as the unseeded full evaluation (the seeded frontier
+    BFS is the at-scale plan)."""
+    import pyspark.sql.functions as F
+
+    from json_ld_spark.operators.bgp import bgp_query
+    from json_ld_spark.operators.paths import parse_path, path_pairs
+
+    edges = [(f"n{i}", "http://e/p", f"n{i+1}") for i in range(6)]
+    edges += [("m0", "http://e/p", "m1")]  # disconnected island
+    t = spark.createDataFrame(edges, ["subj", "pred", "obj"])
+    ast = parse_path("<http://e/p>+")
+
+    seeded = bgp_query(t, [("n0", ast, "?x")])
+    assert sorted(r.x for r in seeded.collect()) == [f"n{i}" for i in range(1, 7)]
+
+    # equality with the unseeded relation filtered to the seed
+    full = path_pairs(t, ast).filter(F.col("s") == "n0")
+    assert sorted(r.x for r in seeded.collect()) == \
+        sorted(r.o for r in full.collect())
