@@ -246,13 +246,22 @@ def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFram
             )
         from json_ld_spark.operators.paths import path_pairs
 
-        # constant SUBJECT seeds the evaluation: the closure then runs
-        # as frontier BFS over the reachable set only (work ∝ what the
-        # seed can reach, not corpus size — the 100 TB form path_pairs
-        # already implements; previously the BGP integration always
-        # evaluated the full pair relation and filtered after)
+        # constant SUBJECT + CLOSURE path: seed the evaluation so the
+        # fixpoint runs as frontier BFS over the reachable set (work ∝
+        # what the seed reaches, not corpus size). Only closures
+        # benefit — for plain seq/alt/inv paths Catalyst pushes the
+        # post-hoc s=const filter through the join chain itself
+        # (measured: seeding a 2-step seq was 1.6× SLOWER than letting
+        # the filter push), so those stay unseeded.
+        def has_closure(node) -> bool:
+            if not isinstance(node, tuple):
+                return False
+            if node[0] in ("opt", "plus", "star"):
+                return True
+            return any(has_closure(c) for c in node[1:])
+
         subjects = None
-        if not _is_var(pattern[0]):
+        if not _is_var(pattern[0]) and has_closure(pred):
             subjects = triples.sparkSession.createDataFrame(
                 [(pattern[0],)], "s string"
             )
