@@ -162,7 +162,6 @@ class _Query:
     describe_var: str = None
 
 
-_AGG_FNS = {"count", "sum", "min", "max", "avg", "group_concat", "sample"}
 _FN_MAP = {
     "regex": "regexp_like", "bound": "isnotnull", "strstarts": "startswith",
     "strends": "endswith", "contains": "contains", "strlen": "length",
