@@ -297,6 +297,14 @@ def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFram
             )
         if _is_var(pattern[3]):
             df = df.filter(F.col("graph").isNotNull())
+        elif pattern[3] == "@default":
+            # dataset-clause sentinel (FROM/FROM NAMED rewriting): the
+            # pattern matches the DEFAULT graph only — NULL graph rows
+            # (JSON-LD's own @default spelling; a real IRI can never
+            # collide with a keyword-shaped string)
+            df = df.filter(F.col("graph").isNull())
+            pattern = pattern[:3]
+            cols = _POS_COLS
     for col, term in zip(cols, pattern):
         if _is_var(term):
             name = term[1:]

@@ -160,6 +160,8 @@ class _Query:
     offset: int = None
     template: list = None          # CONSTRUCT
     describe_var: str = None
+    from_graphs: list = None       # FROM <iri> (merged default graph)
+    from_named: list = None        # FROM NAMED <iri>
 
 
 _FN_MAP = {
@@ -167,7 +169,7 @@ _FN_MAP = {
     "strends": "endswith", "contains": "contains", "strlen": "length",
     "ucase": "upper", "lcase": "lower", "str": "string", "sample": "min",
 }
-_UNSUPPORTED = {"service", "from", "insert", "delete", "with"}
+_UNSUPPORTED = {"service", "insert", "delete", "with"}
 
 
 class _Parser:
@@ -598,6 +600,7 @@ class _Parser:
                 else:
                     break
         q.select, q.aggregates = sel, (aggs or None)
+        self._dataset_clauses(q)
         self.kw("where")
         q.group = self.group_graph_pattern()
         # modifiers
@@ -677,12 +680,29 @@ class _Parser:
         # caller doesn't wrap further tokens
         return group_concat("?" + v.val[1:], sep)
 
+    def _dataset_clauses(self, q: _Query) -> None:
+        while self.at_kw("from"):
+            self.next()
+            named = self.kw("named")
+            t = self.next()
+            if t.kind == "IRI":
+                iri = t.val[1:-1]
+            elif t.kind == "PNAME":
+                iri = self._expand_pname(t.val)
+            else:
+                raise SparqlSyntaxError("FROM needs an <iri>")
+            if named:
+                q.from_named = (q.from_named or []) + [iri]
+            else:
+                q.from_graphs = (q.from_graphs or []) + [iri]
+
     def parse(self) -> _Query:
         self.prologue()
         if self.at_kw("select"):
             q = self.select_query()
         elif self.kw("ask"):
             q = _Query(form="ask")
+            self._dataset_clauses(q)
             self.kw("where")
             q.group = self.group_graph_pattern()
         elif self.kw("construct"):
@@ -692,6 +712,7 @@ class _Parser:
             while not self.at_op("}"):
                 self.triples_block(q.template)
             self.next()
+            self._dataset_clauses(q)
             if not self.kw("where"):
                 raise SparqlSyntaxError("CONSTRUCT needs WHERE")
             q.group = self.group_graph_pattern()
@@ -701,6 +722,7 @@ class _Parser:
             if v.kind != "VAR":
                 raise SparqlSyntaxError("DESCRIBE supports a single ?var")
             q.describe_var = "?" + v.val[1:]
+            self._dataset_clauses(q)
             self.kw("where")
             q.group = self.group_graph_pattern()
         else:
@@ -733,6 +755,7 @@ def sparql(triples: DataFrame, text: str, **kw) -> DataFrame | bool:
     )
 
     q = parse_sparql(text)
+    triples = _apply_dataset(triples, q)
     g = q.group
     bgp_kw = dict(kw)
     if g.optional:
@@ -787,6 +810,66 @@ def sparql(triples: DataFrame, text: str, **kw) -> DataFrame | bool:
         distinct=q.distinct,
         **bgp_kw,
     )
+
+
+def _apply_dataset(triples: DataFrame, q: _Query) -> DataFrame:
+    """FROM / FROM NAMED (SPARQL 13.2, dataset construction): with
+    either clause present the query runs against a CONSTRUCTED dataset
+    — the default graph is the merge of the FROM graphs (their rows
+    re-labeled NULL), the named graphs are exactly the FROM NAMED ones,
+    and every plain triple pattern in the query is tightened to the
+    default graph via the "@default" sentinel (without dataset
+    clauses, plain patterns keep union-default-graph semantics)."""
+    if q.from_graphs is None and q.from_named is None:
+        return triples
+    from pyspark.sql import functions as F
+
+    if "graph" not in triples.columns:
+        raise SparqlSyntaxError(
+            "FROM/FROM NAMED need a quad table with a 'graph' column"
+        )
+    default = triples.filter(
+        F.col("graph").isin(q.from_graphs or [])
+    ).withColumn("graph", F.lit(None).cast("string"))
+    named = triples.filter(F.col("graph").isin(q.from_named or []))
+    ds = default.unionByName(named)
+
+    def tighten(group: _Group) -> None:
+        for p in group.patterns:
+            if len(p) == 3 and isinstance(p[1], tuple):
+                raise SparqlSyntaxError(
+                    "property paths combined with FROM clauses are "
+                    "not supported"
+                )
+        group.patterns = [
+            (p if len(p) == 4 else (*p, "@default")) for p in group.patterns
+        ]
+        group.optional = [
+            [(ps, pp, po, "@default") for (ps, pp, po) in grp]
+            for grp in group.optional
+        ]
+        group.minus = [
+            [(ps, pp, po, "@default") for (ps, pp, po) in grp]
+            for grp in group.minus
+        ]
+        group.exists = [
+            [(ps, pp, po, "@default") for (ps, pp, po) in grp]
+            for grp in group.exists
+        ]
+        group.not_exists = [
+            [(ps, pp, po, "@default") for (ps, pp, po) in grp]
+            for grp in group.not_exists
+        ]
+        group.union = [
+            [[(ps, pp, po, "@default") for (ps, pp, po) in branch]
+             for branch in u]
+            for u in group.union
+        ]
+
+    tighten(q.group)
+    for sq in q.group.subselects:
+        tighten(sq.group)
+    return ds
 
 
 def _execute_select(triples: DataFrame, q: _Query, kw: dict) -> DataFrame:

@@ -378,3 +378,36 @@ def test_filter_numeric_cast(kg, spark):
     out = sparql(t, '''SELECT ?s WHERE {
         ?s <n> ?v FILTER (CAST(?v AS INT) >= 9) }''')
     assert _rows(out) == [("a",), ("b",)]
+
+
+def test_from_merges_default_graph(quad_kg):
+    # dataset: default graph = g/1 only; t0 (NULL graph) and g/2 excluded
+    out = sparql(quad_kg, f'''PREFIX v: <{V}>
+        SELECT ?t FROM <http://g/1> WHERE {{ ?t v:role ?r }}''')
+    assert _rows(out) == [("t1",)]
+    # two FROM graphs merge
+    out2 = sparql(quad_kg, f'''PREFIX v: <{V}>
+        SELECT ?t FROM <http://g/1> FROM <http://g/2>
+        WHERE {{ ?t v:role "assistant" }}''')
+    assert _rows(out2) == [("t1",), ("t2",)]
+
+
+def test_from_named_restricts_graph_clause(quad_kg):
+    out = sparql(quad_kg, f'''PREFIX v: <{V}>
+        SELECT ?g FROM NAMED <http://g/2>
+        WHERE {{ GRAPH ?g {{ ?t v:role ?r }} }}''')
+    assert _rows(out) == [("http://g/2",)]
+    # FROM only -> no named graphs visible to GRAPH
+    out2 = sparql(quad_kg, f'''PREFIX v: <{V}>
+        SELECT ?g FROM <http://g/1>
+        WHERE {{ GRAPH ?g {{ ?t v:role ?r }} }}''')
+    assert _rows(out2) == []
+
+
+def test_from_with_optional_and_filter(quad_kg):
+    out = sparql(quad_kg, f'''PREFIX v: <{V}>
+        SELECT ?t ?x FROM <http://g/1> FROM <http://g/2> WHERE {{
+            ?t v:role "assistant" .
+            OPTIONAL {{ ?t v:text ?x }}
+        }}''')
+    assert _rows(out) == [("t1", "hi"), ("t2", None)]
