@@ -46,6 +46,10 @@ emits is already oracle-tested):
   a graph variable ranges over named graphs only (SPARQL 13.3) while
   plain patterns keep union-default-graph semantics (the common
   triple-table deployment). Property paths inside GRAPH are rejected.
+- ``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses: the query runs
+  against a constructed dataset (SPARQL 13.2) — FROM graphs merge into
+  the default graph, FROM NAMED graphs are the only ones GRAPH sees,
+  plain patterns tighten to the constructed default graph.
 
 Out of scope (raises SparqlSyntaxError): SERVICE/federated queries;
 UPDATE graph-management text (the DELETE/INSERT WHERE algebra lives in
