@@ -182,6 +182,15 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base: str | None = None
+        self._bnode_n = 0
+
+    def _fresh_bnode_var(self) -> str:
+        # query blank nodes are non-distinguished variables (SPARQL
+        # 4.1.4); explicit SELECT projections hide them, SELECT *
+        # surfaces them as __b<N> columns
+        v = f"?__b{self._bnode_n}"
+        self._bnode_n += 1
+        return v
 
     # -- token helpers ----------------------------------------------------
     def peek(self, ahead: int = 0) -> _Tok:
@@ -226,6 +235,10 @@ class _Parser:
         if t.kind == "IRI":
             return t.val[1:-1]
         if t.kind == "PNAME":
+            if t.val.startswith("_:"):
+                # _:label = non-distinguished variable, consistent
+                # within one query
+                return "?__bn_" + t.val[2:]
             return self._expand_pname(t.val)
         if t.kind == "STR":
             val = _unquote(t.val)
@@ -317,12 +330,45 @@ class _Parser:
         return parse_path(path_str)
 
     # -- triple blocks ----------------------------------------------------
+    def _bnode_prop_list(self, out: list) -> str:
+        """``[ p1 o1 ; p2 o2 ]`` — allocate a fresh non-distinguished
+        variable and emit the contained patterns with it as subject;
+        bare ``[]`` is just the fresh variable."""
+        self.expect_op("[")
+        var = self._fresh_bnode_var()
+        while not self.at_op("]"):
+            pred = self.predicate()
+            while True:
+                obj = self._term_or_bnode(out)
+                out.append((var, pred, obj))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                continue
+            break
+        self.expect_op("]")
+        return var
+
+    def _term_or_bnode(self, out: list, position: str = "object") -> str:
+        if self.at_op("["):
+            return self._bnode_prop_list(out)
+        return self.term(position)
+
     def triples_block(self, out: list) -> None:
-        subj = self.term("subject")
+        subj = self._term_or_bnode(out, "subject")
+        if subj.startswith("?__b") and (self.at_op(".") or self.at_op("}")):
+            # bare "[ ... ]" (with or without dot) — the list WAS the
+            # whole statement
+            if self.at_op("."):
+                self.next()
+            return
         while True:
             pred = self.predicate()
             while True:
-                obj = self.term("object")
+                obj = self._term_or_bnode(out)
                 out.append((subj, pred, obj))
                 if self.at_op(","):
                     self.next()

@@ -411,3 +411,27 @@ def test_from_with_optional_and_filter(quad_kg):
             OPTIONAL {{ ?t v:text ?x }}
         }}''')
     assert _rows(out) == [("t1", "hi"), ("t2", None)]
+
+
+def test_blank_node_property_list(kg):
+    # object-position bnode list: assistant turns whose conv also has a
+    # user turn
+    out = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT ?t WHERE {{
+            ?t v:role "assistant" ; v:conv ?c .
+            [ v:role "user" ; v:conv ?c ]
+        }}''')
+    assert _rows(out) == [("t2",), ("t3",)]
+
+
+def test_blank_node_label_is_variable(kg):
+    out = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT ?c WHERE {{ _:x v:role "user" . _:x v:conv ?c }}''')
+    assert _rows(out) == [("c1",), ("c2",)]
+
+
+def test_anonymous_bnode_object(kg, spark):
+    t = spark.createDataFrame(
+        [("a", "p", "n1"), ("n1", "q", "z")], ["subj", "pred", "obj"])
+    out = sparql(t, 'SELECT ?s WHERE { ?s <p> [ <q> "z" ] }')
+    assert _rows(out) == [("a",)]
