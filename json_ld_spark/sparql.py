@@ -69,7 +69,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
 
 
 class SparqlSyntaxError(ValueError):
@@ -355,7 +356,33 @@ class _Parser:
     def _term_or_bnode(self, out: list, position: str = "object") -> str:
         if self.at_op("["):
             return self._bnode_prop_list(out)
+        if self.at_op("("):
+            return self._collection(out)
         return self.term(position)
+
+    def _collection(self, out: list) -> str:
+        """``( e1 e2 … )`` — RDF collection syntax: expands to the
+        rdf:first/rdf:rest chain (fresh non-distinguished variables per
+        cons cell), matching the list structures toRdf emits. ``()`` is
+        rdf:nil."""
+        first = RDF_NS + "first"
+        rest = RDF_NS + "rest"
+        nil = RDF_NS + "nil"
+        self.expect_op("(")
+        items = []
+        while not self.at_op(")"):
+            items.append(self._term_or_bnode(out))
+        self.next()
+        if not items:
+            return nil
+        head = self._fresh_bnode_var()
+        node = head
+        for i, item in enumerate(items):
+            out.append((node, first, item))
+            nxt = self._fresh_bnode_var() if i + 1 < len(items) else nil
+            out.append((node, rest, nxt))
+            node = nxt
+        return head
 
     def triples_block(self, out: list) -> None:
         subj = self._term_or_bnode(out, "subject")

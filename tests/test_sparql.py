@@ -435,3 +435,28 @@ def test_anonymous_bnode_object(kg, spark):
         [("a", "p", "n1"), ("n1", "q", "z")], ["subj", "pred", "obj"])
     out = sparql(t, 'SELECT ?s WHERE { ?s <p> [ <q> "z" ] }')
     assert _rows(out) == [("a",)]
+
+
+def test_collection_syntax_matches_tordf_chains(spark):
+    """( "a" "b" ) expands to the first/rest chain toRdf emits."""
+    from json_ld_spark.api import to_rdf
+
+    doc = {"@context": {"steps": {"@id": "http://e/steps",
+                                   "@container": "@list"}},
+           "@id": "http://n/1", "steps": ["a", "b"]}
+    quads = to_rdf(doc)
+    t = spark.createDataFrame(
+        [(s, p, o) for (_, s, p, _, o, _, _) in quads],
+        ["subj", "pred", "obj"],
+    )
+    out = sparql(t, 'SELECT ?s WHERE { ?s <http://e/steps> ( "a" "b" ) }')
+    assert _rows(out) == [("http://n/1",)]
+    # wrong order does not match
+    out2 = sparql(t, 'SELECT ?s WHERE { ?s <http://e/steps> ( "b" "a" ) }')
+    assert _rows(out2) == []
+
+
+def test_filter_in_list(kg):
+    out = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT ?t WHERE {{ ?t v:role ?r FILTER (?r IN ("user", "system")) }}''')
+    assert _rows(out) == [("t1",), ("t4",)]
