@@ -20,8 +20,11 @@ emits is already oracle-tested):
 - query forms: SELECT (DISTINCT, expressions ``(expr AS ?alias)``),
   ASK, CONSTRUCT, DESCRIBE ?var
 - prologue: BASE, PREFIX
-- group graph patterns: triple blocks with ``;`` / ``,`` lists and
-  ``a`` for rdf:type, property paths in predicate position (full
+- group graph patterns: triple blocks with ``;`` / ``,`` lists,
+  ``a`` for rdf:type, blank-node property lists ``[ p o ]`` and
+  ``_:label`` terms (non-distinguished variables, SPARQL 4.1.4), RDF
+  collections ``( e1 e2 )`` (expanded to the rdf:first/rest chains
+  toRdf emits), property paths in predicate position (full
   paths grammar: ``^ / | ? * + !(...)`` — compiled via
   paths.parse_path), OPTIONAL, FILTER(expr), FILTER (NOT) EXISTS,
   MINUS, VALUES (inline data incl. UNDEF), BIND(expr AS ?v),
