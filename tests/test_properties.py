@@ -240,3 +240,16 @@ def test_frame_deterministic_and_never_invents_nodes(doc):
     body = {k: v for k, v in a.items() if k != "@context"}
     walk_out(body.get("@graph", body))
     assert out_iris <= in_iris
+
+
+@given(node_docs())
+@settings(max_examples=40, deadline=None)
+def test_relabel_preserves_quad_set(doc):
+    """6. relabel_expanded is a blank-label bijection: the canonical
+    quad set (label-independent) is unchanged."""
+    from json_ld_spark.canonicalize import relabel_expanded
+
+    expanded = expand(_with_ctx(doc))
+    relabeled = relabel_expanded(expanded)
+    assert set(canonicalize_quads(to_rdf(expanded))) == \
+        set(canonicalize_quads(to_rdf(relabeled)))
