@@ -762,6 +762,25 @@ def q_data_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("dup_group").cast("long").alias("dup_group"), "split")
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection (dedup.select_survivors): one doc kept per
+    duplicate cluster — largest text wins, ties to the smallest id.
+    The step that actually shrinks the corpus after clustering."""
+    _utc(spark)
+    docs, sim_pairs = _dup_doc_pairs(spark, sf_dir)
+    comp = gops.connected_components(sim_pairs, src="doc_a", dst="doc_b")
+    ids = docs.select("doc_id", F.length("text").alias("n"))
+    groups = (
+        ids.join(comp, ids["doc_id"] == comp["node"], "left")
+        .select(
+            ids["doc_id"].alias("doc_id"),
+            F.coalesce(comp["component"], ids["doc_id"]).cast("long").alias("dup_group"),
+        )
+    )
+    out = dd.select_survivors(ids, groups, prefer_col="n")
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-span discovery (dedup.repeated_spans; the
     candidate stage of substring-level dedup, Lee et al. 2022): word
@@ -2143,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "dedup_components": q_dedup_components,
         "dedup_repeated_spans": q_dedup_repeated_spans,
+        "dedup_survivors": q_dedup_survivors,
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
         "kg_khop_parts": q_kg_khop_parts,
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
@@ -2737,6 +2757,19 @@ WITH RECURSIVE corpus AS (
 
 _CC_SQL = _CC_CORE_SQL + """
 SELECT doc_id, dup_group FROM groups
+"""
+
+_SURVIVORS_SQL = _CC_CORE_SQL + """
+, cand AS (
+  SELECT g.doc_id, g.dup_group, length(c.text) AS n
+  FROM groups g JOIN corpus c USING (doc_id)
+), best AS (
+  SELECT dup_group, MAX(n) AS bn FROM cand GROUP BY dup_group
+)
+SELECT CAST(MIN(cand.doc_id) AS BIGINT) AS doc_id
+FROM cand JOIN best ON cand.dup_group = best.dup_group AND cand.n = best.bn
+GROUP BY cand.dup_group
+ORDER BY doc_id
 """
 
 # data_cluster_split: same components, then the md5-bucket split replay
@@ -4009,6 +4042,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix_filter": _MINHASH_ORACLE_SQL,
         "dedup_components": _CC_SQL,
         "dedup_repeated_spans": _REPEATED_SPANS_SQL,
+        "dedup_survivors": _SURVIVORS_SQL,
         "kg_copurchase_triangles": _TRIANGLES_SQL,
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,

@@ -389,3 +389,30 @@ def repeated_spans(
         )
     )
     return out
+
+
+def select_survivors(
+    docs: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "dup_group",
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """The step AFTER duplicate clustering: keep one survivor per dup
+    group. Deterministic argmax — prefer the largest `prefer_col`
+    (e.g. n_chars, a quality score), ties and the no-preference case
+    broken by smallest id. One struct-max aggregation (map-side
+    partials, no window sort, no join-back): returns the surviving
+    rows of `docs`."""
+    joined = docs.join(groups, id_col)
+    # two aggregation stages keep this type-agnostic: max preference
+    # per group, then min id among the maxima — both map-side partial
+    if prefer_col is not None:
+        best = joined.groupBy(group_col).agg(
+            F.max(prefer_col).alias("__best")
+        )
+        joined = joined.join(best, group_col).filter(
+            F.col(prefer_col) == F.col("__best")
+        ).drop("__best")
+    winners = joined.groupBy(group_col).agg(F.min(id_col).alias(id_col))
+    return docs.join(winners.select(id_col), id_col, "left_semi")

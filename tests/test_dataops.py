@@ -368,3 +368,22 @@ def test_repeated_spans_reference(spark):
                 want[(d, p, g)] = (len(lst), nd)
     assert rows == want
     assert any(g == "the quick brown fox" for (_, _, g) in rows)
+
+
+def test_select_survivors(spark):
+    from json_ld_spark.operators.dedup import select_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        ["doc_id", "n_chars"],
+    )
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (9, 9)],
+        ["doc_id", "dup_group"],
+    )
+    # prefer largest n_chars, tie -> smallest id: group1 -> 2
+    out = select_survivors(docs, groups, prefer_col="n_chars")
+    assert sorted(r.doc_id for r in out.collect()) == [2, 4, 9]
+    # no preference: smallest id
+    out2 = select_survivors(docs, groups)
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 4, 9]
