@@ -460,3 +460,21 @@ def test_filter_in_list(kg):
     out = sparql(kg, f'''PREFIX v: <{V}>
         SELECT ?t WHERE {{ ?t v:role ?r FILTER (?r IN ("user", "system")) }}''')
     assert _rows(out) == [("t1",), ("t4",)]
+
+
+def test_optional_with_property_path(kg):
+    """Property paths work inside OPTIONAL groups (they are ordinary
+    patterns to the BGP layer); FILTER inside OPTIONAL stays a
+    documented parser boundary."""
+    out = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT DISTINCT ?c ?end WHERE {{
+            ?t v:conv ?c .
+            OPTIONAL {{ ?c v:next+ ?end }}
+        }}''')
+    got = {(r.c, r.end) for r in out.collect()}
+    assert got == {("c1", "c2"), ("c1", "c3"), ("c2", "c3")}
+    with pytest.raises(SparqlSyntaxError):
+        sparql(kg, f'''PREFIX v: <{V}>
+            SELECT ?c WHERE {{
+              ?t v:conv ?c .
+              OPTIONAL {{ ?c v:next ?e FILTER (?e = "c3") }} }}''')
