@@ -1647,6 +1647,25 @@ def q_data_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, max_tokens=40, overlap=8)
 
 
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (textops.gopher_quality, Rae et al. 2021
+    A1.1): all six signals + the keep conjunction as one JVM struct
+    projection over the corpus."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    q = tx.gopher_quality(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_words"].alias("n_words"),
+        q["mean_word_len"].alias("mean_word_len"),
+        q["symbol_ratio"].alias("symbol_ratio"),
+        q["bullet_frac"].alias("bullet_frac"),
+        q["alpha_frac"].alias("alpha_frac"),
+        q["n_stopwords"].alias("n_stopwords"),
+        q["keep"].alias("keep"),
+    )
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode/whitespace normalization (textops.normalize_text):
     deterministic mess injected (decomposed e+combining-acute, control
@@ -2194,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_decontaminate": q_text_decontaminate,
         "text_normalize": q_text_normalize,
+        "text_gopher_quality": q_text_gopher_quality,
         "text_lm_score": q_text_lm_score,
         "text_fingerprint": q_text_fingerprint,
         "text_pii_scan": q_text_pii_scan,
@@ -3747,6 +3767,45 @@ SELECT doc_id,
 FROM ch, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
 """
 
+# textops.gopher_quality replay: same tokenizer, list math for every
+# signal; int/int division is DOUBLE in both engines, 6-dp rounds.
+_GOPHER_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+      AS mean_wl,
+    (length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+     + len(list_filter(words, x -> ends_with(x, '...'))))::DOUBLE
+      / len(words) AS sym_ratio,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+      / len(lines) AS bullet_frac,
+    len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+      / len(words) AS alpha_frac,
+    len(list_intersect(list_distinct(words),
+        ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM w
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  round(mean_wl, 6) AS mean_word_len,
+  round(sym_ratio, 6) AS symbol_ratio,
+  round(bullet_frac, 6) AS bullet_frac,
+  round(alpha_frac, 6) AS alpha_frac,
+  CAST(n_stop AS BIGINT) AS n_stopwords,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_wl >= 3 AND mean_wl <= 10
+   AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+   AND alpha_frac >= 0.7 AND n_stop >= 2) AS keep
+FROM sig
+"""
+
 # textops.normalize_text replay: nfc_normalize (probed == Python NFC),
 # then the same RE2/Java-common control-strip + whitespace collapse.
 _TEXT_NORMALIZE_SQL = r"""
@@ -4073,6 +4132,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "text_decontaminate": _DECONTAM_SQL,
         "text_normalize": _TEXT_NORMALIZE_SQL,
+        "text_gopher_quality": _GOPHER_SQL,
         "text_lm_score": _LM_SCORE_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_pii_scan": _PII_SQL,

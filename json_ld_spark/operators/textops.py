@@ -197,3 +197,60 @@ def normalize_text(col: Column) -> Column:
         composed, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""
     )
     return F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    min_alpha_frac: float = 0.7,
+    min_stopwords: int = 2,
+) -> Column:
+    """Gopher quality rules (Rae et al. 2021 A1.1) as ONE struct-valued
+    JVM projection — word-count bounds, mean word length 3–10, symbol
+    ratio, bullet-line fraction, alphabetic-word fraction, distinct-
+    stopword requirement, plus the final `keep` conjunction. No Python,
+    no shuffle; every signal replays in SQL."""
+    words = F.filter(_words(col), lambda w: w != "")
+    n_words = F.size(words)
+    mean_wl = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / n_words
+    n_sym = (
+        F.length(col) - F.length(F.regexp_replace(col, "[#…]", ""))
+        + F.size(F.filter(words, lambda w: w.endswith("...")))
+    )
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))
+    ) / n_lines
+    alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / n_words
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    keep = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= 3) & (mean_wl <= 10)
+        & (n_sym / n_words <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(n_sym / n_words, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        keep.alias("keep"),
+    )

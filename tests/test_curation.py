@@ -227,3 +227,32 @@ def test_normalize_text_idempotent(spark):
         assert [r.t for r in once.collect()] == [r.t for r in twice.collect()]
 
     prop()
+
+
+def test_gopher_quality_reference(spark):
+    from json_ld_spark.operators import textops as tx
+
+    good = " ".join(
+        ["the quick brown fox jumps over and rests with care of that be to have"] * 5
+    )
+    texts = [
+        (1, good),                                   # passes everything
+        (2, "short text only"),                      # too few words
+        (3, " ".join(["####"] * 60)),                # symbols, no alpha, no stopwords
+        (4, "\n".join(["- bullet line the of"] * 30)),  # all bullets
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    import pyspark.sql.functions as F
+    rows = {r.doc_id: r.q for r in
+            df.select("doc_id", tx.gopher_quality(F.col("text")).alias("q")).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["n_words"] == 3
+    assert rows[3]["keep"] is False and rows[3]["alpha_frac"] == 0.0
+    assert rows[4]["keep"] is False and rows[4]["bullet_frac"] == 1.0
+    # reference math on the good doc
+    words = good.lower().split()
+    assert rows[1]["n_words"] == len(words)
+    assert abs(rows[1]["mean_word_len"] -
+               round(sum(map(len, words)) / len(words), 6)) < 1e-9
+    assert rows[1]["n_stopwords"] == len(
+        set(words) & set(tx.GOPHER_STOPWORDS))
