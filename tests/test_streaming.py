@@ -313,3 +313,38 @@ def test_streaming_nquads_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM nq_stream_test").collect()}
     want = {tuple(r) for r in read_nquads(spark, src).collect()}
     assert got == want and len(got) == 2
+
+
+def test_streaming_curation_parity(spark, tmp_path):
+    """normalize/gopher/chunking are stateless projections — streaming
+    output == batch output on the same files."""
+    import pyspark.sql.functions as F
+
+    from json_ld_spark.operators import textops as tx
+    from json_ld_spark.operators.curation import chunk_documents
+
+    rows = [(i, f"doc {i} " + " ".join(f"w{j}" for j in range(30)))
+            for i in range(8)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = chunk_documents(
+        stream.select("doc_id", tx.normalize_text(F.col("text")).alias("text")),
+        max_tokens=10, overlap=2,
+    )
+    q = (out.writeStream.format("memory").queryName("cur_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM cur_stream").collect()))
+
+    batch = chunk_documents(
+        spark.read.parquet(src).select(
+            "doc_id", tx.normalize_text(F.col("text")).alias("text")),
+        max_tokens=10, overlap=2,
+    )
+    assert got == sorted(map(tuple, batch.collect()))
