@@ -218,19 +218,28 @@ def gopher_quality(
     no shuffle; every signal replays in SQL."""
     words = F.filter(_words(col), lambda w: w != "")
     n_words = F.size(words)
-    mean_wl = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    ) / n_words
+    # try_divide: an empty doc has n_words = 0, and ANSI mode makes a
+    # plain / throw DIVIDE_BY_ZERO — NULL signals instead, and `keep`
+    # still collapses to false through the n_words lower bound
+    # (false AND NULL = false)
+    mean_wl = F.try_divide(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ),
+        n_words,
+    )
     n_sym = (
         F.length(col) - F.length(F.regexp_replace(col, "[#…]", ""))
         + F.size(F.filter(words, lambda w: w.endswith("...")))
     )
     lines = F.split(col, "\n")
     n_lines = F.size(lines)
-    bullet_frac = F.size(
-        F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))
-    ) / n_lines
-    alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / n_words
+    bullet_frac = F.try_divide(
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))), n_lines
+    )
+    alpha_frac = F.try_divide(
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))), n_words
+    )
     n_stop = F.size(
         F.array_intersect(
             F.array_distinct(words),
@@ -240,7 +249,7 @@ def gopher_quality(
     keep = (
         (n_words >= min_words) & (n_words <= max_words)
         & (mean_wl >= 3) & (mean_wl <= 10)
-        & (n_sym / n_words <= max_symbol_ratio)
+        & (F.try_divide(n_sym, n_words) <= max_symbol_ratio)
         & (bullet_frac <= max_bullet_frac)
         & (alpha_frac >= min_alpha_frac)
         & (n_stop >= min_stopwords)
@@ -248,7 +257,7 @@ def gopher_quality(
     return F.struct(
         n_words.cast("long").alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(n_sym / n_words, 6).alias("symbol_ratio"),
+        F.round(F.try_divide(n_sym, n_words), 6).alias("symbol_ratio"),
         F.round(bullet_frac, 6).alias("bullet_frac"),
         F.round(alpha_frac, 6).alias("alpha_frac"),
         n_stop.cast("long").alias("n_stopwords"),

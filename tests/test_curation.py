@@ -240,6 +240,8 @@ def test_gopher_quality_reference(spark):
         (2, "short text only"),                      # too few words
         (3, " ".join(["####"] * 60)),                # symbols, no alpha, no stopwords
         (4, "\n".join(["- bullet line the of"] * 30)),  # all bullets
+        (5, ""),                                      # empty: no ANSI crash
+        (6, "   "),
     ]
     df = spark.createDataFrame(texts, ["doc_id", "text"])
     import pyspark.sql.functions as F
@@ -249,6 +251,8 @@ def test_gopher_quality_reference(spark):
     assert rows[2]["keep"] is False and rows[2]["n_words"] == 3
     assert rows[3]["keep"] is False and rows[3]["alpha_frac"] == 0.0
     assert rows[4]["keep"] is False and rows[4]["bullet_frac"] == 1.0
+    assert rows[5]["keep"] is False and rows[5]["n_words"] == 0
+    assert rows[6]["keep"] is False and rows[6]["mean_word_len"] is None
     # reference math on the good doc
     words = good.lower().split()
     assert rows[1]["n_words"] == len(words)
