@@ -478,3 +478,15 @@ def test_optional_with_property_path(kg):
             SELECT ?c WHERE {{
               ?t v:conv ?c .
               OPTIONAL {{ ?c v:next ?e FILTER (?e = "c3") }} }}''')
+
+
+def test_filter_if_coalesce_not(kg):
+    out = sparql(kg, f'''PREFIX v: <{V}>
+        SELECT ?t ?lvl WHERE {{
+            ?t v:role ?r .
+            OPTIONAL {{ ?t v:tool ?tool }}
+            BIND (IF(?r = "assistant", "bot", "human") AS ?lvl)
+            FILTER (!bound(?tool) && COALESCE(?tool, "none") = "none")
+        }}''')
+    got = {(r.t, r.lvl) for r in out.collect()}
+    assert got == {("t1", "human"), ("t3", "bot"), ("t4", "human")}
