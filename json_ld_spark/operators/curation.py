@@ -83,7 +83,10 @@ def decontaminate(
         )
         .groupBy(id_col)
         .agg(
-            F.first("n_grams").alias("n_grams"),
+            # n_grams is constant per doc; max() keeps the agg
+            # order-independent by construction (first() is only
+            # deterministic by that same argument)
+            F.max("n_grams").alias("n_grams"),
             F.count(F.col("bk")).cast("long").alias("n_hits"),
         )
     )
