@@ -192,7 +192,18 @@ def lsh_topk(
     corpus). Pass False for self-search / large query sets: the forced
     broadcast becomes a plain shuffle equi-join and AQE picks the
     strategy from actual sizes (round-2 advice: an all-corpus
-    self-search must not attempt an over-limit broadcast)."""
+    self-search must not attempt an over-limit broadcast).
+
+    Recall/candidate-rate trade-off is corpus-dependent: on UNIFORM
+    random embeddings (no cluster structure — LSH's worst case, and
+    what the synthetic bench corpus is) the driver config measures
+    recall 0.20 at ~6 % candidate rate, 0.84 at ~50 % (see BENCH.md
+    "Approximate-operator quality"); clusterable real corpora sit far
+    to the better side. Dial: band_bits down / n_bands up = recall up,
+    fan-in up. The exactness gate for this operator is plan
+    REPRODUCIBILITY (the DuckDB oracle replays the plane family), not
+    recall; use ivf_topk when the corpus has exploitable structure.
+    """
     keys = lambda c: F.explode(lsh_band_keys(c, dim, n_bands, n_planes))  # noqa: E731
     q = queries.select(
         F.col(id_col).alias("query_id"),
