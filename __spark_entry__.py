@@ -200,6 +200,57 @@ def q_kg_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sameas_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source KG fusion (maintenance.merge_same_as): two mirror
+    ingestion sources re-emit every conversation under their own IRI
+    base and assert an owl:sameAs alias chain A←B←C. Each mirror also
+    contributes source-local facts: an ingestSource literal, mirror-B's
+    mirrorOf link pointing at mirror-C's alias IRI (object-side rewrite
+    → canonical self-loop), and BOTH mirrors assert rdf:type
+    Conversation (the cross-source duplicate fact that must collapse to
+    one row). merge_same_as runs connected components over the alias
+    edges, rewrites subjects and IRI objects onto the lexicographic-min
+    representative (= the canonical example.org IRI), drops the
+    absorbed sameAs assertions, and dedups on the quad key. Oracle:
+    analytic replay — base triples + the four fused rows per
+    conversation, all under canonical IRIs."""
+    from json_ld_spark.operators.maintenance import OWL_SAMEAS, merge_same_as
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    t1 = transcript_triples_native(t, with_doc_id=False).select(*TRIPLE_COLS)
+    convs = t.select("conv_id").dropDuplicates()
+    mb = "https://mirror-b.example.org/conv/"
+    mc = "https://mirror-c.example.org/conv/"
+    a_iri = F.concat(F.lit(_CB), F.col("conv_id"))
+    b_iri = F.concat(F.lit(mb), F.col("conv_id"))
+    c_iri = F.concat(F.lit(mc), F.col("conv_id"))
+
+    def conv_quads(s, p, kind, o, dt=None):
+        return convs.select(
+            F.lit(None).cast("string").alias("graph"),
+            s.alias("subj"),
+            F.lit(p).alias("pred"),
+            F.lit(kind).alias("obj_kind"),
+            o.alias("obj"),
+            F.lit(dt).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+
+    src = t1
+    for part in (
+        conv_quads(a_iri, OWL_SAMEAS, "iri", b_iri),
+        conv_quads(b_iri, OWL_SAMEAS, "iri", c_iri),
+        conv_quads(b_iri, _V + "ingestSource", "literal", F.lit("mirror-b"), _XS),
+        conv_quads(c_iri, _V + "ingestSource", "literal", F.lit("mirror-c"), _XS),
+        conv_quads(b_iri, _V + "mirrorOf", "iri", c_iri),
+        conv_quads(b_iri, _RDF_TYPE, "iri", F.lit(_V + "Conversation")),
+        conv_quads(c_iri, _RDF_TYPE, "iri", F.lit(_V + "Conversation")),
+    ):
+        src = src.unionByName(part)
+    return merge_same_as(src).select(*TRIPLE_COLS)
+
+
 def q_kg_node_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed node-map merge (merge_node, node_map.rs:211-262) as a
     hash aggregation over the deduped triple table."""
@@ -2160,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_delta_merge": q_kg_delta_merge,
         "kg_update_where": q_kg_update_where,
+        "kg_sameas_merge": q_kg_sameas_merge,
         "kg_node_table": q_kg_node_table,
         "kg_entity_links": q_kg_entity_links,
         "kg_entity_links_salted": q_kg_entity_links_salted,
@@ -2308,6 +2360,26 @@ _TRIPLES_CTE = _BASE_CTE + f"""
 
 _TRIPLES_SQL = _TRIPLES_CTE + """
 SELECT graph, subj, pred, obj_kind, obj, datatype, lang FROM triples
+"""
+
+# kg_sameas_merge: the alias topology is controlled (A<-B<-C chains per
+# conversation, canonical base lexicographically smallest), so the fused
+# graph replays analytically: base triples + per-conversation the two
+# ingestSource literals, the mirrorOf self-loop, and ONE Conversation
+# type row (the two mirrors' duplicate assertions collapse).
+_OWL_SAMEAS_IRI = "http://www.w3.org/2002/07/owl#sameAs"
+_SAMEAS_MERGE_SQL = _TRIPLES_CTE + f"""
+, convs AS (SELECT DISTINCT conv_id FROM base)
+SELECT graph, subj, pred, obj_kind, obj, datatype, lang FROM triples
+UNION ALL SELECT CAST(NULL AS VARCHAR), '{_CB}' || conv_id,
+  '{_V}ingestSource', 'literal', 'mirror-b', '{_XS}', CAST(NULL AS VARCHAR)
+  FROM convs
+UNION ALL SELECT NULL, '{_CB}' || conv_id, '{_V}ingestSource', 'literal',
+  'mirror-c', '{_XS}', NULL FROM convs
+UNION ALL SELECT NULL, '{_CB}' || conv_id, '{_V}mirrorOf', 'iri',
+  '{_CB}' || conv_id, NULL, NULL FROM convs
+UNION ALL SELECT NULL, '{_CB}' || conv_id, '{_RDF_TYPE}', 'iri',
+  '{_V}Conversation', NULL, NULL FROM convs
 """
 
 # kg_rdfs_closure: the ontology is fixed and 3 levels deep, so the ρdf
@@ -4078,6 +4150,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdfs_closure": _RDFS_CLOSURE_SQL,
         "kg_delta_merge": _DELTA_NODES_SQL,
         "kg_update_where": _UPDATE_WHERE_SQL,
+        "kg_sameas_merge": _SAMEAS_MERGE_SQL,
         "streaming_triples": _STREAM_TRIPLES_SQL,
         "kg_triples_interned": _TRIPLES_SQL,
         "kg_node_table": _NODES_SQL,

@@ -75,6 +75,81 @@ def merge_triples(
     return out
 
 
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def merge_same_as(
+    triples: DataFrame,
+    same_as_pred: str = OWL_SAMEAS,
+    max_iter: int = 25,
+) -> DataFrame:
+    """owl:sameAs entity-merge closure — the multi-source KG fusion
+    step: when several ingestion sources emit different IRIs for the
+    same entity and assert ``owl:sameAs`` links between them, collapse
+    every alias onto one canonical representative.
+
+    The reference emits each document's triples independently
+    (crates/core/src/rdf/mod.rs) and has no cross-document identity
+    resolution; at corpus scale fusing sources is unavoidable, so this
+    is a first-class operator:
+
+    1. alias edges = sameAs assertions between IRIs (blank nodes and
+       literals are excluded — sameAs over bnodes is not stable across
+       documents, and sameAs to a literal is malformed);
+    2. alias groups via :func:`graphops.connected_components`
+       (Large-Star/Small-Star — O(log^2 n) rounds independent of alias
+       chain length, so A→B→C→… chains across many sources converge);
+    3. representative = lexicographic MIN IRI of the group
+       (deterministic and identical in any engine, hence oracle-exact);
+    4. every subject and every IRI object is rewritten to its
+       representative; the sameAs assertions themselves are dropped
+       (fully absorbed into the identity mapping); an exact
+       quad-key dedup removes rows that became identical after the
+       rewrite (the common case: N sources asserting the same fact
+       about the same entity under different names).
+
+    Scale shape: the alias mapping is |entities-with-aliases| rows —
+    tiny next to the corpus — so both rewrite joins broadcast under
+    AQE; the only corpus-sized shuffle is the final dedup on the quad
+    key. Output carries exactly the quad-key columns (per-source
+    lineage does not survive a merge of identical facts — retraction
+    should run before fusion, not after).
+    """
+    from .graphops import connected_components
+
+    key = _key_of(triples)
+    has_kind = "obj_kind" in triples.columns
+    is_sameas = F.col("pred") == same_as_pred
+    iri_side = (
+        (F.col("obj_kind") == "iri") if has_kind else F.lit(True)
+    ) & ~F.col("subj").startswith("_:") & ~F.col("obj").startswith("_:")
+
+    edges = triples.filter(is_sameas & iri_side).select("subj", "obj")
+    mapping = connected_components(edges, src="subj", dst="obj", max_iter=max_iter)
+
+    out = triples.filter(~is_sameas).select(*key)
+    m_s = mapping.select(
+        F.col("node").alias("__s_node"), F.col("component").alias("__s_rep")
+    )
+    out = (
+        out.join(m_s, out["subj"] == m_s["__s_node"], "left")
+        .withColumn("subj", F.coalesce("__s_rep", "subj"))
+        .drop("__s_node", "__s_rep")
+    )
+    m_o = mapping.select(
+        F.col("node").alias("__o_node"), F.col("component").alias("__o_rep")
+    )
+    obj_cond = out["obj"] == m_o["__o_node"]
+    if has_kind:
+        obj_cond = obj_cond & (out["obj_kind"] == F.lit("iri"))
+    out = (
+        out.join(m_o, obj_cond, "left")
+        .withColumn("obj", F.coalesce("__o_rep", "obj"))
+        .drop("__o_node", "__o_rep")
+    )
+    return out.dropDuplicates(key)
+
+
 def retract_documents(
     base: DataFrame, doc_ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -199,3 +199,95 @@ def test_update_where_fuzz_vs_naive(spark):
         want = (set(triples) - naive_instantiate(sols, delete)) \
             | naive_instantiate(sols, insert)
         assert got == want, (trial, where)
+
+
+SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def test_merge_same_as_chain_and_rewrites(spark):
+    from json_ld_spark.operators.maintenance import merge_same_as
+
+    base = _quads(spark, [
+        # alias chain a1 -> b1 -> c1 (three sources, one entity)
+        _q("s1", "iri:a1", SAMEAS, "iri:b1"),
+        _q("s2", "iri:b1", SAMEAS, "iri:c1"),
+        # each source asserts the same fact under its own name
+        _q("s1", "iri:a1", TYPE, "T"),
+        _q("s2", "iri:b1", TYPE, "T"),
+        _q("s3", "iri:c1", TYPE, "T"),
+        # IRI object pointing at an alias rewrites too
+        _q("s2", "iri:z", "knows", "iri:c1"),
+        # literal object equal to an alias name must NOT rewrite
+        _q("s3", "iri:z", "label", "iri:b1", kind="literal"),
+        # untouched node passes through
+        _q("s1", "iri:z", TYPE, "U"),
+    ])
+    got = _set(merge_same_as(base))
+    assert got == {
+        (None, "iri:a1", TYPE, "iri", "T", None, None),
+        (None, "iri:z", "knows", "iri", "iri:a1", None, None),
+        (None, "iri:z", "label", "literal", "iri:b1", None, None),
+        (None, "iri:z", TYPE, "iri", "U", None, None),
+    }
+
+
+def test_merge_same_as_excludes_bnodes_and_keeps_pred(spark):
+    from json_ld_spark.operators.maintenance import merge_same_as
+
+    base = _quads(spark, [
+        _q("d", "_:b0", SAMEAS, "iri:a"),      # bnode subject: not an alias edge
+        _q("d", "iri:a", SAMEAS, "_:b1"),      # bnode object: not an alias edge
+        _q("d", "_:b0", "p", "v", kind="literal"),
+        _q("d", "iri:a", TYPE, "T"),
+    ])
+    got = _set(merge_same_as(base))
+    # bnode rows survive unrewritten; ALL sameAs assertions are dropped
+    assert got == {
+        (None, "_:b0", "p", "literal", "v", None, None),
+        (None, "iri:a", TYPE, "iri", "T", None, None),
+    }
+
+
+def test_merge_same_as_fuzz_vs_union_find(spark):
+    import random
+
+    from json_ld_spark.operators.maintenance import merge_same_as
+
+    rnd = random.Random(11)
+    for trial in range(4):
+        nodes = [f"iri:n{i:02d}" for i in range(12)]
+        sameas = sorted({
+            (rnd.choice(nodes), rnd.choice(nodes)) for _ in range(8)
+        })
+        facts = sorted({
+            (rnd.choice(nodes), rnd.choice(["p", "q"]), rnd.choice(nodes))
+            for _ in range(15)
+        })
+        rows = [_q("d", s, SAMEAS, o) for s, o in sameas] + [
+            _q("d", s, p, o) for s, p, o in facts
+        ]
+
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, o in sameas:
+            if s != o:
+                ra, rb = find(s), find(o)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        # representative = lexicographic min of the component
+        root_min = {}
+        for n in nodes:
+            r = find(n)
+            root_min[r] = min(root_min.get(r, n), n)
+        want = {
+            (None, root_min[find(s)], p, "iri", root_min[find(o)], None, None)
+            for s, p, o in facts
+        }
+        got = _set(merge_same_as(_quads(spark, rows)))
+        assert got == want, trial
