@@ -251,6 +251,78 @@ def q_kg_sameas_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_same_as(src).select(*TRIPLE_COLS)
 
 
+def q_kg_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG quality gate (operators/validate.py): SHACL-core shape
+    validation of the transcript KG, with four deterministic corruption
+    families injected so every constraint kind fires — role triples
+    deleted (minCount), a second conversation link added (maxCount),
+    the conversation object downgraded to a literal (nodeKind), the
+    timestamp datatype flipped to xsd:string (datatype), and a
+    non-numeric turnIndex value added (pattern). Shapes broadcast; the
+    corpus side is one (focus, shape) count shuffle + one value join.
+    Oracle: analytic replay of exactly the injected violations."""
+    from json_ld_spark.operators.validate import Shape, validate_shapes
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    tri = transcript_triples_native(t, with_doc_id=False)
+    idx = F.regexp_extract("subj", "/turn/([0-9]+)$", 1).cast("int")
+    tri = (
+        tri.filter(~((F.col("pred") == _V + "role") & (idx % 7 == 3)))
+        .withColumn(
+            "datatype",
+            F.when(
+                (F.col("pred") == _V + "timestamp") & (idx % 17 == 9),
+                F.lit(_XS),
+            ).otherwise(F.col("datatype")),
+        )
+        .withColumn(
+            "obj_kind",
+            F.when(
+                (F.col("pred") == _V + "conversation") & (idx % 19 == 11),
+                F.lit("literal"),
+            ).otherwise(F.col("obj_kind")),
+        )
+    )
+    subj = F.concat(
+        F.lit(_CB), "conv_id", F.lit("/turn/"), F.col("turn_idx").cast("string")
+    )
+
+    def turn_quads(filt, p, kind, o, dt=None):
+        return t.filter(filt).select(
+            F.lit(None).cast("string").alias("graph"),
+            subj.alias("subj"),
+            F.lit(p).alias("pred"),
+            F.lit(kind).alias("obj_kind"),
+            o.cast("string").alias("obj"),
+            F.lit(dt).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+
+    tri = tri.unionByName(
+        turn_quads(
+            F.col("turn_idx") % 11 == 5, _V + "conversation", "iri",
+            F.concat(F.lit(_CB), "conv_id", F.lit("/alt")),
+        )
+    ).unionByName(
+        turn_quads(
+            F.col("turn_idx") % 13 == 7, _V + "turnIndex", "literal",
+            F.concat(F.lit("x"), F.col("turn_idx").cast("string")), _XI,
+        )
+    )
+    shapes = [
+        Shape("s_role", _V + "Turn", _V + "role", min_count=1, max_count=1,
+              node_kind="literal", datatype=_XS),
+        Shape("s_conv", _V + "Turn", _V + "conversation", min_count=1,
+              max_count=1, node_kind="iri"),
+        Shape("s_ts", _V + "Turn", _V + "timestamp", datatype=_XD),
+        Shape("s_idx", _V + "Turn", _V + "turnIndex", pattern="^[0-9]+$"),
+    ]
+    return validate_shapes(tri, shapes).select(
+        "focus", "shape_id", "constraint_kind", "value", "n"
+    )
+
+
 def q_kg_node_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed node-map merge (merge_node, node_map.rs:211-262) as a
     hash aggregation over the deduped triple table."""
@@ -2212,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_delta_merge": q_kg_delta_merge,
         "kg_update_where": q_kg_update_where,
         "kg_sameas_merge": q_kg_sameas_merge,
+        "kg_shacl_validate": q_kg_shacl_validate,
         "kg_node_table": q_kg_node_table,
         "kg_entity_links": q_kg_entity_links,
         "kg_entity_links_salted": q_kg_entity_links_salted,
@@ -2380,6 +2453,27 @@ UNION ALL SELECT NULL, '{_CB}' || conv_id, '{_V}mirrorOf', 'iri',
   '{_CB}' || conv_id, NULL, NULL FROM convs
 UNION ALL SELECT NULL, '{_CB}' || conv_id, '{_RDF_TYPE}', 'iri',
   '{_V}Conversation', NULL, NULL FROM convs
+"""
+
+# kg_shacl_validate: corruption families are keyed on turn_idx mod
+# constants, so the violation table replays analytically from base.
+_SHACL_SQL = _BASE_CTE + f"""
+, turns AS (
+  SELECT '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS focus,
+         conv_id, turn_idx, ts_lex
+  FROM base
+)
+SELECT focus, 's_role' AS shape_id, 'minCount' AS constraint_kind,
+       CAST(NULL AS VARCHAR) AS value, CAST(0 AS BIGINT) AS n
+  FROM turns WHERE turn_idx % 7 = 3
+UNION ALL SELECT focus, 's_conv', 'maxCount', NULL, 2
+  FROM turns WHERE turn_idx % 11 = 5
+UNION ALL SELECT focus, 's_conv', 'nodeKind', '{_CB}' || conv_id, NULL
+  FROM turns WHERE turn_idx % 19 = 11
+UNION ALL SELECT focus, 's_ts', 'datatype', ts_lex, NULL
+  FROM turns WHERE turn_idx % 17 = 9
+UNION ALL SELECT focus, 's_idx', 'pattern', 'x' || CAST(turn_idx AS VARCHAR), NULL
+  FROM turns WHERE turn_idx % 13 = 7
 """
 
 # kg_rdfs_closure: the ontology is fixed and 3 levels deep, so the ρdf
@@ -4151,6 +4245,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_delta_merge": _DELTA_NODES_SQL,
         "kg_update_where": _UPDATE_WHERE_SQL,
         "kg_sameas_merge": _SAMEAS_MERGE_SQL,
+        "kg_shacl_validate": _SHACL_SQL,
         "streaming_triples": _STREAM_TRIPLES_SQL,
         "kg_triples_interned": _TRIPLES_SQL,
         "kg_node_table": _NODES_SQL,
