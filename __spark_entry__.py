@@ -146,6 +146,84 @@ def q_kg_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_closure(quads).select(*TRIPLE_COLS)
 
 
+def q_kg_owl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL property-axiom closure (entailment.owl_property_closure,
+    the pD*/OWL-Horst property fragment; beyond-reference): declare
+    tx:nextTurn owl:TransitiveProperty and tx:prevTurn =
+    nextTurn⁻ (owl:inverseOf), then materialize over the per-conv
+    turn-adjacency chains — nextTurn closes to every later turn,
+    prevTurn materializes the full reverse reachability. Axiom tables
+    broadcast; the transitive loop is path-doubled semi-naive over
+    the predicate-filtered slice. Oracle: on a chain the closure is
+    analytic — all ordered turn pairs within a conversation."""
+    from json_ld_spark.operators.entailment import (
+        INVERSE_OF, RDF_TYPE as _RT, TRANSITIVE_PROP, owl_property_closure,
+    )
+    from json_ld_spark.operators.native import transcript_adjacency_native
+
+    _utc(spark)
+    v = "https://example.org/transcript#"
+    onto = spark.createDataFrame(
+        [
+            (None, v + "nextTurn", _RT, "iri", TRANSITIVE_PROP, None, None),
+            (None, v + "nextTurn", INVERSE_OF, "iri", v + "prevTurn", None, None),
+        ],
+        "graph string, subj string, pred string, obj_kind string, "
+        "obj string, datatype string, lang string",
+    )
+    t = transcripts_from_documents(spark, sf_dir)
+    adj = transcript_adjacency_native(t, with_doc_id=False).select(*TRIPLE_COLS)
+    return owl_property_closure(adj, schema=onto).select(*TRIPLE_COLS)
+
+
+def q_kg_owl_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:FunctionalProperty conflict report
+    (entailment.functional_conflicts): declare tx:role functional,
+    inject a second conflicting role assertion for every 7th document
+    (the multi-source disagreement case), and report (subj, pred,
+    n_values) per violating focus — the pairs a fusion pipeline would
+    route into merge_same_as or quarantine, deliberately NOT
+    auto-smelted (pD* rdfp1 would entail sameAs here). One broadcast
+    join + one subject-keyed agg."""
+    from json_ld_spark.operators.entailment import (
+        FUNCTIONAL_PROP, RDF_TYPE as _RT, functional_conflicts,
+    )
+    from json_ld_spark.operators.native import transcript_triples_native
+
+    _utc(spark)
+    v = "https://example.org/transcript#"
+    xs = "http://www.w3.org/2001/XMLSchema#string"
+    onto = spark.createDataFrame(
+        [(None, v + "role", _RT, "iri", FUNCTIONAL_PROP, None, None)],
+        "graph string, subj string, pred string, obj_kind string, "
+        "obj string, datatype string, lang string",
+    )
+    t = transcripts_from_documents(spark, sf_dir)
+    doc_id = (
+        F.substring(F.col("conv_id"), 6, 100).cast("int") * 16
+        + F.col("turn_idx")
+    )
+    extra = (
+        t.filter(doc_id % 7 == 0)
+        .select(
+            F.lit(None).cast("string").alias("graph"),
+            F.concat(
+                F.lit("https://example.org/conv/"), F.col("conv_id"),
+                F.lit("/turn/"), F.col("turn_idx").cast("string"),
+            ).alias("subj"),
+            F.lit(v + "role").alias("pred"),
+            F.lit("literal").alias("obj_kind"),
+            F.lit("auditor").alias("obj"),
+            F.lit(xs).alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+    quads = transcript_triples_native(t, with_doc_id=False).select(
+        *TRIPLE_COLS
+    ).unionByName(extra)
+    return functional_conflicts(quads, schema=onto)
+
+
 def q_kg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG lifecycle (operators/maintenance.py): absorb a transcript
     delta without rebuilding the world — base KG (turns < 12) gets its
@@ -916,6 +994,36 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.select(F.md5("gram").alias("gram_md5"),
                      "n_occurrences", "n_docs")
         .dropDuplicates()
+    )
+
+
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus generation (graphops.random_walks)
+    over the symmetrized part–supplier bipartite graph: 2 walks of
+    length 4 from every 50th part, next hop = md5(seed,walk,step,node)
+    mod out-degree into the dst-sorted neighbor list. Hash-indexed
+    choices make the walk corpus reproducible across runs/cluster
+    sizes AND SQL-replayable: the oracle is a bounded recursive CTE
+    replaying every choice through the md5 bridge."""
+    from json_ld_spark.operators.graphops import random_walks
+
+    _utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).dropDuplicates()
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    starts = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .select(F.concat(F.lit("p"), F.col("l_partkey")).alias("node"))
+        .dropDuplicates()
+    )
+    return random_walks(
+        edges, starts=starts, walks_per_node=2, walk_len=4,
+        seed="r3", hash_fn="md5",
     )
 
 
@@ -2281,6 +2389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_generic": q_kg_triples_generic,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_rdfs_closure": q_kg_rdfs_closure,
+        "kg_owl_closure": q_kg_owl_closure,
+        "kg_owl_functional": q_kg_owl_functional,
         "kg_delta_merge": q_kg_delta_merge,
         "kg_update_where": q_kg_update_where,
         "kg_sameas_merge": q_kg_sameas_merge,
@@ -2307,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "dedup_survivors": q_dedup_survivors,
+        "kg_random_walks": q_kg_random_walks,
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
         "kg_khop_parts": q_kg_khop_parts,
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
@@ -2517,6 +2628,40 @@ SELECT DISTINCT graph, subj, pred, obj_kind, obj, datatype, lang FROM (
   UNION ALL SELECT NULL, obj, '{_RDF_TYPE}', 'iri', '{_V}Resource',
     NULL, NULL FROM convs
 )
+"""
+
+# kg_owl_closure: on per-conversation nextTurn CHAINS the transitive
+# closure is analytic — every ordered turn pair (i < j) within a conv;
+# prevTurn (= nextTurn⁻) is the same pair set reversed. Base adjacency
+# rows are the j = i+1 slice of the closure (identical NULL-graph rows,
+# absorbed by the engine's dedup), so no separate base UNION is needed.
+_OWL_CLOSURE_SQL = _BASE_CTE + f"""
+, turns AS (SELECT DISTINCT conv_id, turn_idx FROM base),
+pairs AS (
+  SELECT a.conv_id,
+         '{_CB}' || a.conv_id || '/turn/' || CAST(a.turn_idx AS VARCHAR) AS lo,
+         '{_CB}' || a.conv_id || '/turn/' || CAST(b.turn_idx AS VARCHAR) AS hi
+  FROM turns a JOIN turns b
+    ON a.conv_id = b.conv_id AND b.turn_idx > a.turn_idx
+)
+SELECT CAST(NULL AS VARCHAR) AS graph, lo AS subj,
+       '{_V}nextTurn' AS pred, 'iri' AS obj_kind, hi AS obj,
+       CAST(NULL AS VARCHAR) AS datatype, CAST(NULL AS VARCHAR) AS lang
+FROM pairs
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), hi, '{_V}prevTurn', 'iri', lo,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM pairs
+"""
+
+# kg_owl_functional: the injected 'auditor' role always differs from the
+# synthesized role, so every doc_id % 7 = 0 focus has exactly 2 distinct
+# values for the functional tx:role.
+_OWL_FUNCTIONAL_SQL = _BASE_CTE + f"""
+SELECT '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS subj,
+       '{_V}role' AS pred,
+       CAST(2 AS BIGINT) AS n_values
+FROM base WHERE doc_id % 7 = 0
 """
 
 _STREAM_TRIPLES_SQL = _TRIPLES_CTE + """
@@ -3079,6 +3224,42 @@ FROM adj WHERE nxt IS NOT NULL
 """
 
 # BFS over the chain graph: bounded recursive CTE, min depth per node.
+# kg_random_walks: replay every hash-mod-degree choice through the md5
+# bridge ('0x'||substr(md5(x),1,8))::BIGINT == Spark
+# conv(substring(md5(x),1,8),16,10) — the walk is a bounded recursive
+# CTE over the row_number-indexed adjacency.
+_RANDOM_WALKS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS u,
+                  's' || CAST(l_suppkey AS VARCHAR) AS v
+  FROM lineitem
+), edges AS (
+  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+), adj AS (
+  SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS nbr_idx
+  FROM edges
+), deg AS (
+  SELECT u, COUNT(*) AS degree FROM edges GROUP BY u
+), starts AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node
+  FROM lineitem WHERE l_partkey % 50 = 0
+), walk AS (
+  SELECT node || '#' || CAST(wi AS VARCHAR) AS walk_id,
+         0 AS step, node
+  FROM starts CROSS JOIN (SELECT unnest([0, 1]) AS wi)
+  UNION ALL
+  SELECT w.walk_id, w.step + 1 AS step, a.v AS node
+  FROM walk w
+  JOIN deg d ON d.u = w.node
+  JOIN adj a ON a.u = w.node
+   AND a.nbr_idx = ('0x' || substr(md5(
+         'r3:' || w.walk_id || ':' || CAST(w.step + 1 AS VARCHAR)
+         || ':' || w.node), 1, 8))::BIGINT % d.degree
+  WHERE w.step < 4
+)
+SELECT walk_id, CAST(step AS INT) AS step, node FROM walk
+"""
+
 _TURN_KHOP_SQL = "WITH RECURSIVE " + _BASE_CTE.strip()[len("WITH "):] + f"""
 , adj AS (
   SELECT conv_id, turn_idx,
@@ -4242,6 +4423,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_generic": _TRIPLES_SQL,
         "kg_nquads_roundtrip": _TRIPLES_SQL,
         "kg_rdfs_closure": _RDFS_CLOSURE_SQL,
+        "kg_owl_closure": _OWL_CLOSURE_SQL,
+        "kg_owl_functional": _OWL_FUNCTIONAL_SQL,
         "kg_delta_merge": _DELTA_NODES_SQL,
         "kg_update_where": _UPDATE_WHERE_SQL,
         "kg_sameas_merge": _SAMEAS_MERGE_SQL,
@@ -4270,6 +4453,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _CC_SQL,
         "dedup_repeated_spans": _REPEATED_SPANS_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
+        "kg_random_walks": _RANDOM_WALKS_SQL,
         "kg_copurchase_triangles": _TRIANGLES_SQL,
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,

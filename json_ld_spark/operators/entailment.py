@@ -230,3 +230,275 @@ def rdfs_closure_delta(
     if deduplicate:
         out = out.dropDuplicates(QUAD_COLS)
     return out
+
+
+# --------------------------------------------------------------------------
+# OWL property axioms (the OWL-Horst / pD* property fragment)
+# --------------------------------------------------------------------------
+
+OWL = "http://www.w3.org/2002/07/owl#"
+INVERSE_OF = OWL + "inverseOf"
+SYMMETRIC_PROP = OWL + "SymmetricProperty"
+TRANSITIVE_PROP = OWL + "TransitiveProperty"
+FUNCTIONAL_PROP = OWL + "FunctionalProperty"
+
+
+def _fresh(df: DataFrame) -> DataFrame:
+    """Re-project every column under a fresh expression ID. Unioning a
+    localCheckpoint'ed DataFrame with a plan derived FROM it can trip
+    Catalyst's Union constraint rewrite (`key not found: attr#N` —
+    both children carry the same attribute IDs); an alias projection
+    gives one side fresh IDs and costs nothing at runtime."""
+    return df.select([F.col(c).alias(c) for c in df.columns])
+
+
+def _node_kind(col) -> F.Column:
+    """Object-position kind of a term that was a subject: subjects are
+    IRIs or blank nodes, distinguished by the `_:` label prefix (the
+    quad-table convention, see rdf.py)."""
+    return F.when(col.startswith("_:"), F.lit("bnode")).otherwise(F.lit("iri"))
+
+
+def _relabel_rules(src: DataFrame, max_iter: int = 16) -> DataFrame:
+    """Closed predicate-relabeling rule table ``(sub, out, parity)``:
+    an edge (s sub o) derives (o out s) when parity = 1 (flip) and
+    (s out o) when parity = 0 (copy).
+
+    Generators are the single-premise pD* axioms — owl:inverseOf in
+    both directions (rdfp8ax/bx) and owl:SymmetricProperty as
+    self-inverse (rdfp3). Generators COMPOSE: `p inverseOf q` plus
+    `p symmetric` makes p and q equivalent (a copy rule), and further
+    composition can make q symmetric too — so the table is closed
+    under parity-XOR composition (a semi-naive loop over the
+    ontology-sized generator set, ≤ 2·|preds|² states). With a closed
+    table, one application per edge set is complete: applying any
+    rule to a rule-derived edge equals applying a composed rule that
+    is already in the table."""
+    inv = src.filter(
+        (F.col("pred") == INVERSE_OF) & F.col("obj_kind").isin("iri", "bnode")
+    ).select(F.col("subj").alias("sub"), F.col("obj").alias("out"))
+    inv = inv.unionByName(
+        inv.select(F.col("out").alias("sub"), F.col("sub").alias("out"))
+    )
+    sym = src.filter(
+        (F.col("pred") == RDF_TYPE) & (F.col("obj") == SYMMETRIC_PROP)
+    ).select(F.col("subj").alias("sub"), F.col("subj").alias("out"))
+    gen = (
+        inv.unionByName(sym)
+        .withColumn("parity", F.lit(1))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    known = gen
+    delta = known
+    for _ in range(max_iter):
+        delta = (
+            delta.select("sub", F.col("out").alias("m"), "parity")
+            .join(
+                gen.select(
+                    F.col("sub").alias("m"), "out",
+                    F.col("parity").alias("p2"),
+                ),
+                "m",
+            )
+            .select(
+                "sub", "out",
+                ((F.col("parity") + F.col("p2")) % 2).alias("parity"),
+            )
+            .dropDuplicates()
+            .join(known, ["sub", "out", "parity"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if delta.isEmpty():
+            break
+        known = known.unionByName(_fresh(delta))
+    # identity copies derive nothing new
+    return known.filter(
+        ~((F.col("sub") == F.col("out")) & (F.col("parity") == 0))
+    )
+
+
+def _typed_preds(src: DataFrame, cls: str) -> DataFrame:
+    return (
+        src.filter((F.col("pred") == RDF_TYPE) & (F.col("obj") == cls))
+        .select(F.col("subj").alias("p"))
+        .dropDuplicates()
+    )
+
+
+def _apply_rules(edges: DataFrame, rules: DataFrame) -> DataFrame:
+    """Apply the closed relabel table (single-premise rules rdfp3/
+    rdfp8 and their compositions): one broadcast join + conditional
+    flip/copy projection; derived edges inherit the premise's graph."""
+    flip = F.col("parity") == 1
+    # USING-join (not a cross-DataFrame equality on a dropped column):
+    # an equi-join constraint referencing a non-output attribute
+    # survives into localCheckpoint'ed lineage and breaks Catalyst's
+    # Union constraint rewrite downstream (`key not found: attr#N`)
+    return edges.join(
+        F.broadcast(rules.withColumnRenamed("sub", "pred")), "pred", "inner"
+    ).select(
+        "graph",
+        F.when(flip, F.col("obj")).otherwise(F.col("subj")).alias("subj"),
+        F.col("out").alias("pred"),
+        F.when(flip, _node_kind(F.col("subj")))
+        .otherwise(F.col("obj_kind"))
+        .alias("obj_kind"),
+        F.when(flip, F.col("subj")).otherwise(F.col("obj")).alias("obj"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def owl_property_closure(
+    triples: DataFrame,
+    schema: DataFrame | None = None,
+    max_iter: int = 32,
+    deduplicate: bool = True,
+) -> DataFrame:
+    """Materialize the OWL property-axiom closure (the pD* / OWL-Horst
+    property fragment: rdfp3 owl:SymmetricProperty, rdfp4
+    owl:TransitiveProperty, rdfp8 owl:inverseOf) over a quad table.
+
+    Beyond-reference like rdfs_closure (the Rust workspace stops at
+    toRdf); this is the rule set a fused multi-source KG actually
+    needs day one — `prevTurn = nextTurn⁻`, transitive part-of /
+    follows chains, symmetric sameConv-style relations.
+
+    Scale shape mirrors rdfs_closure's asymmetry:
+
+    - axiom tables (inverse pairs, symmetric/transitive predicate
+      lists) are ontology-sized and always broadcast;
+    - the corpus is touched by ONE broadcast join for the flip rules
+      (inverse + symmetric share one rule table), and the transitive
+      loop runs only over the *affected-predicate subset* — a
+      broadcast-semi-joined slice that predicate-filter-pushes to the
+      scan, typically a tiny fraction of a 100 TB corpus. The
+      semi-naive delta loop joins on (pred, node) with per-round
+      localCheckpoint (paths.py `_closure` shape), so lineage stays
+      depth-1 no matter the chain diameter.
+
+    Completeness without an outer fixpoint: the relabel rule table is
+    closed under composition (_relabel_rules), and relabeling is
+    applied before AND after the transitive loop. Relabeled base
+    edges are included in the transitive input, and for any two
+    relabel-related predicates the loop inputs are term-for-term
+    images of each other, so closure(image) = image(closure) — a
+    second transitive pass over relabeled closure edges can derive
+    nothing new. Asserted against a naive unstratified fixpoint in
+    tests.
+
+    Graph contract: derived single-premise (relabel) triples inherit
+    the firing triple's graph; transitive derivations may merge
+    premises across graphs and carry a NULL graph (same merged-view
+    contract as rdfs_closure's schema triples), and only pairs NOT
+    already derivable without transitivity are emitted (no NULL-graph
+    shadow copies of existing edges). Rules fire on node-object edges
+    only — a literal object under an object-property axiom is
+    malformed and passes through untouched, as in pD*. ``max_iter``
+    bounds chain diameter at 2^max_iter via path doubling (known ⋈
+    known each round, not base ⋈ known).
+    """
+    src = schema if schema is not None else triples
+    spark = triples.sparkSession
+    # Spark 4.1 bug guard: localCheckpoint'ing a plan whose constraints
+    # reference non-output attributes (equi-join + dedup lineages here)
+    # leaves unmappable attribute IDs inside the LogicalRDD's stored
+    # constraints; a later Union over such children throws
+    # `key not found: attr#N` in rewriteConstraints. Constraints buy
+    # nothing inside this tiny-table loop, so switch propagation off
+    # for the materialization window (checkpointed nodes then store
+    # EMPTY constraints and downstream unions are safe) and restore.
+    _CP = "spark.sql.constraintPropagation.enabled"
+    cp_old = spark.conf.get(_CP, "true")
+    spark.conf.set(_CP, "false")
+    try:
+        rules = _relabel_rules(src).localCheckpoint(eager=True)
+        trans = _typed_preds(src, TRANSITIVE_PROP).localCheckpoint(eager=True)
+
+        node_edges = triples.filter(F.col("obj_kind").isin("iri", "bnode"))
+        flipped1 = _apply_rules(node_edges, rules)
+        base_plus = node_edges.select(*QUAD_COLS).unionByName(flipped1)
+
+        # transitive loop input: (pred, subj, obj) of transitive-
+        # predicate edges only — the broadcast join doubles as the
+        # predicate filter
+        t_edges = (
+            base_plus.join(
+                F.broadcast(trans.withColumnRenamed("p", "pred")), "pred"
+            )
+            .select("pred", "subj", "obj")
+            .dropDuplicates()
+        )
+        known = t_edges.localCheckpoint(eager=True)
+        for _ in range(max_iter):
+            # path doubling: join known with itself, so diameter-D
+            # chains close in ceil(log2 D) rounds
+            new = (
+                known.select("pred", "subj", F.col("obj").alias("m"))
+                .join(
+                    known.select("pred", F.col("subj").alias("m"), "obj"),
+                    ["pred", "m"],
+                )
+                .select("pred", "subj", "obj")
+                .dropDuplicates()
+                .join(known, ["pred", "subj", "obj"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if new.isEmpty():
+                break
+            known = known.unionByName(_fresh(new)).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(_CP, cp_old)
+
+    # emit only NEW pairs: a base edge rederivable through a chain must
+    # not reappear as a NULL-graph copy (left-anti on the loop input)
+    derived = known.join(t_edges, ["pred", "subj", "obj"], "left_anti")
+    trans_out = derived.select(
+        F.lit(None).cast("string").alias("graph"),
+        "subj",
+        "pred",
+        _node_kind(F.col("obj")).alias("obj_kind"),
+        "obj",
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    flipped2 = _apply_rules(trans_out, rules)
+
+    out = (
+        triples.select(*QUAD_COLS)
+        .unionByName(flipped1)
+        .unionByName(trans_out)
+        .unionByName(flipped2)
+    )
+    if deduplicate:
+        out = out.dropDuplicates(QUAD_COLS)
+    return out
+
+
+def functional_conflicts(
+    triples: DataFrame, schema: DataFrame | None = None
+) -> DataFrame:
+    """owl:FunctionalProperty violation report: for each functional
+    predicate, subjects holding more than one distinct value, with the
+    cardinality — ``(subj, pred, n_values)``.
+
+    pD* rule rdfp1 would *entail* ``o1 owl:sameAs o2`` here; in a
+    production fusion pipeline that smelting is exactly what you do
+    NOT want automated (one bad source collapses distinct entities),
+    so the engine reports and lets the caller route the pairs into
+    maintenance.merge_same_as deliberately. One broadcast join + one
+    subject-keyed aggregation (map-side partial) over the functional
+    slice of the corpus."""
+    src = schema if schema is not None else triples
+    fp = _typed_preds(src, FUNCTIONAL_PROP)
+    return (
+        triples.join(F.broadcast(fp), triples["pred"] == fp["p"])
+        .groupBy("subj", "pred")
+        .agg(
+            F.countDistinct(
+                F.struct("obj_kind", "obj", "datatype", "lang")
+            ).alias("n_values")
+        )
+        .filter(F.col("n_values") > 1)
+    )

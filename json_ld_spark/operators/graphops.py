@@ -255,3 +255,98 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def _walk_hash(hash_fn: str, seed: str, walk_id, step: int, cur) -> F.Column:
+    """Deterministic per-(walk, step, node) choice value, >= 0.
+
+    'xxhash64' is the production path (JVM hash, no string building).
+    'md5' is the cross-engine bridge — Spark
+    conv(substring(md5(x),1,8),16,10) equals DuckDB
+    ('0x'||substr(md5(x),1,8))::BIGINT, so an oracle can replay every
+    choice bit-for-bit (the simhash/fingerprint pattern)."""
+    if hash_fn == "md5":
+        payload = F.concat_ws(":", F.lit(seed), walk_id, F.lit(str(step)), cur)
+        return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+    return F.abs(F.xxhash64(F.lit(seed), walk_id, F.lit(step), cur))
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame | None = None,
+    walks_per_node: int = 1,
+    walk_len: int = 8,
+    seed: str = "",
+    hash_fn: str = "xxhash64",
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Deterministic DeepWalk-style random walks over the directed
+    edge set — the KG → skip-gram-corpus generator (walks feed
+    word2vec-style embedding training; Perozzi et al., DeepWalk,
+    KDD'14). Returns long-format rows ``(walk_id, step, node)``
+    (step 0 = the start node); a walk that reaches a node with no
+    out-edges simply ends early.
+
+    Determinism instead of RNG state: the step-t choice from node u on
+    walk w is ``hash(seed, w, t, u) mod out_degree(u)`` into the
+    neighbor list sorted by destination id. Identical across runs,
+    partitionings and cluster sizes — resumable and oracle-able, which
+    per-partition RNG streams are not.
+
+    Scale shape: neighbors are indexed once with one row_number window
+    partitioned by source (per-key sort; hot nodes bound by
+    ``max_degree``, which truncates the candidate list — the standard
+    skew dial for power-law graphs). Each step is then two equi-joins
+    keyed on the current node — frontier × degree, frontier ×
+    (node, index) — with per-step localCheckpoint so the plan stays
+    depth-1 over ``walk_len`` iterations (the pagerank/k_hop loop
+    shape). No collect, no per-node adjacency lists in agg state.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(dst).isNotNull())
+        .dropDuplicates()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("u").orderBy("v")
+    adj = e.withColumn("nbr_idx", F.row_number().over(w) - F.lit(1))
+    if max_degree is not None:
+        adj = adj.filter(F.col("nbr_idx") < max_degree)
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+
+    if starts is None:
+        starts = deg.select(F.col("u").alias("node"))
+    start_nodes = starts.select("node").dropDuplicates()
+    frontier = (
+        start_nodes.select(
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("wi"),
+            "node",
+        )
+        .select(
+            F.concat_ws("#", "node", "wi").alias("walk_id"),
+            F.col("node").alias("cur"),
+        )
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
+    for t in range(1, walk_len + 1):
+        choice = _walk_hash(hash_fn, seed, F.col("walk_id"), t, F.col("cur"))
+        nxt = (
+            frontier.join(deg.withColumnRenamed("u", "cur"), "cur")
+            .withColumn("nbr_idx", F.pmod(choice, F.col("degree")).cast("int"))
+            .join(adj.withColumnRenamed("u", "cur"), ["cur", "nbr_idx"])
+            .select("walk_id", F.col("v").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(
+            nxt.select("walk_id", F.lit(t).alias("step"),
+                       F.col("cur").alias("node"))
+        )
+        frontier = nxt
+    return out

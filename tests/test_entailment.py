@@ -198,3 +198,185 @@ def test_delta_closure_equals_full_recompute(spark):
     full = rdfs_closure(df(base + delta), schema=schema)
     assert {tuple(r) for r in incremental.collect()} == \
         {tuple(r) for r in full.collect()}
+
+
+# --------------------------------------------------------------------------
+# OWL property axioms (owl_property_closure / functional_conflicts)
+# --------------------------------------------------------------------------
+
+from json_ld_spark.operators.entailment import (  # noqa: E402
+    FUNCTIONAL_PROP,
+    INVERSE_OF,
+    SYMMETRIC_PROP,
+    TRANSITIVE_PROP,
+    functional_conflicts,
+    owl_property_closure,
+)
+
+
+def _kind(term):
+    return "bnode" if term.startswith("_:") else "iri"
+
+
+def _naive_owl_closure(quads):
+    """Brute-force fixpoint over rdfp3 (symmetric), rdfp4 (transitive)
+    and rdfp8 (inverseOf), applying single-generator rules repeatedly
+    (so rule COMPOSITIONS — copies via inverse∘inverse, induced
+    symmetry — emerge naturally rather than from a pre-closed table).
+    Contract mirrored from the operator: relabel derivations inherit
+    the premise graph; transitive derivations carry NULL graph and
+    only fire for pairs not derivable WITHOUT transitivity (the
+    suppression set is the relabel-only fixpoint — deterministic,
+    unlike a suppress-if-currently-present heuristic, which would be
+    iteration-order-dependent)."""
+    flips = {(s, o) for (_, s, p, k, o, _, _) in quads
+             if p == INVERSE_OF and k in ("iri", "bnode")}
+    flips |= {(o, s) for (s, o) in flips}
+    flips |= {(s, s) for (_, s, p, _, o, _, _) in quads
+              if p == RDF_TYPE and o == SYMMETRIC_PROP}
+    trans = {s for (_, s, p, _, o, _, _) in quads
+             if p == RDF_TYPE and o == TRANSITIVE_PROP}
+
+    def relabel_step(got):
+        new = set()
+        for (g, s, p, k, o, dt, lg) in got:
+            if k not in ("iri", "bnode"):
+                continue
+            for (a, b) in flips:
+                if p == a:
+                    new.add((g, o, b, _kind(s), s, None, None))
+        return new
+
+    # phase 1: relabel-only fixpoint -> suppression set of known pairs
+    got = set(quads)
+    while True:
+        new = relabel_step(got)
+        if new <= got:
+            break
+        got |= new
+    suppressed = {(s, p, o) for (_, s, p, _, o, _, _) in got}
+
+    # phase 2: full fixpoint with transitivity
+    while True:
+        new = relabel_step(got)
+        for (g, s, p, k, o, dt, lg) in list(got):
+            if k not in ("iri", "bnode") or p not in trans:
+                continue
+            for (g2, s2, p2, k2, o2, _, _) in got:
+                if p2 == p and s2 == o and k2 in ("iri", "bnode"):
+                    if (s, p, o2) not in suppressed:
+                        new.add((None, s, p, _kind(o2), o2, None, None))
+        if new <= got:
+            return got
+        got |= new
+
+
+def _run_owl(spark, quads, **kw):
+    df = spark.createDataFrame(list(quads), QSCHEMA)
+    return {tuple(r) for r in owl_property_closure(df, **kw).collect()}
+
+
+def test_owl_inverse_and_symmetric(spark):
+    quads = {
+        _t("next", INVERSE_OF, "prev"),
+        _t("knows", RDF_TYPE, SYMMETRIC_PROP),
+        _t("a", "next", "b", g="g1"),
+        _t("x", "knows", "_:y", kind="bnode", g="g2"),
+        _t("x", "name", "Ada", kind="literal", dt=XS),  # literal: no flip
+    }
+    got = _run_owl(spark, quads)
+    assert _t("b", "prev", "a", g="g1") in got
+    assert ("g2", "_:y", "knows", "iri", "x", None, None) in got
+    # inverse declared one way works both ways
+    quads2 = {_t("next", INVERSE_OF, "prev"), _t("b", "prev", "a")}
+    assert _t("a", "next", "b") in _run_owl(spark, quads2)
+    assert got == _naive_owl_closure(quads)
+
+
+def test_owl_transitive_chain(spark):
+    quads = {_t("part", RDF_TYPE, TRANSITIVE_PROP)}
+    for i in range(9):
+        quads.add(_t(f"n{i}", "part", f"n{i+1}", g="gx"))
+    got = _run_owl(spark, quads)
+    # all 45 closure pairs present; derived ones carry NULL graph
+    assert (None, "n0", "part", "iri", "n9", None, None) in got
+    assert sum(1 for r in got if r[2] == "part") == 45
+    # base edges keep their graph and get no NULL-graph duplicate
+    assert ("gx", "n0", "part", "iri", "n1", None, None) in got
+    assert (None, "n0", "part", "iri", "n1", None, None) not in got
+    assert got == _naive_owl_closure(quads)
+
+
+def test_owl_transitive_with_inverse_interplay(spark):
+    # p transitive, q = p⁻ (q not declared transitive): the q closure
+    # must still fully materialize via flip-after-closure
+    quads = {
+        _t("p", RDF_TYPE, TRANSITIVE_PROP),
+        _t("p", INVERSE_OF, "q"),
+        _t("a", "p", "b"), _t("b", "p", "c"), _t("c", "p", "d"),
+    }
+    got = _run_owl(spark, quads)
+    assert (None, "d", "q", "iri", "a", None, None) in got
+    assert got == _naive_owl_closure(quads)
+
+
+def test_owl_symmetric_transitive_component(spark):
+    # symmetric + transitive = full connectivity within the chain
+    quads = {
+        _t("r", RDF_TYPE, SYMMETRIC_PROP),
+        _t("r", RDF_TYPE, TRANSITIVE_PROP),
+        _t("a", "r", "b"), _t("b", "r", "c"),
+    }
+    got = _run_owl(spark, quads)
+    rpairs = {(r[1], r[4]) for r in got if r[2] == "r"}
+    assert rpairs == {(x, y) for x in "abc" for y in "abc"}
+    assert got == _naive_owl_closure(quads)
+
+
+@pytest.mark.parametrize("seed", [5, 42, 123])
+def test_owl_randomized_vs_naive_fixpoint(spark, seed):
+    rnd = random.Random(seed)
+    props = [f"p{i}" for i in range(4)]
+    nodes = [f"n{i}" for i in range(7)]
+    quads = set()
+    quads.add(_t(rnd.choice(props), INVERSE_OF, rnd.choice(props)))
+    quads.add(_t(rnd.choice(props), RDF_TYPE, SYMMETRIC_PROP))
+    quads.add(_t(rnd.choice(props), RDF_TYPE, TRANSITIVE_PROP))
+    quads.add(_t(rnd.choice(props), RDF_TYPE, TRANSITIVE_PROP))
+    for _ in range(12):
+        if rnd.random() < 0.15:
+            quads.add(_t(rnd.choice(nodes), rnd.choice(props),
+                         f"v{rnd.randrange(3)}", kind="literal", dt=XS))
+        else:
+            quads.add(_t(rnd.choice(nodes), rnd.choice(props),
+                         rnd.choice(nodes), g=rnd.choice([None, "g1", "g2"])))
+    got = _run_owl(spark, quads)
+    want = _naive_owl_closure(quads)
+    assert got == want
+
+
+def test_owl_separate_schema_argument(spark):
+    onto = [_t("next", INVERSE_OF, "prev")]
+    inst = [_t("a", "next", "b")]
+    df = lambda rows: spark.createDataFrame(rows, QSCHEMA)  # noqa: E731
+    got = {tuple(r)
+           for r in owl_property_closure(df(inst), schema=df(onto)).collect()}
+    assert _t("b", "prev", "a") in got
+    # the schema axioms themselves are not injected into the output
+    assert _t("next", INVERSE_OF, "prev") not in got
+
+
+def test_functional_conflicts(spark):
+    quads = [
+        _t("author", RDF_TYPE, FUNCTIONAL_PROP),
+        _t("d1", "author", "alice"),
+        _t("d1", "author", "bob"),
+        _t("d1", "author", "alice"),   # duplicate value: not a conflict alone
+        _t("d2", "author", "alice"),
+        _t("d3", "title", "x", kind="literal", dt=XS),
+        _t("d3", "title", "y", kind="literal", dt=XS),  # not functional
+    ]
+    df = spark.createDataFrame(quads, QSCHEMA)
+    got = {(r.subj, r.pred, r.n_values)
+           for r in functional_conflicts(df).collect()}
+    assert got == {("d1", "author", 2)}

@@ -245,3 +245,82 @@ def test_k_hop_matches_bfs_on_random_digraph(spark):
     sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
     got = {r["node"]: r["depth"] for r in g.k_hop(t, sdf, k=k).collect()}
     assert got == depth
+
+
+# --------------------------------------------------------------------------
+# random_walks
+# --------------------------------------------------------------------------
+
+import hashlib
+
+
+def _py_walks(edges, starts, walks_per_node, walk_len, seed=""):
+    """Pure-Python replay of the md5-bridge walk semantics."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for (u, v) in sorted(set(edges)):
+        adj[u].append(v)
+    for u in adj:
+        adj[u].sort()
+    rows = set()
+    for node in starts:
+        for wi in range(walks_per_node):
+            wid = f"{node}#{wi}"
+            cur = node
+            rows.add((wid, 0, cur))
+            for t in range(1, walk_len + 1):
+                nbrs = adj.get(cur, [])
+                if not nbrs:
+                    break
+                h = int(hashlib.md5(
+                    f"{seed}:{wid}:{t}:{cur}".encode()).hexdigest()[:8], 16)
+                cur = nbrs[h % len(nbrs)]
+                rows.add((wid, t, cur))
+    return rows
+
+
+def test_random_walks_md5_matches_python_replay(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "a"),
+             ("d", "a"), ("d", "b"), ("d", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.walk_id, r.step, r.node)
+           for r in g.random_walks(df, walks_per_node=2, walk_len=6,
+                                   seed="s1", hash_fn="md5").collect()}
+    want = _py_walks(edges, ["a", "b", "c", "d"], 2, 6, seed="s1")
+    assert got == want
+
+
+def test_random_walks_deterministic_and_seed_sensitive(spark):
+    edges = [(f"n{i}", f"n{(i * 3 + j) % 10}") for i in range(10)
+             for j in (1, 2, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {tuple(r) for r in g.random_walks(df, walk_len=5, seed="x").collect()}
+    b = {tuple(r) for r in g.random_walks(df, walk_len=5, seed="x").collect()}
+    c = {tuple(r) for r in g.random_walks(df, walk_len=5, seed="y").collect()}
+    assert a == b
+    assert a != c  # 10 walks x 5 choices: astronomically unlikely to agree
+
+
+def test_random_walks_chain_and_dead_end(spark):
+    # chain a->b->c: any walk from a is forced along it and stops at c
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    starts = spark.createDataFrame([("a",)], ["node"])
+    got = sorted(
+        (r.step, r.node)
+        for r in g.random_walks(df, starts=starts, walk_len=9).collect()
+    )
+    assert got == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_random_walks_max_degree_truncates(spark):
+    # hub with 5 neighbors, cap 2: only the 2 smallest dsts reachable
+    df = spark.createDataFrame(
+        [("h", f"x{i}") for i in range(5)] + [(f"x{i}", "h") for i in range(5)],
+        ["src", "dst"],
+    )
+    starts = spark.createDataFrame([("h",)], ["node"])
+    got = {r.node for r in g.random_walks(
+        df, starts=starts, walks_per_node=8, walk_len=4, max_degree=2
+    ).collect()}
+    assert got <= {"h", "x0", "x1"}
