@@ -331,14 +331,19 @@ def q_kg_sameas_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG quality gate (operators/validate.py): SHACL-core shape
-    validation of the transcript KG, with four deterministic corruption
+    validation of the transcript KG, with deterministic corruption
     families injected so every constraint kind fires — role triples
     deleted (minCount), a second conversation link added (maxCount),
     the conversation object downgraded to a literal (nodeKind), the
-    timestamp datatype flipped to xsd:string (datatype), and a
-    non-numeric turnIndex value added (pattern). Shapes broadcast; the
-    corpus side is one (focus, shape) count shuffle + one value join.
-    Oracle: analytic replay of exactly the injected violations."""
+    timestamp datatype flipped (datatype), non-numeric / out-of-range
+    turnIndex values added (pattern + numeric + min/maxInclusive),
+    a role replaced outside the allowed set (in), conversations typed
+    only for conv%3≠1 (class), text blanked (minLength), a wrong
+    pipeline tag (hasValue) and a duplicated language tag (uniqueLang).
+    Shapes broadcast; the corpus side is one (focus, shape) count
+    shuffle, one value join, and one value-keyed type join for
+    sh:class. Oracle: analytic replay of exactly the injected
+    violations."""
     from json_ld_spark.operators.validate import Shape, validate_shapes
 
     _utc(spark)
@@ -361,12 +366,20 @@ def q_kg_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("literal"),
             ).otherwise(F.col("obj_kind")),
         )
+        .withColumn(
+            "obj",
+            F.when(
+                (F.col("pred") == _V + "role") & (idx == 6), F.lit("auditor")
+            )
+            .when((F.col("pred") == _V + "text") & (idx == 13), F.lit(""))
+            .otherwise(F.col("obj")),
+        )
     )
     subj = F.concat(
         F.lit(_CB), "conv_id", F.lit("/turn/"), F.col("turn_idx").cast("string")
     )
 
-    def turn_quads(filt, p, kind, o, dt=None):
+    def turn_quads(filt, p, kind, o, dt=None, lang=None):
         return t.filter(filt).select(
             F.lit(None).cast("string").alias("graph"),
             subj.alias("subj"),
@@ -374,27 +387,64 @@ def q_kg_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(kind).alias("obj_kind"),
             o.cast("string").alias("obj"),
             F.lit(dt).cast("string").alias("datatype"),
-            F.lit(None).cast("string").alias("lang"),
+            F.lit(lang).cast("string").alias("lang"),
         )
 
-    tri = tri.unionByName(
+    always = F.lit(True)
+    conv_num = F.substring("conv_id", 6, 100).cast("int")
+    conv_types = (
+        t.select("conv_id").distinct()
+        .filter(conv_num % 3 != 1)
+        .select(
+            F.lit(None).cast("string").alias("graph"),
+            F.concat(F.lit(_CB), "conv_id").alias("subj"),
+            F.lit(_RDF_TYPE).alias("pred"),
+            F.lit("iri").alias("obj_kind"),
+            F.lit(_V + "Conversation").alias("obj"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+    for extra in (
         turn_quads(
             F.col("turn_idx") % 11 == 5, _V + "conversation", "iri",
             F.concat(F.lit(_CB), "conv_id", F.lit("/alt")),
-        )
-    ).unionByName(
+        ),
         turn_quads(
             F.col("turn_idx") % 13 == 7, _V + "turnIndex", "literal",
             F.concat(F.lit("x"), F.col("turn_idx").cast("string")), _XI,
-        )
-    )
+        ),
+        turn_quads(F.col("turn_idx") == 14, _V + "turnIndex", "literal",
+                   F.lit("99"), _XI),
+        turn_quads(F.col("turn_idx") == 5, _V + "turnIndex", "literal",
+                   F.lit("-1"), _XI),
+        turn_quads(
+            always, _V + "pipeline", "literal",
+            F.when(F.col("turn_idx") == 12, F.lit("v1")).otherwise(F.lit("v2")),
+            _XS,
+        ),
+        turn_quads(
+            always, _V + "note", "literal",
+            F.concat(F.lit("note-"), F.col("turn_idx").cast("string")),
+            lang="en",
+        ),
+        turn_quads(F.col("turn_idx") == 1, _V + "note", "literal",
+                   F.lit("dup"), lang="en"),
+        conv_types,
+    ):
+        tri = tri.unionByName(extra)
     shapes = [
         Shape("s_role", _V + "Turn", _V + "role", min_count=1, max_count=1,
-              node_kind="literal", datatype=_XS),
+              node_kind="literal", datatype=_XS,
+              in_values=("user", "assistant", "system", "tool")),
         Shape("s_conv", _V + "Turn", _V + "conversation", min_count=1,
-              max_count=1, node_kind="iri"),
+              max_count=1, node_kind="iri", cls=_V + "Conversation"),
         Shape("s_ts", _V + "Turn", _V + "timestamp", datatype=_XD),
-        Shape("s_idx", _V + "Turn", _V + "turnIndex", pattern="^[0-9]+$"),
+        Shape("s_idx", _V + "Turn", _V + "turnIndex", pattern="^[0-9]+$",
+              min_inclusive=0.0, max_inclusive=15.0),
+        Shape("s_text", _V + "Turn", _V + "text", min_length=1),
+        Shape("s_pipe", _V + "Turn", _V + "pipeline", has_value="v2"),
+        Shape("s_note", _V + "Turn", _V + "note", unique_lang=True),
     ]
     return validate_shapes(tri, shapes).select(
         "focus", "shape_id", "constraint_kind", "value", "n"
@@ -1024,6 +1074,66 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(
         edges, starts=starts, walks_per_node=2, walk_len=4,
         seed="r3", hash_fn="md5",
+    )
+
+
+def q_kg_lpg_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF → labeled-property-graph projection (operators/lpg.py):
+    project the transcript KG (native triples + turn adjacency) into
+    nodes/edges/props tables and summarize per node — sorted label
+    set, out-degree over relationships, property count. Conversation
+    IRIs appear as untyped, property-less nodes (relationship targets
+    only). Oracle: per-turn arithmetic on the deterministic synthesis
+    (out_deg = conversation edge + optional nextTurn; n_props = 4 +
+    optional tool)."""
+    from json_ld_spark.operators.lpg import to_property_graph
+    from json_ld_spark.operators.native import (
+        transcript_adjacency_native, transcript_triples_native,
+    )
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    quads = (
+        transcript_triples_native(t, with_doc_id=False)
+        .select(*TRIPLE_COLS)
+        .unionByName(
+            transcript_adjacency_native(t, with_doc_id=False).select(*TRIPLE_COLS)
+        )
+    )
+    nodes, edges, props = to_property_graph(quads)
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    np_ = props.groupBy("id").agg(F.count(F.lit(1)).alias("n_props"))
+    return (
+        nodes.join(deg, "id", "left")
+        .join(np_, "id", "left")
+        .select(
+            "id",
+            F.array_join("labels", ",").alias("labels"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("n_props", F.lit(0)).cast("long").alias("n_props"),
+        )
+    )
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training
+    (sampling.negative_triples, TransE-style filtered corruption):
+    2 corruptions per nextTurn edge, side chosen per-sample by hash,
+    replacement entity = hash mod n into the lexicographically
+    dense-indexed turn dictionary (two-phase distributed rank, no
+    single-task sort), corruptions that are true edges dropped by one
+    anti-join. Oracle: full SQL replay through the md5 bridge +
+    ROW_NUMBER dictionary + NOT EXISTS."""
+    from json_ld_spark.operators.native import transcript_adjacency_native
+    from json_ld_spark.operators.sampling import negative_triples
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    adj = transcript_adjacency_native(t, with_doc_id=False)
+    return negative_triples(
+        adj, k=2, corrupt="both", seed="neg3", hash_fn="md5"
     )
 
 
@@ -2418,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "dedup_survivors": q_dedup_survivors,
         "kg_random_walks": q_kg_random_walks,
+        "kg_negative_samples": q_kg_negative_samples,
+        "kg_lpg_project": q_kg_lpg_project,
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
         "kg_khop_parts": q_kg_khop_parts,
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
@@ -2571,7 +2683,8 @@ UNION ALL SELECT NULL, '{_CB}' || conv_id, '{_RDF_TYPE}', 'iri',
 _SHACL_SQL = _BASE_CTE + f"""
 , turns AS (
   SELECT '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS focus,
-         conv_id, turn_idx, ts_lex
+         conv_id, turn_idx, ts_lex, text,
+         CAST(doc_id // 16 AS INT) AS conv_num
   FROM base
 )
 SELECT focus, 's_role' AS shape_id, 'minCount' AS constraint_kind,
@@ -2585,6 +2698,27 @@ UNION ALL SELECT focus, 's_ts', 'datatype', ts_lex, NULL
   FROM turns WHERE turn_idx % 17 = 9
 UNION ALL SELECT focus, 's_idx', 'pattern', 'x' || CAST(turn_idx AS VARCHAR), NULL
   FROM turns WHERE turn_idx % 13 = 7
+UNION ALL SELECT focus, 's_idx', 'numeric', 'x' || CAST(turn_idx AS VARCHAR), NULL
+  FROM turns WHERE turn_idx % 13 = 7
+UNION ALL SELECT focus, 's_idx', 'pattern', '-1', NULL
+  FROM turns WHERE turn_idx = 5
+UNION ALL SELECT focus, 's_idx', 'minInclusive', '-1', NULL
+  FROM turns WHERE turn_idx = 5
+UNION ALL SELECT focus, 's_idx', 'maxInclusive', '99', NULL
+  FROM turns WHERE turn_idx = 14
+UNION ALL SELECT focus, 's_role', 'in', 'auditor', NULL
+  FROM turns WHERE turn_idx = 6
+UNION ALL SELECT focus, 's_text', 'minLength',
+       CASE WHEN turn_idx = 13 THEN '' ELSE text END, 0
+  FROM turns WHERE turn_idx = 13 OR length(text) = 0
+UNION ALL SELECT focus, 's_pipe', 'hasValue', 'v2', NULL
+  FROM turns WHERE turn_idx = 12
+UNION ALL SELECT focus, 's_note', 'uniqueLang', 'en', 2
+  FROM turns WHERE turn_idx = 1
+UNION ALL SELECT focus, 's_conv', 'class', '{_CB}' || conv_id, NULL
+  FROM turns WHERE turn_idx % 19 = 11 OR conv_num % 3 = 1
+UNION ALL SELECT focus, 's_conv', 'class', '{_CB}' || conv_id || '/alt', NULL
+  FROM turns WHERE turn_idx % 11 = 5
 """
 
 # kg_rdfs_closure: the ontology is fixed and 3 levels deep, so the ρdf
@@ -3224,6 +3358,69 @@ FROM adj WHERE nxt IS NOT NULL
 """
 
 # BFS over the chain graph: bounded recursive CTE, min depth per node.
+# kg_lpg_project: the LPG node summary is analytic on the synthesis —
+# every turn node is labeled Turn with out_deg = 1 (conversation edge)
+# + 1 when a next turn exists, n_props = role/text/timestamp/turnIndex
+# + optional tool; conversation nodes are untyped targets.
+_LPG_PROJECT_SQL = _BASE_CTE + f"""
+, adjp AS (
+  SELECT conv_id, turn_idx, tool,
+         LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM base
+)
+SELECT '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS id,
+       '{_V}Turn' AS labels,
+       CAST(1 + CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS out_deg,
+       CAST(4 + CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_props
+FROM adjp
+UNION ALL
+SELECT DISTINCT '{_CB}' || conv_id AS id, '' AS labels,
+       CAST(0 AS BIGINT) AS out_deg, CAST(0 AS BIGINT) AS n_props
+FROM base
+"""
+
+# kg_negative_samples: SQL replay of the filtered TransE corruption —
+# md5-bridge side choice + md5-bridge index into the ROW_NUMBER-dense
+# entity dictionary, true-triple corruptions removed by NOT EXISTS.
+_NEGATIVE_SAMPLES_SQL = _BASE_CTE + f"""
+, adjp AS (
+  SELECT conv_id, turn_idx,
+         LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM base
+), pos AS (
+  SELECT '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS subj,
+         '{_V}nextTurn' AS pred,
+         '{_CB}' || conv_id || '/turn/' || CAST(nxt AS VARCHAR) AS obj
+  FROM adjp WHERE nxt IS NOT NULL
+), ents AS (
+  SELECT entity, ROW_NUMBER() OVER (ORDER BY entity) - 1 AS idx
+  FROM (SELECT subj AS entity FROM pos UNION SELECT obj FROM pos)
+), nn AS (SELECT COUNT(*) AS n FROM ents
+), cand AS (
+  SELECT subj, pred, obj, i AS sample_i,
+         CASE WHEN ('0x' || substr(md5(
+                 'neg3|side:' || subj || ':' || pred || ':' || obj
+                 || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+              THEN 'obj' ELSE 'subj' END AS side
+  FROM pos CROSS JOIN (SELECT unnest([0, 1]) AS i)
+), withneg AS (
+  SELECT c.subj, c.pred, c.obj, c.sample_i, c.side, e.entity AS neg
+  FROM cand c CROSS JOIN nn
+  JOIN ents e ON e.idx = ('0x' || substr(md5(
+        'neg3:' || c.subj || ':' || c.pred || ':' || c.obj
+        || ':' || CAST(c.sample_i AS VARCHAR) || ':' || c.side),
+        1, 8))::BIGINT % nn.n
+)
+SELECT subj, pred, obj, CAST(sample_i AS INT) AS sample_i, side, neg
+FROM withneg w
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos p
+  WHERE p.pred = w.pred
+    AND p.subj = CASE WHEN w.side = 'subj' THEN w.neg ELSE w.subj END
+    AND p.obj  = CASE WHEN w.side = 'obj'  THEN w.neg ELSE w.obj END
+)
+"""
+
 # kg_random_walks: replay every hash-mod-degree choice through the md5
 # bridge ('0x'||substr(md5(x),1,8))::BIGINT == Spark
 # conv(substring(md5(x),1,8),16,10) — the walk is a bounded recursive
@@ -4454,6 +4651,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_repeated_spans": _REPEATED_SPANS_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "kg_random_walks": _RANDOM_WALKS_SQL,
+        "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
+        "kg_lpg_project": _LPG_PROJECT_SQL,
         "kg_copurchase_triangles": _TRIANGLES_SQL,
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,

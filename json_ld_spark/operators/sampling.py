@@ -203,3 +203,147 @@ def leakage_safe_split(
         F.coalesce(comp["component"], df[id_col].cast("long")).alias(group_col),
     )
     return hash_split(grouped, group_col, weights, seed, out_col)
+
+
+def dense_index(df: DataFrame, col: str = "entity") -> tuple[DataFrame, int]:
+    """Distributed dense index: ``(entity, idx)`` with idx contiguous
+    in [0, n) in lexicographic entity order, plus n itself.
+
+    A bare ``row_number() over (ORDER BY entity)`` funnels the whole
+    dictionary through ONE task; this is the standard two-phase
+    ranking instead: range-repartition on the key (ascending ranges on
+    ascending partition ids), rank locally per partition, then shift
+    each partition by the cumulative count of the partitions before it.
+    The only driver-side data is one row per shuffle partition (the
+    counts), the same bounded-collect class as linking's corpus total.
+    Output order matches SQL ``ROW_NUMBER() OVER (ORDER BY entity)-1``
+    on binary collation, so oracles can replay the index exactly."""
+    d = (
+        df.select(F.col(col).alias("entity"))
+        .dropDuplicates()
+        .repartitionByRange(F.col("entity"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # one materialization serves both the counts collect and the final
+    # projection (Spark has no cross-consumer CSE — a second consumer
+    # would re-run the dedup + range shuffle)
+    local = d.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("pid").orderBy("entity"))
+    ).localCheckpoint(eager=True)
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    # broadcast join, not a literal-map expression: offsets has one row
+    # per shuffle partition, which can reach 1e5 on a large cluster
+    return (
+        local.join(F.broadcast(off), "pid")
+        .select("entity", (F.col("off") + F.col("rn") - 1).alias("idx")),
+        acc,
+    )
+
+
+def _neg_hash(hash_fn: str, seed: str, *cols) -> Column:
+    if hash_fn == "md5":
+        payload = F.concat_ws(
+            ":", F.lit(seed), *[c.cast("string") for c in cols]
+        )
+        return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+    return F.xxhash64(F.lit(seed), *cols)
+
+
+def negative_triples(
+    triples: DataFrame,
+    entities: DataFrame | None = None,
+    k: int = 2,
+    corrupt: str = "obj",
+    seed: str = "",
+    hash_fn: str = "xxhash64",
+    filtered: bool = True,
+) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-family corruption; Bordes et al., NeurIPS'13): for each
+    positive node-to-node triple emit up to ``k`` corrupted copies,
+    replacing the ``corrupt`` side ("obj", "subj", or "both" —
+    hash-chosen per sample) with the entity at index
+    ``hash(seed, s, p, o, i, side) mod n`` of the lexicographically
+    dense-indexed entity dictionary. ``filtered=True`` drops
+    corruptions that happen to be true triples (the standard filtered
+    setting — also removes no-op corruptions, since the uncorrupted
+    triple is itself true). Output: (subj, pred, obj, sample_i, side,
+    neg) — one row per surviving negative.
+
+    Hash-indexed choices, not RNG: reproducible across reruns /
+    partitionings / cluster sizes, and SQL-replayable through the md5
+    bridge (``hash_fn="md5"``). Scale shape: the dictionary index is
+    the two-phase rank of dense_index (no single-task sort), sampling
+    is a projection plus ONE equi-join on idx against the dictionary,
+    and the filter is ONE left-anti join on the corrupted key — no
+    collect of entities, no rejection-resampling loop."""
+    pos = triples.filter(
+        F.col("obj_kind").isin("iri", "bnode")
+    ).select("subj", "pred", "obj").dropDuplicates()
+    if entities is None:
+        entities = pos.select(F.col("subj").alias("entity")).unionByName(
+            pos.select(F.col("obj").alias("entity"))
+        )
+    ents, n = dense_index(entities)
+    if n == 0:
+        raise ValueError("empty entity dictionary")
+
+    cand = pos.select(
+        "subj", "pred", "obj",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("sample_i"),
+    )
+    if corrupt == "both":
+        side = F.when(
+            F.pmod(
+                _neg_hash(hash_fn, seed + "|side",
+                          F.col("subj"), F.col("pred"), F.col("obj"),
+                          F.col("sample_i")),
+                F.lit(2),
+            ) == 0,
+            F.lit("obj"),
+        ).otherwise(F.lit("subj"))
+    elif corrupt in ("obj", "subj"):
+        side = F.lit(corrupt)
+    else:
+        raise ValueError(f"corrupt must be obj|subj|both, got {corrupt!r}")
+    cand = cand.withColumn("side", side)
+    cand = cand.withColumn(
+        "idx",
+        F.pmod(
+            _neg_hash(hash_fn, seed, F.col("subj"), F.col("pred"),
+                      F.col("obj"), F.col("sample_i"), F.col("side")),
+            F.lit(n),
+        ).cast("long"),
+    )
+    neg = cand.join(ents, "idx").select(
+        "subj", "pred", "obj", "sample_i", "side",
+        F.col("entity").alias("neg"),
+    )
+    if filtered:
+        key_s = F.when(F.col("side") == "subj", F.col("neg")).otherwise(F.col("subj"))
+        key_o = F.when(F.col("side") == "obj", F.col("neg")).otherwise(F.col("obj"))
+        neg = (
+            neg.withColumn("__cs", key_s)
+            .withColumn("__co", key_o)
+            .join(
+                pos.select(
+                    F.col("subj").alias("__cs"),
+                    F.col("pred").alias("pred"),
+                    F.col("obj").alias("__co"),
+                ),
+                ["__cs", "pred", "__co"],
+                "left_anti",
+            )
+            .drop("__cs", "__co")
+        )
+    # the USING anti-join moves its keys first; restore column order
+    return neg.select("subj", "pred", "obj", "sample_i", "side", "neg")

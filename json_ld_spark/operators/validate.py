@@ -10,7 +10,9 @@ lexical pattern) and violations must land in a quarantine table with
 enough detail to route back to the offending source. This module
 implements the SHACL core constraint subset that covers that gate
 (W3C SHACL: sh:targetClass, sh:path, sh:minCount, sh:maxCount,
-sh:nodeKind, sh:datatype, sh:pattern) as pure DataFrame algebra.
+sh:nodeKind, sh:datatype, sh:pattern, sh:class, sh:in, sh:hasValue,
+sh:minLength, sh:maxLength, sh:minInclusive, sh:maxInclusive,
+sh:uniqueLang) as pure DataFrame algebra.
 
 Scale shape: the shapes table is human-authored (tens of rows) and
 always broadcasts. Work on the corpus side is two focus-keyed hash
@@ -33,7 +35,10 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _SHAPE_SCHEMA = (
     "shape_id string, target_class string, path string, "
     "min_count int, max_count int, want_kind string, "
-    "want_datatype string, want_pattern string"
+    "want_datatype string, want_pattern string, "
+    "want_class string, want_in array<string>, want_has string, "
+    "min_len int, max_len int, min_incl double, max_incl double, "
+    "uniq_lang boolean"
 )
 
 
@@ -49,6 +54,14 @@ class Shape:
     node_kind: str | None = None  # 'iri' | 'literal' | 'bnode'
     datatype: str | None = None   # required literal datatype IRI
     pattern: str | None = None    # regex the lexical form must match
+    cls: str | None = None        # sh:class — value must be typed as this
+    in_values: tuple[str, ...] | None = None  # sh:in — allowed lexical forms
+    has_value: str | None = None  # sh:hasValue — some value must equal this
+    min_length: int | None = None   # sh:minLength (literals)
+    max_length: int | None = None   # sh:maxLength (literals)
+    min_inclusive: float | None = None  # sh:minInclusive (numeric literals)
+    max_inclusive: float | None = None  # sh:maxInclusive (numeric literals)
+    unique_lang: bool = False     # sh:uniqueLang — one value per lang tag
 
 
 def validate_shapes(
@@ -72,11 +85,17 @@ def validate_shapes(
     An empty result means the graph conforms.
     """
     spark = triples.sparkSession
+    if "lang" not in triples.columns:  # quad tables without a lang col
+        triples = triples.withColumn("lang", F.lit(None).cast("string"))
     sh = spark.createDataFrame(
         [
             (
                 s.shape_id, s.target_class, s.path, s.min_count,
                 s.max_count, s.node_kind, s.datatype, s.pattern,
+                s.cls,
+                list(s.in_values) if s.in_values is not None else None,
+                s.has_value, s.min_length, s.max_length,
+                s.min_inclusive, s.max_inclusive, s.unique_lang,
             )
             for s in shapes
         ],
@@ -90,14 +109,14 @@ def validate_shapes(
         .drop("target_class", "path")
     )
     vals = (
-        triples.select("subj", "pred", "obj_kind", "obj", "datatype")
+        triples.select("subj", "pred", "obj_kind", "obj", "datatype", "lang")
         .join(
             F.broadcast(sh.select("shape_id", "path")),
             F.col("pred") == F.col("path"),
         )
         .select(
             F.col("subj").alias("focus"), "shape_id",
-            "obj_kind", "obj", "datatype",
+            "obj_kind", "obj", "datatype", "lang",
         )
     )
 
@@ -153,7 +172,97 @@ def validate_shapes(
         "pattern", F.col("obj"), null_n,
     )
 
+    # sh:class — the value node must carry rdf:type want_class; a
+    # literal can never satisfy it. One equi-join of the constrained
+    # value slice against the (instance, type) pairs, keyed on the
+    # value — the only check that shuffles on the OBJECT side.
+    types = (
+        triples.filter(F.col("pred") == rdf_type)
+        .select(
+            F.col("subj").alias("__vnode"), F.col("obj").alias("__vclass")
+        )
+        .dropDuplicates()
+    )
+    cls_rows = fv.filter(F.col("want_class").isNotNull())
+    cls_j = cls_rows.join(
+        types,
+        (cls_rows["obj"] == types["__vnode"])
+        & (cls_rows["want_class"] == types["__vclass"]),
+        "left",
+    )
+    cls_v = out(
+        cls_j.filter(
+            F.col("__vnode").isNull() | (F.col("obj_kind") == "literal")
+        ),
+        "class", F.col("obj"), null_n,
+    )
+
+    # sh:in — lexical/IRI form must be one of the allowed values
+    in_v = out(
+        fv.filter(
+            F.col("want_in").isNotNull()
+            & ~F.array_contains(F.col("want_in"), F.col("obj"))
+        ),
+        "in", F.col("obj"), null_n,
+    )
+
+    # sh:hasValue — per focus, SOME value equals the constant; foci
+    # with no such value (including no value at all) violate
+    hv_focus = focus.filter(F.col("want_has").isNotNull())
+    hv_match = (
+        fv.filter(F.col("obj") == F.col("want_has"))
+        .select("focus", "shape_id")
+        .dropDuplicates()
+    )
+    hv_v = out(
+        hv_focus.join(hv_match, ["focus", "shape_id"], "left_anti"),
+        "hasValue", F.col("want_has"), null_n,
+    )
+
+    # sh:minLength / sh:maxLength over the literal lexical form; the
+    # offending length rides in n
+    lit = F.col("obj_kind") == "literal"
+    length = F.length("obj")
+    minlen_v = out(
+        fv.filter(F.col("min_len").isNotNull() & lit & (length < F.col("min_len"))),
+        "minLength", F.col("obj"), length,
+    )
+    maxlen_v = out(
+        fv.filter(F.col("max_len").isNotNull() & lit & (length > F.col("max_len"))),
+        "maxLength", F.col("obj"), length,
+    )
+
+    # sh:minInclusive / sh:maxInclusive on numeric literals; a value
+    # that does not parse as a number violates with kind 'numeric'
+    num = F.expr("try_cast(obj AS double)")
+    ranged = F.col("min_incl").isNotNull() | F.col("max_incl").isNotNull()
+    rng_rows = fv.filter(ranged & lit)
+    numeric_v = out(rng_rows.filter(num.isNull()), "numeric", F.col("obj"), null_n)
+    min_incl_v = out(
+        rng_rows.filter(num.isNotNull() & F.col("min_incl").isNotNull()
+                        & (num < F.col("min_incl"))),
+        "minInclusive", F.col("obj"), null_n,
+    )
+    max_incl_v = out(
+        rng_rows.filter(num.isNotNull() & F.col("max_incl").isNotNull()
+                        & (num > F.col("max_incl"))),
+        "maxInclusive", F.col("obj"), null_n,
+    )
+
+    # sh:uniqueLang — no two values of the path may share a language
+    # tag; the duplicated tag rides in value, its multiplicity in n
+    ul = (
+        fv.filter(F.col("uniq_lang") & F.col("lang").isNotNull())
+        .groupBy("focus", "shape_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+        .filter(F.col("n_lang") > 1)
+    )
+    ul_v = out(ul, "uniqueLang", F.col("lang"), F.col("n_lang"))
+
     res = min_v
-    for part in (max_v, kind_v, dt_v, pat_v):
+    for part in (
+        max_v, kind_v, dt_v, pat_v, cls_v, in_v, hv_v,
+        minlen_v, maxlen_v, numeric_v, min_incl_v, max_incl_v, ul_v,
+    ):
         res = res.unionByName(part)
     return res

@@ -296,3 +296,96 @@ def test_leakage_safe_split_no_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     out = sampling.leakage_safe_split(docs, pairs).collect()
     assert {r.doc_id: r.dup_group for r in out} == {i: i for i in range(5)}
+
+
+# --------------------------------------------------------------------------
+# dense_index / negative_triples
+# --------------------------------------------------------------------------
+
+import hashlib
+import random as _random
+
+
+def test_dense_index_matches_sorted_enumeration(spark):
+    rnd = _random.Random(17)
+    ents = list({f"e{rnd.randrange(10_000):05d}" for _ in range(500)})
+    df = spark.createDataFrame([(e,) for e in ents + ents[:50]], ["entity"])
+    idx_df, n = sampling.dense_index(df)
+    got = {r.entity: r.idx for r in idx_df.collect()}
+    want = {e: i for i, e in enumerate(sorted(set(ents)))}
+    assert n == len(want)
+    assert got == want
+
+
+def _md5_mod(payload: str, n: int) -> int:
+    return int(hashlib.md5(payload.encode()).hexdigest()[:8], 16) % n
+
+
+def _py_negatives(pos, k, seed, corrupt="obj", filtered=True):
+    ents = sorted({s for (s, _, _) in pos} | {o for (_, _, o) in pos})
+    n = len(ents)
+    truth = set(pos)
+    out = set()
+    for (s, p, o) in pos:
+        for i in range(k):
+            if corrupt == "both":
+                side = ("obj" if _md5_mod(f"{seed}|side:{s}:{p}:{o}:{i}", 2) == 0
+                        else "subj")
+            else:
+                side = corrupt
+            neg = ents[_md5_mod(f"{seed}:{s}:{p}:{o}:{i}:{side}", n)]
+            cs, co = (neg, o) if side == "subj" else (s, neg)
+            if filtered and (cs, p, co) in truth:
+                continue
+            out.add((s, p, o, i, side, neg))
+    return out
+
+
+def _pos_df(spark, pos):
+    return spark.createDataFrame(
+        [(None, s, p, "iri", o, None, None) for (s, p, o) in pos],
+        "graph string, subj string, pred string, obj_kind string, "
+        "obj string, datatype string, lang string",
+    )
+
+
+def test_negative_triples_md5_matches_python_replay(spark):
+    rnd = _random.Random(3)
+    nodes = [f"n{i}" for i in range(12)]
+    preds = ["p", "q"]
+    pos = {(rnd.choice(nodes), rnd.choice(preds), rnd.choice(nodes))
+           for _ in range(30)}
+    for corrupt in ("obj", "subj", "both"):
+        got = {tuple(r) for r in sampling.negative_triples(
+            _pos_df(spark, pos), k=3, corrupt=corrupt, seed="ns",
+            hash_fn="md5").collect()}
+        assert got == _py_negatives(sorted(pos), 3, "ns", corrupt)
+
+
+def test_negative_triples_filtered_removes_truths(spark):
+    # dense graph over 3 nodes: most corruptions ARE true triples
+    nodes = ["a", "b", "c"]
+    pos = [(s, "r", o) for s in nodes for o in nodes]
+    df = _pos_df(spark, pos)
+    unfiltered = sampling.negative_triples(
+        df, k=4, seed="f", hash_fn="md5", filtered=False)
+    filtered = sampling.negative_triples(
+        df, k=4, seed="f", hash_fn="md5", filtered=True)
+    assert filtered.count() == 0          # every corruption is a truth
+    assert unfiltered.count() == 9 * 4    # nothing dropped
+
+
+def test_negative_triples_deterministic_xxhash(spark):
+    pos = [(f"s{i}", "p", f"o{i % 4}") for i in range(20)]
+    df = _pos_df(spark, pos)
+    a = {tuple(r) for r in sampling.negative_triples(df, k=2, seed="d").collect()}
+    b = {tuple(r) for r in sampling.negative_triples(df, k=2, seed="d").collect()}
+    assert a == b and len(a) > 0
+    # literal-object triples are not corruption candidates
+    lit = spark.createDataFrame(
+        [(None, "s", "p", "literal", "v", None, None)],
+        "graph string, subj string, pred string, obj_kind string, "
+        "obj string, datatype string, lang string",
+    )
+    with pytest.raises(ValueError):
+        sampling.negative_triples(lit, k=1)

@@ -77,3 +77,81 @@ def test_validate_node_kind_skips_pattern_on_iri_values(spark):
     ])
     got = _set(validate_shapes(g, shapes))
     assert got == {("n1", "s", "nodeKind", "http://x", None)}
+
+
+SCHEMA_L = SCHEMA + ", lang string"
+
+
+def _tl(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA_L)
+
+
+def test_validate_class_in_hasvalue(spark):
+    g = _t(spark, [
+        ("n1", RDF_TYPE, "iri", "T", None),
+        ("n1", "ref", "iri", "c1", None),     # c1 typed C: conforms
+        ("n1", "role", "literal", "user", XS),
+        ("n2", RDF_TYPE, "iri", "T", None),
+        ("n2", "ref", "iri", "c2", None),     # c2 untyped: class violation
+        ("n2", "ref", "literal", "c1", XS),   # literal: class violation
+        ("n2", "role", "literal", "auditor", XS),  # not in allowed set
+        ("c1", RDF_TYPE, "iri", "C", None),
+    ])
+    shapes = [
+        Shape("s_ref", "T", "ref", cls="C"),
+        Shape("s_role", "T", "role", in_values=("user", "assistant")),
+        Shape("s_flag", "T", "flag", has_value="v2"),
+    ]
+    got = _set(validate_shapes(g, shapes))
+    assert got == {
+        ("n2", "s_ref", "class", "c2", None),
+        ("n2", "s_ref", "class", "c1", None),
+        ("n2", "s_role", "in", "auditor", None),
+        # hasValue fires for BOTH foci: neither has flag = v2
+        ("n1", "s_flag", "hasValue", "v2", None),
+        ("n2", "s_flag", "hasValue", "v2", None),
+    }
+
+
+def test_validate_length_and_range(spark):
+    g = _t(spark, [
+        ("n1", RDF_TYPE, "iri", "T", None),
+        ("n1", "name", "literal", "", XS),        # minLength
+        ("n1", "bio", "literal", "abcdef", XS),   # maxLength 4
+        ("n1", "age", "literal", "-3", XI),       # < 0
+        ("n1", "age", "literal", "120", XI),      # > 99
+        ("n1", "age", "literal", "x7", XI),       # not numeric
+        ("n1", "age", "literal", "50", XI),       # conforms
+    ])
+    shapes = [
+        Shape("s_name", "T", "name", min_length=1),
+        Shape("s_bio", "T", "bio", max_length=4),
+        Shape("s_age", "T", "age", min_inclusive=0.0, max_inclusive=99.0),
+    ]
+    got = _set(validate_shapes(g, shapes))
+    assert got == {
+        ("n1", "s_name", "minLength", "", 0),
+        ("n1", "s_bio", "maxLength", "abcdef", 6),
+        ("n1", "s_age", "minInclusive", "-3", None),
+        ("n1", "s_age", "maxInclusive", "120", None),
+        ("n1", "s_age", "numeric", "x7", None),
+    }
+
+
+def test_validate_unique_lang(spark):
+    g = _tl(spark, [
+        ("n1", RDF_TYPE, "iri", "T", None, None),
+        ("n1", "label", "literal", "hello", None, "en"),
+        ("n1", "label", "literal", "hi", None, "en"),     # dup en
+        ("n1", "label", "literal", "salut", None, "fr"),  # unique fr: ok
+        ("n1", "note", "literal", "a", None, "en"),
+        ("n1", "note", "literal", "b", None, "en"),       # no uniqueLang shape
+        ("n2", RDF_TYPE, "iri", "T", None, None),
+        ("n2", "label", "literal", "plain", XS, None),    # untagged: ignored
+    ])
+    shapes = [
+        Shape("s_label", "T", "label", unique_lang=True),
+        Shape("s_note", "T", "note"),
+    ]
+    got = _set(validate_shapes(g, shapes))
+    assert got == {("n1", "s_label", "uniqueLang", "en", 2)}
