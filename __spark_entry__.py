@@ -1137,6 +1137,19 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (graphops.skipgram_pairs) over
+    the kg_random_walks corpus — the full KG → embedding-training-data
+    pipeline: walks by hash-indexed choice, then one walk-keyed
+    self-join + count agg for the (center, context, n) pairs word2vec
+    consumes. Oracle: the shared walk CTE + the same self-join in
+    SQL."""
+    from json_ld_spark.operators.graphops import skipgram_pairs
+
+    _utc(spark)
+    return skipgram_pairs(q_kg_random_walks(spark, sf_dir), window=2)
+
+
 def q_kg_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the co-purchase graph via
     degree-ordered edge orientation (graphops.triangle_count) — wedge
@@ -2335,6 +2348,36 @@ def _cents(col: str) -> F.Column:
     return F.round(F.col(col) * 100).cast("long")
 
 
+def q_data_profile_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics (profile.heavy_hitters): exact per-column
+    top-3 values over orders — one melt projection + one
+    (column, value) count agg (map-side combine absorbs the hot keys
+    being hunted) + a per-column top-k window over distinct-value
+    counts only. Deterministic tie-break by value. Oracle: the same
+    melt/count/row_number in SQL."""
+    from json_ld_spark.operators.profile import heavy_hitters
+
+    _utc(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return heavy_hitters(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey"], k=3
+    )
+
+
+def q_data_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (profile.column_stats, exact mode): per-column
+    row/null/distinct counts over orders in ONE aggregation pass
+    (approx HLL is the default at corpus scale; exact here so DuckDB
+    COUNT(DISTINCT) can replay it)."""
+    from json_ld_spark.operators.profile import column_stats
+
+    _utc(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return column_stats(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey"], exact=True
+    )
+
+
 def q_rel_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1-style hash aggregation with exact integer-cents sums."""
     _utc(spark)
@@ -2530,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_lpg_project": q_kg_lpg_project,
+        "kg_skipgram_pairs": q_kg_skipgram_pairs,
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
         "kg_khop_parts": q_kg_khop_parts,
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
@@ -2580,6 +2624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_extract": q_multimodal_frame_extract,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "streaming_triples": q_streaming_triples,
+        "data_profile_hitters": q_data_profile_hitters,
+        "data_column_stats": q_data_column_stats,
         "rel_agg_pricing": q_rel_agg_pricing,
         "rel_join_topnations": q_rel_join_topnations,
         "rel_window_events": q_rel_window_events,
@@ -3421,11 +3467,12 @@ WHERE NOT EXISTS (
 )
 """
 
-# kg_random_walks: replay every hash-mod-degree choice through the md5
-# bridge ('0x'||substr(md5(x),1,8))::BIGINT == Spark
-# conv(substring(md5(x),1,8),16,10) — the walk is a bounded recursive
-# CTE over the row_number-indexed adjacency.
-_RANDOM_WALKS_SQL = """
+# kg_random_walks / kg_skipgram_pairs: replay every hash-mod-degree
+# choice through the md5 bridge ('0x'||substr(md5(x),1,8))::BIGINT ==
+# Spark conv(substring(md5(x),1,8),16,10) — the walk is a bounded
+# recursive CTE over the row_number-indexed adjacency, shared by both
+# oracles.
+_WALK_CTE_SQL = """
 WITH RECURSIVE e AS (
   SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS u,
                   's' || CAST(l_suppkey AS VARCHAR) AS v
@@ -3454,7 +3501,18 @@ WITH RECURSIVE e AS (
          || ':' || w.node), 1, 8))::BIGINT % d.degree
   WHERE w.step < 4
 )
+"""
+
+_RANDOM_WALKS_SQL = _WALK_CTE_SQL + """
 SELECT walk_id, CAST(step AS INT) AS step, node FROM walk
+"""
+
+_SKIPGRAM_SQL = _WALK_CTE_SQL + """
+SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS n
+FROM walk a JOIN walk b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(b.step - a.step) <= 2
+GROUP BY a.node, b.node
 """
 
 _TURN_KHOP_SQL = "WITH RECURSIVE " + _BASE_CTE.strip()[len("WITH "):] + f"""
@@ -4514,6 +4572,39 @@ FROM orders
 GROUP BY o_orderpriority
 """
 
+_PROFILE_HITTERS_SQL = """
+WITH m AS (
+  SELECT 'o_orderstatus' AS "column", CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+  UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+), c AS (
+  SELECT "column", value, CAST(COUNT(*) AS BIGINT) AS n
+  FROM m GROUP BY 1, 2
+)
+SELECT "column", value, n,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY "column" ORDER BY n DESC, value ASC NULLS FIRST
+       ) AS INT) AS rank
+FROM c QUALIFY rank <= 3
+"""
+
+_COLUMN_STATS_SQL = """
+SELECT 'o_orderstatus' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+FROM orders
+"""
+
 _AGG_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
        SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
@@ -4653,6 +4744,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_random_walks": _RANDOM_WALKS_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "kg_lpg_project": _LPG_PROJECT_SQL,
+        "kg_skipgram_pairs": _SKIPGRAM_SQL,
         "kg_copurchase_triangles": _TRIANGLES_SQL,
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,
@@ -4708,6 +4800,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_ask": _BGP_ASK_SQL,
         "rel_rollup_pricing": _ROLLUP_SQL,
         "rel_pivot_orders": _PIVOT_SQL,
+        "data_profile_hitters": _PROFILE_HITTERS_SQL,
+        "data_column_stats": _COLUMN_STATS_SQL,
         "rel_agg_pricing": _AGG_PRICING_SQL,
         "rel_join_topnations": _TOPNATIONS_SQL,
         "rel_window_events": _WINDOW_SQL,

@@ -350,3 +350,29 @@ def random_walks(
         )
         frontier = nxt
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts from a walk
+    corpus — the step between random_walks and word2vec-style
+    embedding training (DeepWalk §4.2). For every pair of positions on
+    the same walk within ``window`` steps of each other, count the
+    ordered (center, context) occurrence: ``(center, context, n)``.
+
+    One self-equi-join keyed on walk_id (fan-out bounded by
+    walk_len × 2·window per walk, independent of graph degree) and one
+    map-side-combinable count aggregation — two shuffles total,
+    both on bounded keys."""
+    a = walks.select("walk_id", F.col("step").alias("s_a"),
+                     F.col("node").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("s_b"),
+                     F.col("node").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("s_a") != F.col("s_b"))
+            & (F.abs(F.col("s_b") - F.col("s_a")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,94 @@
+"""Table profiling and skew diagnostics.
+
+Before a 100 TB join or aggregation is planned, the operational
+questions are: which keys are hot (salting / skew-join candidates),
+how dense are the columns, and how many distinct values does a key
+have (broadcast vs shuffle, bucketing width)? These operators answer
+them as plain DataFrame plans:
+
+- `heavy_hitters`: exact per-column top-k values with counts. One
+  melt projection (a generator expression, no shuffle) and one
+  (column, value)-keyed count — map-side partial aggregation absorbs
+  the very hot keys this exists to find, so the shuffle carries one
+  row per (column, value) per task, not per input row. The per-column
+  top-k window sorts only the distinct-value counts of that column.
+- `column_stats`: per-column row/null/distinct counts in one
+  aggregation pass over the table. ``exact=False`` (default) uses
+  HyperLogLog (`approx_count_distinct`) — constant state per column,
+  the only sane choice for high-cardinality columns at corpus scale;
+  ``exact=True`` switches to exact distinct counts for
+  dictionary-sized columns (and for oracle comparison).
+
+The hot keys found here feed linking's salted join and the AQE skew
+thresholds; the distinct counts feed broadcast-threshold decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _melt(df: DataFrame, columns: list[str]) -> DataFrame:
+    """(column, value) pairs; values stringified, NULL preserved."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in columns
+        ]
+    )
+    return df.select(F.explode(entries).alias("e")).select("e.*")
+
+
+def heavy_hitters(
+    df: DataFrame, columns: list[str], k: int = 5
+) -> DataFrame:
+    """Exact top-k values per column: ``(column, value, n, rank)``,
+    rank 1 = most frequent; ties broken by value ascending (NULL
+    first) so the output is total-order deterministic. NULL is
+    counted as a value — a mostly-null join key is the most common
+    skew surprise."""
+    counts = (
+        _melt(df, columns)
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("column").orderBy(
+        F.desc("n"), F.asc_nulls_first("value")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def column_stats(
+    df: DataFrame, columns: list[str], exact: bool = False
+) -> DataFrame:
+    """Per-column ``(column, n_rows, n_nulls, n_distinct)`` in one
+    aggregation pass (n_distinct excludes NULL, as in SQL COUNT
+    (DISTINCT ...)). Default approximate distinct (HLL, ~2% error,
+    constant state); ``exact=True`` for dictionary-sized columns."""
+    distinct = F.count_distinct if exact else F.approx_count_distinct
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__r_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}"),
+            distinct(F.col(c)).alias(f"__d_{c}"),
+        ]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__r_{c}").cast("long").alias("n_rows"),
+                F.col(f"__n_{c}").cast("long").alias("n_nulls"),
+                F.col(f"__d_{c}").cast("long").alias("n_distinct"),
+            )
+            for c in columns
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select("e.*")

@@ -324,3 +324,25 @@ def test_random_walks_max_degree_truncates(spark):
         df, starts=starts, walks_per_node=8, walk_len=4, max_degree=2
     ).collect()}
     assert got <= {"h", "x0", "x1"}
+
+
+def test_skipgram_pairs_counts(spark):
+    walks = spark.createDataFrame(
+        [("w0", 0, "a"), ("w0", 1, "b"), ("w0", 2, "a"), ("w0", 3, "c"),
+         ("w1", 0, "b"), ("w1", 1, "c")],
+        ["walk_id", "step", "node"],
+    )
+    got = {(r.center, r.context): r.n
+           for r in g.skipgram_pairs(walks, window=2).collect()}
+    # brute-force replay
+    import collections
+    want = collections.Counter()
+    seqs = {"w0": ["a", "b", "a", "c"], "w1": ["b", "c"]}
+    for seq in seqs.values():
+        for i, c in enumerate(seq):
+            for j, x in enumerate(seq):
+                if i != j and abs(i - j) <= 2:
+                    want[(c, x)] += 1
+    assert got == dict(want)
+    # co-occurrence is symmetric in aggregate
+    assert all(got[(u, v)] == got[(v, u)] for (u, v) in got)
