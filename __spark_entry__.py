@@ -1137,6 +1137,33 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic node2vec walks (graphops.node2vec_walks) on the
+    symmetrized co-purchase graph: 2nd-order bias with INTEGER weights
+    (return 1 / triangle 4 / out 2 — BFS-leaning), pick = hash mod
+    cumulative weight over id-ordered candidates, so every biased
+    choice is exact and SQL-replayable. Oracle: the 3 steps unrolled
+    as CTEs — adjacency join, previous-edge mark join, integer cumsum
+    window, md5-bridge pick."""
+    from json_ld_spark.operators.graphops import node2vec_walks
+
+    _utc(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.select(
+        F.col("u").cast("string").alias("src"),
+        F.col("v").cast("string").alias("dst"),
+    )
+    starts = (
+        sym.select(F.col("src").alias("node")).dropDuplicates()
+        .filter(F.col("node").cast("long") % 97 == 0)
+    )
+    return node2vec_walks(
+        sym, starts=starts, walk_len=3, seed="n2v", hash_fn="md5",
+        w_return=1, w_in=4, w_out=2,
+    )
+
+
 def q_kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence counts (graphops.skipgram_pairs) over
     the kg_random_walks corpus — the full KG → embedding-training-data
@@ -2574,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "kg_lpg_project": q_kg_lpg_project,
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
+        "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
         "kg_khop_parts": q_kg_khop_parts,
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
@@ -3514,6 +3542,60 @@ FROM walk a JOIN walk b
  AND abs(b.step - a.step) <= 2
 GROUP BY a.node, b.node
 """
+
+# kg_node2vec_walks: walk_len is fixed at 3, so the 2nd-order walk
+# unrolls into three identical step CTEs — adjacency join + previous-
+# edge mark (left join) + integer cumulative-weight window + md5-bridge
+# interval pick. Integer weights make the cumsum exact in both engines.
+
+
+def _n2v_step(k: int) -> str:
+    return f"""
+, c{k} AS (
+  SELECT f.walk_id, f.cur, e.v,
+         CASE WHEN f.prev IS NULL THEN 1
+              WHEN e.v = f.prev THEN 1
+              WHEN m.u IS NOT NULL THEN 4
+              ELSE 2 END AS w
+  FROM s{k - 1} f
+  JOIN n2v_ed e ON e.u = f.cur
+  LEFT JOIN n2v_ed m ON m.u = f.prev AND m.v = e.v
+), a{k} AS (
+  SELECT *,
+         SUM(w) OVER (PARTITION BY walk_id ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY walk_id) AS tot,
+         ('0x' || substr(md5('n2v:' || walk_id || ':{k}:' || cur), 1, 8))::BIGINT AS h
+  FROM c{k}
+), s{k} AS (
+  SELECT walk_id, cur AS prev, v AS cur
+  FROM a{k} WHERE cum > h % tot AND cum - w <= h % tot
+)"""
+
+
+_NODE2VEC_SQL = (
+    """
+WITH n2v_ed AS (
+  SELECT DISTINCT CAST(a.l_partkey AS VARCHAR) AS u,
+                  CAST(b.l_partkey AS VARCHAR) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), starts AS (
+  SELECT DISTINCT u AS node FROM n2v_ed WHERE CAST(u AS BIGINT) % 97 = 0
+), s0 AS (
+  SELECT node || '#0' AS walk_id, CAST(NULL AS VARCHAR) AS prev,
+         node AS cur
+  FROM starts
+)"""
+    + _n2v_step(1) + _n2v_step(2) + _n2v_step(3)
+    + """
+SELECT walk_id, CAST(0 AS INT) AS step, cur AS node FROM s0
+UNION ALL SELECT walk_id, CAST(1 AS INT), cur FROM s1
+UNION ALL SELECT walk_id, CAST(2 AS INT), cur FROM s2
+UNION ALL SELECT walk_id, CAST(3 AS INT), cur FROM s3
+"""
+)
 
 _TURN_KHOP_SQL = "WITH RECURSIVE " + _BASE_CTE.strip()[len("WITH "):] + f"""
 , adj AS (
@@ -4745,6 +4827,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "kg_lpg_project": _LPG_PROJECT_SQL,
         "kg_skipgram_pairs": _SKIPGRAM_SQL,
+        "kg_node2vec_walks": _NODE2VEC_SQL,
         "kg_copurchase_triangles": _TRIANGLES_SQL,
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,

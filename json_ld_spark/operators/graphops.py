@@ -376,3 +376,112 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame | None = None,
+    walks_per_node: int = 1,
+    walk_len: int = 8,
+    seed: str = "",
+    hash_fn: str = "xxhash64",
+    src: str = "src",
+    dst: str = "dst",
+    w_return: int = 1,
+    w_in: int = 1,
+    w_out: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Deterministic node2vec walks (Grover & Leskovec, KDD'16): the
+    2nd-order bias is expressed with INTEGER weights instead of the
+    paper's 1/p, 1, 1/q — ``w_return`` for stepping back to the
+    previous node, ``w_in`` for a candidate adjacent to the previous
+    node (BFS-ish), ``w_out`` otherwise (DFS-ish); scale all three by
+    a common factor to realize any rational p, q. Integer weights make
+    every choice exact: the step-t pick is the candidate whose
+    cumulative-weight interval (neighbors ordered by id) contains
+    ``hash(seed, walk, t, node) mod total_weight`` — reproducible
+    across partitionings and SQL-replayable (no float cumsums to
+    drift). The first step has no previous node and is uniform.
+    Returns ``(walk_id, step, node)``; dead ends end the walk early.
+
+    Scale shape per step: one equi-join frontier × adjacency (fan-out
+    = out-degree, capped by ``max_degree``), one edge-keyed left join
+    marking candidates adjacent to the previous node (the 2nd-order
+    term), and one walk-partitioned window over ≤ degree candidate
+    rows for the cumulative pick — never a global sort, state never
+    exceeds the frontier, lineage cut per step."""
+    from pyspark.sql.window import Window
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(dst).isNotNull())
+        .dropDuplicates()
+    )
+    if max_degree is not None:
+        w0 = Window.partitionBy("u").orderBy("v")
+        e = (
+            e.withColumn("__idx", F.row_number().over(w0))
+            .filter(F.col("__idx") <= max_degree)
+            .drop("__idx")
+        )
+    mark = e.select(
+        F.col("u").alias("prev"), F.col("v").alias("v"),
+        F.lit(1).alias("__tri"),
+    )
+    if starts is None:
+        starts = e.select(F.col("u").alias("node")).dropDuplicates()
+    frontier = (
+        starts.select("node").dropDuplicates()
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("wi"),
+            "node",
+        )
+        .select(
+            F.concat_ws("#", "node", "wi").alias("walk_id"),
+            F.lit(None).cast(starts.schema["node"].dataType).alias("prev"),
+            F.col("node").alias("cur"),
+        )
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").cast("string").alias("node")
+    )
+    wspec = Window.partitionBy("walk_id")
+    for t in range(1, walk_len + 1):
+        cand = (
+            frontier.join(e.withColumnRenamed("u", "cur"), "cur")
+            .join(mark, ["prev", "v"], "left")
+            .withColumn(
+                "w",
+                F.when(F.col("prev").isNull(), F.lit(1))
+                .when(F.col("v") == F.col("prev"), F.lit(w_return))
+                .when(F.col("__tri").isNotNull(), F.lit(w_in))
+                .otherwise(F.lit(w_out))
+                .cast("long"),
+            )
+        )
+        cum = F.sum("w").over(
+            wspec.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        tot = F.sum("w").over(
+            wspec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        r = F.pmod(_walk_hash(hash_fn, seed, F.col("walk_id"), t, F.col("cur")), tot)
+        nxt = (
+            cand.withColumn("__cum", cum)
+            .withColumn("__r", r)
+            .filter(
+                (F.col("__cum") > F.col("__r"))
+                & (F.col("__cum") - F.col("w") <= F.col("__r"))
+            )
+            .select("walk_id", F.col("cur").alias("prev"), F.col("v").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(
+            nxt.select("walk_id", F.lit(t).alias("step"),
+                       F.col("cur").cast("string").alias("node"))
+        )
+        frontier = nxt
+    return out

@@ -32,6 +32,11 @@ def main() -> None:
     assert ns["utterances"].count() > 0
     assert ns["decontam_clean"].count() > 0
     assert ns["sparql_ok"].count() > 0
+    assert ns["owl_closed"].count() > ns["adj_triples"].count()
+    assert ns["pairs"].count() > 0 and ns["n2v"].count() > 0
+    assert ns["negs"].count() > 0
+    assert ns["nodes"].count() > ns["edges"].select("src").distinct().count()
+    assert ns["hot"].count() == 6 and ns["stats"].count() == 2
     print("EXAMPLES.md: all blocks executed, sanity checks pass")
 
 

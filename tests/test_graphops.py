@@ -346,3 +346,61 @@ def test_skipgram_pairs_counts(spark):
     assert got == dict(want)
     # co-occurrence is symmetric in aggregate
     assert all(got[(u, v)] == got[(v, u)] for (u, v) in got)
+
+
+def _py_n2v(edges, starts, wpn, L, seed, wr, wi, wo):
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    eset = set(edges)
+    for (u, v) in sorted(set(edges)):
+        adj[u].append(v)
+    rows = set()
+    for node in starts:
+        for k in range(wpn):
+            wid = f"{node}#{k}"
+            prev, cur = None, node
+            rows.add((wid, 0, str(cur)))
+            for t in range(1, L + 1):
+                nbrs = sorted(set(adj.get(cur, [])))
+                if not nbrs:
+                    break
+                ws = [1 if prev is None else
+                      (wr if v == prev else (wi if (prev, v) in eset else wo))
+                      for v in nbrs]
+                r = int(hashlib.md5(
+                    f"{seed}:{wid}:{t}:{cur}".encode()).hexdigest()[:8], 16) % sum(ws)
+                cum = 0
+                for v, w in zip(nbrs, ws):
+                    cum += w
+                    if cum > r:
+                        nxt = v
+                        break
+                rows.add((wid, t, str(nxt)))
+                prev, cur = cur, nxt
+    return rows
+
+
+def test_node2vec_md5_matches_python_replay(spark):
+    # triangle + tail: all three bias branches fire
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"),
+             ("c", "a"), ("c", "d"), ("d", "c"), ("d", "e"), ("e", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.walk_id, r.step, r.node)
+           for r in g.node2vec_walks(df, walks_per_node=2, walk_len=5,
+                                     seed="nv", hash_fn="md5",
+                                     w_return=1, w_in=4, w_out=2).collect()}
+    want = _py_n2v(edges, ["a", "b", "c", "d", "e"], 2, 5, "nv", 1, 4, 2)
+    assert got == want
+
+
+def test_node2vec_uniform_equals_deepwalk(spark):
+    edges = [(f"n{i}", f"n{(i * 3 + j) % 8}") for i in range(8) for j in (1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    starts = spark.createDataFrame([(f"n{i}",) for i in range(8)], ["node"])
+    a = {tuple(r) for r in g.node2vec_walks(
+        df, starts=starts, walk_len=4, seed="u", hash_fn="md5",
+        w_return=1, w_in=1, w_out=1).collect()}
+    b = {tuple(r) for r in g.random_walks(
+        df, starts=starts, walk_len=4, seed="u", hash_fn="md5").collect()}
+    assert a == b  # equal weights reduce the 2nd-order walk to 1st-order
