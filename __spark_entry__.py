@@ -1240,6 +1240,33 @@ def q_kg_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank_r"))
 
 
+def q_kg_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graphops.personalized_pagerank): 5
+    random-walk-with-restart iterations on the supplier -> customer
+    graph, restarting at every 10th supplier — related-entity salience
+    relative to a seed set (teleport AND dangling mass return to the
+    seeds, not to all nodes). Oracle: the same 5 iterations unrolled
+    as SQL CTEs over the seed restart vector, 6-dp rounded."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    seeds = (
+        li.filter(F.col("l_suppkey") % 10 == 0)
+        .select(F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("node"))
+        .dropDuplicates()
+    )
+    pr = gops.personalized_pagerank(e, seeds, damping=0.85, iters=5)
+    return pr.select("node", F.round("rank", 6).alias("rank_r"))
+
+
 def q_kg_bgp_optional_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with an OPTIONAL group (SPARQL left-join semantics): every
     assistant turn with its index, plus its tool IF a tool triple
@@ -2375,6 +2402,33 @@ def _cents(col: str) -> F.Column:
     return F.round(F.col(col) * 100).cast("long")
 
 
+def q_text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization (textops.normalize_url): four
+    deterministic messy-URL families (mixed-case host + default port +
+    fragment + tracking params + unsorted query) normalized by a pure
+    JVM column expression. Oracle: the expected canonical form is
+    ANALYTIC per family — this checks the normalizer's semantics, not
+    a replay of its regexes."""
+    from json_ld_spark.operators.textops import normalize_url
+
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    url = (
+        F.when(doc % 4 == 0,
+               F.lit("HTTP://Example.COM:80/a/b?utm_source=x&b=2&a=1#frag"))
+        .when(doc % 4 == 1,
+              F.concat(F.lit("https://Site-"), (doc % 5).cast("string"),
+                       F.lit(".org:443/p/"), doc.cast("string"),
+                       F.lit("/?z=9&a="), (doc % 3).cast("string"),
+                       F.lit("&utm_campaign=c&fbclid=f")))
+        .when(doc % 4 == 2, F.lit("http://example.org/"))
+        .otherwise(F.concat(F.lit("https://example.org/path?gclid=1&q="),
+                            doc.cast("string")))
+    )
+    return d.select("doc_id", normalize_url(url).alias("url_norm"))
+
+
 def q_data_profile_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostics (profile.heavy_hitters): exact per-column
     top-3 values over orders — one melt projection + one
@@ -2605,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
         "kg_khop_parts": q_kg_khop_parts,
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
+        "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_bgp_assistant_turns": q_kg_bgp_assistant_turns,
         "kg_bgp_dialogue_pairs": q_kg_bgp_dialogue_pairs,
         "kg_bgp_optional_tool": q_kg_bgp_optional_tool,
@@ -2652,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_extract": q_multimodal_frame_extract,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "streaming_triples": q_streaming_triples,
+        "text_url_normalize": q_text_url_normalize,
         "data_profile_hitters": q_data_profile_hitters,
         "data_column_stats": q_data_column_stats,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -3413,6 +3469,53 @@ r{i + 1} AS (SELECT nodes.node,
 
 
 _PAGERANK_SQL = _pagerank_sql(iters=5, damping=0.85)
+
+
+def _ppr_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank CTE chain mirroring
+    graphops.personalized_pagerank step for step: the restart vector
+    is uniform over the seed set, and both the teleport and the
+    dangling mass are weighted by it."""
+    d = repr(damping)
+    omd = repr(1.0 - damping)
+    parts = [
+        r"""
+WITH e AS (
+  SELECT DISTINCT 's' || l_suppkey AS u, 'c' || o_custkey AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+sd AS (SELECT DISTINCT 's' || l_suppkey AS node FROM lineitem
+       WHERE l_suppkey % 10 = 0),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e
+          UNION SELECT node FROM sd),
+outdeg AS (SELECT u, COUNT(*) AS outd FROM e GROUP BY u),
+kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM sd),
+rst AS (SELECT n.node,
+               CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT k FROM kk)
+                    ELSE 0.0 END AS restart
+        FROM nodes n LEFT JOIN sd s ON n.node = s.node),
+r0 AS (SELECT node, restart AS rank FROM rst)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dang
+         FROM r{i} r LEFT JOIN outdeg od ON r.node = od.u
+         WHERE od.u IS NULL),
+i{i} AS (SELECT e.v AS node, SUM(r.rank / od.outd) AS inflow
+         FROM r{i} r JOIN outdeg od ON r.node = od.u JOIN e ON e.u = od.u
+         GROUP BY e.v),
+r{i + 1} AS (SELECT rst.node,
+            {omd} * rst.restart
+            + {d} * (COALESCE(i.inflow, 0.0)
+                     + (SELECT dang FROM d{i}) * rst.restart) AS rank
+         FROM rst LEFT JOIN i{i} i ON rst.node = i.node)"""
+        )
+    parts.append(f"\nSELECT node, round(rank, 6) AS rank_r FROM r{iters}")
+    return "".join(parts)
+
+
+_PPR_SQL = _ppr_sql(iters=5, damping=0.85)
 
 # Turn-window adjacency: the same conv-partitioned LEAD window in SQL.
 _ADJACENCY_SQL = _BASE_CTE + f"""
@@ -4654,6 +4757,18 @@ FROM orders
 GROUP BY o_orderpriority
 """
 
+_URL_NORMALIZE_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN 'http://example.com/a/b?a=1&b=2'
+       WHEN doc_id % 4 = 1 THEN 'https://site-' || CAST(doc_id % 5 AS VARCHAR)
+            || '.org/p/' || CAST(doc_id AS VARCHAR) || '/?a='
+            || CAST(doc_id % 3 AS VARCHAR) || '&z=9'
+       WHEN doc_id % 4 = 2 THEN 'http://example.org'
+       ELSE 'https://example.org/path?q=' || CAST(doc_id AS VARCHAR)
+  END AS url_norm
+FROM documents
+"""
+
 _PROFILE_HITTERS_SQL = """
 WITH m AS (
   SELECT 'o_orderstatus' AS "column", CAST(o_orderstatus AS VARCHAR) AS value FROM orders
@@ -4831,6 +4946,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_copurchase_triangles": _TRIANGLES_SQL,
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,
+        "kg_pagerank_personalized": _PPR_SQL,
         "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
         "kg_bgp_agg_roles": _BGP_AGG_SQL,
         "kg_bgp_topk_convs": _BGP_TOPK_SQL,
@@ -4883,6 +4999,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_ask": _BGP_ASK_SQL,
         "rel_rollup_pricing": _ROLLUP_SQL,
         "rel_pivot_orders": _PIVOT_SQL,
+        "text_url_normalize": _URL_NORMALIZE_SQL,
         "data_profile_hitters": _PROFILE_HITTERS_SQL,
         "data_column_stats": _COLUMN_STATS_SQL,
         "rel_agg_pricing": _AGG_PRICING_SQL,

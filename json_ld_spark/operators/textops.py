@@ -263,3 +263,39 @@ def gopher_quality(
         n_stop.cast("long").alias("n_stopwords"),
         keep.alias("keep"),
     )
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL form for crawl-level dedup grouping: lowercase
+    scheme+host, default ports stripped, fragment dropped, tracking
+    params (utm_*, fbclid, gclid) removed, remaining query params
+    sorted, trailing slash on a bare path dropped. Pure JVM column
+    expression (regexp + split/filter/sort/join over arrays) — runs
+    inside whole-stage codegen, replayable in SQL, no Python.
+
+    This is the grouping key for URL-exact dedup — two syntactic
+    variants of the same address land in one group before any content
+    hashing runs."""
+    # scheme://host[:port] — lowercase, strip :80/:443
+    base = F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
+    rest = col.substr(F.length(base) + F.lit(1), F.lit(1 << 20))
+    base = F.lower(base)
+    base = F.regexp_replace(base, r":(80|443)$", "")
+    # split off fragment, then query
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.when(
+        rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    path = F.when(path == "/", F.lit("")).otherwise(path)
+    return F.concat(
+        base,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )

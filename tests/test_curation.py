@@ -9,6 +9,8 @@ from json_ld_spark.operators.curation import decontaminate, lm_score, ngrams
 
 import pyspark.sql.functions as F
 
+from json_ld_spark.operators import textops as tx
+
 
 def _py_tokens(text):
     return [w for w in text.strip().lower().split() if w]
@@ -260,3 +262,24 @@ def test_gopher_quality_reference(spark):
                round(sum(map(len, words)) / len(words), 6)) < 1e-9
     assert rows[1]["n_stopwords"] == len(
         set(words) & set(tx.GOPHER_STOPWORDS))
+
+
+def test_normalize_url(spark):
+    cases = [
+        ("HTTP://Example.COM:80/a/b?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a/b?a=1&b=2"),
+        ("https://Site.ORG:443/p/7/?z=9&a=0&utm_campaign=c&fbclid=f",
+         "https://site.org/p/7/?a=0&z=9"),
+        ("http://example.org/", "http://example.org"),
+        ("https://example.org/path?gclid=1&q=5",
+         "https://example.org/path?q=5"),
+        # non-default port kept; empty params dropped; utm= prefix family
+        ("http://h:8080/x?&utm_medium=m&k=v", "http://h:8080/x?k=v"),
+        # no scheme: passes through the path machinery unchanged
+        ("relative/path?b=1&a=2", "relative/path?a=2&b=2"[:-3] + "b=1"),
+        # fragment-only tail
+        ("https://h/x#only", "https://h/x"),
+    ]
+    df = spark.createDataFrame([(u,) for (u, _) in cases], ["url"])
+    got = [r.n for r in df.select(tx.normalize_url(F.col("url")).alias("n")).collect()]
+    assert got == [w for (_, w) in cases]

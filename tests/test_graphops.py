@@ -404,3 +404,41 @@ def test_node2vec_uniform_equals_deepwalk(spark):
     b = {tuple(r) for r in g.random_walks(
         df, starts=starts, walk_len=4, seed="u", hash_fn="md5").collect()}
     assert a == b  # equal weights reduce the 2nd-order walk to 1st-order
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
+             ("a", "c"), ("e", "a")]  # e: source-only; d: in the cycle
+    seeds = ["a", "e"]
+    nodes = sorted({x for p in edges for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for (u, v) in set(edges):
+        A[idx[v], idx[u]] += 1
+    outd = A.sum(axis=0)
+    r0 = np.array([1 / len(seeds) if x in seeds else 0.0 for x in nodes])
+    r, d = r0.copy(), 0.85
+    for _ in range(8):
+        inflow = A @ np.where(outd > 0, r / np.maximum(outd, 1), 0.0)
+        dang = r[outd == 0].sum()
+        r = (1 - d) * r0 + d * (inflow + dang * r0)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {row.node: row.rank
+           for row in g.personalized_pagerank(df, sdf, iters=8).collect()}
+    for x in nodes:
+        assert abs(got[x] - r[idx[x]]) < 1e-9
+    # mass concentrates near the seeds vs a far node
+    assert got["a"] > got["d"]
+
+
+def test_personalized_pagerank_seed_outside_graph(spark):
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    sdf = spark.createDataFrame([("z",)], ["node"])
+    got = {r.node: r.rank for r in g.personalized_pagerank(df, sdf, iters=3).collect()}
+    # z is dangling AND the only seed: it keeps (1-d) + d*own-mass share
+    assert set(got) == {"a", "b", "z"}
+    assert got["z"] > got["a"] and got["a"] == 0.0
