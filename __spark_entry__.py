@@ -2402,6 +2402,65 @@ def _cents(col: str) -> F.Column:
     return F.round(F.col(col) * 100).cast("long")
 
 
+def q_kg_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-pair assembly from turn windows
+    (native.transcript_context_windows): per turn, the role-prefixed
+    text of the previous 3 turns of the same conversation as context
+    plus the turn text as target — the (context, target) training-pair
+    shape, one conv-partitioned bounded-frame window, no Python.
+    Oracle: the same frame as a windowed STRING_AGG."""
+    from json_ld_spark.operators.native import transcript_context_windows
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    return transcript_context_windows(t, k=3)
+
+
+def q_kg_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID-style property partition (profile.void_stats): per-pred
+    triple/subject/object cardinalities of the transcript KG — the
+    statistics the BGP planner's selectivity ordering consumes. One
+    predicate-keyed aggregation; object identity = full value tuple."""
+    from json_ld_spark.operators.profile import void_stats
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    tri = transcript_triples_native(t, with_doc_id=False).select(*TRIPLE_COLS)
+    out = void_stats(tri)
+    return out.select(
+        "pred",
+        F.col("n_triples").cast("long").alias("n_triples"),
+        F.col("n_distinct_subj").cast("long").alias("n_distinct_subj"),
+        F.col("n_distinct_obj").cast("long").alias("n_distinct_obj"),
+    )
+
+
+def q_kg_schema_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-level summary graph (profile.schema_summary): the
+    transcript KG quotiented by rdf:type — Turn --conversation-->
+    untyped conversation nodes, Turn --nextTurn--> Turn. Two
+    endpoint-type joins + one count agg; the oracle is analytic on
+    the synthesis (every turn has one conversation edge; every
+    non-final turn one nextTurn edge)."""
+    from json_ld_spark.operators.native import transcript_adjacency_native
+    from json_ld_spark.operators.profile import schema_summary
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    quads = (
+        transcript_triples_native(t, with_doc_id=False)
+        .select(*TRIPLE_COLS)
+        .unionByName(
+            transcript_adjacency_native(t, with_doc_id=False).select(*TRIPLE_COLS)
+        )
+    )
+    out = schema_summary(quads)
+    return out.select(
+        "src_type", "pred", "dst_type",
+        F.col("n_edges").cast("long").alias("n_edges"),
+    )
+
+
 def q_text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl URL canonicalization (textops.normalize_url): four
     deterministic messy-URL families (mixed-case host + default port +
@@ -2707,6 +2766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_extract": q_multimodal_frame_extract,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "streaming_triples": q_streaming_triples,
+        "kg_context_windows": q_kg_context_windows,
+        "kg_void_stats": q_kg_void_stats,
+        "kg_schema_summary": q_kg_schema_summary,
         "text_url_normalize": q_text_url_normalize,
         "data_profile_hitters": q_data_profile_hitters,
         "data_column_stats": q_data_column_stats,
@@ -4757,6 +4819,39 @@ FROM orders
 GROUP BY o_orderpriority
 """
 
+_CONTEXT_WINDOWS_SQL = _BASE_CTE + """
+SELECT conv_id, turn_idx,
+       CAST(COUNT(*) OVER w AS INT) AS n_context_turns,
+       COALESCE(STRING_AGG(role || ': ' || text, chr(10)) OVER w, '')
+         AS context,
+       text AS target
+FROM base
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+"""
+
+_VOID_STATS_SQL = _TRIPLES_CTE + """
+SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_distinct_subj,
+       CAST(COUNT(DISTINCT (obj_kind, obj, datatype, lang)) AS BIGINT)
+         AS n_distinct_obj
+FROM triples GROUP BY pred
+"""
+
+_SCHEMA_SUMMARY_SQL = _BASE_CTE + f"""
+, adjn AS (
+  SELECT conv_id, turn_idx,
+         LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM base
+)
+SELECT '{_V}Turn' AS src_type, '{_V}conversation' AS pred,
+       'untyped' AS dst_type, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM base
+UNION ALL
+SELECT '{_V}Turn', '{_V}nextTurn', '{_V}Turn', CAST(COUNT(*) AS BIGINT)
+FROM adjn WHERE nxt IS NOT NULL
+"""
+
 _URL_NORMALIZE_SQL = """
 SELECT doc_id,
   CASE WHEN doc_id % 4 = 0 THEN 'http://example.com/a/b?a=1&b=2'
@@ -4999,6 +5094,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_ask": _BGP_ASK_SQL,
         "rel_rollup_pricing": _ROLLUP_SQL,
         "rel_pivot_orders": _PIVOT_SQL,
+        "kg_context_windows": _CONTEXT_WINDOWS_SQL,
+        "kg_void_stats": _VOID_STATS_SQL,
+        "kg_schema_summary": _SCHEMA_SUMMARY_SQL,
         "text_url_normalize": _URL_NORMALIZE_SQL,
         "data_profile_hitters": _PROFILE_HITTERS_SQL,
         "data_column_stats": _COLUMN_STATS_SQL,

@@ -137,3 +137,38 @@ def transcript_adjacency_native(
             F.lit(None).cast("string").alias("lang"),
         )
     )
+
+
+def transcript_context_windows(
+    transcripts: DataFrame, k: int = 3, sep: str = "\n"
+) -> DataFrame:
+    """Per-turn training-sample assembly: for every turn, the
+    concatenated text of the previous ``k`` turns of the SAME
+    conversation (role-prefixed, turn order), plus the current text —
+    the (context, target) pair shape instruction-tuning corpora are
+    built from, materialized straight off the `(conv_id, turn_idx)`
+    turn windows of the north-star data model.
+
+    One conv-partitioned window per output (a conversation's turns are
+    co-located after the single partitionBy shuffle; frame size = k,
+    so state is bounded by the window, not the conversation), all
+    whole-stage-codegen'd — no Python. Deterministic: the frame order
+    IS the (turn_idx) sort order.
+    Output: (conv_id, turn_idx, n_context_turns, context, target).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-k, -1)
+    )
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    ctx = F.collect_list(line).over(w)
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.size(ctx).alias("n_context_turns"),
+        F.array_join(ctx, sep).alias("context"),
+        F.col("text").alias("target"),
+    )

@@ -92,3 +92,61 @@ def column_stats(
         ]
     )
     return row.select(F.explode(entries).alias("e")).select("e.*")
+
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def void_stats(triples: DataFrame) -> DataFrame:
+    """VoID-style property partition of a quad table: per predicate,
+    ``(pred, n_triples, n_distinct_subj, n_distinct_obj)`` — the
+    cardinality statistics a SPARQL/BGP planner orders joins by (the
+    BGP layer's greedy most-selective-first ordering consumes exactly
+    these numbers) and the dataset description VoID publishes.
+    One predicate-keyed aggregation; object identity is the full
+    (kind, lexical, datatype, lang) tuple."""
+    return triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.count_distinct("subj").alias("n_distinct_subj"),
+        F.count_distinct(
+            F.struct("obj_kind", "obj", "datatype", "lang")
+        ).alias("n_distinct_obj"),
+    )
+
+
+def schema_summary(triples: DataFrame, rdf_type: str = RDF_TYPE) -> DataFrame:
+    """Class-level summary graph (ABox → TBox profile):
+    ``(src_type, pred, dst_type, n_edges)`` over node-object,
+    non-rdf:type triples, endpoint classes from their rdf:type
+    assertions (``'untyped'`` when absent). Multi-typed endpoints
+    contribute one row per type pair — standard quotient-graph
+    semantics. Two endpoint-keyed joins + one count agg; the compact
+    schema view a 100 TB KG is explored through before any instance
+    query runs."""
+    types = (
+        triples.filter(F.col("pred") == rdf_type)
+        .select(F.col("subj").alias("node"), F.col("obj").alias("cls"))
+        .dropDuplicates()
+    )
+    edges = triples.filter(
+        (F.col("pred") != rdf_type) & F.col("obj_kind").isin("iri", "bnode")
+    ).select("subj", "pred", "obj")
+    out = (
+        edges.join(
+            types.select(F.col("node").alias("subj"),
+                         F.col("cls").alias("src_type")),
+            "subj", "left",
+        )
+        .join(
+            types.select(F.col("node").alias("obj"),
+                         F.col("cls").alias("dst_type")),
+            "obj", "left",
+        )
+        .groupBy(
+            F.coalesce("src_type", F.lit("untyped")).alias("src_type"),
+            "pred",
+            F.coalesce("dst_type", F.lit("untyped")).alias("dst_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return out

@@ -45,3 +45,67 @@ def test_column_stats_approx_close(spark):
     [r] = column_stats(df, ["s"]).collect()
     assert r.n_rows == 2000 and r.n_nulls == 0
     assert abs(r.n_distinct - 500) <= 25  # HLL within ~5%
+
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+QSCHEMA = ("graph string, subj string, pred string, obj_kind string, "
+           "obj string, datatype string, lang string")
+
+
+def _quads(spark):
+    rows = [
+        (None, "a", RDF_TYPE, "iri", "Person", None, None),
+        (None, "a", RDF_TYPE, "iri", "Agent", None, None),
+        (None, "b", RDF_TYPE, "iri", "Person", None, None),
+        (None, "a", "knows", "iri", "b", None, None),
+        (None, "a", "knows", "iri", "c", None, None),   # c untyped
+        (None, "b", "knows", "iri", "a", None, None),
+        (None, "a", "name", "literal", "x", "xs:string", None),
+        (None, "b", "name", "literal", "x", "xs:string", None),
+        (None, "b", "name", "literal", "x", None, None),  # differs by dt
+    ]
+    return spark.createDataFrame(rows, QSCHEMA)
+
+
+def test_void_stats(spark):
+    from json_ld_spark.operators.profile import void_stats
+
+    got = {r.pred: (r.n_triples, r.n_distinct_subj, r.n_distinct_obj)
+           for r in void_stats(_quads(spark)).collect()}
+    assert got == {
+        RDF_TYPE: (3, 2, 2),
+        "knows": (3, 2, 3),
+        "name": (3, 2, 2),  # same lexical, two datatypes
+    }
+
+
+def test_schema_summary(spark):
+    from json_ld_spark.operators.profile import schema_summary
+
+    got = {(r.src_type, r.pred, r.dst_type): r.n_edges
+           for r in schema_summary(_quads(spark)).collect()}
+    # a is Person AND Agent: its edges appear under both src types, and
+    # edges INTO a appear under both dst types (quotient-graph fan-out)
+    assert got == {
+        ("Person", "knows", "Person"): 2,   # a->b (as Person) + b->a (to a-as-Person)
+        ("Agent", "knows", "Person"): 1,    # a->b (as Agent)
+        ("Person", "knows", "Agent"): 1,    # b->a (to a-as-Agent)
+        ("Person", "knows", "untyped"): 1,  # a->c (as Person)
+        ("Agent", "knows", "untyped"): 1,   # a->c (as Agent)
+    }
+
+
+def test_transcript_context_windows(spark):
+    from json_ld_spark.operators.native import transcript_context_windows
+
+    rows = [("c1", i, f"r{i}", f"t{i}", None, None) for i in range(4)]
+    rows += [("c2", 0, "u", "hello", None, None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    got = {(r.conv_id, r.turn_idx): (r.n_context_turns, r.context, r.target)
+           for r in transcript_context_windows(df, k=2).collect()}
+    assert got[("c1", 0)] == (0, "", "t0")
+    assert got[("c1", 1)] == (1, "r0: t0", "t1")
+    assert got[("c1", 3)] == (2, "r1: t1\nr2: t2", "t3")
+    assert got[("c2", 0)] == (0, "", "hello")
