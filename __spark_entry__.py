@@ -1177,6 +1177,26 @@ def q_kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(q_kg_random_walks(spark, sf_dir), window=2)
 
 
+def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction features (graphops.link_prediction_features) on
+    the co-purchase graph: common-neighbor count, Jaccard overlap and
+    Adamic–Adar per connected-by-a-wedge pair (n_common >= 2 to bound
+    the output) — the classic KG-completion training-label features.
+    One middle-keyed wedge self-join + one pair agg + two degree
+    joins. Oracle: the same wedge algebra in SQL, floats 6-dp."""
+    from json_ld_spark.operators.graphops import link_prediction_features
+
+    _utc(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    out = link_prediction_features(e, src="u", dst="v")
+    return out.filter(F.col("n_common") >= 2).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.col("n_common").cast("long").alias("n_common"),
+        "jaccard_r", "adamic_adar_r",
+    )
+
+
 def q_kg_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the co-purchase graph via
     degree-ordered edge orientation (graphops.triangle_count) — wedge
@@ -2402,6 +2422,37 @@ def _cents(col: str) -> F.Column:
     return F.round(F.col(col) * 100).cast("long")
 
 
+def q_text_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-bigram linear scoring
+    (textops.hashed_ngram_score): model application as one broadcast
+    join against a 4096-bucket weight table + one doc-keyed mean +
+    sigmoid — the trained-classifier plumbing with a deterministic
+    model so DuckDB replays feature hashing, lookup and score
+    end-to-end (6-dp; only summation order differs)."""
+    from json_ld_spark.operators.textops import hashed_ngram_score
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    wts = spark.range(4096).selectExpr(
+        "id AS bucket", "CAST(id % 101 AS DOUBLE)/100 - 0.5 AS weight"
+    )
+    return hashed_ngram_score(docs, wts, buckets=4096)
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (dedup.cdc_chunks): Rabin-style cuts
+    where the trailing-4-char hash ≡ 0 mod 32 — insertion-robust chunk
+    hashes for splice-tolerant dedup. Pure projection (positions via
+    sequence/transform/filter + one explode, no shuffle, no Python).
+    Oracle: identical boundary math through the md5 bridge with DuckDB
+    list_filter/range."""
+    from json_ld_spark.operators.dedup import cdc_chunks
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_chunks(docs, modulus=32)
+
+
 def q_kg_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instruction-pair assembly from turn windows
     (native.transcript_context_windows): per turn, the role-prefixed
@@ -2716,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
         "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
+        "kg_link_prediction": q_kg_link_prediction,
         "kg_khop_parts": q_kg_khop_parts,
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
@@ -2766,6 +2818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_extract": q_multimodal_frame_extract,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "streaming_triples": q_streaming_triples,
+        "text_ngram_score": q_text_ngram_score,
+        "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "kg_context_windows": q_kg_context_windows,
         "kg_void_stats": q_kg_void_stats,
         "kg_schema_summary": q_kg_schema_summary,
@@ -3447,6 +3501,35 @@ FROM (
 # Each x<y<z triangle counted once off the canonical u<v edge list,
 # then attributed to all three corners — orientation-independent, so it
 # must equal the degree-oriented Spark count exactly.
+_LINK_PREDICTION_SQL = r"""
+WITH ed0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), und AS (
+  SELECT u, v FROM ed0 UNION SELECT v AS u, u AS v FROM ed0
+), deg AS (
+  SELECT u, COUNT(*) AS deg FROM und GROUP BY u
+), wed AS (
+  SELECT l.v AS a, r.v AS b, l.u AS w
+  FROM und l JOIN und r ON l.u = r.u AND l.v < r.v
+), pairs AS (
+  SELECT a AS u, b AS v, CAST(COUNT(*) AS BIGINT) AS n_common,
+         SUM(1.0 / ln(d.deg)) AS aa
+  FROM wed JOIN deg d ON d.u = wed.w
+  GROUP BY a, b
+)
+SELECT p.u, p.v, p.n_common,
+       round(p.n_common / CAST(du.deg + dv.deg - p.n_common AS DOUBLE), 6)
+         AS jaccard_r,
+       round(p.aa, 6) AS adamic_adar_r
+FROM pairs p
+JOIN deg du ON du.u = p.u
+JOIN deg dv ON dv.u = p.v
+WHERE p.n_common >= 2
+"""
+
 _TRIANGLES_SQL = r"""
 WITH ed AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -4819,6 +4902,51 @@ FROM orders
 GROUP BY o_orderpriority
 """
 
+_NGRAM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+), t AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS w FROM toks
+), g AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS gram
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), f AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bucket
+  FROM g
+), wts AS (
+  SELECT b AS bucket, CAST(b % 101 AS DOUBLE) / 100 - 0.5 AS weight
+  FROM range(4096) r(b)
+)
+SELECT f.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       round(1.0 / (1.0 + exp(-(0.0 + AVG(w2.weight)))), 6) AS score_r
+FROM f JOIN wts w2 USING (bucket)
+GROUP BY f.doc_id
+"""
+
+_CDC_CHUNKS_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (
+  SELECT doc_id, text, n,
+    list_concat(list_concat([0],
+      list_filter(range(4, n + 1),
+        p -> ('0x' || substr(md5(substr(text, p - 3, 4)), 1, 8))::BIGINT
+             % 32 = 0)),
+      [n]) AS cuts
+  FROM d
+), jj AS (
+  SELECT doc_id, text, cuts, unnest(range(1, len(cuts))) AS j FROM c
+)
+SELECT doc_id AS id, CAST(j - 1 AS INT) AS chunk_idx,
+       CAST(cuts[j] AS INT) AS start,
+       CAST(cuts[j + 1] - cuts[j] AS INT) AS chunk_len,
+       md5(substr(text, cuts[j] + 1, cuts[j + 1] - cuts[j])) AS chunk_md5
+FROM jj WHERE cuts[j + 1] - cuts[j] > 0
+"""
+
 _CONTEXT_WINDOWS_SQL = _BASE_CTE + """
 SELECT conv_id, turn_idx,
        CAST(COUNT(*) OVER w AS INT) AS n_context_turns,
@@ -5039,6 +5167,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_skipgram_pairs": _SKIPGRAM_SQL,
         "kg_node2vec_walks": _NODE2VEC_SQL,
         "kg_copurchase_triangles": _TRIANGLES_SQL,
+        "kg_link_prediction": _LINK_PREDICTION_SQL,
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,
         "kg_pagerank_personalized": _PPR_SQL,
@@ -5094,6 +5223,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_ask": _BGP_ASK_SQL,
         "rel_rollup_pricing": _ROLLUP_SQL,
         "rel_pivot_orders": _PIVOT_SQL,
+        "text_ngram_score": _NGRAM_SCORE_SQL,
+        "dedup_cdc_chunks": _CDC_CHUNKS_SQL,
         "kg_context_windows": _CONTEXT_WINDOWS_SQL,
         "kg_void_stats": _VOID_STATS_SQL,
         "kg_schema_summary": _SCHEMA_SUMMARY_SQL,

@@ -416,3 +416,63 @@ def select_survivors(
         ).drop("__best")
     winners = joined.groupBy(group_col).agg(F.min(id_col).alias(id_col))
     return docs.join(winners.select(id_col), id_col, "left_semi")
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    modulus: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style): cut a document after
+    position p whenever the hash of the trailing ``window`` characters
+    is ≡ 0 mod ``modulus`` — boundaries move WITH the content, so an
+    insertion near the start shifts every chunk of a byte-offset
+    splitter but leaves all later CDC chunks (and their hashes)
+    identical. Chunk-hash grouping therefore catches near-duplicates
+    that differ by splices, the storage-dedup trick applied to corpus
+    text. Expected chunk length ≈ ``modulus`` chars.
+
+    Boundaries are position-local (fixed-window hash, no running
+    state, no min/max clamp), which is what makes the operator a pure
+    projection — sequence/transform/filter over positions, one explode;
+    no shuffle, no Python, and bit-for-bit replayable in SQL through
+    the md5 bridge. Output: (id, chunk_idx, start, chunk_len,
+    chunk_md5), zero-length tail chunks dropped."""
+    text = F.col(text_col)
+    n = F.length(text)
+    pos = F.when(
+        n >= window, F.sequence(F.lit(window), n)
+    ).otherwise(F.array().cast("array<int>"))
+    bridge = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+    cut = F.filter(
+        pos,
+        lambda p: bridge(text.substr(p - F.lit(window - 1), F.lit(window)))
+        % modulus == 0,
+    )
+    cuts = F.concat(F.array(F.lit(0)), cut, F.array(n))
+    idxs = F.sequence(F.lit(0), F.size(cuts) - 2)
+    spans = F.transform(
+        idxs,
+        lambda j: F.struct(
+            j.alias("chunk_idx"),
+            F.element_at(cuts, j + 1).alias("start"),
+            (F.element_at(cuts, j + 2) - F.element_at(cuts, j + 1)).alias(
+                "chunk_len"
+            ),
+        ),
+    )
+    out = (
+        docs.select(F.col(id_col).alias("id"), text.alias("__t"),
+                    F.explode(spans).alias("s"))
+        .select("id", "s.*", "__t")
+        .filter(F.col("chunk_len") > 0)
+        .select(
+            "id", "chunk_idx", "start", "chunk_len",
+            F.md5(
+                F.col("__t").substr(F.col("start") + 1, F.col("chunk_len"))
+            ).alias("chunk_md5"),
+        )
+    )
+    return out

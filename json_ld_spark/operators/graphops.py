@@ -560,3 +560,58 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def link_prediction_features(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Topological link-prediction features over the undirected simple
+    graph: for every node pair with at least one common neighbor,
+    ``(u, v, n_common, jaccard_r, adamic_adar_r)`` — common-neighbor
+    count, Jaccard overlap of neighborhoods, and the Adamic–Adar index
+    Σ 1/ln(deg(w)) over shared neighbors w (the classic feature set
+    for KG completion / edge-recommendation training labels).
+
+    Plan shape: one wedge self-join through the middle node (fan-out
+    deg(w)² per middle — the hub hazard; cap with ``max_degree``,
+    which drops wedges through the hottest middles, the same
+    truncation dial as the walks), then one pair-keyed aggregation,
+    then one broadcast-free degree join per endpoint for the union
+    size. Pairs with zero common neighbors are absent by construction
+    (their features are 0 — materializing the quadratic zero set at
+    corpus scale is exactly what this avoids)."""
+    und = _symmetrize(edges, src, dst)  # (u, v), both orientations
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    adj = und
+    if max_degree is not None:
+        adj = adj.join(
+            deg.filter(F.col("deg") <= max_degree).select("u"), "u"
+        )
+    # wedges u - w - v with u < v: one self-join keyed on the middle
+    left = adj.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    right = adj.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    wedges = (
+        left.join(right, "w")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("u").alias("w"), F.col("deg").alias("wdeg")), "w")
+    )
+    pairs = wedges.groupBy(F.col("a").alias("u"), F.col("b").alias("v")).agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(F.lit(1.0) / F.log(F.col("wdeg"))).alias("aa"),
+    )
+    return (
+        pairs.join(deg.select(F.col("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u", "v", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("du") + F.col("dv") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard_r"),
+            F.round("aa", 6).alias("adamic_adar_r"),
+        )
+    )

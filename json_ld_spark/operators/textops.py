@@ -299,3 +299,60 @@ def normalize_url(col: Column) -> Column:
         path,
         F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
     )
+
+
+def hashed_ngram_score(
+    docs: "DataFrame",
+    weights: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 1 << 12,
+    bias: float = 0.0,
+) -> "DataFrame":
+    """fastText-style linear quality scorer over hashed word n-grams:
+    tokenize → n-grams → feature bucket = md5-bridge(gram) mod
+    ``buckets`` → look the bucket up in the (bucket, weight) model
+    table → per-doc score = sigmoid(bias + mean weight). This is the
+    model-application PLUMBING of a trained quality/language
+    classifier (hashing-trick features, linear head) as two shuffles:
+    one broadcast join against the MB-scale model table and one doc-
+    keyed mean — no Python, deterministic, SQL-replayable.
+
+    Output: (id, n_feats, score_r) — score rounded to 6 dp (the only
+    cross-engine divergence is summation order). Docs with fewer than
+    ``n`` tokens produce no features and are absent (gate them
+    upstream with text_stats)."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    if n == 1:
+        grams = toks
+    else:
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+    ).select(
+        "id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+    joined = feats.join(F.broadcast(weights), "bucket", "left").select(
+        "id", F.coalesce("weight", F.lit(0.0)).alias("weight")
+    )
+    raw = F.lit(bias) + F.avg("weight")
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("score_r"),
+    )

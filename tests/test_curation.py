@@ -283,3 +283,30 @@ def test_normalize_url(spark):
     df = spark.createDataFrame([(u,) for (u, _) in cases], ["url"])
     got = [r.n for r in df.select(tx.normalize_url(F.col("url")).alias("n")).collect()]
     assert got == [w for (_, w) in cases]
+
+
+def test_hashed_ngram_score_matches_python(spark):
+    import hashlib
+    import math
+
+    buckets = 256
+
+    def py_score(text):
+        toks = [w for w in text.strip().lower().split() if w]
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        if not grams:
+            return None
+        ws = []
+        for gm in grams:
+            b = int(hashlib.md5(gm.encode()).hexdigest()[:8], 16) % buckets
+            ws.append((b % 7) / 10 - 0.3)
+        raw = sum(ws) / len(ws)
+        return len(grams), round(1 / (1 + math.exp(-raw)), 6)
+
+    texts = [(1, "the cat sat on the mat"), (2, "one"), (3, "a b a b a")]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    wts = spark.range(buckets).selectExpr(
+        "id AS bucket", "CAST(id % 7 AS DOUBLE)/10 - 0.3 AS weight")
+    got = {r.id: (r.n_feats, r.score_r)
+           for r in tx.hashed_ngram_score(df, wts, buckets=buckets).collect()}
+    assert got == {i: py_score(t) for (i, t) in texts if py_score(t)}

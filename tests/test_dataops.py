@@ -387,3 +387,39 @@ def test_select_survivors(spark):
     # no preference: smallest id
     out2 = select_survivors(docs, groups)
     assert sorted(r.doc_id for r in out2.collect()) == [1, 4, 9]
+
+
+def test_cdc_chunks_python_replay_and_shift_stability(spark):
+    import hashlib
+
+    def py_cdc(text, window=4, modulus=64):
+        n = len(text)
+        cuts = [0] + [
+            p for p in range(window, n + 1)
+            if int(hashlib.md5(text[p - window:p].encode()).hexdigest()[:8], 16)
+            % modulus == 0
+        ] + [n]
+        out = []
+        for j in range(len(cuts) - 1):
+            s, e = cuts[j], cuts[j + 1]
+            if e > s:
+                out.append((j, s, e - s,
+                            hashlib.md5(text[s:e].encode()).hexdigest()))
+        return out
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders far away into the deep dark forest tonight") * 3
+    edited = "INSERTED PREFIX!! " + base
+    df = spark.createDataFrame([(1, base), (2, edited), (3, "tiny")],
+                               ["doc_id", "text"])
+    got = {}
+    from json_ld_spark.operators.dedup import cdc_chunks
+    for r in cdc_chunks(df, modulus=16).collect():
+        got.setdefault(r.id, []).append((r.chunk_idx, r.start, r.chunk_len, r.chunk_md5))
+    for i, txt in ((1, base), (2, edited), (3, "tiny")):
+        assert sorted(got[i]) == py_cdc(txt, modulus=16), f"doc {i}"
+    # shift stability: after the edit settles, chunk hashes realign —
+    # most of doc 1's chunk hashes appear in doc 2 despite the prefix
+    h1 = {h for (_, _, _, h) in got[1]}
+    h2 = {h for (_, _, _, h) in got[2]}
+    assert len(h1 & h2) >= len(h1) - 2

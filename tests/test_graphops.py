@@ -442,3 +442,36 @@ def test_personalized_pagerank_seed_outside_graph(spark):
     # z is dangling AND the only seed: it keeps (1-d) + d*own-mass share
     assert set(got) == {"a", "b", "z"}
     assert got["z"] > got["a"] and got["a"] == 0.0
+
+
+def test_link_prediction_features_vs_bruteforce(spark):
+    import math
+    from collections import defaultdict
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("b", "d"),
+             ("d", "e"), ("a", "e"), ("e", "f")]
+    nbrs = defaultdict(set)
+    for (x, y) in edges:
+        nbrs[x].add(y); nbrs[y].add(x)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            common = nbrs[u] & nbrs[v]
+            if not common:
+                continue
+            j = len(common) / (len(nbrs[u]) + len(nbrs[v]) - len(common))
+            aa = sum(1 / math.log(len(nbrs[w])) for w in common)
+            want[(u, v)] = (len(common), round(j, 6), round(aa, 6))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.u, r.v): (r.n_common, r.jaccard_r, r.adamic_adar_r)
+           for r in g.link_prediction_features(df).collect()}
+    assert got == want
+
+
+def test_link_prediction_max_degree_caps_middles(spark):
+    # star: hub h connects x0..x4; all pairs share only the hub middle
+    edges = [("h", f"x{i}") for i in range(5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert g.link_prediction_features(df).count() == 10
+    assert g.link_prediction_features(df, max_degree=3).count() == 0
