@@ -1706,6 +1706,48 @@ def q_rel_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE grouping sets: every subtotal combination of
+    (returnflag, linestatus) incl. both one-dimension margins —
+    completes the grouping-sets family next to ROLLUP/PIVOT,
+    integer-cents exact with the grouping_id bitmask compared across
+    engines."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents("l_extendedprice")) / 100.0).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+def q_rel_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SQL ranking-function family over one deterministic
+    total order (totalprice DESC, orderkey): row_number / rank /
+    dense_rank / percent_rank / ntile(4) / cume_dist per priority
+    partition, top-50 page per partition."""
+    from pyspark.sql.window import Window
+
+    _utc(spark)
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    out = orders.select(
+        "o_orderpriority", "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank_r"),
+        F.ntile(4).over(w).cast("long").alias("tile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_r"),
+    )
+    return out.filter(F.col("rn") <= 50)
+
+
 def q_rel_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT coverage: order-status columns per priority (explicit
     pivot values so the plan is a single pass, no distinct-collect),
@@ -2300,6 +2342,26 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(media)
 
 
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize
+    (multimodal.resize_images): stdlib PNG decode → index-sampled
+    6×5 thumbnail → stdlib PNG re-encode in one Arrow mapInPandas
+    pass; the resized image's integer channel sums are oracled
+    analytically from the synthesis formula at the sampled
+    coordinates (the re-encoded bytes are decode-roundtrip-verified
+    in tests — zlib output is not SQL-expressible)."""
+    from json_ld_spark.operators.multimodal import (
+        resize_images, synthesize_png_media,
+    )
+
+    _utc(spark)
+    media = synthesize_png_media(spark, n=48)
+    return resize_images(media, 6, 5).select(
+        "media_id", "width", "height", "out_w", "out_h",
+        "sum_r", "sum_g", "sum_b",
+    )
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image codec path (round-3): pure-stdlib PNG decode (zlib
     inflate + scanline unfilter) inside mapInPandas over real PNG
@@ -2814,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_image_resize": q_multimodal_image_resize,
         "multimodal_video_features": q_multimodal_video_features,
         "multimodal_frame_extract": q_multimodal_frame_extract,
         "multimodal_frame_plan": q_multimodal_frame_plan,
@@ -2840,6 +2903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_describe": q_kg_bgp_describe,
         "kg_bgp_ask": q_kg_bgp_ask,
         "rel_rollup_pricing": q_rel_rollup_pricing,
+        "rel_cube_pricing": q_rel_cube_pricing,
+        "rel_rank_functions": q_rel_rank_functions,
         "rel_pivot_orders": q_rel_pivot_orders,
         "rel_asof_snapshot": q_rel_asof_snapshot,
         "rel_interval_windows": q_rel_interval_windows,
@@ -4260,6 +4325,26 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
 FROM px GROUP BY media_id, w, h
 """
 
+_IMAGE_RESIZE_SQL = """
+WITH src AS (
+  SELECT i, 8 + i % 9 AS w, 8 + (3 * i) % 9 AS h
+  FROM generate_series(0, 47) m(i)
+), px AS (
+  SELECT s.i AS media_id, s.w, s.h,
+         (xo.x * s.w) // 6 AS sx, (yo.y * s.h) // 5 AS sy
+  FROM src s
+  CROSS JOIN generate_series(0, 5) xo(x)
+  CROSS JOIN generate_series(0, 4) yo(y)
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(6 AS BIGINT) AS out_w, CAST(5 AS BIGINT) AS out_h,
+       CAST(SUM((7 * sx + 13 * sy + media_id) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((3 * sx + 5 * sy + 2 * media_id) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((11 * sx + sy + 3 * media_id) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY media_id, w, h
+"""
+
 _AUDIO_FEATURES_SQL = """
 WITH s AS (
   SELECT m.i AS media_id, t.k AS k,
@@ -4890,6 +4975,31 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+       COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+_RANK_FUNCTIONS_SQL = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey,
+         ROW_NUMBER() OVER w AS rn,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk,
+         round(PERCENT_RANK() OVER w, 6) AS prank_r,
+         CAST(NTILE(4) OVER w AS BIGINT) AS tile,
+         round(CUME_DIST() OVER w, 6) AS cume_r
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey)
+)
+WHERE rn <= 50
+"""
+
 _PIVOT_SQL = """
 SELECT o_orderpriority,
        CAST(SUM(CASE WHEN o_orderstatus = 'O'
@@ -5213,6 +5323,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MM_FEATURES_SQL,
         "multimodal_audio_features": _AUDIO_FEATURES_SQL,
         "multimodal_image_features": _IMAGE_FEATURES_SQL,
+        "multimodal_image_resize": _IMAGE_RESIZE_SQL,
         "multimodal_video_features": _VIDEO_FEATURES_SQL,
         "multimodal_frame_extract": _FRAME_EXTRACT_SQL,
         "multimodal_frame_plan": _FRAME_PLAN_SQL,
@@ -5222,6 +5333,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_describe": _BGP_DESCRIBE_SQL,
         "kg_bgp_ask": _BGP_ASK_SQL,
         "rel_rollup_pricing": _ROLLUP_SQL,
+        "rel_cube_pricing": _CUBE_SQL,
+        "rel_rank_functions": _RANK_FUNCTIONS_SQL,
         "rel_pivot_orders": _PIVOT_SQL,
         "text_ngram_score": _NGRAM_SCORE_SQL,
         "dedup_cdc_chunks": _CDC_CHUNKS_SQL,

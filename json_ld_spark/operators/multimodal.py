@@ -659,3 +659,60 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(
         run, schema=SAMPLED_FRAME_SCHEMA
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("out_w", T.LongType(), False),
+        T.StructField("out_h", T.LongType(), False),
+        T.StructField("resized_png", T.BinaryType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """REAL image resize (nearest-neighbor): Arrow-batched mapInPandas
+    decodes each PNG with the stdlib codec, index-samples
+    ``src = (dst * src_dim) // dst_dim`` per axis, and re-encodes a
+    real PNG of the target size — the standard thumbnail stage of a
+    multimodal ingest pipeline, with the batch shape / schema /
+    partitioning identical to image_features. Channel sums of the
+    RESIZED image ride along so the analytic oracle can check the
+    sampling math integer-exactly (the PNG bytes themselves are
+    zlib-dependent and are verified by decode-roundtrip in tests
+    instead)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = png_decode(bytes(payload))
+                a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, ch)
+                xs = (np.arange(out_w) * w) // out_w
+                ys = (np.arange(out_h) * h) // out_h
+                r = a[np.ix_(ys, xs)]
+                s = r.astype(np.int64).reshape(-1, ch)
+                out["media_id"].append(int(media_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["resized_png"].append(
+                    bytearray(png_encode(out_w, out_h, r.tobytes(), ch))
+                )
+                out["sum_r"].append(int(s[:, 0].sum()))
+                out["sum_g"].append(int(s[:, 1].sum()))
+                out["sum_b"].append(int(s[:, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )

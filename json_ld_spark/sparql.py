@@ -41,8 +41,11 @@ emits is already oracle-tested):
   never Python): ``&&``/``||``/``!`` → AND/OR/NOT, ``regex`` →
   ``regexp_like``, ``bound`` → ``isnotnull``, STRSTARTS/STRENDS/
   CONTAINS/STRLEN/UCASE/LCASE/STR → startswith/endswith/contains/
-  length/upper/lower/string; everything else passes through as Spark
-  SQL with ``?var`` references substituted.
+  length/upper/lower/string, SUBSTR → substring (both 1-based),
+  REPLACE → regexp_replace (both regex-based), HOURS/MINUTES/SECONDS
+  → hour/minute/second; ABS/ROUND/CEIL/FLOOR/CONCAT/COALESCE/IF pass
+  through by name, as does everything else (Spark SQL with ``?var``
+  references substituted).
 
 - ``GRAPH ?g|<iri> { … }`` over a QUAD table (a DataFrame carrying a
   ``graph`` column): contained patterns become 4-term quad patterns;
@@ -176,6 +179,12 @@ _FN_MAP = {
     "regex": "regexp_like", "bound": "isnotnull", "strstarts": "startswith",
     "strends": "endswith", "contains": "contains", "strlen": "length",
     "ucase": "upper", "lcase": "lower", "str": "string", "sample": "min",
+    # SPARQL 17.4 builtins with direct Spark SQL equivalents: SUBSTR is
+    # 1-based in both; REPLACE is regex-based in both; the datetime
+    # accessors differ only in pluralization. ABS/ROUND/CEIL/FLOOR/
+    # CONCAT/COALESCE/IF pass through by name.
+    "substr": "substring", "replace": "regexp_replace",
+    "hours": "hour", "minutes": "minute", "seconds": "second",
 }
 _UNSUPPORTED = {"service", "insert", "delete", "with"}
 

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from json_ld_spark.operators.dedup import (
+    cdc_chunks,
     dedup_exact,
     exact_duplicates,
     jaccard_pairs,
@@ -423,3 +424,28 @@ def test_cdc_chunks_python_replay_and_shift_stability(spark):
     h1 = {h for (_, _, _, h) in got[1]}
     h2 = {h for (_, _, _, h) in got[2]}
     assert len(h1 & h2) >= len(h1) - 2
+
+
+def test_cdc_chunks_reassemble_exactly(spark):
+    """Chunks partition the document: sorting by chunk_idx and
+    concatenating the substrings reproduces the original text."""
+    import random as _r
+
+    rnd = _r.Random(11)
+    alpha = "abcdefg \n"
+    texts = ["".join(rnd.choice(alpha) for _ in range(rnd.randrange(0, 300)))
+             for _ in range(20)]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {}
+    for r in cdc_chunks(df, modulus=8).collect():
+        got.setdefault(r.id, []).append((r.chunk_idx, r.start, r.chunk_len))
+    for i, text in enumerate(texts):
+        spans = sorted(got.get(i, []))
+        rebuilt = "".join(text[s:s + ln] for (_, s, ln) in spans)
+        assert rebuilt == text, f"doc {i}"
+        # spans are contiguous and non-overlapping
+        pos = 0
+        for (_, s, ln) in spans:
+            assert s == pos and ln > 0
+            pos += ln
+        assert pos == len(text)

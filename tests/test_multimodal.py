@@ -197,3 +197,31 @@ def test_sample_video_frames_rejects_bad_step(spark):
 
     with _pytest.raises(ValueError):
         mm.sample_video_frames(mm.synthesize_avi_media(spark, n=1), every_n=0)
+
+
+def test_resize_images_roundtrip_and_sampling(spark):
+    from json_ld_spark.operators.multimodal import (
+        png_decode, resize_images, synthesize_png_media,
+    )
+
+    media = synthesize_png_media(spark, n=6)
+    rows = {r.media_id: r for r in resize_images(media, 5, 4).collect()}
+    assert len(rows) == 6
+    for i, r in rows.items():
+        w, h = 8 + i % 9, 8 + (3 * i) % 9
+        assert (r.width, r.height, r.out_w, r.out_h) == (w, h, 5, 4)
+        # decode the re-encoded PNG and replay the NN sampling math
+        rw, rh, ch, px = png_decode(bytes(r.resized_png))
+        assert (rw, rh, ch) == (5, 4, 3)
+        xs = [(x * w) // 5 for x in range(5)]
+        ys = [(y * h) // 4 for y in range(4)]
+        want = []
+        for y in ys:
+            for x in xs:
+                want += [(7 * x + 13 * y + i) % 256,
+                         (3 * x + 5 * y + 2 * i) % 256,
+                         (11 * x + y + 3 * i) % 256]
+        assert list(px) == want
+        assert r.sum_r == sum(want[0::3])
+        assert r.sum_g == sum(want[1::3])
+        assert r.sum_b == sum(want[2::3])

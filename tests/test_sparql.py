@@ -490,3 +490,21 @@ def test_filter_if_coalesce_not(kg):
         }}''')
     got = {(r.t, r.lvl) for r in out.collect()}
     assert got == {("t1", "human"), ("t3", "bot"), ("t4", "human")}
+
+
+def test_filter_string_datetime_builtins(kg, spark):
+    """SPARQL 17.4 builtins map onto Spark SQL: SUBSTR (1-based),
+    REPLACE (regex), UCASE, STRLEN, ABS/FLOOR passthrough."""
+    t = spark.createDataFrame(
+        [("a", "n", "alpha"), ("b", "n", "beta"), ("c", "n", "gamma")],
+        ["subj", "pred", "obj"],
+    )
+    out = sparql(t, 'SELECT ?s WHERE { ?s <n> ?v FILTER (SUBSTR(?v, 1, 1) = "a") }')
+    assert _rows(out) == [("a",)]
+    out2 = sparql(t, '''SELECT ?s WHERE {
+        ?s <n> ?v FILTER (REPLACE(?v, "[aeiou]", "") = "gmm") }''')
+    assert _rows(out2) == [("c",)]
+    out3 = sparql(t, 'SELECT ?s WHERE { ?s <n> ?v FILTER (STRLEN(UCASE(?v)) = 4) }')
+    assert _rows(out3) == [("b",)]
+    out4 = sparql(t, 'SELECT ?s WHERE { ?s <n> ?v FILTER (ABS(FLOOR(-1.5)) = 2) }')
+    assert _rows(out4) == [("a",), ("b",), ("c",)]
