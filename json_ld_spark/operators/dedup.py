@@ -452,27 +452,32 @@ def cdc_chunks(
         % modulus == 0,
     )
     cuts = F.concat(F.array(F.lit(0)), cut, F.array(n))
-    idxs = F.sequence(F.lit(0), F.size(cuts) - 2)
-    spans = F.transform(
-        idxs,
-        lambda j: F.struct(
-            j.alias("chunk_idx"),
-            F.element_at(cuts, j + 1).alias("start"),
-            (F.element_at(cuts, j + 2) - F.element_at(cuts, j + 1)).alias(
-                "chunk_len"
-            ),
-        ),
+    # materialize the cut array ONCE per row before anything indexes
+    # into it: Catalyst expression trees have no sharing, so writing
+    # element_at(<cuts-expr>, …) twice per span would re-run the whole
+    # per-position boundary hash per reference (measured 25x blowup);
+    # the explicit projection boundary makes downstream refs read the
+    # computed array (CollapseProject keeps multi-referenced non-cheap
+    # producers un-inlined)
+    staged = docs.select(
+        F.col(id_col).alias("id"), text.alias("__t"), cuts.alias("__cuts")
     )
-    out = (
-        docs.select(F.col(id_col).alias("id"), text.alias("__t"),
-                    F.explode(spans).alias("s"))
-        .select("id", "s.*", "__t")
-        .filter(F.col("chunk_len") > 0)
-        .select(
-            "id", "chunk_idx", "start", "chunk_len",
-            F.md5(
-                F.col("__t").substr(F.col("start") + 1, F.col("chunk_len"))
-            ).alias("chunk_md5"),
-        )
+    rows = staged.select(
+        "id", "__t", "__cuts",
+        F.explode(
+            F.sequence(F.lit(0), F.size(F.col("__cuts")) - 2)
+        ).alias("chunk_idx"),
+    ).select(
+        "id", "__t", "chunk_idx",
+        F.element_at("__cuts", F.col("chunk_idx") + 1).alias("start"),
+        (
+            F.element_at("__cuts", F.col("chunk_idx") + 2)
+            - F.element_at("__cuts", F.col("chunk_idx") + 1)
+        ).alias("chunk_len"),
     )
-    return out
+    return rows.filter(F.col("chunk_len") > 0).select(
+        "id", "chunk_idx", "start", "chunk_len",
+        F.md5(
+            F.col("__t").substr(F.col("start") + 1, F.col("chunk_len"))
+        ).alias("chunk_md5"),
+    )
