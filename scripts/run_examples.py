@@ -37,6 +37,9 @@ def main() -> None:
     assert ns["negs"].count() > 0
     assert ns["nodes"].count() > ns["edges"].select("src").distinct().count()
     assert ns["hot"].count() == 6 and ns["stats"].count() == 2
+    assert ns["url_groups"].count() == 1   # both variants canonicalize equal
+    assert ns["chunk_groups"].count() > 0 and ns["scores"].count() > 0
+    assert ns["thumbs"].count() == 8
     print("EXAMPLES.md: all blocks executed, sanity checks pass")
 
 
