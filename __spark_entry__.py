@@ -2515,6 +2515,30 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(docs, modulus=32)
 
 
+def q_kg_skolemize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF 1.1 skolemization (canonical.skolemize): conversations are
+    anonymized to blank nodes (the multi-source ingest case) and then
+    skolemized to /.well-known/genid/ IRIs — a pure projection that
+    makes bnode-bearing graphs joinable across systems. Oracle: the
+    genid IRI is a string rewrite of the deterministic conv id."""
+    from json_ld_spark.operators.canonical import skolemize
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    tri = transcript_triples_native(t, with_doc_id=False).select(*TRIPLE_COLS)
+    is_conv = F.col("pred") == _V + "conversation"
+    anon = tri.withColumn(
+        "obj",
+        F.when(
+            is_conv,
+            F.regexp_replace("obj", "^" + _CB + "conv-", "_:c"),
+        ).otherwise(F.col("obj")),
+    ).withColumn(
+        "obj_kind", F.when(is_conv, F.lit("bnode")).otherwise(F.col("obj_kind"))
+    )
+    return skolemize(anon)
+
+
 def q_kg_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instruction-pair assembly from turn windows
     (native.transcript_context_windows): per turn, the role-prefixed
@@ -2883,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_triples": q_streaming_triples,
         "text_ngram_score": q_text_ngram_score,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "kg_skolemize": q_kg_skolemize,
         "kg_context_windows": q_kg_context_windows,
         "kg_void_stats": q_kg_void_stats,
         "kg_schema_summary": q_kg_schema_summary,
@@ -5057,6 +5082,16 @@ SELECT doc_id AS id, CAST(j - 1 AS INT) AS chunk_idx,
 FROM jj WHERE cuts[j + 1] - cuts[j] > 0
 """
 
+_SKOLEMIZE_SQL = _TRIPLES_CTE + f"""
+SELECT graph, subj, pred, obj_kind,
+       CASE WHEN pred = '{_V}conversation'
+            THEN replace(obj, '{_CB}conv-',
+                         'https://example.org/.well-known/genid/c')
+            ELSE obj END AS obj,
+       datatype, lang
+FROM triples
+"""
+
 _CONTEXT_WINDOWS_SQL = _BASE_CTE + """
 SELECT conv_id, turn_idx,
        CAST(COUNT(*) OVER w AS INT) AS n_context_turns,
@@ -5338,6 +5373,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_pivot_orders": _PIVOT_SQL,
         "text_ngram_score": _NGRAM_SCORE_SQL,
         "dedup_cdc_chunks": _CDC_CHUNKS_SQL,
+        "kg_skolemize": _SKOLEMIZE_SQL,
         "kg_context_windows": _CONTEXT_WINDOWS_SQL,
         "kg_void_stats": _VOID_STATS_SQL,
         "kg_schema_summary": _SCHEMA_SUMMARY_SQL,

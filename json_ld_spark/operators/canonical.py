@@ -247,3 +247,59 @@ def canonicalize_bnodes_df(
         )
     )
     return out
+
+
+GENID_BASE = "https://example.org/.well-known/genid/"
+
+
+def skolemize(triples: DataFrame, base: str = GENID_BASE) -> DataFrame:
+    """RDF 1.1 §3.5 skolemization: replace every blank node with a
+    fresh IRI under a ``/.well-known/genid/`` base — the standard way
+    to make bnode-bearing data mergeable/joinable across systems that
+    would otherwise re-scope the labels. A pure projection (no
+    shuffle): ``_:label`` → ``<base>label`` in subject and object
+    position, object kind flipped to ``iri``. Run AFTER
+    canonicalization (canonicalize_bnodes_df / relabel_expanded) so
+    the labels are content-derived and two sources holding the same
+    graph skolemize to the SAME IRIs; raw parser-scoped labels would
+    skolemize to accidental ones."""
+    is_b = F.col("subj").startswith("_:")
+    subj2 = F.when(
+        is_b, F.concat(F.lit(base), F.col("subj").substr(F.lit(3), F.length("subj")))
+    ).otherwise(F.col("subj"))
+    ob = F.col("obj_kind") == "bnode"
+    obj2 = F.when(
+        ob, F.concat(F.lit(base), F.col("obj").substr(F.lit(3), F.length("obj")))
+    ).otherwise(F.col("obj"))
+    kind2 = F.when(ob, F.lit("iri")).otherwise(F.col("obj_kind"))
+    others = [c for c in triples.columns
+              if c not in ("graph", "subj", "pred", "obj_kind", "obj",
+                           "datatype", "lang")]
+    return triples.select(
+        "graph", subj2.alias("subj"), "pred", kind2.alias("obj_kind"),
+        obj2.alias("obj"), "datatype", "lang", *others,
+    )
+
+
+def unskolemize(triples: DataFrame, base: str = GENID_BASE) -> DataFrame:
+    """Inverse of `skolemize`: IRIs under ``base`` become blank nodes
+    again (subject and object position; object kind restored to
+    ``bnode``). skolemize ∘ unskolemize is the identity on any quad
+    table whose ordinary IRIs do not live under ``base``."""
+    n = len(base)
+    sk_s = F.col("subj").startswith(base)
+    sk_o = (F.col("obj_kind") == "iri") & F.col("obj").startswith(base)
+    subj2 = F.when(
+        sk_s, F.concat(F.lit("_:"), F.col("subj").substr(F.lit(n + 1), F.length("subj")))
+    ).otherwise(F.col("subj"))
+    obj2 = F.when(
+        sk_o, F.concat(F.lit("_:"), F.col("obj").substr(F.lit(n + 1), F.length("obj")))
+    ).otherwise(F.col("obj"))
+    kind2 = F.when(sk_o, F.lit("bnode")).otherwise(F.col("obj_kind"))
+    others = [c for c in triples.columns
+              if c not in ("graph", "subj", "pred", "obj_kind", "obj",
+                           "datatype", "lang")]
+    return triples.select(
+        "graph", subj2.alias("subj"), "pred", kind2.alias("obj_kind"),
+        obj2.alias("obj"), "datatype", "lang", *others,
+    )

@@ -235,3 +235,29 @@ def test_cli_expand_relabel_fetch(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert rc == 0 and out[0]["@id"] == "_:b0"
     assert out[0]["http://v/n"][0]["@value"] == 3
+
+
+def test_skolemize_roundtrip_and_kinds(spark):
+    from json_ld_spark.operators.canonical import (
+        GENID_BASE, skolemize, unskolemize,
+    )
+
+    rows = [
+        (None, "_:c0", "p", "bnode", "_:c1", None, None),
+        (None, "_:c1", "p", "iri", "http://x", None, None),
+        ("g", "http://a", "q", "literal", "_:not-a-bnode-lexical", "t", None),
+        (None, "http://a", "q", "bnode", "_:c0", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj_kind string, "
+              "obj string, datatype string, lang string")
+    sk = skolemize(df)
+    got = {tuple(r) for r in sk.collect()}
+    assert (None, GENID_BASE + "c0", "p", "iri", GENID_BASE + "c1",
+            None, None) in got
+    # literal whose lexical form LOOKS like a bnode label is untouched
+    assert ("g", "http://a", "q", "literal", "_:not-a-bnode-lexical",
+            "t", None) in got
+    assert not [r for r in got if r[3] == "bnode"]
+    back = {tuple(r) for r in unskolemize(sk).collect()}
+    assert back == {tuple(r) for r in rows}
