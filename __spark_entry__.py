@@ -2342,6 +2342,23 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(media)
 
 
+def q_multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsampling (multimodal.decimate_audio): stdlib WAV
+    decode → keep every 4th sample → stdlib WAV re-encode at 2 kHz in
+    one Arrow pass; integer stats of the kept samples are oracled
+    analytically (trunc+sin parity with DuckDB), bytes verified by
+    decode roundtrip in tests."""
+    from json_ld_spark.operators.multimodal import (
+        decimate_audio, synthesize_wav_media,
+    )
+
+    _utc(spark)
+    media = synthesize_wav_media(spark, n=32)
+    return decimate_audio(media, factor=4).select(
+        "media_id", "n_in", "n_out", "out_rate", "sum_abs_out", "max_abs_out"
+    )
+
+
 def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL nearest-neighbor image resize
     (multimodal.resize_images): stdlib PNG decode → index-sampled
@@ -2901,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_image_resize": q_multimodal_image_resize,
+        "multimodal_audio_decimate": q_multimodal_audio_decimate,
         "multimodal_video_features": q_multimodal_video_features,
         "multimodal_frame_extract": q_multimodal_frame_extract,
         "multimodal_frame_plan": q_multimodal_frame_plan,
@@ -4350,6 +4368,21 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
 FROM px GROUP BY media_id, w, h
 """
 
+_AUDIO_DECIMATE_SQL = """
+WITH s AS (
+  SELECT m.i AS media_id,
+         CAST(trunc(6000 * sin(2 * pi() * (220.0 + 55.0 * (m.i % 16))
+                    * (4 * t.k) / 8000.0)) AS BIGINT) AS v
+  FROM generate_series(0, 31) m(i) CROSS JOIN generate_series(0, 399) t(k)
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(1600 AS BIGINT) AS n_in, CAST(400 AS BIGINT) AS n_out,
+       CAST(2000 AS BIGINT) AS out_rate,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs_out,
+       CAST(MAX(ABS(v)) AS BIGINT) AS max_abs_out
+FROM s GROUP BY media_id
+"""
+
 _IMAGE_RESIZE_SQL = """
 WITH src AS (
   SELECT i, 8 + i % 9 AS w, 8 + (3 * i) % 9 AS h
@@ -5359,6 +5392,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_features": _AUDIO_FEATURES_SQL,
         "multimodal_image_features": _IMAGE_FEATURES_SQL,
         "multimodal_image_resize": _IMAGE_RESIZE_SQL,
+        "multimodal_audio_decimate": _AUDIO_DECIMATE_SQL,
         "multimodal_video_features": _VIDEO_FEATURES_SQL,
         "multimodal_frame_extract": _FRAME_EXTRACT_SQL,
         "multimodal_frame_plan": _FRAME_PLAN_SQL,

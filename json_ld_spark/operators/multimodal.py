@@ -716,3 +716,63 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, schema=RESIZE_SCHEMA
     )
+
+
+DECIMATE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_in", T.LongType(), False),
+        T.StructField("n_out", T.LongType(), False),
+        T.StructField("out_rate", T.LongType(), False),
+        T.StructField("resampled_wav", T.BinaryType(), False),
+        T.StructField("sum_abs_out", T.LongType(), False),
+        T.StructField("max_abs_out", T.LongType(), False),
+    ]
+)
+
+
+def decimate_audio(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio downsampling (integer decimation): decode each WAV
+    with the stdlib codec, keep every ``factor``-th sample, re-encode a
+    real PCM16 WAV at ``rate/factor`` — the audio twin of
+    resize_images (no anti-alias filter: plain decimation, documented;
+    a filter bank is a numpy kernel swap in the same batch shape).
+    Integer stats of the KEPT samples ride along so the analytic
+    oracle checks the index math exactly; the re-encoded bytes are
+    verified by decode-roundtrip in tests."""
+    import io
+    import wave as _wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k.name: [] for k in DECIMATE_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_media(bytes(payload), "audio")
+                s = np.asarray(dec["samples"], dtype=np.int64)
+                kept = s[::factor]
+                rate = int(dec["sample_rate"]) // factor
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(
+                        b"".join(
+                            int(v).to_bytes(2, "little", signed=True)
+                            for v in kept
+                        )
+                    )
+                out["media_id"].append(int(media_id))
+                out["n_in"].append(int(s.size))
+                out["n_out"].append(int(kept.size))
+                out["out_rate"].append(rate)
+                out["resampled_wav"].append(bytearray(buf.getvalue()))
+                out["sum_abs_out"].append(int(np.abs(kept).sum()))
+                out["max_abs_out"].append(int(np.abs(kept).max()) if kept.size else 0)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=DECIMATE_SCHEMA
+    )

@@ -225,3 +225,25 @@ def test_resize_images_roundtrip_and_sampling(spark):
         assert r.sum_r == sum(want[0::3])
         assert r.sum_g == sum(want[1::3])
         assert r.sum_b == sum(want[2::3])
+
+
+def test_decimate_audio_roundtrip(spark):
+    import math
+
+    from json_ld_spark.operators.multimodal import (
+        decimate_audio, decode_media, synthesize_wav_media,
+    )
+
+    media = synthesize_wav_media(spark, n=4)
+    rows = {r.media_id: r for r in decimate_audio(media, factor=4).collect()}
+    assert len(rows) == 4
+    for i, r in rows.items():
+        freq = 220.0 + 55.0 * (i % 16)
+        want = [int(6000 * math.sin(2 * math.pi * freq * k / 8000.0))
+                for k in range(0, 1600, 4)]
+        assert (r.n_in, r.n_out, r.out_rate) == (1600, 400, 2000)
+        assert r.sum_abs_out == sum(abs(v) for v in want)
+        assert r.max_abs_out == max(abs(v) for v in want)
+        dec = decode_media(bytes(r.resampled_wav), "audio")
+        assert dec["sample_rate"] == 2000
+        assert list(dec["samples"]) == want
