@@ -2642,6 +2642,27 @@ def q_text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", normalize_url(url).alias("url_norm"))
 
 
+def q_data_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing (sampling.weighted_sample): deterministic per-row
+    Bernoulli keep with per-domain rates (1 / 0.5 / 0.25 / 0.05 by
+    doc_id % 4) — u(id) = md5-bridge / 2^32 compared against the rate,
+    zero shuffle, monotone in the rate so mixes retune without
+    churning kept rows. Oracle: the same draw and comparison in SQL."""
+    from json_ld_spark.operators.sampling import weighted_sample
+
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    rate = (
+        F.when(doc % 4 == 0, F.lit(1.0))
+        .when(doc % 4 == 1, F.lit(0.5))
+        .when(doc % 4 == 2, F.lit(0.25))
+        .otherwise(F.lit(0.05))
+    )
+    out = weighted_sample(d.withColumn("rate", rate), "rate", seed="mix3")
+    return out.select("doc_id", F.round("rate", 6).alias("rate_r"))
+
+
 def q_data_profile_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostics (profile.heavy_hitters): exact per-column
     top-3 values over orders — one melt projection + one
@@ -2930,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_stats": q_kg_void_stats,
         "kg_schema_summary": q_kg_schema_summary,
         "text_url_normalize": q_text_url_normalize,
+        "data_weighted_sample": q_data_weighted_sample,
         "data_profile_hitters": q_data_profile_hitters,
         "data_column_stats": q_data_column_stats,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -5170,6 +5192,17 @@ SELECT doc_id,
 FROM documents
 """
 
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id,
+       round(CAST(CASE doc_id % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                  WHEN 2 THEN 0.25 ELSE 0.05 END AS DOUBLE), 6) AS rate_r
+FROM documents
+WHERE ('0x' || substr(md5('mix3|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0
+      < CAST(CASE doc_id % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+             WHEN 2 THEN 0.25 ELSE 0.05 END AS DOUBLE)
+"""
+
 _PROFILE_HITTERS_SQL = """
 WITH m AS (
   SELECT 'o_orderstatus' AS "column", CAST(o_orderstatus AS VARCHAR) AS value FROM orders
@@ -5412,6 +5445,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_void_stats": _VOID_STATS_SQL,
         "kg_schema_summary": _SCHEMA_SUMMARY_SQL,
         "text_url_normalize": _URL_NORMALIZE_SQL,
+        "data_weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "data_profile_hitters": _PROFILE_HITTERS_SQL,
         "data_column_stats": _COLUMN_STATS_SQL,
         "rel_agg_pricing": _AGG_PRICING_SQL,

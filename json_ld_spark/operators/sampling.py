@@ -347,3 +347,32 @@ def negative_triples(
         )
     # the USING anti-join moves its keys first; restore column order
     return neg.select("subj", "pred", "obj", "sample_i", "side", "neg")
+
+
+def weighted_sample(
+    df: DataFrame,
+    rate_col: Column | str,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with a PER-ROW rate —
+    the corpus-mixing primitive (keep high-quality documents with
+    probability ∝ quality score, re-weight domains from a rates
+    table): keep a row iff ``u(id) < clamp(rate, 0, 1)`` where
+    ``u(id) = md5-bridge(seed|id) / 2^32`` is the row's fixed uniform
+    draw. Same guarantees as hash_split: pure projection (zero
+    shuffle), reproducible across reruns/partitionings/engines, and
+    changing only the rate keeps the draws fixed — raising a rate
+    strictly GROWS the kept set (monotone, so corpus mixes can be
+    retuned without churning previously kept rows)."""
+    rate = F.col(rate_col) if isinstance(rate_col, str) else rate_col
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = h / F.lit(float(1 << 32))
+    keep = u < F.greatest(F.least(rate, F.lit(1.0)), F.lit(0.0))
+    return df.filter(keep)

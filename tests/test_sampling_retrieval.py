@@ -7,6 +7,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from json_ld_spark.operators import retrieval, sampling
 
 
@@ -389,3 +391,28 @@ def test_negative_triples_deterministic_xxhash(spark):
     )
     with pytest.raises(ValueError):
         sampling.negative_triples(lit, k=1)
+
+
+def test_weighted_sample_python_replay_and_monotonicity(spark):
+    rows = [(i, ((i * 37) % 100) / 100.0) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "rate"])
+
+    def u(i, seed="s"):
+        return int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8],
+                   16) / 2**32
+
+    got = {r.doc_id for r in
+           sampling.weighted_sample(df, "rate", seed="s").collect()}
+    want = {i for (i, rt) in rows if u(i) < rt}
+    assert got == want
+    assert 0 < len(got) < 400
+    # monotone: doubling every rate only ADDS rows
+    df2 = df.withColumn("rate", F.least(F.col("rate") * 2, F.lit(1.0)))
+    got2 = {r.doc_id for r in
+            sampling.weighted_sample(df2, "rate", seed="s").collect()}
+    assert got <= got2
+    # rate 0 keeps nothing; rate 1 keeps everything
+    assert sampling.weighted_sample(
+        df.withColumn("rate", F.lit(0.0)), "rate").count() == 0
+    assert sampling.weighted_sample(
+        df.withColumn("rate", F.lit(1.0)), "rate").count() == 400
