@@ -1706,6 +1706,28 @@ def q_rel_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery coverage: each customer's most
+    expensive order via an inner per-customer MAX — Catalyst rewrites
+    the correlation into an aggregate + join; MAX is exact on doubles
+    so the comparison is engine-deterministic (an AVG here would be
+    summation-order-sensitive at the boundary)."""
+    _utc(spark)
+    orders = _read(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__corr_orders")
+    return spark.sql(
+        """
+        SELECT o1.o_orderkey, o1.o_custkey,
+               CAST(round(o1.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM __corr_orders o1
+        WHERE o1.o_totalprice = (
+          SELECT MAX(o2.o_totalprice) FROM __corr_orders o2
+          WHERE o2.o_custkey = o1.o_custkey
+        )
+        """
+    )
+
+
 def q_rel_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE grouping sets: every subtotal combination of
     (returnflag, linestatus) incl. both one-dimension margins —
@@ -2969,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_ask": q_kg_bgp_ask,
         "rel_rollup_pricing": q_rel_rollup_pricing,
         "rel_cube_pricing": q_rel_cube_pricing,
+        "rel_correlated_max": q_rel_correlated_max,
         "rel_rank_functions": q_rel_rank_functions,
         "rel_pivot_orders": q_rel_pivot_orders,
         "rel_asof_snapshot": q_rel_asof_snapshot,
@@ -5055,6 +5078,16 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
+_CORRELATED_MAX_SQL = """
+SELECT o1.o_orderkey, o1.o_custkey,
+       CAST(round(o1.o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders o1
+WHERE o1.o_totalprice = (
+  SELECT MAX(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_custkey = o1.o_custkey
+)
+"""
+
 _CUBE_SQL = """
 SELECT l_returnflag, l_linestatus,
        SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
@@ -5436,6 +5469,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_ask": _BGP_ASK_SQL,
         "rel_rollup_pricing": _ROLLUP_SQL,
         "rel_cube_pricing": _CUBE_SQL,
+        "rel_correlated_max": _CORRELATED_MAX_SQL,
         "rel_rank_functions": _RANK_FUNCTIONS_SQL,
         "rel_pivot_orders": _PIVOT_SQL,
         "text_ngram_score": _NGRAM_SCORE_SQL,
