@@ -1177,6 +1177,30 @@ def q_kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(q_kg_random_walks(spark, sf_dir), window=2)
 
 
+def q_kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation (graphops.label_propagation): every
+    250th part seeds one of three classes; two deterministic
+    majority-vote rounds (ties to the smaller label, seeds clamped)
+    spread types across the co-purchase graph — semi-supervised KG
+    type inference. Oracle: both rounds unrolled as
+    join→count→ROW_NUMBER-argmax CTEs."""
+    from json_ld_spark.operators.graphops import label_propagation
+
+    _utc(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .dropDuplicates()
+    )
+    seeds = nodes.filter(F.col("node") % 250 == 0).select(
+        "node",
+        F.concat(F.lit("c"), (F.col("node") % 3).cast("string")).alias("label"),
+    )
+    out = label_propagation(e, seeds, iters=2, src="u", dst="v")
+    return out.select(F.col("node").cast("long").alias("node"), "label")
+
+
 def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction features (graphops.link_prediction_features) on
     the co-purchase graph: common-neighbor count, Jaccard overlap and
@@ -2914,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
         "kg_link_prediction": q_kg_link_prediction,
+        "kg_label_propagation": q_kg_label_propagation,
         "kg_khop_parts": q_kg_khop_parts,
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
@@ -3654,6 +3679,46 @@ FROM (
 # Each x<y<z triangle counted once off the canonical u<v edge list,
 # then attributed to all three corners — orientation-independent, so it
 # must equal the degree-oriented Spark count exactly.
+def _lpa_round(k: int) -> str:
+    return f"""
+, v{k} AS (
+  SELECT e.u, l.label, COUNT(*) AS n
+  FROM lpa_und e JOIN l{k - 1} l ON l.node = e.v
+  GROUP BY e.u, l.label
+), p{k} AS (
+  SELECT u AS node, label FROM (
+    SELECT u, label,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, label ASC) AS rk
+    FROM v{k}
+  ) WHERE rk = 1
+), l{k} AS (
+  SELECT * FROM lpa_sd
+  UNION ALL
+  SELECT p.node, p.label FROM p{k} p
+  WHERE NOT EXISTS (SELECT 1 FROM lpa_sd s WHERE s.node = p.node)
+)"""
+
+
+_LABEL_PROP_SQL = (
+    """
+WITH lpa_e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), lpa_und AS (
+  SELECT u, v FROM lpa_e UNION SELECT v AS u, u AS v FROM lpa_e
+), lpa_sd AS (
+  SELECT node, 'c' || CAST(node % 3 AS VARCHAR) AS label
+  FROM (SELECT DISTINCT u AS node FROM lpa_und)
+  WHERE node % 250 = 0
+), l0 AS (SELECT * FROM lpa_sd)"""
+    + _lpa_round(1) + _lpa_round(2)
+    + """
+SELECT node, label FROM l2
+"""
+)
+
 _LINK_PREDICTION_SQL = r"""
 WITH ed0 AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -5412,6 +5477,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_node2vec_walks": _NODE2VEC_SQL,
         "kg_copurchase_triangles": _TRIANGLES_SQL,
         "kg_link_prediction": _LINK_PREDICTION_SQL,
+        "kg_label_propagation": _LABEL_PROP_SQL,
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,
         "kg_pagerank_personalized": _PPR_SQL,

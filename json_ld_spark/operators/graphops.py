@@ -615,3 +615,47 @@ def link_prediction_features(
             F.round("aa", 6).alias("adamic_adar_r"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Seeded (semi-supervised) label propagation over the undirected
+    graph — the KG type-inference workhorse: a few labeled entities
+    per class, labels spread to neighbors by majority vote. Fully
+    deterministic: each round a node adopts the most frequent label
+    among its labeled neighbors (ties broken by the SMALLER label
+    string), seed nodes stay clamped to their seed label, and a node
+    once labeled always has a labeled neighbor, so labeled-ness only
+    grows — after k rounds every node within k hops of a seed is
+    labeled. Returns ``(node, label)`` for labeled nodes.
+
+    Per round: one edge⋈labels join (fan-in = labeled-neighbor count),
+    one (node, label) count agg, one per-node argmax window over label
+    counts (≤ distinct-labels rows per node), lineage cut per round —
+    the k_hop/pagerank loop shape, no collect."""
+    from pyspark.sql.window import Window
+
+    und = _symmetrize(edges, src, dst)  # (u, v)
+    sd = seeds.select("node", "label").dropDuplicates().localCheckpoint(eager=True)
+    labels = sd
+    w = Window.partitionBy("u").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(iters):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        picks = (
+            votes.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("u").alias("node"), "label")
+        )
+        labels = sd.unionByName(
+            picks.join(sd.select("node"), "node", "left_anti")
+        ).localCheckpoint(eager=True)
+    return labels

@@ -475,3 +475,46 @@ def test_link_prediction_max_degree_caps_middles(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     assert g.link_prediction_features(df).count() == 10
     assert g.link_prediction_features(df, max_degree=3).count() == 0
+
+
+def test_label_propagation_vs_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+             ("b", "d"), ("a", "c"), ("f", "g")]
+    seeds = {"a": "red", "e": "blue"}
+
+    nbrs = defaultdict(set)
+    for (x, y) in edges:
+        nbrs[x].add(y); nbrs[y].add(x)
+
+    labels = dict(seeds)
+    for _ in range(3):
+        new = dict(seeds)
+        for u in nbrs:
+            if u in seeds:
+                continue
+            votes = Counter(labels[v] for v in nbrs[u] if v in labels)
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+                # tie-break: smaller label string
+                top = max(votes.values())
+                best = min(l for l, n in votes.items() if n == top)
+                new[u] = best
+        labels = new
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sdf = spark.createDataFrame(list(seeds.items()), ["node", "label"])
+    got = {r.node: r.label
+           for r in g.label_propagation(df, sdf, iters=3).collect()}
+    assert got == labels
+
+
+def test_label_propagation_seeds_clamped(spark):
+    # b is surrounded by blue but is seeded red: stays red
+    edges = [("b", "x1"), ("b", "x2"), ("x1", "s"), ("x2", "s")]
+    seeds = [("b", "red"), ("s", "blue"), ("x1", "blue"), ("x2", "blue")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sdf = spark.createDataFrame(seeds, ["node", "label"])
+    got = {r.node: r.label for r in g.label_propagation(df, sdf, iters=2).collect()}
+    assert got["b"] == "red"
