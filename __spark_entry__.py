@@ -1177,6 +1177,26 @@ def q_kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(q_kg_random_walks(spark, sf_dir), window=2)
 
 
+def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted co-occurrence graph construction
+    (graphops.cooccurrence_graph): part–part edges weighted by shared
+    orders, mega-orders (> 5 distinct parts) dropped by the disclosed
+    fan-out cap before the quadratic self-join. Oracle: the same
+    size-filtered self-join + pair count in SQL."""
+    from json_ld_spark.operators.graphops import cooccurrence_graph
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    pairs = li.select(F.col("l_orderkey").alias("doc_id"),
+                      F.col("l_partkey").alias("item"))
+    out = cooccurrence_graph(pairs, max_group_size=5)
+    return out.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+    )
+
+
 def q_kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded label propagation (graphops.label_propagation): every
     250th part seeds one of three classes; two deterministic
@@ -2871,6 +2891,22 @@ def q_rel_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity scoring (temporal.decayed_counts):
+    per-user event count + Σ 2^(-age/half-life) against an EXPLICIT
+    reference time (deterministic, not now()) — the freshness feature
+    for entity salience. One projection + one partial-agg shuffle.
+    Oracle: same pow/epoch arithmetic in SQL, 6-dp."""
+    from json_ld_spark.operators.temporal import decayed_counts
+
+    _utc(spark)
+    events = _read(spark, sf_dir, "events")
+    return decayed_counts(
+        events, ["user_id"], "ts", "2026-02-01 00:00:00", 7 * 86400.0
+    ).select("user_id", F.col("n_events").cast("long").alias("n_events"),
+             "decayed_r")
+
+
 def q_rel_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins: customers with vs without orders."""
     _utc(spark)
@@ -2939,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
         "kg_link_prediction": q_kg_link_prediction,
         "kg_label_propagation": q_kg_label_propagation,
+        "kg_cooccurrence": q_kg_cooccurrence,
         "kg_khop_parts": q_kg_khop_parts,
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
@@ -3021,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot_orders": q_rel_pivot_orders,
         "rel_asof_snapshot": q_rel_asof_snapshot,
         "rel_interval_windows": q_rel_interval_windows,
+        "rel_decayed_counts": q_rel_decayed_counts,
         "rel_semi_anti_customers": q_rel_semi_anti_customers,
         "rel_distinct_topk_orders": q_rel_distinct_topk_orders,
     }
@@ -3679,6 +3717,28 @@ FROM (
 # Each x<y<z triangle counted once off the canonical u<v edge list,
 # then attributed to all three corners — orientation-independent, so it
 # must equal the degree-oriented Spark count exactly.
+_DECAYED_COUNTS_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(POWER(2.0,
+         -(epoch(TIMESTAMP '2026-02-01 00:00:00') - epoch(ts))
+          / 604800.0)), 6) AS decayed_r
+FROM events GROUP BY user_id
+"""
+
+_COOCCURRENCE_SQL = """
+WITH p AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+), ok AS (
+  SELECT g FROM p GROUP BY g HAVING COUNT(*) <= 5
+), pf AS (
+  SELECT p.g, p.i FROM p JOIN ok USING (g)
+)
+SELECT a.i AS u, b.i AS v, CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM pf a JOIN pf b ON a.g = b.g AND a.i < b.i
+GROUP BY a.i, b.i
+"""
+
+
 def _lpa_round(k: int) -> str:
     return f"""
 , v{k} AS (
@@ -5478,6 +5538,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_copurchase_triangles": _TRIANGLES_SQL,
         "kg_link_prediction": _LINK_PREDICTION_SQL,
         "kg_label_propagation": _LABEL_PROP_SQL,
+        "kg_cooccurrence": _COOCCURRENCE_SQL,
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,
         "kg_pagerank_personalized": _PPR_SQL,
@@ -5558,6 +5619,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_sessionize_events": _SESSIONIZE_SQL,
         "rel_asof_snapshot": _ASOF_SQL,
         "rel_interval_windows": _INTERVAL_SQL,
+        "rel_decayed_counts": _DECAYED_COUNTS_SQL,
         "rel_semi_anti_customers": _SEMI_ANTI_SQL,
         "rel_distinct_topk_orders": _TOPK_SQL,
     }

@@ -659,3 +659,37 @@ def label_propagation(
             picks.join(sd.select("node"), "node", "left_anti")
         ).localCheckpoint(eager=True)
     return labels
+
+
+def cooccurrence_graph(
+    pairs: DataFrame,
+    group_col: str = "doc_id",
+    item_col: str = "item",
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Co-occurrence graph construction from (group, item) membership
+    pairs — entity co-mention edges from documents, co-purchase edges
+    from orders: an undirected edge ``(u, v, n_groups)`` for every
+    item pair sharing a group, u < v, weighted by the number of
+    shared groups. The scale hazard is quadratic per-group fan-out
+    (C(k,2) wedges from a k-item group): ``max_group_size`` DROPS
+    groups larger than the cap before the self-join — the standard
+    mega-document guard, disclosed rather than silently truncated
+    (count the dropped groups from group_sizes if you need the
+    audit). One group-keyed self-join + one pair-count agg."""
+    p = pairs.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).dropDuplicates()
+    if max_group_size is not None:
+        sizes = p.groupBy("g").agg(F.count(F.lit(1)).alias("k"))
+        p = p.join(
+            sizes.filter(F.col("k") <= max_group_size).select("g"), "g"
+        )
+    a = p.select("g", F.col("i").alias("u"))
+    b = p.select("g", F.col("i").alias("v"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )

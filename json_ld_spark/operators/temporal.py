@@ -138,3 +138,32 @@ def interval_join(
     return joined.drop(ivals["__bucket"]).drop(pts["__bucket"]).drop(
         *[ivals[k] for k in keys]
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    ref_time: str,
+    half_life_s: float,
+) -> DataFrame:
+    """Recency-weighted activity score per key: each event contributes
+    ``2^(-(ref - ts) / half_life)`` — an event half a half-life old
+    counts ~0.71, one half-life 0.5, two 0.25 — summed per key next to
+    the raw count. The standard freshness feature for entity salience
+    and ranking, computed as one projection + one map-side-combinable
+    agg (state per key: one double + one long).
+
+    ``ref_time`` is an explicit ISO timestamp, NOT now(): scoring is
+    deterministic, resumable and oracle-able; re-running tomorrow with
+    the same ref gives identical output. Events after ``ref`` get
+    weight > 1 by the same formula (document or pre-filter)."""
+    age = F.unix_timestamp(F.lit(ref_time)) - F.unix_timestamp(F.col(ts_col))
+    w = F.pow(F.lit(2.0), -age.cast("double") / F.lit(float(half_life_s)))
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(w), 6).alias("decayed_r"),
+        )
+    )

@@ -518,3 +518,19 @@ def test_label_propagation_seeds_clamped(spark):
     sdf = spark.createDataFrame(seeds, ["node", "label"])
     got = {r.node: r.label for r in g.label_propagation(df, sdf, iters=2).collect()}
     assert got["b"] == "red"
+
+
+def test_cooccurrence_graph_counts_and_cap(spark):
+    pairs = [("d1", "a"), ("d1", "b"), ("d1", "c"),
+             ("d2", "a"), ("d2", "b"),
+             ("d3", "a"), ("d3", "b"), ("d3", "c"), ("d3", "d"),  # size 4
+             ("d4", "x")]
+    df = spark.createDataFrame(pairs, ["doc_id", "item"])
+    got = {(r.u, r.v): r.n_groups
+           for r in g.cooccurrence_graph(df).collect()}
+    assert got[("a", "b")] == 3 and got[("a", "c")] == 2
+    assert got[("c", "d")] == 1 and ("x",) not in got
+    capped = {(r.u, r.v): r.n_groups
+              for r in g.cooccurrence_graph(df, max_group_size=3).collect()}
+    # d3 dropped entirely: no c-d edge, a-b down to 2
+    assert ("c", "d") not in capped and capped[("a", "b")] == 2

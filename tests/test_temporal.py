@@ -200,3 +200,29 @@ def test_interval_join_rejects_other_how(spark):
         interval_join(df, df.selectExpr("i", "k", "t as s", "t as e"),
                       on="k", point_time="t", start_col="s", end_col="e",
                       bucket_seconds=60, how="left")
+
+
+def test_decayed_counts_matches_python(spark):
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2026, 1, 1)
+    for i in range(40):
+        rows.append((f"u{i % 5}", base + dt.timedelta(hours=3 * i)))
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    ref = "2026-01-10 00:00:00"
+    hl = 86_400.0
+    from json_ld_spark.operators.temporal import decayed_counts
+
+    got = {r.user_id: (r.n_events, r.decayed_r)
+           for r in decayed_counts(df, ["user_id"], "ts", ref, hl).collect()}
+    ref_dt = dt.datetime(2026, 1, 10)
+    want = {}
+    for (u, ts) in rows:
+        age = (ref_dt - ts).total_seconds()
+        n, s = want.get(u, (0, 0.0))
+        want[u] = (n + 1, s + 2.0 ** (-age / hl))
+    assert set(got) == set(want)
+    for u, (n, s) in want.items():
+        assert got[u][0] == n
+        assert abs(got[u][1] - round(s, 6)) < 2e-6
