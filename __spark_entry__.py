@@ -897,6 +897,35 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment verification (dedup.containment_pairs):
+    8-word excerpts are injected for every sampled document, and the
+    shingle-containment check flags excerpt⊂parent pairs that Jaccard
+    misses entirely (tiny union overlap, containment 1.0) — the
+    quote/boilerplate-inclusion detector. Oracle: brute-force list
+    intersections in SQL over the same deterministic corpus."""
+    _utc(spark)
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 25 == 0)
+    )
+    words8 = F.array_join(
+        F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " "
+    )
+    exc = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), words8.alias("text")
+    )
+    corpus = base.unionByName(exc)
+    ids = corpus.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return dd.containment_pairs(corpus, pairs, threshold=0.9)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banded candidates verified by exact Jaccard. Oracle:
     brute-force exact Jaccard >= 0.7 in DuckDB — equal whenever band
@@ -2961,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_frame_conversations": q_kg_frame_conversations,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_prefix_filter": q_dedup_prefix_filter,
@@ -3591,6 +3621,41 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+"""
+
+_CONTAINMENT_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+), exc AS (
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(list_slice(
+           regexp_split_to_array(trim(text), '\s+'), 1, 8), ' ') AS text
+  FROM base
+), corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM exc
+), normd AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM corpus
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(norm, ' ')) - 2 <= 0 THEN [norm]
+              ELSE list_distinct(list_transform(
+                     range(0, len(string_split(norm, ' ')) - 2),
+                     i -> array_to_string(list_slice(string_split(norm, ' '), i + 1, i + 3), ' ')))
+         END AS grams
+  FROM normd
+), scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / greatest(len(a.grams), 1) AS c_ab,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / greatest(len(b.grams), 1) AS c_ba
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(c_ab, 6) AS c_ab_r, round(c_ba, 6) AS c_ba_r,
+       CASE WHEN c_ab >= 0.9 AND c_ba >= 0.9 THEN 'both'
+            WHEN c_ab >= 0.9 THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM scored WHERE c_ab >= 0.9 OR c_ba >= 0.9
 """
 
 # Brute-force exact-Jaccard oracle for the MinHash+LSH query: the Spark
@@ -5524,6 +5589,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_frame_conversations": _FRAME_CONV_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_containment": _CONTAINMENT_SQL,
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
         "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "dedup_prefix_filter": _MINHASH_ORACLE_SQL,

@@ -481,3 +481,55 @@ def cdc_chunks(
             F.col("__t").substr(F.col("start") + 1, F.col("chunk_len"))
         ).alias("chunk_md5"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-SUPERSET verification: for candidate pairs,
+    exact shingle containment ``|A∩B| / |A|`` in both directions —
+    the quote/excerpt/boilerplate-inclusion detector Jaccard misses
+    (a short document fully contained in a long one has tiny Jaccard
+    but containment 1.0). A pair survives when EITHER direction
+    reaches ``threshold``; ``direction`` says which ('a_in_b',
+    'b_in_a', or 'both'). Same plan shape as jaccard_pairs: two
+    id-keyed joins against the shingle table + one projection —
+    candidate generation (minhash bands, cdc chunk hits) is unchanged
+    upstream."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c_ab = inter / F.greatest(F.size("sh_a"), F.lit(1)).cast("double")
+    c_ba = inter / F.greatest(F.size("sh_b"), F.lit(1)).cast("double")
+    out = (
+        candidate_pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("c_ab", c_ab)
+        .withColumn("c_ba", c_ba)
+        .filter(
+            (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
+        )
+    )
+    direction = (
+        F.when(
+            (F.col("c_ab") >= threshold) & (F.col("c_ba") >= threshold),
+            F.lit("both"),
+        )
+        .when(F.col("c_ab") >= threshold, F.lit("a_in_b"))
+        .otherwise(F.lit("b_in_a"))
+    )
+    return out.select(
+        "doc_a", "doc_b",
+        F.round("c_ab", 6).alias("c_ab_r"),
+        F.round("c_ba", 6).alias("c_ba_r"),
+        direction.alias("direction"),
+    )

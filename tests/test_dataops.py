@@ -449,3 +449,28 @@ def test_cdc_chunks_reassemble_exactly(spark):
             assert s == pos and ln > 0
             pos += ln
         assert pos == len(text)
+
+
+def test_containment_pairs_detects_excerpts(spark):
+    from json_ld_spark.operators.dedup import containment_pairs
+
+    long_doc = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau")
+    excerpt = "delta epsilon zeta eta theta"      # contiguous slice
+    unrelated = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, excerpt), (3, unrelated)], ["doc_id", "text"])
+    cands = spark.createDataFrame(
+        [(2, 1), (3, 1)], ["doc_a", "doc_b"])
+    got = {(r.doc_a, r.doc_b): (r.c_ab_r, r.c_ba_r, r.direction)
+           for r in containment_pairs(docs, cands, threshold=0.9).collect()}
+    # the excerpt is fully contained in the long doc, not vice versa
+    assert set(got) == {(2, 1)}
+    c_ab, c_ba, d = got[(2, 1)]
+    assert c_ab == 1.0 and c_ba < 0.5 and d == "a_in_b"
+    # identical docs: both directions
+    docs2 = spark.createDataFrame([(1, excerpt), (2, excerpt)],
+                                  ["doc_id", "text"])
+    cands2 = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    [r] = containment_pairs(docs2, cands2).collect()
+    assert r.direction == "both" and r.c_ab_r == r.c_ba_r == 1.0
