@@ -2920,6 +2920,28 @@ def q_rel_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame coverage (vs the ROWS frames used
+    elsewhere): per event, how many of the same user's events fall in
+    the trailing hour — rangeBetween over unix seconds, the sliding-
+    rate-limit / burst-detection window. Integer counts, engine-
+    deterministic."""
+    from pyspark.sql.window import Window
+
+    _utc(spark)
+    events = _read(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+    )
+
+
 def q_rel_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted activity scoring (temporal.decayed_counts):
     per-user event count + Σ 2^(-age/half-life) against an EXPLICIT
@@ -3088,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot_orders": q_rel_pivot_orders,
         "rel_asof_snapshot": q_rel_asof_snapshot,
         "rel_interval_windows": q_rel_interval_windows,
+        "rel_window_range_frame": q_rel_window_range_frame,
         "rel_decayed_counts": q_rel_decayed_counts,
         "rel_semi_anti_customers": q_rel_semi_anti_customers,
         "rel_distinct_topk_orders": q_rel_distinct_topk_orders,
@@ -3782,6 +3805,14 @@ FROM (
 # Each x<y<z triangle counted once off the canonical u<v edge list,
 # then attributed to all three corners — orientation-independent, so it
 # must equal the degree-oriented Spark count exactly.
+_WINDOW_RANGE_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         AS n_last_hour
+FROM events
+"""
+
 _DECAYED_COUNTS_SQL = """
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        round(SUM(POWER(2.0,
@@ -5685,6 +5716,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_sessionize_events": _SESSIONIZE_SQL,
         "rel_asof_snapshot": _ASOF_SQL,
         "rel_interval_windows": _INTERVAL_SQL,
+        "rel_window_range_frame": _WINDOW_RANGE_SQL,
         "rel_decayed_counts": _DECAYED_COUNTS_SQL,
         "rel_semi_anti_customers": _SEMI_ANTI_SQL,
         "rel_distinct_topk_orders": _TOPK_SQL,
