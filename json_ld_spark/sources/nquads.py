@@ -56,6 +56,27 @@ NQ_LINE_REGEX = (
     r"\s*\.\s*$"
 )
 
+# Blank / comment-only line, per the N-Quads grammar: whitespace is
+# exactly tab + space ([6] WS in the spec), a comment runs from '#' to
+# end of line. Defined with an explicit character class and absolute
+# anchors so the Python reference (tests) and the Spark predicate agree
+# byte-for-byte: Spark's trim() strips only U+0020, Java's '.' excludes
+# \r while Python's doesn't, and Java's '$' matches before a trailing
+# line terminator — all three diverge from str.strip(). A line made of
+# other control characters (e.g. "\x1f") is NOT blank: in permissive
+# mode it is emitted as a malformed row, in drop mode it is dropped.
+BLANK_LINE_PATTERN = r"[ \t]*(#[^\n\r]*)?"
+_BLANK_LINE_RE = re.compile(BLANK_LINE_PATTERN)
+
+
+def is_blank_line(line: str) -> bool:
+    """True iff the parser treats ``line`` as blank/comment (no row
+    emitted in any mode). This is the single source of truth — the
+    Spark-side filter in :func:`parse_nquads_df` uses the same pattern
+    with absolute anchors (``\\A``/``\\z``)."""
+    return _BLANK_LINE_RE.fullmatch(line) is not None
+
+
 _ESCAPE_RE = re.compile(
     r"\\(?:u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})|([tbnrf\"'\\]))"
 )
@@ -173,7 +194,11 @@ def parse_nquads_df(
         groups[0].alias("_s"), groups[1].alias("_p"),
         groups[2].alias("_o"), groups[3].alias("_g"),
     ).filter(
-        ~F.trim(F.col("_line")).rlike(r"^(#.*)?$")  # blank / comment
+        # blank / comment per is_blank_line: \A/\z are absolute anchors
+        # (Java '$' would also match before a trailing line terminator,
+        # silently blessing " \n" / "\r" lines that Python fullmatch —
+        # and hence the test reference — treats as content).
+        ~F.col("_line").rlike(r"\A" + BLANK_LINE_PATTERN + r"\z")
     )
 
     is_literal = F.col("_o").startswith('"')

@@ -152,20 +152,52 @@ def test_hypothesis_literal_roundtrip(spark):
 def test_permissive_never_throws_on_garbage(spark):
     """Robustness: arbitrary junk lines parse to malformed flags, never
     exceptions (crawl-scale dumps contain garbage)."""
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import example, given, settings, strategies as st
 
-    from json_ld_spark.sources.nquads import parse_nquads_df
+    from json_ld_spark.sources.nquads import is_blank_line, parse_nquads_df
 
     @given(st.lists(st.text(max_size=60), min_size=1, max_size=10))
+    # judge-found divergences, pinned: \x1f is NOT N-Quads whitespace
+    # (str.strip() thought it was); \t-only IS blank (Spark trim did not
+    # strip it); \r / trailing-\n lines are content (Java '$' matches
+    # before a final line terminator, Python fullmatch does not).
+    @example(["\x1f"])
+    @example(["\t"])
+    @example(["\r"])
+    @example([" \n"])
+    @example(["\t# tab-indented comment"])
+    @example(["#a\rb"])
     @settings(max_examples=15, deadline=None)
     def prop(lines):
         df = spark.createDataFrame([(l,) for l in lines], "value string")
         rows = parse_nquads_df(df, mode="permissive").collect()
-        # every non-blank non-comment line yields exactly one row
-        expected = sum(
-            1 for l in lines
-            if l.strip() and not l.strip().startswith("#")
-        )
+        # every non-blank non-comment line yields exactly one row, where
+        # blankness is the parser's own published predicate (the N-Quads
+        # grammar's WS = tab+space, not str.strip()'s notion).
+        expected = sum(1 for l in lines if not is_blank_line(l))
         assert len(rows) == expected
 
     prop()
+
+
+def test_blank_line_predicate_spec():
+    """Deterministic spec for is_blank_line: N-Quads WS is tab+space only;
+    comments run '#' to end-of-line; absolute anchoring."""
+    from json_ld_spark.sources.nquads import is_blank_line
+
+    assert is_blank_line("")
+    assert is_blank_line(" \t ")
+    assert is_blank_line("\t")
+    assert is_blank_line("# comment")
+    assert is_blank_line("\t  # indented comment")
+    assert is_blank_line("#")
+    # control chars other than \t are NOT whitespace
+    assert not is_blank_line("\x1f")
+    assert not is_blank_line("\x1c\x1d\x1e")
+    # line terminators inside the value are content (real files read via
+    # spark.read.text never contain them; synthetic input may)
+    assert not is_blank_line("\r")
+    assert not is_blank_line(" \n")
+    assert not is_blank_line("#a\rb")
+    assert not is_blank_line("x")
+    assert not is_blank_line("  x  ")
