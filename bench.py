@@ -77,12 +77,20 @@ def main() -> None:
     # time; dirty samples are re-run (up to 4 attempts) and flagged in
     # the output so a later reader can adjudicate from the artifact.
     def _proc_stat():
+        # (steal, busy, total) jiffies summed over all host CPUs.
+        # busy = total - idle - iowait: lets each sample report how much
+        # CPU the WHOLE HOST burned, not just hypervisor steal — the r3
+        # driver run proved co-tenant processes are invisible to the
+        # steal counter alone.
         try:
             with open("/proc/stat") as f:
                 vals = [int(x) for x in f.readline().split()[1:]]
-            return (vals[7] if len(vals) > 7 else 0), sum(vals)
+            total = sum(vals)
+            idle = (vals[3] if len(vals) > 3 else 0) + (vals[4] if len(vals) > 4 else 0)
+            steal = vals[7] if len(vals) > 7 else 0
+            return steal, total - idle, total
         except Exception:
-            return 0, 1
+            return 0, 0, 1
 
     def _find_jvm_pid():
         me = os.getpid()
@@ -114,19 +122,71 @@ def main() -> None:
         except (OSError, ValueError, IndexError):
             return None
 
+    def _tree_cpu_sec():
+        # CPU-seconds of this bench's ENTIRE process tree (python driver,
+        # JVM, and the PySpark Arrow-UDF worker daemons — those are
+        # separate processes whose CPU would otherwise look external and
+        # false-flag every Arrow-heavy query as contended). Dead workers
+        # fold into their parent's cutime/cstime, which we include.
+        me = os.getpid()
+        procs = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                # post-comm fields: state ppid ... utime(11) stime(12)
+                # cutime(13) cstime(14) (0-indexed after the ')')
+                procs[int(d)] = (
+                    int(parts[1]),
+                    int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14]),
+                )
+            except (OSError, ValueError, IndexError):
+                pass
+        total = 0
+        mine = {me}
+        # iterate to fixpoint: worker chains are python→jvm→daemon→worker
+        while True:
+            added = False
+            for pid, (ppid, _cpu) in procs.items():
+                if ppid in mine and pid not in mine:
+                    mine.add(pid)
+                    added = True
+            if not added:
+                break
+        for pid in mine:
+            if pid in procs:
+                total += procs[pid][1]
+        return total / _clk
+
+    _ncpu = os.cpu_count() or cores
+
     def run(name: str, thunk, warm=None):
         if warm is not None:
             warm()  # compile codegen + spin python workers outside the timer
         samples = []
-        for _ in range(4):
-            st0, tot0 = _proc_stat()
+        for _ in range(6):
+            st0, busy0, tot0 = _proc_stat()
             c0 = _jvm_cpu_sec()
+            p0 = _tree_cpu_sec()
             t0 = time.time()
             counts[name] = thunk()
             wall = time.time() - t0
-            st1, tot1 = _proc_stat()
+            st1, busy1, tot1 = _proc_stat()
             c1 = _jvm_cpu_sec()
-            steal_pct = (st1 - st0) / max(tot1 - tot0, 1)
+            p1 = _tree_cpu_sec()
+            dtot = max(tot1 - tot0, 1)
+            steal_pct = (st1 - st0) / dtot
+            host_busy_pct = (busy1 - busy0) / dtot
+            # CPU-seconds the host burned that were NOT this bench's
+            # process tree: the co-tenant signal the steal counter is
+            # blind to (proved by the r3 driver artifact). Normalized by
+            # HOST cores so the flag means "someone else held >25% of
+            # this machine during the sample".
+            host_busy_sec = host_busy_pct * _ncpu * wall
+            ours_sec = p1 - p0
+            ext_cpu_frac = max(host_busy_sec - ours_sec, 0.0) / max(wall * _ncpu, 1e-9)
             util = (
                 round((c1 - c0) / max(wall * cores, 1e-9), 3)
                 if c0 is not None and c1 is not None
@@ -135,10 +195,13 @@ def main() -> None:
             samples.append({
                 "sec": round(wall, 3),
                 "steal_pct": round(steal_pct, 4),
+                "host_busy_pct": round(host_busy_pct, 4),
+                "ext_cpu_frac": round(ext_cpu_frac, 4),
+                "loadavg1": round(os.getloadavg()[0], 2),
                 "cpu_util": util,
-                "dirty": steal_pct > 0.05,
+                "dirty": steal_pct > 0.05 or ext_cpu_frac > 0.25,
             })
-            if len([x for x in samples if not x["dirty"]]) >= 2:
+            if len([x for x in samples if not x["dirty"]]) >= 3:
                 break
         clean = [x for x in samples if not x["dirty"]]
         best = min(clean or samples, key=lambda x: x["sec"])
@@ -194,18 +257,27 @@ def main() -> None:
             small_d, dd.minhash_lsh_candidates(small_d), threshold=0.7).count())
     run("dedup_simhash", lambda: dd.simhash_near_duplicates(docs).count(),
         warm=lambda: dd.simhash_near_duplicates(small_d).count())
+    small_e = emb.limit(512).repartition(cores).cache()
+    small_e.count()
     run(
         "ann_lsh_topk",
         lambda: sim.lsh_topk(
             emb.filter(F.col("vec_id") % 100 == 0), emb, dim=dim, k=5
         ).count(),
+        warm=lambda: sim.lsh_topk(
+            small_e.filter(F.col("vec_id") % 100 == 0), small_e, dim=dim, k=5
+        ).count(),
     )
-    run("text_stats", lambda: tx.analyze_documents(docs).count())
+    run("text_stats", lambda: tx.analyze_documents(docs).count(),
+        warm=lambda: tx.analyze_documents(small_d).count())
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     run(
         "rel_agg_pricing",
         lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.count(F.lit(1)))
+        .count(),
+        warm=lambda: li.limit(1024).groupBy("l_returnflag", "l_linestatus")
         .agg(F.sum("l_quantity"), F.count(F.lit(1)))
         .count(),
     )
@@ -215,6 +287,12 @@ def main() -> None:
     run(
         "rel_join_topnations",
         lambda: orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)))
+        .count(),
+        warm=lambda: orders.limit(1024)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count(F.lit(1)))
@@ -230,7 +308,12 @@ def main() -> None:
         "sf": sf,
         "cores": cores,
         "amplify": amplify,
-        "steal_guard": {"threshold": 0.05, "samples": quality},
+        "steal_guard": {
+            "steal_threshold": 0.05,
+            "ext_cpu_threshold": 0.25,
+            "host_ncpu": os.cpu_count(),
+            "samples": quality,
+        },
         "derived": {
             "n_turns": n_turns,
             "n_triples_native": n_triples,
