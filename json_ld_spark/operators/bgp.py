@@ -41,6 +41,14 @@ from pyspark.sql import DataFrame, functions as F
 _POS_COLS = ("subj", "pred", "obj")
 
 _VAR_RE = re.compile(r"\?([A-Za-z_]\w*)")
+# aggregate function at top level distinguishes SPARQL aggregate select
+# expressions from plain projections (SELECT (CONCAT(?a,?b) AS ?c))
+_AGG_FN_RE = re.compile(
+    r"\b(count|sum|min|max|avg|sample|stddev\w*|variance|var_\w+|"
+    r"collect_list|collect_set|first|last|approx_\w+|percentile\w*|"
+    r"group_concat)\s*\(",
+    re.IGNORECASE,
+)
 
 
 def _sub_vars(expr: str) -> str:
@@ -103,15 +111,16 @@ def bgp_query(
 
     `minus` / `exists` / `not_exists`: SPARQL MINUS and FILTER
     (NOT) EXISTS — each entry is a pattern group evaluated as its own
-    BGP. MINUS drops solutions compatible with some group solution on a
-    shared *bound* variable: a null-unsafe LEFT ANTI join on the shared
-    columns implements this exactly (SPARQL keeps a solution whose
-    shared variables are all unbound — and NULL never equals, so the
-    anti-join keeps it too; a group sharing no variables removes
-    nothing, per spec). EXISTS / NOT EXISTS are a LEFT SEMI / LEFT ANTI
-    join when variables are shared, and degenerate to a whole-query
-    gate on the group's non-emptiness when none are (the spec's
-    correlated-filter semantics for uncorrelated groups)."""
+    BGP (side groups are plain BGPs, so side bindings are always fully
+    bound). Compatibility is exact even for outer solutions whose
+    shared variables are PARTIALLY unbound (NULL from OPTIONAL): the
+    outer table is partitioned by its bound/unbound pattern over the
+    shared columns and each partition hash-joins on just its bound
+    subset (see _finish_bgp). MINUS keeps all-unbound rows (domain
+    disjoint) and groups sharing no variables remove nothing, per
+    spec; an EXISTS row with all shared variables unbound is
+    compatible with every side solution, so it gates on the group's
+    non-emptiness — as does an uncorrelated group."""
     if not patterns:
         raise ValueError("empty BGP")
 
@@ -120,7 +129,18 @@ def bgp_query(
     const_pats = [p for p in patterns if not any(_is_var(t) for t in p)]
     patterns = [p for p in patterns if any(_is_var(t) for t in p)]
     if not patterns:
-        raise ValueError("BGP with no variables has no bindings to return")
+        # all-constant BGP (the canonical `ASK { <s> <p> <o> }`): the
+        # SPARQL result is the single empty solution mapping μ0 gated on
+        # every ground triple existing — a zero-column one-row DataFrame
+        # that the const-gate loop below prunes to 0 rows if any gate is
+        # empty. bgp_ask then reads non-emptiness; callers that need
+        # binding columns get an (accurate) empty projection.
+        result = triples.sparkSession.range(1).select()
+        return _finish_bgp(
+            triples, result, const_pats, optional, values, minus,
+            exists, not_exists, subqueries, filters, select, distinct,
+            allow_cartesian,
+        )
 
     remaining = list(range(len(patterns)))
     # greedy order: most constants first, then any pattern sharing a
@@ -162,6 +182,45 @@ def bgp_query(
                 else result.crossJoin(scan)
             )
     assert result is not None
+    return _finish_bgp(
+        triples, result, const_pats, optional, values, minus, exists,
+        not_exists, subqueries, filters, select, distinct,
+        allow_cartesian,
+    )
+
+
+def _null_mask_partitions(shared: list[str]):
+    """Enumerate the 2^k bound/unbound patterns of the shared columns
+    (k is small — it's the variable overlap of two pattern groups).
+    Yields (bound_cols, row_predicate) pairs that partition the outer
+    binding table by which shared variables are bound."""
+    for mask in range(1 << len(shared)):
+        bound = [c for i, c in enumerate(shared) if mask & (1 << i)]
+        pred = F.lit(True)
+        for i, c in enumerate(shared):
+            pred = pred & (
+                F.col(c).isNotNull() if mask & (1 << i) else F.col(c).isNull()
+            )
+        yield bound, pred
+
+
+def _finish_bgp(
+    triples, result, const_pats, optional, values, minus, exists,
+    not_exists, subqueries, filters, select, distinct, allow_cartesian,
+):
+    """Shared tail of bgp_query: existence gates, OPTIONAL, VALUES,
+    MINUS, (NOT) EXISTS, subselects, filters, projection.
+
+    MINUS / EXISTS / VALUES implement SPARQL *compatibility* exactly,
+    including solutions whose shared variables are partially unbound
+    (NULL from OPTIONAL): side groups are plain BGPs, so the side is
+    always fully bound, and the outer table is partitioned by its
+    bound/unbound pattern over the shared columns — each partition
+    joins HASH-equi on just its bound columns (never a nested-loop
+    theta join, so the decomposition scales). MINUS additionally
+    requires a non-empty shared *bound* domain (all-unbound rows are
+    kept; domain-disjoint groups remove nothing), per the spec's
+    dom-overlap clause."""
     for gi, p in enumerate(const_pats):
         if isinstance(p[1], tuple):  # constant-endpoint path pattern
             gate = _pattern_scan(triples, p)
@@ -187,24 +246,32 @@ def bgp_query(
     for group in minus or []:
         side = bgp_query(triples, group, allow_cartesian=allow_cartesian)
         shared = [c for c in side.columns if c in result.columns]
-        if shared:
-            # null-unsafe equality = SPARQL MINUS compatibility on the
-            # shared BOUND domain (see docstring)
-            result = result.join(
-                side.select(*shared).dropDuplicates(),
-                on=shared,
-                how="left_anti",
-            )
-        # no shared variables: SPARQL MINUS removes nothing
+        if not shared:
+            continue  # no shared variables: SPARQL MINUS removes nothing
+        side_keys = side.select(*shared).dropDuplicates()
+        if len(shared) == 1:
+            # single shared var: NULL rows are domain-disjoint (kept),
+            # bound rows anti-join — the null-unsafe anti-join does both
+            result = result.join(side_keys, on=shared, how="left_anti")
+            continue
+        parts = []
+        for bound, pred in _null_mask_partitions(shared):
+            part = result.filter(pred)
+            if bound:  # dom overlap on the bound subset → compatibility
+                part = part.join(
+                    side_keys.select(*bound).dropDuplicates(),
+                    on=bound, how="left_anti",
+                )
+            # all shared unbound: domain-disjoint, row survives MINUS
+            parts.append(part)
+        result = parts[0]
+        for p_ in parts[1:]:
+            result = result.unionByName(p_)
     for kind, groups in (("left_semi", exists), ("left_anti", not_exists)):
         for group in groups or []:
             side = bgp_query(triples, group, allow_cartesian=allow_cartesian)
             shared = [c for c in side.columns if c in result.columns]
-            if shared:
-                result = result.join(
-                    side.select(*shared).dropDuplicates(), on=shared, how=kind
-                )
-            else:
+            if not shared:
                 # uncorrelated (NOT) EXISTS: one boolean for the whole
                 # query — gate every row on the group's non-emptiness
                 n = F.broadcast(
@@ -216,6 +283,32 @@ def bgp_query(
                     result = result.join(
                         n, F.lit(True), "left"
                     ).filter(F.col("__nonempty").isNull()).drop("__nonempty")
+                continue
+            side_keys = side.select(*shared).dropDuplicates()
+            nonempty = F.broadcast(
+                side_keys.limit(1).select(F.lit(1).alias("__nonempty"))
+            )
+            parts = []
+            for bound, pred in _null_mask_partitions(shared):
+                part = result.filter(pred)
+                if bound:
+                    part = part.join(
+                        side_keys.select(*bound).dropDuplicates(),
+                        on=bound, how=kind,
+                    )
+                else:
+                    # all shared unbound: compatible with EVERY side row
+                    # — EXISTS keeps the row iff the group is non-empty
+                    if kind == "left_semi":
+                        part = part.crossJoin(nonempty).drop("__nonempty")
+                    else:
+                        part = part.join(
+                            nonempty, F.lit(True), "left"
+                        ).filter(F.col("__nonempty").isNull()).drop("__nonempty")
+                parts.append(part)
+            result = parts[0]
+            for p_ in parts[1:]:
+                result = result.unionByName(p_)
     for sub in subqueries or []:
         shared = [c for c in sub.columns if c in result.columns]
         if not shared:
@@ -228,7 +321,9 @@ def bgp_query(
         result = result.filter(cond)
     if select is not None:
         result = result.select(*[v.lstrip("?") for v in select])
-    return result.dropDuplicates() if distinct else result
+    # zero-column results (all-constant BGP) carry 0 or 1 empty
+    # solutions by construction; dropDuplicates needs >= 1 column
+    return result.dropDuplicates() if distinct and result.columns else result
 
 
 def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
@@ -351,12 +446,37 @@ def instantiate_template(
     """Instantiate CONSTRUCT/UPDATE template triples once per solution
     row: `?var` terms project binding columns, constants become
     literals; NULL-leaving solutions drop that template triple (spec);
-    the result is a deduplicated triple set."""
+    the result is a deduplicated triple set.
+
+    Template blank nodes (``[ p o ]`` / ``_:x`` — surfaced by the
+    SPARQL parser as ``?__b*`` variables never bound by WHERE) get a
+    FRESH label per solution, per spec: the label is the template tag
+    plus a hash of the solution's bindings, so the same template bnode
+    within one solution names one node and distinct solutions get
+    distinct nodes."""
+    sol_hash = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in sorted(bindings.columns)
+            ],
+        )
+    )
+
+    def term_col(t: str) -> F.Column:
+        if not _is_var(t):
+            return F.lit(t)
+        name = t[1:]
+        if name not in bindings.columns and name.startswith("__b"):
+            return F.concat(F.lit(f"_:t{name}_"), sol_hash)
+        return F.col(name)
+
     out: DataFrame | None = None
     for s, p, o in template:
         row = bindings.select(
             *(
-                (F.col(t[1:]) if _is_var(t) else F.lit(t)).alias(c)
+                term_col(t).alias(c)
                 for c, t in zip(_POS_COLS, (s, p, o))
             )
         )
@@ -417,19 +537,25 @@ def _apply_values(
             [tuple(r) for r in rows], schema=[f"__v_{c}" for c in cols]
         ).dropDuplicates()
     )
-    if all(v is not None for r in rows for v in r):
-        cond = None
-        for c in cols:
-            eq = F.col(c) == F.col(f"__v_{c}")
-            cond = eq if cond is None else cond & eq
-    else:
-        # UNDEF rows: compatibility is (undef OR equal) per column
-        cond = None
-        for c in cols:
-            eq = F.col(f"__v_{c}").isNull() | (F.col(c) == F.col(f"__v_{c}"))
-            cond = eq if cond is None else cond & eq
-    joined = result.join(inline, cond, "left_semi")
-    return joined
+    # SPARQL VALUES is Join(Ω, data): per-column compatibility is
+    # (either side unbound OR equal) — the result side can be NULL from
+    # OPTIONAL, the inline side from UNDEF — and compatible solutions
+    # MERGE their bindings (a row with unbound ?x joined to a VALUES row
+    # x=5 yields x=5; against k compatible rows it yields k solutions,
+    # per the spec's multiset join). The inline table is broadcast, so
+    # the theta join is a broadcast nested loop over literal data only.
+    cond = None
+    for c in cols:
+        eq = (
+            F.col(c).isNull()
+            | F.col(f"__v_{c}").isNull()
+            | (F.col(c) == F.col(f"__v_{c}"))
+        )
+        cond = eq if cond is None else cond & eq
+    joined = result.join(inline, cond, "inner")
+    for c in cols:
+        joined = joined.withColumn(c, F.coalesce(F.col(c), F.col(f"__v_{c}")))
+    return joined.drop(*[f"__v_{c}" for c in cols])
 
 
 def group_concat(var: str, sep: str = " ") -> str:
@@ -493,6 +619,19 @@ def bgp_select(
       aggregate aliases only, like SPARQL. ``distinct`` applies to the
       projected solutions. Order-by columns must survive projection.
     """
+    # SPARQL scopes FILTER over the whole group INCLUDING BIND targets;
+    # bgp_query evaluates pre-BIND, so filters that reference a BIND
+    # target are deferred until after the extend loop below.
+    bind_names = {var.lstrip("?") for var, _ in bind or []}
+    deferred_filters: list[str] = []
+    if bind_names and bgp_kw.get("filters"):
+        pre = []
+        for f in bgp_kw["filters"]:
+            if any(re.search(rf"\b{re.escape(n)}\b", f) for n in bind_names):
+                deferred_filters.append(f)
+            else:
+                pre.append(f)
+        bgp_kw["filters"] = pre
     result = bgp_query(triples, patterns, distinct=False, **bgp_kw)
     for var, expr in bind or []:
         name = var.lstrip("?")
@@ -502,17 +641,37 @@ def bgp_select(
                 "rebinding; pick a fresh variable)"
             )
         result = result.withColumn(name, F.expr(_sub_vars(expr)))
+    for cond in deferred_filters:
+        result = result.filter(cond)
     if aggregates:
         # SPARQL aggregation is over the DISTINCT solution multiset of
         # the group pattern only when the inner query says so; the
         # bgp_query above already ran with distinct=False, and callers
         # wanting set semantics write count(distinct ?x) etc.
-        aggs = [
-            F.expr(_sub_vars(expr)).alias(alias.lstrip("?"))
-            for alias, expr in aggregates.items()
-        ]
+        # A select expression with NO aggregate function at top level
+        # (e.g. CONCAT(?a, ?b) AS ?c) is a per-solution projection, not
+        # an aggregate: it extends rows (post-aggregation if grouping is
+        # present, where it may legally reference keys and agg aliases).
+        agg_items = {
+            a: e for a, e in aggregates.items() if _AGG_FN_RE.search(e)
+        }
+        proj_items = {a: e for a, e in aggregates.items() if a not in agg_items}
         keys = [v.lstrip("?") for v in group_by or []]
-        result = result.groupBy(*keys).agg(*aggs) if keys else result.agg(*aggs)
+        if agg_items:
+            aggs = [
+                F.expr(_sub_vars(expr)).alias(alias.lstrip("?"))
+                for alias, expr in agg_items.items()
+            ]
+            result = (
+                result.groupBy(*keys).agg(*aggs) if keys else result.agg(*aggs)
+            )
+        elif keys:
+            # GROUP BY with only projection expressions: one row per group
+            result = result.select(*keys).dropDuplicates()
+        for alias, expr in proj_items.items():
+            result = result.withColumn(
+                alias.lstrip("?"), F.expr(_sub_vars(expr))
+            )
     elif group_by:
         raise ValueError("group_by given without aggregates")
     for cond in having or []:

@@ -632,3 +632,120 @@ def test_select_aggregates_fuzz_vs_python(spark):
             n, mn = exp.get(o, (0, None))
             exp[o] = (n + 1, s if mn is None else min(mn, s))
         assert got == exp, f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# round-4 advice fixes: all-constant BGPs, partially-unbound compatibility
+# ---------------------------------------------------------------------------
+
+
+def test_ask_all_constant_ground_triple(triples):
+    """ASK { <s> <p> <o> } — the canonical ground-triple ASK must
+    return a boolean, not raise (round-3 advice, bgp.py const split)."""
+    from json_ld_spark.operators.bgp import bgp_ask
+
+    assert bgp_ask(triples, [("t1", V + "role", "user")]) is True
+    assert bgp_ask(triples, [("t1", V + "role", "assistant")]) is False
+    # conjunction of ground triples: all must exist
+    assert bgp_ask(
+        triples, [("t1", V + "role", "user"), ("t2", V + "role", "assistant")]
+    ) is True
+    assert bgp_ask(
+        triples, [("t1", V + "role", "user"), ("nope", V + "role", "user")]
+    ) is False
+
+
+def test_minus_partially_unbound_shared_vars(spark):
+    """SPARQL compatibility: a solution with one shared var NULL (from
+    OPTIONAL) and the other matching IS removed by MINUS (dom overlap
+    via the bound var) — the old all-column null-unsafe anti-join
+    wrongly kept it."""
+    rows = [
+        ("a", V + "p", "x"),
+        ("b", V + "p", "y"),
+        ("x", V + "q", "q1"),   # only x has an optional ?o binding
+        ("x", V + "m", "q1"),   # minus group matches (?v=x, ?o=q1)
+        ("y", V + "m", "q9"),   # minus group row for y with o=q9
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = bgp_query(
+        df,
+        [("?s", V + "p", "?v")],
+        optional=[[("?v", V + "q", "?o")]],
+        minus=[[("?v", V + "m", "?o")]],
+    ).collect()
+    got = sorted((r["s"], r["v"], r["o"]) for r in out)
+    # (a, x, q1): both shared bound, matches minus row -> removed.
+    # (b, y, NULL): ?v=y bound + matches side ?v=y; ?o unbound on the
+    # outer side is compatible with the side's q9 -> dom overlap via ?v
+    # -> removed per spec (old code kept it).
+    assert got == []
+
+
+def test_minus_all_unbound_shared_kept(spark):
+    """A solution with ALL shared-with-MINUS vars unbound is domain
+    disjoint from every group solution — MINUS keeps it."""
+    rows = [
+        ("a", V + "p", "x"),
+        ("z", V + "q", "o1"),     # optional never matches subj x
+        ("z", V + "m", "o1"),     # minus group binds only ?o
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = bgp_query(
+        df,
+        [("?s", V + "p", "?v")],
+        optional=[[("?v", V + "q", "?o")]],
+        minus=[[("z", V + "m", "?o")]],  # shares only ?o, unbound outer
+    ).collect()
+    assert [(r["s"], r["v"], r["o"]) for r in out] == [("a", "x", None)]
+
+
+def test_exists_partially_unbound_kept(spark):
+    """FILTER EXISTS: an outer row whose shared var is NULL is
+    compatible with every side solution — kept iff the group is
+    non-empty (old null-unsafe semi-join wrongly dropped it)."""
+    rows = [
+        ("a", V + "p", "x"),
+        ("b", V + "p", "y"),
+        ("x", V + "q", "q1"),
+        ("q1", V + "e", "yes"),
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = bgp_query(
+        df,
+        [("?s", V + "p", "?v")],
+        optional=[[("?v", V + "q", "?o")]],
+        exists=[[("?o", V + "e", "yes")]],
+    ).collect()
+    got = sorted((r["s"], r["v"], r["o"]) for r in out)
+    # (a,x,q1): ?o bound, side has q1 -> kept.
+    # (b,y,NULL): ?o unbound -> compatible with the non-empty group -> kept.
+    assert got == [("a", "x", "q1"), ("b", "y", None)]
+    # NOT EXISTS flips both
+    out2 = bgp_query(
+        df,
+        [("?s", V + "p", "?v")],
+        optional=[[("?v", V + "q", "?o")]],
+        not_exists=[[("?o", V + "e", "yes")]],
+    ).collect()
+    assert out2 == []
+
+
+def test_values_merges_unbound_bindings(spark):
+    """VALUES is Join(Omega, data): an outer row with ?o unbound merges
+    the VALUES binding (and multiplies over k compatible rows)."""
+    rows = [
+        ("a", V + "p", "x"),
+        ("x", V + "q", "q1"),
+        ("b", V + "p", "y"),   # y has no ?o -> unbound
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = bgp_query(
+        df,
+        [("?s", V + "p", "?v")],
+        optional=[[("?v", V + "q", "?o")]],
+        values=(["?o"], [("q1",), ("q2",)]),
+    ).collect()
+    got = sorted((r["s"], r["v"], r["o"]) for r in out)
+    # (a,x,q1) compatible with q1 only; (b,y,NULL) merges both values
+    assert got == [("a", "x", "q1"), ("b", "y", "q1"), ("b", "y", "q2")]

@@ -508,3 +508,74 @@ def test_filter_string_datetime_builtins(kg, spark):
     assert _rows(out3) == [("b",)]
     out4 = sparql(t, 'SELECT ?s WHERE { ?s <n> ?v FILTER (ABS(FLOOR(-1.5)) = 2) }')
     assert _rows(out4) == [("a",), ("b",), ("c",)]
+
+
+# ---------------------------------------------------------------------------
+# round-4 advice fixes: FILTER-over-BIND, select expressions, template bnodes
+# ---------------------------------------------------------------------------
+
+
+def test_filter_over_bind_target(kg):
+    """SPARQL scopes FILTER over the whole group including BIND targets:
+    BIND(...) FILTER(?x ...) must not raise an unresolved-column error."""
+    out = sparql(kg, f'''
+        PREFIX v: <{V}>
+        SELECT ?t ?n WHERE {{
+          ?t v:conv ?c .
+          BIND(CONCAT(?c, "!") AS ?n)
+          FILTER(?n = "c1!")
+        }}''')
+    assert _rows(out) == [("t1", "c1!"), ("t2", "c1!")]
+
+
+def test_non_aggregate_select_expression(kg):
+    """SELECT (CONCAT(?a, ?b) AS ?c) is a per-solution projection, not
+    an aggregate — must not collapse rows or crash in df.agg()."""
+    out = sparql(kg, f'''
+        PREFIX v: <{V}>
+        SELECT ?t (CONCAT(?r, "/", ?c) AS ?rc) WHERE {{
+          ?t v:role ?r ; v:conv ?c .
+        }}''')
+    assert _rows(out) == [
+        ("t1", "user/c1"), ("t2", "assistant/c1"),
+        ("t3", "assistant/c2"), ("t4", "user/c2"),
+    ]
+
+
+def test_select_mixes_aggregate_and_projection(kg):
+    """A projection expression over group keys coexists with a true
+    aggregate in the same SELECT."""
+    out = sparql(kg, f'''
+        PREFIX v: <{V}>
+        SELECT ?c (COUNT(?t) AS ?n) (CONCAT("conv:", ?c) AS ?label)
+        WHERE {{ ?t v:conv ?c . }} GROUP BY ?c ORDER BY ?c''')
+    assert [tuple(r) for r in out.collect()] == [
+        ("c1", 2, "conv:c1"), ("c2", 2, "conv:c2"),
+    ]
+
+
+def test_construct_template_blank_nodes_fresh_per_solution(kg):
+    """[ p o ] in a CONSTRUCT template mints a fresh blank node per
+    solution (spec), not an unresolved ?__b column."""
+    out = sparql(kg, f'''
+        PREFIX v: <{V}>
+        CONSTRUCT {{ ?c v:hasSummary [ v:about ?c ] . }}
+        WHERE {{ ?t v:conv ?c . }}''')
+    rows = out.collect()
+    # 4 solutions (one per ?t,?c pair) x 2 template triples: the spec
+    # mints a fresh bnode PER SOLUTION, so c1 gets one node via t1 and
+    # another via t2
+    assert len(rows) == 8
+    bnodes_by_conv = {}
+    for r in rows:
+        if r["pred"] == V + "hasSummary":
+            bnodes_by_conv.setdefault(r["subj"], set()).add(r["obj"])
+            assert r["obj"].startswith("_:")
+    assert set(bnodes_by_conv) == {"c1", "c2"}
+    b1, b2 = bnodes_by_conv["c1"], bnodes_by_conv["c2"]
+    assert len(b1) == 2 and len(b2) == 2 and not (b1 & b2)
+    # the [ ] node is the SAME node within a solution: every v:about
+    # triple's subject is one of its conv's bnodes
+    for r in rows:
+        if r["pred"] == V + "about":
+            assert r["subj"] in bnodes_by_conv[r["obj"]]
