@@ -172,7 +172,14 @@ def q_kg_owl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj string, datatype string, lang string",
     )
     t = transcripts_from_documents(spark, sf_dir)
-    adj = transcript_adjacency_native(t, with_doc_id=False).select(*TRIPLE_COLS)
+    # materialize the adjacency slice once: the closure's final union
+    # necessarily scans its input, and re-deriving it would re-run the
+    # transcript parse per scan (the parse dominates the closure cost)
+    adj = (
+        transcript_adjacency_native(t, with_doc_id=False)
+        .select(*TRIPLE_COLS)
+        .localCheckpoint(eager=False)
+    )
     return owl_property_closure(adj, schema=onto).select(*TRIPLE_COLS)
 
 

@@ -240,6 +240,8 @@ OWL = "http://www.w3.org/2002/07/owl#"
 INVERSE_OF = OWL + "inverseOf"
 SYMMETRIC_PROP = OWL + "SymmetricProperty"
 TRANSITIVE_PROP = OWL + "TransitiveProperty"
+# driver-side rule-closure guard: an ontology bigger than this is data
+_MAX_RULES = 1_000_000
 FUNCTIONAL_PROP = OWL + "FunctionalProperty"
 
 
@@ -273,48 +275,64 @@ def _relabel_rules(src: DataFrame, max_iter: int = 16) -> DataFrame:
     ontology-sized generator set, ≤ 2·|preds|² states). With a closed
     table, one application per edge set is complete: applying any
     rule to a rule-derived edge equals applying a composed rule that
-    is already in the table."""
-    inv = src.filter(
-        (F.col("pred") == INVERSE_OF) & F.col("obj_kind").isin("iri", "bnode")
-    ).select(F.col("subj").alias("sub"), F.col("obj").alias("out"))
-    inv = inv.unionByName(
-        inv.select(F.col("out").alias("sub"), F.col("sub").alias("out"))
-    )
-    sym = src.filter(
-        (F.col("pred") == RDF_TYPE) & (F.col("obj") == SYMMETRIC_PROP)
-    ).select(F.col("subj").alias("sub"), F.col("subj").alias("out"))
-    gen = (
-        inv.unionByName(sym)
-        .withColumn("parity", F.lit(1))
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
-    known = gen
-    delta = known
-    for _ in range(max_iter):
-        delta = (
-            delta.select("sub", F.col("out").alias("m"), "parity")
-            .join(
-                gen.select(
-                    F.col("sub").alias("m"), "out",
-                    F.col("parity").alias("p2"),
-                ),
-                "m",
-            )
-            .select(
-                "sub", "out",
-                ((F.col("parity") + F.col("p2")) % 2).alias("parity"),
-            )
-            .dropDuplicates()
-            .join(known, ["sub", "out", "parity"], "left_anti")
-            .localCheckpoint(eager=True)
+    is already in the table.
+
+    The closure runs ON THE DRIVER: the rule table is ontology-sized
+    BY CONSTRUCTION (it exists to be broadcast — collecting it is
+    exactly as safe as the broadcast every consumer already does), and
+    a Spark-job fixpoint paid ~1 s of scheduler latency PER ROUND to
+    compose a handful of axioms (measured: 2.2–8.8 s for a 2-axiom
+    ontology; driver-side: milliseconds). A hard cap guards against a
+    degenerate 'ontology' that is really corpus data."""
+    inv_rows = (
+        src.filter(
+            (F.col("pred") == INVERSE_OF)
+            & F.col("obj_kind").isin("iri", "bnode")
         )
-        if delta.isEmpty():
+        .select(F.col("subj").alias("sub"), F.col("obj").alias("out"))
+        .limit(_MAX_RULES + 1)
+        .collect()
+    )
+    sym_rows = (
+        src.filter(
+            (F.col("pred") == RDF_TYPE) & (F.col("obj") == SYMMETRIC_PROP)
+        )
+        .select(F.col("subj").alias("sub"))
+        .limit(_MAX_RULES + 1)
+        .collect()
+    )
+    gen: set[tuple[str, str, int]] = set()
+    for r in inv_rows:
+        gen.add((r["sub"], r["out"], 1))
+        gen.add((r["out"], r["sub"], 1))
+    for r in sym_rows:
+        gen.add((r["sub"], r["sub"], 1))
+    if len(gen) > _MAX_RULES:
+        raise ValueError(
+            f"relabel generator set exceeds {_MAX_RULES} rules — the "
+            "schema argument looks like corpus data, not an ontology"
+        )
+    # semi-naive parity-XOR composition to fixpoint
+    by_sub: dict[str, list[tuple[str, int]]] = {}
+    for s, o, p in gen:
+        by_sub.setdefault(s, []).append((o, p))
+    known = set(gen)
+    delta = set(gen)
+    for _ in range(max_iter):
+        new = {
+            (s, o2, (p + p2) % 2)
+            for (s, m, p) in delta
+            for (o2, p2) in by_sub.get(m, ())
+        } - known
+        if not new or len(known) + len(new) > 2 * _MAX_RULES:
             break
-        known = known.unionByName(_fresh(delta))
-    # identity copies derive nothing new
-    return known.filter(
-        ~((F.col("sub") == F.col("out")) & (F.col("parity") == 0))
+        known |= new
+        delta = new
+    rules = sorted(
+        (s, o, p) for (s, o, p) in known if not (s == o and p == 0)
+    )  # identity copies derive nothing new; sorted for determinism
+    return src.sparkSession.createDataFrame(
+        rules, "sub string, out string, parity int"
     )
 
 
@@ -413,11 +431,15 @@ def owl_property_closure(
     cp_old = spark.conf.get(_CP, "true")
     spark.conf.set(_CP, "false")
     try:
-        rules = _relabel_rules(src).localCheckpoint(eager=True)
+        rules = _relabel_rules(src)  # driver-local, tiny
         trans = _typed_preds(src, TRANSITIVE_PROP).localCheckpoint(eager=True)
 
         node_edges = triples.filter(F.col("obj_kind").isin("iri", "bnode"))
-        flipped1 = _apply_rules(node_edges, rules)
+        # flipped1 (the rule-hit slice — ontology-predicate edges only,
+        # a small fraction of the corpus) is consumed twice: by the
+        # transitive-loop seed and by the final union. Materialize it
+        # once, or each consumer re-scans the full input.
+        flipped1 = _apply_rules(node_edges, rules).localCheckpoint(eager=False)
         base_plus = node_edges.select(*QUAD_COLS).unionByName(flipped1)
 
         # transitive loop input: (pred, subj, obj) of transitive-
@@ -431,9 +453,28 @@ def owl_property_closure(
             .dropDuplicates()
         )
         known = t_edges.localCheckpoint(eager=True)
+        seed_edges = known  # checkpointed round-0 edges, reused post-loop
+        # Loop rounds are LATENCY-bound when the transitive slice is
+        # small (PLANS.md §23): 32 shuffle partitions + AQE re-planning
+        # per stage cost ~2x the data work. Size the loop's shuffle
+        # width from the measured seed (count of a checkpointed RDD =
+        # cheap) and drop AQE only in the small regime; a 100 TB-scale
+        # slice keeps the caller's partitions and AQE skew handling.
+        _SP, _AQE = "spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled"
+        sp_old, aqe_old = spark.conf.get(_SP), spark.conf.get(_AQE, "true")
+        n_seed = known.count()
+        small_loop = n_seed <= 2_000_000
+        if small_loop:
+            spark.conf.set(_AQE, "false")
+            spark.conf.set(_SP, str(max(1, min(int(sp_old), 8))))
         for _ in range(max_iter):
             # path doubling: join known with itself, so diameter-D
             # chains close in ceil(log2 D) rounds
+            # lazy checkpoint + count folds the materialize job and the
+            # emptiness probe into ONE job per round; the union of
+            # already-checkpointed RDDs stays depth-1 without paying a
+            # full re-materialization of `known` every round (the
+            # rounds are latency-bound, not data-bound — PLANS.md §23)
             new = (
                 known.select("pred", "subj", F.col("obj").alias("m"))
                 .join(
@@ -443,17 +484,24 @@ def owl_property_closure(
                 .select("pred", "subj", "obj")
                 .dropDuplicates()
                 .join(known, ["pred", "subj", "obj"], "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if new.isEmpty():
+            if new.count() == 0:
                 break
-            known = known.unionByName(_fresh(new)).localCheckpoint(eager=True)
+            known = known.unionByName(_fresh(new))
     finally:
         spark.conf.set(_CP, cp_old)
+        try:
+            spark.conf.set(_SP, sp_old)
+            spark.conf.set(_AQE, aqe_old)
+        except NameError:
+            pass  # failed before the loop-conf scope opened
 
     # emit only NEW pairs: a base edge rederivable through a chain must
-    # not reappear as a NULL-graph copy (left-anti on the loop input)
-    derived = known.join(t_edges, ["pred", "subj", "obj"], "left_anti")
+    # not reappear as a NULL-graph copy. Anti-join against the ALREADY
+    # CHECKPOINTED loop seed (round 0's `known`), not the t_edges plan
+    # — the latter would re-scan the input corpus a second time.
+    derived = known.join(seed_edges, ["pred", "subj", "obj"], "left_anti")
     trans_out = derived.select(
         F.lit(None).cast("string").alias("graph"),
         "subj",

@@ -315,7 +315,16 @@ def random_walks(
     adj = e.withColumn("nbr_idx", F.row_number().over(w) - F.lit(1))
     if max_degree is not None:
         adj = adj.filter(F.col("nbr_idx") < max_degree)
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    # the neighbor index and degree table are probed once PER STEP:
+    # materialize them once (otherwise every step re-runs the edge-scan
+    # + per-key sort, multiplying the dominant cost by walk_len; at
+    # cluster scale this is the table you'd persist to storage once)
+    adj = adj.localCheckpoint(eager=False)
+    deg = (
+        adj.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
 
     if starts is None:
         starts = deg.select(F.col("u").alias("node"))
@@ -335,14 +344,17 @@ def random_walks(
     )
     for t in range(1, walk_len + 1):
         choice = _walk_hash(hash_fn, seed, F.col("walk_id"), t, F.col("cur"))
+        # lazy checkpoint + count = ONE job per step that both
+        # materializes the frontier (truncating lineage) and probes
+        # emptiness — eager-checkpoint-then-isEmpty paid two
         nxt = (
             frontier.join(deg.withColumnRenamed("u", "cur"), "cur")
             .withColumn("nbr_idx", F.pmod(choice, F.col("degree")).cast("int"))
             .join(adj.withColumnRenamed("u", "cur"), ["cur", "nbr_idx"])
             .select("walk_id", F.col("v").alias("cur"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         out = out.unionByName(
             nxt.select("walk_id", F.lit(t).alias("step"),
