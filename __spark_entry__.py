@@ -473,6 +473,35 @@ def q_kg_node_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_bucketed_node_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-the-shuffle-once story measured END-TO-END: materialize
+    the KG under write-audit-publish AND as a subj-bucketed managed
+    table (plans/kg.materialize_kg(bucketed_table=...)), then compute
+    the node table FROM THE BUCKETED TABLE. The bucketed scan reports
+    HashPartitioning(subj), so the (graph, subj) node merge plans with
+    ZERO Exchange — the shuffle was paid once at publish time
+    (PLANS.md §25; plan asserted in tests/test_layout.py). Output and
+    oracle are identical to kg_node_table."""
+    import re as _re
+
+    from json_ld_spark.plans.kg import materialize_kg
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    out_dir = f"/tmp/json_ld_spark_bucketed/{tag}"
+    table = f"kg_triples_bucketed_{tag}"
+    materialize_kg(t, out_dir, n_buckets=16, bucketed_table=table)
+    nodes = node_table(spark.table(table))
+    return nodes.select(
+        "node_id",
+        F.array_join("types", ",").alias("types_csv"),
+        F.array_join("preds", ",").alias("preds_csv"),
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def q_kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mention extraction (JVM posexplode) + broadcast dictionary join +
     vectorized pandas-UDF link scoring (north_star entity-linking stage)."""
@@ -3038,6 +3067,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sameas_merge": q_kg_sameas_merge,
         "kg_shacl_validate": q_kg_shacl_validate,
         "kg_node_table": q_kg_node_table,
+        "kg_bucketed_node_table": q_kg_bucketed_node_table,
         "kg_entity_links": q_kg_entity_links,
         "kg_entity_links_salted": q_kg_entity_links_salted,
         "kg_triples_interned": q_kg_triples_interned,
@@ -5646,6 +5676,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_triples": _STREAM_TRIPLES_SQL,
         "kg_triples_interned": _TRIPLES_SQL,
         "kg_node_table": _NODES_SQL,
+        "kg_bucketed_node_table": _NODES_SQL,
         "kg_entity_links": _LINKS_SQL,
         "kg_entity_links_salted": _LINKS_SQL,
         "kg_pipeline_full": _KG_PIPELINE_SQL,

@@ -273,7 +273,23 @@ def write_bucketed_table(
     layout for a 100 TB KG: bucket by subj). Evidence: the bucketed
     subj-join plan is Exchange-free (tests/test_layout.py,
     PLANS.md §19)."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # the default catalog is session-scoped while the warehouse dir
+        # persists: a table written by a PREVIOUS session leaves a
+        # location the new session's catalog does not know, and
+        # saveAsTable refuses (LOCATION_ALREADY_EXISTS). Drop + clear.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        stale = os.path.join(wh, table.split(".")[-1].lower())
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
     w = df.write.bucketBy(n_buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
     w.mode(mode).format("parquet").saveAsTable(table)
+    # drop any cached file listing from a previous incarnation of the
+    # table (drop + recreate keeps the path, not the files)
+    spark.catalog.refreshTable(table)

@@ -99,22 +99,43 @@ def materialize_kg(
     entity_dictionary: DataFrame | None = None,
     n_buckets: int = 32,
     engine: str = "native",
+    bucketed_table: str | None = None,
 ) -> dict:
     """Resumable materialization: only not-yet-committed conversation
-    buckets are processed (operators/checkpoint.py)."""
+    buckets are processed (operators/checkpoint.py).
+
+    ``bucketed_table``: additionally publish the triple table as a
+    subj-bucketed (sorted) managed table — the triple-store layout.
+    The bucketing shuffle is paid ONCE here; every later subj-keyed
+    join or aggregation over the table (node merge, BGP star joins,
+    point lookups) plans with ZERO Exchange and bucket pruning
+    (SelectedBucketsCount) — see PLANS.md §19/§25. Refreshed from the
+    published data even when the WAP resume finds nothing new to
+    process, so the table always exists in the current catalog."""
 
     todo = cp.remaining_buckets(transcripts, out_dir, n_buckets, "conv_id")
     if not todo.take(1):
-        return {"run_id": None, "published_buckets": [], "total_rows": 0}
-    parts = build_kg(todo.drop(cp.BUCKET_COL), entity_dictionary, engine=engine)
-    # every subject in this pipeline is a turn IRI
-    # (https://…/conv/<conv_id>/turn/<i>), so the bucket derives from the
-    # same conv_id key the resume filter uses
-    out = parts["triples"].withColumn(
-        cp.BUCKET_COL,
-        F.pmod(
-            F.xxhash64(F.regexp_extract("subj", r"/conv/([^/]+)/turn/", 1)),
-            F.lit(n_buckets),
-        ).cast("int"),
-    )
-    return cp.write_audit_publish(out, out_dir, n_buckets, key_col="conv_id")
+        result = {"run_id": None, "published_buckets": [], "total_rows": 0}
+    else:
+        parts = build_kg(
+            todo.drop(cp.BUCKET_COL), entity_dictionary, engine=engine
+        )
+        # every subject in this pipeline is a turn IRI
+        # (https://…/conv/<conv_id>/turn/<i>), so the bucket derives from
+        # the same conv_id key the resume filter uses
+        out = parts["triples"].withColumn(
+            cp.BUCKET_COL,
+            F.pmod(
+                F.xxhash64(F.regexp_extract("subj", r"/conv/([^/]+)/turn/", 1)),
+                F.lit(n_buckets),
+            ).cast("int"),
+        )
+        result = cp.write_audit_publish(out, out_dir, n_buckets, key_col="conv_id")
+    if bucketed_table is not None:
+        spark = transcripts.sparkSession
+        published = cp.read_published(spark, out_dir).drop(cp.BUCKET_COL)
+        cp.write_bucketed_table(
+            published, bucketed_table, ["subj"], n_buckets=n_buckets
+        )
+        result["bucketed_table"] = bucketed_table
+    return result

@@ -50,3 +50,63 @@ def test_bucketed_groupby_avoids_exchange(bucketed):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     # aggregation on the bucket key reuses the write-time partitioning
     assert "Exchange" not in plan
+
+
+def test_materialize_kg_bucketed_publish_end_to_end(spark, tmp_path):
+    """materialize_kg(bucketed_table=...) publishes the triple table
+    subj-bucketed; the node merge over it plans with ZERO Exchange and
+    a subj point-lookup prunes buckets (SelectedBucketsCount). This is
+    the end-to-end pay-the-shuffle-once evidence (PLANS.md §25)."""
+    from json_ld_spark.operators.jsonld import node_table
+    from json_ld_spark.plans.kg import materialize_kg
+    from json_ld_spark.sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    res = materialize_kg(
+        t, str(tmp_path / "kg"), n_buckets=4,
+        bucketed_table="t_kg_bucketed_e2e",
+    )
+    assert res["bucketed_table"] == "t_kg_bucketed_e2e"
+    bt = spark.table("t_kg_bucketed_e2e")
+
+    # (graph, subj) node merge: HashPartitioning(subj) from the bucketed
+    # scan satisfies the ClusteredDistribution -> no shuffle at query time
+    nodes = node_table(bt)
+    plan = nodes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+
+    # point lookup on the bucket key prunes to 1 of 4 buckets. Spark's
+    # autoBucketedScan reverts a bare filter scan to a regular scan (no
+    # exchange to save), hiding the pruning — pin the bucketed scan on
+    # for the probe, as a bucket-pruned reader would.
+    one_subj = bt.select("subj").first()[0]
+    auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old_auto = spark.conf.get(auto)
+    spark.conf.set(auto, "false")
+    try:
+        probe = bt.filter(F.col("subj") == one_subj)
+        pplan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 4" in pplan
+    finally:
+        spark.conf.set(auto, old_auto)
+
+    # and the bucketed node table equals the direct-pipeline node table
+    from json_ld_spark.operators.jsonld import dedup_triples
+    from json_ld_spark.operators.native import transcript_triples_native
+
+    direct = node_table(
+        dedup_triples(transcript_triples_native(t))
+    ).orderBy("graph", "node_id").collect()
+    viabt = nodes.orderBy("graph", "node_id").collect()
+    assert viabt == direct
+
+    # resume path (nothing new to process) still refreshes the table
+    n_before = bt.count()
+    res2 = materialize_kg(
+        t, str(tmp_path / "kg"), n_buckets=4,
+        bucketed_table="t_kg_bucketed_e2e",
+    )
+    assert res2["run_id"] is None
+    assert res2["bucketed_table"] == "t_kg_bucketed_e2e"
+    assert spark.table("t_kg_bucketed_e2e").count() == n_before
