@@ -1923,6 +1923,74 @@ def q_kg_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_kg_sparql_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FROM NAMED dataset construction over the per-conversation
+    named-graph corpus (sparql._apply_dataset): the query's dataset is
+    restricted to 12 explicitly named conversation graphs; GRAPH ?g
+    ranges over exactly those, and the per-graph aggregation composes
+    on top. The graph-IRI IN-list pushes to the scan as a filter."""
+    from json_ld_spark.sparql import sparql
+
+    _utc(spark)
+    v = "https://example.org/transcript#"
+    t = transcripts_from_documents(spark, sf_dir)
+    quads = (
+        transcript_triples_native(t)
+        .select(
+            F.regexp_extract(F.col("subj"), r"^(.*)/turn/", 1).alias("graph"),
+            "subj", "pred", "obj",
+        )
+        .dropDuplicates()
+    )
+    named = "\n".join(
+        f"FROM NAMED <https://example.org/conv/conv-{i}>" for i in range(12)
+    )
+    return sparql(quads, f"""
+        PREFIX t: <{v}>
+        SELECT ?g (COUNT(*) AS ?n)
+        {named}
+        WHERE {{ GRAPH ?g {{ ?turn t:role "assistant" }} }}
+        GROUP BY ?g ORDER BY ?g
+    """)
+
+
+def q_kg_sparql_analyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The realistic KG-analyst query shape (round-3 advice #8):
+    property path + OPTIONAL + aggregation COMPOSED in one SPARQL text
+    query — from each conversation's opening turn, count the turns
+    reachable via t:nextTurn+ and, via OPTIONAL, how many of those
+    used a tool. Path closure runs as frontier BFS seeded per t0
+    (operators/paths.py), OPTIONAL is a left join, aggregation a
+    map-side-partial hash agg. Oracle: on a per-conversation chain the
+    nextTurn+ closure from turn 0 is analytic — all turns with index
+    >= 1."""
+    from json_ld_spark.operators.native import transcript_adjacency_native
+    from json_ld_spark.sparql import sparql
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    tri = (
+        transcript_triples_native(t)
+        .select("subj", "pred", "obj")
+        .dropDuplicates()
+    )
+    adj = (
+        transcript_adjacency_native(t, with_doc_id=False)
+        .select("subj", "pred", "obj")
+        .dropDuplicates()
+    )
+    return sparql(tri.unionByName(adj), """
+        PREFIX t: <https://example.org/transcript#>
+        SELECT ?conv (COUNT(?later) AS ?n_reachable) (COUNT(?tool) AS ?n_tooled)
+        WHERE {
+            ?t0 t:conversation ?conv ; t:turnIndex "0" .
+            ?t0 t:nextTurn+ ?later .
+            OPTIONAL { ?later t:tool ?tool }
+        }
+        GROUP BY ?conv ORDER BY DESC(?n_reachable) ?conv LIMIT 60
+    """)
+
+
 def q_rel_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/temporal.py): every event picks the
     user's latest click at-or-before its timestamp — union-marker +
@@ -3171,6 +3239,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sessionize_events": q_rel_sessionize_events,
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_path": q_kg_sparql_path,
+        "kg_sparql_analyst": q_kg_sparql_analyst,
+        "kg_sparql_named": q_kg_sparql_named,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_bgp_describe": q_kg_bgp_describe,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -5325,6 +5395,32 @@ SELECT conv, n FROM (
 ) ORDER BY n DESC, conv LIMIT 50
 """
 
+_SPARQL_NAMED_SQL = _BASE_CTE.rstrip() + """
+SELECT 'https://example.org/conv/' || conv_id AS g,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM base
+WHERE role = 'assistant'
+  AND conv_id IN (SELECT 'conv-' || CAST(i AS VARCHAR) FROM range(12) r(i))
+GROUP BY conv_id
+ORDER BY g
+"""
+
+_SPARQL_ANALYST_SQL = _BASE_CTE.rstrip() + """
+, conv AS (
+  SELECT conv_id,
+         COUNT(*) AS n_turns,
+         COUNT(CASE WHEN turn_idx >= 1 THEN tool END) AS n_tooled
+  FROM base GROUP BY conv_id
+)
+SELECT 'https://example.org/conv/' || conv_id AS conv,
+       CAST(n_turns - 1 AS BIGINT) AS n_reachable,
+       CAST(n_tooled AS BIGINT) AS n_tooled
+FROM conv
+WHERE n_turns > 1
+ORDER BY n_reachable DESC, conv
+LIMIT 60
+"""
+
 _SPARQL_PATH_SQL = _TRIPLES_CTE + f"""
 , conv AS (
   SELECT subj, obj AS c FROM triples
@@ -5760,6 +5856,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_plan": _FRAME_PLAN_SQL,
         "kg_sparql_select": _SPARQL_SELECT_SQL,
         "kg_sparql_path": _SPARQL_PATH_SQL,
+        "kg_sparql_analyst": _SPARQL_ANALYST_SQL,
+        "kg_sparql_named": _SPARQL_NAMED_SQL,
         "kg_sparql_graph": _SPARQL_GRAPH_SQL,
         "kg_bgp_describe": _BGP_DESCRIBE_SQL,
         "kg_bgp_ask": _BGP_ASK_SQL,

@@ -271,6 +271,39 @@ def main() -> None:
     run("text_stats", lambda: tx.analyze_documents(docs).count(),
         warm=lambda: tx.analyze_documents(small_d).count())
 
+    # SPARQL text over the multi-graph corpus (round-3 advice #8):
+    # FROM NAMED dataset construction + GRAPH ?g + aggregation at sf0.1,
+    # per-conversation named graphs over the amplified corpus
+    from json_ld_spark.sparql import sparql as sparql_text
+
+    def _mg_quads(src):
+        return (
+            transcript_triples_native(src)
+            .select(
+                F.regexp_extract(F.col("subj"), r"^(.*)/turn/", 1).alias("graph"),
+                "subj", "pred", "obj",
+            )
+            .dropDuplicates()
+        )
+
+    _mg_names = [
+        r[0]
+        for r in _mg_quads(small_t).select("graph").distinct()
+        .orderBy("graph").limit(24).collect()
+    ]
+    _mg_query = (
+        "PREFIX t: <https://example.org/transcript#>\n"
+        "SELECT ?g (COUNT(*) AS ?n)\n"
+        + "\n".join(f"FROM NAMED <{g}>" for g in _mg_names)
+        + '\nWHERE { GRAPH ?g { ?turn t:role "assistant" } }\n'
+        "GROUP BY ?g ORDER BY DESC(?n) ?g LIMIT 20"
+    )
+    run(
+        "sparql_multigraph",
+        lambda: sparql_text(_mg_quads(transcripts), _mg_query).count(),
+        warm=lambda: sparql_text(_mg_quads(small_t), _mg_query).count(),
+    )
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     run(
         "rel_agg_pricing",

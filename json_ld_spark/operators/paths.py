@@ -285,25 +285,62 @@ def _closure(
         # frontier BFS keyed by reachable endpoint: state is (s, o)
         # pairs but each round's join input is only the new frontier
         seeds = subjects.select("s").dropDuplicates()
-        known = seeds.join(step, "s").dropDuplicates().localCheckpoint(eager=True)
+        known = seeds.join(step, "s").dropDuplicates().localCheckpoint(eager=False)
     else:
-        known = step.dropDuplicates().localCheckpoint(eager=True)
+        known = step.dropDuplicates().localCheckpoint(eager=False)
     # Only the per-round delta is checkpointed: `known` stays a flat
     # union of already-checkpointed deltas, so its lineage is depth-1
     # regardless of round count (no 2^n plan growth) and we avoid
     # re-materializing the whole growing closure every round —
     # O(diameter × |closure|) checkpoint writes saved.
+    #
+    # Rounds are LATENCY-bound when the closure slice is small (the
+    # count doubles as the lazy checkpoint's materializing action):
+    # narrow the loop's shuffle width and skip AQE re-planning in that
+    # regime; a corpus-sized slice keeps the caller's width and AQE
+    # skew handling (same policy as entailment.owl_property_closure).
+    spark = triples.sparkSession
+    _SP = "spark.sql.shuffle.partitions"
+    _AQE = "spark.sql.adaptive.enabled"
+    sp_old, aqe_old = spark.conf.get(_SP), spark.conf.get(_AQE, "true")
+    if known.count() <= 2_000_000:
+        spark.conf.set(_AQE, "false")
+        spark.conf.set(_SP, str(max(1, min(int(sp_old), 8))))
     delta = known
-    for _ in range(max_iter):
-        delta = (
-            delta.select("s", F.col("o").alias("m"))
-            .join(step.select(F.col("s").alias("m"), "o"), "m")
-            .select("s", "o")
-            .dropDuplicates()
-            .join(known, ["s", "o"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if delta.isEmpty():
-            break
-        known = known.unionByName(delta)
+    try:
+        if subjects is None:
+            # PATH DOUBLING (R ← R ∪ R∘R): diameter-D graphs close in
+            # ceil(log2 D) rounds instead of D — the rounds are the
+            # cost, not the data, so the fatter self-join wins. Not
+            # valid for the seeded case (composing seed-anchored pairs
+            # requires the midpoint to be a seed), which stays BFS.
+            for _ in range(max_iter):
+                new = (
+                    known.select("s", F.col("o").alias("m"))
+                    .join(known.select(F.col("s").alias("m"), "o"), "m")
+                    .select("s", "o")
+                    .dropDuplicates()
+                    .join(known, ["s", "o"], "left_anti")
+                    .localCheckpoint(eager=False)
+                )
+                # lazy checkpoint + count: one job materializes + probes
+                if new.count() == 0:
+                    break
+                known = known.unionByName(new)
+        else:
+            for _ in range(max_iter):
+                delta = (
+                    delta.select("s", F.col("o").alias("m"))
+                    .join(step.select(F.col("s").alias("m"), "o"), "m")
+                    .select("s", "o")
+                    .dropDuplicates()
+                    .join(known, ["s", "o"], "left_anti")
+                    .localCheckpoint(eager=False)
+                )
+                if delta.count() == 0:
+                    break
+                known = known.unionByName(delta)
+    finally:
+        spark.conf.set(_SP, sp_old)
+        spark.conf.set(_AQE, aqe_old)
     return known
