@@ -2218,6 +2218,34 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (similarity.pq_codebooks + ivfpq_topk): coarse IVF
+    codebook, product-quantized residual codes (m=8 subspaces x 32
+    codes — candidates ship m small ints instead of dim doubles, ~16x
+    less candidate shuffle at 100 TB), ADC shortlist (rounded 1e-6,
+    cand_id tiebreak), exact cosine re-rank of the top-80. Recall vs
+    exact top-5 asserted >= 0.9 in tests/test_dataops.py.
+
+    VALUE-EXACT oracle: the ENTIRE derivation replays in DuckDB —
+    md5-bridge seeds for both codebooks, Lloyd with 1e-6-quantized
+    means, L2 code assignment (list_zip p->(p[1]-p[2])^2 summed
+    left-to-right = Spark's zip_with/aggregate fold order), per-cell
+    ADC rounded before the cross-cell MIN, shortlist, exact re-rank."""
+    _utc(spark)
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    cents = sim.ivf_centroids(emb, n_cells=16, lloyd_rounds=2)
+    books = sim.pq_codebooks(emb, cents, m_subspaces=8, n_codes=32, lloyd_rounds=2)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    out = sim.ivfpq_topk(
+        queries_df, emb, cents, books, k=5, n_probe=6, n_assign=2, rerank=80
+    )
+    return out.select(
+        "query_id", "cand_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 4).alias("cos_r"),
+    )
+
+
 def q_jsonld_canonicalize_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed bnode canonicalization (operators/canonical.py:
     DataFrame-native fixpoint color refinement) over bnode-rooted docs.
@@ -3240,6 +3268,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_analyst": q_kg_sparql_analyst,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "kg_sparql_named": q_kg_sparql_named,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_bgp_describe": q_kg_bgp_describe,
@@ -4907,6 +4936,170 @@ JOIN e eb ON eb.vec_id = vec_b
 WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
 """
 
+def _ann_ivfpq_sql(
+    n_cells: int = 16, lloyd_rounds: int = 2, m: int = 8, n_codes: int = 32,
+    pq_rounds: int = 2, n_probe: int = 6, n_assign: int = 2, rerank: int = 80,
+    k: int = 5, dim: int = 64,
+) -> str:
+    """Full IVF-PQ replay (pq_codebooks + ivfpq_topk, similarity.py).
+    L2 is list_zip p->(p[1]-p[2])^2 summed by list_sum — the same
+    left-to-right order as Spark's zip_with/aggregate fold, so code
+    assignments and ADC values agree bit-for-bit before rounding."""
+    sub_d = dim // m
+    l2 = lambda a, b: (
+        f"list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])^2))"
+    )
+    seeds = f"""
+, cents0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS centroid
+  FROM (SELECT vec_id, v,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM e)
+  ORDER BY h, vec_id
+  LIMIT {n_cells}
+)"""
+    rounds = ""
+    prev = "cents0"
+    for r in range(1, lloyd_rounds + 1):
+        rounds += f"""
+, a{r} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC
+           ) AS rk
+    FROM e CROSS JOIN {prev} c)
+  WHERE rk = 1
+), cents{r} AS (
+  SELECT cell, list(m ORDER BY idx) AS centroid FROM (
+    SELECT cell, g.idx, round(AVG(v[g.idx]), 6) AS m
+    FROM a{r} CROSS JOIN generate_series(1, {dim}) AS g(idx)
+    GROUP BY cell, g.idx)
+  GROUP BY cell
+)"""
+        prev = f"cents{r}"
+    # residuals vs PRIMARY cell + long-form subspaces + PQ training
+    pq = f"""
+, prim AS (
+  SELECT vec_id, v, centroid FROM (
+    SELECT e.vec_id, e.v, c.centroid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC
+           ) AS rk
+    FROM e CROSS JOIN {prev} c)
+  WHERE rk = 1
+), res AS (
+  SELECT vec_id, list_transform(list_zip(v, centroid), p -> p[1]-p[2]) AS r
+  FROM prim
+), sub AS (
+  SELECT vec_id, s.j, (r)[(s.j*{sub_d}+1):((s.j+1)*{sub_d})] AS sv
+  FROM res CROSS JOIN generate_series(0, {m - 1}) AS s(j)
+), pqseeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, vec_id
+  FROM (SELECT vec_id,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM e)
+  ORDER BY h, vec_id
+  LIMIT {n_codes}
+), pcb0 AS (
+  SELECT sub.j, pqseeds.code, sub.sv AS centroid
+  FROM pqseeds JOIN sub USING (vec_id)
+)"""
+    pprev = "pcb0"
+    for r in range(1, pq_rounds + 1):
+        pq += f"""
+, pa{r} AS (
+  SELECT vid, j, code, sv FROM (
+    SELECT s.vec_id AS vid, s.j, c.code, s.sv,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY {l2("s.sv", "c.centroid")} ASC, c.code ASC) AS rk
+    FROM sub s JOIN {pprev} c ON s.j = c.j)
+  WHERE rk = 1
+), pcb{r} AS (
+  SELECT j, code, list(m ORDER BY idx) AS centroid FROM (
+    SELECT j, code, g.idx, round(AVG(sv[g.idx]), 6) AS m
+    FROM pa{r} CROSS JOIN generate_series(1, {sub_d}) AS g(idx)
+    GROUP BY j, code, g.idx)
+  GROUP BY j, code
+)"""
+        pprev = f"pcb{r}"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings){seeds}{rounds}{pq}
+, cassign AS (
+  SELECT vec_id AS cand_id, cell, centroid FROM (
+    SELECT e.vec_id, e.v AS v, c.cell, c.centroid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC
+           ) AS rk
+    FROM e CROSS JOIN {prev} c)
+  WHERE rk <= {n_assign}
+), csub AS (
+  SELECT ca.cand_id, ca.cell, s.j,
+         (list_transform(list_zip(e.v, ca.centroid), p -> p[1]-p[2]))
+           [(s.j*{sub_d}+1):((s.j+1)*{sub_d})] AS sv
+  FROM cassign ca JOIN e ON e.vec_id = ca.cand_id
+  CROSS JOIN generate_series(0, {m - 1}) AS s(j)
+), ccodes AS (
+  SELECT cand_id, cell, j, code FROM (
+    SELECT cs.cand_id, cs.cell, cs.j, c.code,
+           ROW_NUMBER() OVER (PARTITION BY cs.cand_id, cs.cell, cs.j
+             ORDER BY {l2("cs.sv", "c.centroid")} ASC, c.code ASC) AS rk
+    FROM csub cs JOIN {pprev} c ON cs.j = c.j)
+  WHERE rk = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, cell, centroid FROM (
+    SELECT e.vec_id, c.cell, c.centroid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC
+           ) AS rk
+    FROM e CROSS JOIN {prev} c
+    WHERE e.vec_id % 100 = 0)
+  WHERE rk <= {n_probe}
+), qsub AS (
+  SELECT qp.query_id, qp.cell, s.j,
+         (list_transform(list_zip(e.v, qp.centroid), p -> p[1]-p[2]))
+           [(s.j*{sub_d}+1):((s.j+1)*{sub_d})] AS sv
+  FROM qprobe qp JOIN e ON e.vec_id = qp.query_id
+  CROSS JOIN generate_series(0, {m - 1}) AS s(j)
+), adc AS (
+  SELECT query_id, cand_id, cell,
+         round(list_sum(list(d2 ORDER BY j)), 6) AS adc
+  FROM (
+    SELECT q.query_id, cc.cand_id, q.cell, q.j,
+           {l2("q.sv", "pc.centroid")} AS d2
+    FROM qsub q
+    JOIN ccodes cc ON cc.cell = q.cell AND cc.j = q.j
+    JOIN {pprev} pc ON pc.j = q.j AND pc.code = cc.code
+    WHERE cc.cand_id <> q.query_id)
+  GROUP BY query_id, cand_id, cell
+), best AS (
+  SELECT query_id, cand_id, MIN(adc) AS adc
+  FROM adc GROUP BY query_id, cand_id
+), shortlist AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc ASC, cand_id ASC) AS srk
+    FROM best)
+  WHERE srk <= {rerank}
+), exact AS (
+  SELECT sl.query_id, sl.cand_id,
+         list_cosine_similarity(eq.v, ec.v) AS cos
+  FROM shortlist sl
+  JOIN e eq ON eq.vec_id = sl.query_id
+  JOIN e ec ON ec.vec_id = sl.cand_id
+)
+SELECT query_id, cand_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank,
+       round(cos, 4) AS cos_r
+FROM exact
+QUALIFY rank <= {k}
+"""
+
+
+_ANN_IVFPQ_SQL = _ann_ivfpq_sql()
+
+
 def _ann_ivf_sql(
     n_cells: int = 16, lloyd_rounds: int = 2, n_probe: int = 6,
     n_assign: int = 2, k: int = 5, dim: int = 64,
@@ -5830,6 +6023,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": _ANN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,
+        "ann_topk_ivfpq": _ANN_IVFPQ_SQL,
         "ann_near_duplicates": _ANN_NEAR_DUP_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_decontaminate": _DECONTAM_SQL,

@@ -422,3 +422,247 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: product-quantized residual encoding + ADC shortlist + exact
+# re-rank (FAISS IndexIVFPQR shape; Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011)
+# --------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sub(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x - y)
+
+
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    """Literal array<array<double>> — ONE constant-folded data value, so
+    per-entry math runs inside a single transform() lambda instead of an
+    unrolled per-entry expression tree (k entries as separate aggregate
+    lambdas made Catalyst codegen the bottleneck: ~24 s compile for
+    8 x 32 codebooks)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+
+
+def _argmin_code(codebook_col: Column, vec_col: Column) -> Column:
+    """Argmin-L2 code id against a codebook array (ties -> lower code,
+    matching the oracle's ROW_NUMBER ORDER BY d2, code)."""
+    scored = F.transform(
+        codebook_col,
+        lambda c, i: F.struct(_l2sq(vec_col, c).alias("d2"), i.alias("code")),
+    )
+    return F.array_sort(scored)[0]["code"]
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 32,
+    lloyd_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks over IVF residuals.
+
+    Each vector's residual against its PRIMARY (nearest) coarse
+    centroid is split into ``m_subspaces`` contiguous slices; every
+    subspace trains its own ``n_codes``-entry codebook with the same
+    hash-seeded Lloyd discipline as :func:`ivf_centroids` (md5-bridge
+    seed sample so the whole derivation replays in the DuckDB oracle;
+    L2 assignment — PQ quantizes Euclidean residual space; means
+    quantized to 1e-6 between rounds so cross-engine summation-order
+    ulps cannot flip assignments). ALL subspaces train in the same
+    jobs: the residual explodes into (subspace, subvector) rows once
+    and each Lloyd round is one assignment + one bounded-state mean
+    aggregation keyed (subspace, code) — 2 jobs per round total, not
+    2 x m. Returns driver-resident codebooks
+    ``[subspace][code] -> centroid`` (m x n_codes x dim/m doubles, the
+    broadcast-sized model every consumer inlines as one literal)."""
+    cents = [(int(r["cell"]), list(r["centroid"])) for r in centroids.collect()]
+    dim = len(cents[0][1])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub_d = dim // m_subspaces
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    cent_mat = _lit_matrix([c for _, c in sorted(cents)])
+    res = v.select(
+        "vid",
+        _sub(
+            F.col("vec"),
+            F.element_at(cent_mat, _nearest_cells(F.col("vec"), cents, 1)[0] + 1),
+        ).alias("res"),
+    )
+    # one seed ordering shared by all subspaces (md5 bridge, ties by id)
+    seed_rows = (
+        res.withColumn(
+            "h",
+            F.conv(F.substring(F.md5(F.col("vid").cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+        )
+        .orderBy("h", "vid")
+        .limit(n_codes)
+        .select("res")
+        .collect()
+    )
+    books = [
+        [
+            [float(x) for x in r["res"][j * sub_d:(j + 1) * sub_d]]
+            for r in seed_rows
+        ]
+        for j in range(m_subspaces)
+    ]
+    # (subspace, subvector) long form — trained once, reused every round
+    sub = res.select(
+        F.posexplode(
+            F.array(*[
+                F.slice(F.col("res"), j * sub_d + 1, sub_d)
+                for j in range(m_subspaces)
+            ])
+        ).alias("j", "vec")
+    ).localCheckpoint(eager=False)
+    for _ in range(max(0, lloyd_rounds)):
+        cb_all = F.array(*[_lit_matrix(b) for b in books])  # [j][code][dim]
+        assigned = sub.select(
+            "j",
+            _argmin_code(F.element_at(cb_all, F.col("j") + 1), F.col("vec"))
+            .alias("code"),
+            "vec",
+        )
+        comp = assigned.select("j", "code", F.posexplode("vec").alias("idx", "x"))
+        rows = (
+            comp.groupBy("j", "code", "idx")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("j", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("im"))
+            .select("j", "code", F.transform("im", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        books = [
+            [list(map(float, r["centroid"]))
+             for r in sorted(
+                 (r for r in rows if r["j"] == j), key=lambda r: r["code"]
+             )]
+            for j in range(m_subspaces)
+        ]
+    return books
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 6,
+    n_assign: int = 2,
+    rerank: int = 80,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF-PQ search with exact re-ranking.
+
+    Index shape (the 100 TB story): each corpus row is stored under its
+    ``n_assign`` nearest cells as ``(cand_id, cell, codes)`` — m
+    uint8-range ints instead of dim doubles, a ~16x cut in candidate
+    bytes, which at scale is what dominates the probe shuffle. The
+    candidate stage is the same cell equi-join as :func:`ivf_topk`;
+    scoring is ADC (asymmetric distance: per probed cell the query
+    residual builds an m x n_codes lookup table, summed over each
+    candidate's codes), rounded to 1e-6 with cand_id tiebreak so the
+    shortlist is engine-reproducible; the top-``rerank`` shortlist per
+    query then joins raw vectors BY ID (k-bounded, cheap) for exact
+    cosine top-k. Codebooks/LUTs live in transform() lambdas over one
+    literal matrix — constant data, not unrolled expression trees.
+    Recall >= the raw-IVF gate is asserted in tests."""
+    cents = [(int(r["cell"]), list(r["centroid"])) for r in centroids.collect()]
+    dim = len(cents[0][1])
+    m = len(books)
+    sub_d = dim // m
+    cent_mat = _lit_matrix([c for _, c in sorted(cents)])
+    cb_all = F.array(*[_lit_matrix(b) for b in books])  # [j][code][dim]
+
+    def residual(vcol: Column, cell_col: Column) -> Column:
+        return _sub(vcol, F.element_at(cent_mat, cell_col + 1))
+
+    def subslices(rescol: Column) -> Column:
+        return F.array(*[
+            F.slice(rescol, j * sub_d + 1, sub_d) for j in range(m)
+        ])
+
+    # ---- index side: (cand_id, cell, codes) — no raw vectors ----
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+        F.explode(_nearest_cells(F.col(vec_col), cents, n_assign)).alias("cell"),
+    )
+    codes = c.select(
+        "cand_id", "cell",
+        F.zip_with(
+            subslices(residual(F.col("cv"), F.col("cell"))),
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda sv, jj: _argmin_code(F.element_at(cb_all, jj), sv),
+        ).alias("codes"),
+    )
+
+    # ---- query side: per probed cell, the m x n_codes ADC table ----
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(_nearest_cells(F.col(vec_col), cents, n_probe)).alias("cell"),
+    )
+    lut = q.select(
+        "query_id", "cell",
+        F.zip_with(
+            subslices(residual(F.col("qv"), F.col("cell"))),
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda sv, jj: F.transform(
+                F.element_at(cb_all, jj), lambda cc: _l2sq(sv, cc)
+            ),
+        ).alias("lut"),
+    )
+    q_side = F.broadcast(lut) if broadcast_queries else lut
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"),
+            lambda code, row: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.join(q_side, "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", F.round(adc, 6).alias("adc"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.min("adc").alias("adc"))  # best cell per multi-assigned pair
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    shortlist = (
+        scored.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= rerank)
+        .select("query_id", "cand_id")
+    )
+
+    # ---- exact re-rank: raw vectors fetched by id for the shortlist ----
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    exact = (
+        shortlist.join(F.broadcast(qv) if broadcast_queries else qv, "query_id")
+        .join(cv, "cand_id")
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
