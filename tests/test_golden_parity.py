@@ -30,6 +30,7 @@ SUITE_V4 = json.loads((_FIXDIR / "golden_suite_v4.json").read_text())
 SUITE_V5 = json.loads((_FIXDIR / "golden_suite_v5.json").read_text())
 SUITE_V6 = json.loads((_FIXDIR / "golden_suite_v6.json").read_text())
 SUITE_V7 = json.loads((_FIXDIR / "golden_suite_v7.json").read_text())
+SUITE_V8 = json.loads((_FIXDIR / "golden_suite_v8.json").read_text())
 CASES = (
     SUITE["cases"]
     + SUITE_V2["cases"]
@@ -38,6 +39,7 @@ CASES = (
     + SUITE_V5["cases"]
     + SUITE_V6["cases"]
     + SUITE_V7["cases"]
+    + SUITE_V8["cases"]
 )
 
 
@@ -102,6 +104,21 @@ def test_golden_case(case):
         with pytest.raises(E.JsonLdError) as exc:
             flatten(case["input"], options=opts)
         assert type(exc.value).__name__ == case["flatten_error"]
+        return
+    if "compact_error" in case:
+        # compaction-side negative: matches the error CLASS name or the
+        # spec error code (e.g. "IRI confused with prefix")
+        with pytest.raises(E.JsonLdError) as exc:
+            compact(
+                expand(case["input"], options=opts),
+                case["compact_context"],
+                options=opts,
+            )
+        got = {type(exc.value).__name__, getattr(exc.value, "code", "")}
+        assert case["compact_error"] in got, (
+            f"compact error mismatch: got {got}, expected "
+            f"{case['compact_error']}"
+        )
         return
     if "expanded" in case:
         got = expand(case["input"], options=opts)
