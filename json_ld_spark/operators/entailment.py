@@ -74,19 +74,21 @@ def _transitive(pairs: DataFrame, max_iter: int) -> DataFrame:
     only the previous round's new pairs; lineage stays depth-1 via
     per-delta localCheckpoint."""
     known = pairs.dropDuplicates().localCheckpoint(eager=True)
-    delta = known
+    # path doubling (R <- R u R.R): ontology hierarchies close in
+    # ceil(log2 depth) rounds, and each round is ONE job (lazy
+    # checkpoint + count probes and materializes together)
     for _ in range(max_iter):
-        delta = (
-            delta.select("sub", F.col("sup").alias("m"))
+        new = (
+            known.select("sub", F.col("sup").alias("m"))
             .join(known.select(F.col("sub").alias("m"), "sup"), "m")
             .select("sub", "sup")
             .dropDuplicates()
             .join(known, ["sub", "sup"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if delta.isEmpty():
+        if new.count() == 0:
             break
-        known = known.unionByName(delta)
+        known = known.unionByName(new)
     return known
 
 

@@ -106,7 +106,9 @@ def connected_components(
             )
             .where(F.col("a") != F.col("b"))
         )
-        e2 = _symmetrize(small, "a", "b").localCheckpoint(eager=True)
+        # lazy: the fingerprint aggregation right below is the
+        # materializing action — one job per round instead of two
+        e2 = _symmetrize(small, "a", "b").localCheckpoint(eager=False)
         fp = _edge_fingerprint(e2)
         if fp == prev:
             e = e2
@@ -149,8 +151,10 @@ def k_hop(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(depth))
         )
-        nxt = nxt.localCheckpoint(eager=True)  # truncate the per-hop lineage
-        if nxt.isEmpty():
+        # lazy checkpoint + count: ONE job per hop materializes the
+        # frontier (truncating lineage) and probes emptiness
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
@@ -252,7 +256,9 @@ def pagerank(
                     * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: next round's dangling probe (or the caller's final
+            # action) materializes it — one job per round, not two
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -487,9 +493,10 @@ def node2vec_walks(
                 & (F.col("__cum") - F.col("w") <= F.col("__r"))
             )
             .select("walk_id", F.col("cur").alias("prev"), F.col("v").alias("cur"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        # lazy checkpoint + count: one job per step
+        if nxt.count() == 0:
             break
         out = out.unionByName(
             nxt.select("walk_id", F.lit(t).alias("step"),
@@ -569,7 +576,7 @@ def personalized_pagerank(
                        + F.lit(dangling) * F.col("restart"))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by next probe/action
         )
     return ranks
 
@@ -669,7 +676,7 @@ def label_propagation(
         )
         labels = sd.unionByName(
             picks.join(sd.select("node"), "node", "left_anti")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # materialized by the final action
     return labels
 
 
