@@ -1923,6 +1923,34 @@ def q_kg_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_kg_sparql_graph_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property path INSIDE GRAPH (round-4 lift): nextTurn+ evaluated
+    within each per-conversation named graph — nodes are struct(graph,
+    term)-encoded so the one distributed closure cannot cross graphs
+    (bgp._graph_path_scan). Oracle: each conversation is a chain, so
+    the within-graph closure has n·(n-1)/2 pairs."""
+    from json_ld_spark.operators.native import transcript_adjacency_native
+    from json_ld_spark.sparql import sparql
+
+    _utc(spark)
+    v = "https://example.org/transcript#"
+    t = transcripts_from_documents(spark, sf_dir)
+    quads = (
+        transcript_adjacency_native(t, with_doc_id=False)
+        .select(
+            F.regexp_extract(F.col("subj"), r"^(.*)/turn/", 1).alias("graph"),
+            "subj", "pred", "obj",
+        )
+        .dropDuplicates()
+    )
+    return sparql(quads, f"""
+        PREFIX t: <{v}>
+        SELECT ?g (COUNT(*) AS ?n_pairs)
+        WHERE {{ GRAPH ?g {{ ?a t:nextTurn+ ?b }} }}
+        GROUP BY ?g ORDER BY ?g
+    """)
+
+
 def q_kg_sparql_named(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL FROM NAMED dataset construction over the per-conversation
     named-graph corpus (sparql._apply_dataset): the query's dataset is
@@ -3270,6 +3298,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_analyst": q_kg_sparql_analyst,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "kg_sparql_named": q_kg_sparql_named,
+        "kg_sparql_graph_path": q_kg_sparql_graph_path,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_bgp_describe": q_kg_bgp_describe,
         "kg_bgp_ask": q_kg_bgp_ask,
@@ -5588,6 +5617,15 @@ SELECT conv, n FROM (
 ) ORDER BY n DESC, conv LIMIT 50
 """
 
+_SPARQL_GRAPH_PATH_SQL = _BASE_CTE.rstrip() + """
+, conv AS (SELECT conv_id, COUNT(*) AS n FROM base GROUP BY conv_id)
+SELECT 'https://example.org/conv/' || conv_id AS g,
+       CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs
+FROM conv
+WHERE n > 1
+ORDER BY g
+"""
+
 _SPARQL_NAMED_SQL = _BASE_CTE.rstrip() + """
 SELECT 'https://example.org/conv/' || conv_id AS g,
        CAST(COUNT(*) AS BIGINT) AS n
@@ -6052,6 +6090,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_path": _SPARQL_PATH_SQL,
         "kg_sparql_analyst": _SPARQL_ANALYST_SQL,
         "kg_sparql_named": _SPARQL_NAMED_SQL,
+        "kg_sparql_graph_path": _SPARQL_GRAPH_PATH_SQL,
         "kg_sparql_graph": _SPARQL_GRAPH_SQL,
         "kg_bgp_describe": _BGP_DESCRIBE_SQL,
         "kg_bgp_ask": _BGP_ASK_SQL,

@@ -335,10 +335,7 @@ def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFram
     pred = pattern[1]
     if isinstance(pred, tuple):
         if len(pattern) == 4:
-            raise ValueError(
-                "property paths inside GRAPH are not supported (the "
-                "closure would need per-graph evaluation)"
-            )
+            return _graph_path_scan(triples, pattern)
         from json_ld_spark.operators.paths import path_pairs
 
         # constant SUBJECT + CLOSURE path: seed the evaluation so the
@@ -410,6 +407,55 @@ def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFram
         else:
             df = df.filter(F.col(col) == F.lit(term))
     return df.select(*[F.col(c).alias(n) for n, c in out_cols.items()])
+
+
+def _graph_path_scan(triples: DataFrame, pattern: tuple) -> DataFrame:
+    """Property path inside GRAPH (4-term path pattern): SPARQL
+    evaluates the path WITHIN each graph.
+
+    - constant graph (IRI or the FROM-rewrite "@default" sentinel):
+      the path runs over that one graph's slice — the graph-equality
+      filter pushes to the scan, then it is a plain 3-term path.
+    - graph VARIABLE: one distributed evaluation over ALL named
+      graphs at once — nodes are encoded as struct(graph, term), so
+      every path join (sequence midpoints, closure frontiers,
+      zero-length term enumeration) carries the graph as part of the
+      join key and edges can never cross graphs. No per-graph loop,
+      no graph enumeration on the driver; the closure state grows by
+      one small struct field."""
+    s_term, pred, o_term, g_term = pattern
+    if "graph" not in triples.columns:
+        raise ValueError(
+            "GRAPH pattern requires a quad table with a 'graph' column"
+        )
+    from json_ld_spark.operators.paths import path_pairs
+
+    if not _is_var(g_term):
+        sliced = (
+            triples.filter(F.col("graph").isNull())
+            if g_term == "@default"
+            else triples.filter(F.col("graph") == F.lit(g_term))
+        )
+        return _pattern_scan(sliced, (s_term, pred, o_term))
+
+    enc = triples.filter(F.col("graph").isNotNull()).select(
+        F.struct(F.col("graph").alias("g"), F.col("subj").alias("t")).alias("subj"),
+        "pred",
+        F.struct(F.col("graph").alias("g"), F.col("obj").alias("t")).alias("obj"),
+    )
+    pairs = path_pairs(enc, pred)  # (s, o) structs; s.g == o.g by construction
+    out_cols: dict[str, F.Column] = {g_term[1:]: F.col("s")["g"]}
+    df = pairs
+    for col, term in zip(("s", "o"), (s_term, o_term)):
+        if _is_var(term):
+            name = term[1:]
+            if name in out_cols:
+                df = df.filter(F.col(col)["t"] == out_cols[name])
+            else:
+                out_cols[name] = F.col(col)["t"]
+        else:
+            df = df.filter(F.col(col)["t"] == F.lit(term))
+    return df.select(*[c.alias(n) for n, c in out_cols.items()])
 
 
 def bgp_ask(triples: DataFrame, patterns: list[tuple[str, str, str]], **kw) -> bool:

@@ -495,10 +495,8 @@ class _Parser:
                 sub = self.group_graph_pattern()
                 self._require_patterns_only(sub, "GRAPH")
                 for (ps, pp, po) in sub.patterns:
-                    if isinstance(pp, tuple):
-                        raise SparqlSyntaxError(
-                            "property paths inside GRAPH are unsupported"
-                        )
+                    # property paths allowed: 4-term path patterns
+                    # evaluate within each graph (bgp._graph_path_scan)
                     g.patterns.append((ps, pp, po, gterm))
             elif self.kw("optional"):
                 sub = self.group_graph_pattern()
@@ -924,12 +922,9 @@ def _apply_dataset(triples: DataFrame, q: _Query) -> DataFrame:
     ds = default.unionByName(named)
 
     def tighten(group: _Group) -> None:
-        for p in group.patterns:
-            if len(p) == 3 and isinstance(p[1], tuple):
-                raise SparqlSyntaxError(
-                    "property paths combined with FROM clauses are "
-                    "not supported"
-                )
+        # plain patterns AND property paths both tighten to the
+        # constructed default graph: 4-term path patterns evaluate the
+        # path within the "@default" slice (bgp._graph_path_scan)
         group.patterns = [
             (p if len(p) == 4 else (*p, "@default")) for p in group.patterns
         ]

@@ -339,10 +339,15 @@ def test_graph_requires_quad_table(kg):
             SELECT ?g WHERE {{ GRAPH ?g {{ ?t v:role ?r }} }}''').collect()
 
 
-def test_graph_rejects_paths(quad_kg):
-    with pytest.raises(SparqlSyntaxError):
-        sparql(quad_kg, f'''PREFIX v: <{V}>
-            SELECT ?g WHERE {{ GRAPH ?g {{ ?a v:next+ ?b }} }}''')
+def test_graph_accepts_paths(quad_kg):
+    """Round 4 lifts the old restriction: a path inside GRAPH ?g
+    evaluates per named graph (sequence path over the fixture)."""
+    out = sparql(quad_kg, f'''PREFIX v: <{V}>
+        SELECT ?g ?a ?o WHERE {{ GRAPH ?g {{ ?a v:role/^v:role/v:text ?o }} }}''')
+    # only g1 has a text triple; role/^role within g1 loops t1->t1
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("http://g/1", "t1", "hi"),
+    ]
 
 
 def test_cli_sparql_graph_clause(tmp_path, spark, capsys):
@@ -579,3 +584,58 @@ def test_construct_template_blank_nodes_fresh_per_solution(kg):
     for r in rows:
         if r["pred"] == V + "about":
             assert r["subj"] in bnodes_by_conv[r["obj"]]
+
+
+def test_graph_variable_with_property_path(spark):
+    """Property path inside GRAPH ?g: closure runs WITHIN each named
+    graph — edges never cross graphs (struct-encoded nodes)."""
+    quads = spark.createDataFrame(
+        [
+            ("g1", "a", V + "next", "b"),
+            ("g1", "b", V + "next", "c"),
+            ("g2", "c", V + "next", "d"),  # same node id, other graph
+            (None, "a", V + "next", "z"),  # default graph: excluded
+        ],
+        ["graph", "subj", "pred", "obj"],
+    )
+    out = sparql(quads, f'''
+        PREFIX v: <{V}>
+        SELECT ?g ?s ?o WHERE {{ GRAPH ?g {{ ?s v:next+ ?o }} }}''')
+    got = sorted(tuple(r) for r in out.collect())
+    # g1 closure: a->b, a->c, b->c; g2: c->d. NO a->d (cross-graph).
+    assert got == [
+        ("g1", "a", "b"), ("g1", "a", "c"), ("g1", "b", "c"),
+        ("g2", "c", "d"),
+    ]
+
+
+def test_graph_constant_with_property_path(spark):
+    quads = spark.createDataFrame(
+        [
+            ("g1", "a", V + "next", "b"),
+            ("g1", "b", V + "next", "c"),
+            ("g2", "a", V + "next", "x"),
+        ],
+        ["graph", "subj", "pred", "obj"],
+    )
+    out = sparql(quads, f'''
+        PREFIX v: <{V}>
+        SELECT ?o WHERE {{ GRAPH <g1> {{ <a> v:next+ ?o }} }}''')
+    assert sorted(r["o"] for r in out.collect()) == ["b", "c"]
+
+
+def test_from_clause_with_property_path(spark):
+    """FROM + property path: the path evaluates over the constructed
+    default graph (round-4 lift of the documented restriction)."""
+    quads = spark.createDataFrame(
+        [
+            ("g1", "a", V + "next", "b"),
+            ("g1", "b", V + "next", "c"),
+            ("g2", "b", V + "next", "q"),  # not in FROM: excluded
+        ],
+        ["graph", "subj", "pred", "obj"],
+    )
+    out = sparql(quads, f'''
+        PREFIX v: <{V}>
+        SELECT ?o FROM <g1> WHERE {{ <a> v:next+ ?o }}''')
+    assert sorted(r["o"] for r in out.collect()) == ["b", "c"]
