@@ -865,8 +865,26 @@ def sparql(triples: DataFrame, text: str, **kw) -> DataFrame | bool:
         ]
 
     if q.form == "ask":
-        if g.union or g.binds:
-            raise SparqlSyntaxError("ASK supports plain groups")
+        if g.union:
+            # ASK { {A} UNION {B} }: non-empty iff any branch is —
+            # evaluated lazily branch-by-branch, so a hit in the first
+            # branch never runs the second
+            if g.patterns or g.binds or bgp_kw.keys() - kw.keys():
+                raise SparqlSyntaxError(
+                    "ASK UNION supports a single union block"
+                )
+            return any(
+                bgp_ask(triples, branch, **kw) for branch in g.union[0]
+            )
+        if g.binds:
+            # BIND extends solutions 1:1 — it cannot change emptiness
+            # unless a FILTER references the bound var; route through
+            # bgp_select (which defers such filters) and probe one row
+            from .operators.bgp import bgp_select as _bs
+
+            return not _bs(
+                triples, g.patterns, bind=g.binds, **bgp_kw
+            ).isEmpty()
         return bgp_ask(triples, g.patterns, **bgp_kw)
     if q.form == "construct":
         return bgp_construct(triples, g.patterns, q.template, **bgp_kw)

@@ -639,3 +639,14 @@ def test_from_clause_with_property_path(spark):
         PREFIX v: <{V}>
         SELECT ?o FROM <g1> WHERE {{ <a> v:next+ ?o }}''')
     assert sorted(r["o"] for r in out.collect()) == ["b", "c"]
+
+
+def test_ask_with_union_and_bind(kg):
+    assert sparql(kg, f'''PREFIX v: <{V}>
+        ASK {{ {{ ?t v:role "nonexistent" }} UNION {{ ?t v:tool "search" }} }}''') is True
+    assert sparql(kg, f'''PREFIX v: <{V}>
+        ASK {{ {{ ?t v:role "x" }} UNION {{ ?t v:tool "y" }} }}''') is False
+    assert sparql(kg, f'''PREFIX v: <{V}>
+        ASK {{ ?t v:role ?r . BIND(ucase(?r) AS ?u) FILTER(?u = "USER") }}''') is True
+    assert sparql(kg, f'''PREFIX v: <{V}>
+        ASK {{ ?t v:role ?r . BIND(ucase(?r) AS ?u) FILTER(?u = "NOPE") }}''') is False
