@@ -364,15 +364,21 @@ def ivf_centroids(
 
 
 def _nearest_cells(vec_col: Column, centroids: list, n_probe: int) -> Column:
-    """Array of the n_probe nearest centroid cell ids (literal centroids
-    — broadcast-sized; scored with the codegen'd dot kernel)."""
-    scored = F.array(*[
-        F.struct(
-            (-cosine(vec_col, F.array(*[F.lit(x) for x in c]))).alias("neg_cos"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in centroids
-    ])
+    """Array of the n_probe nearest centroid cell ids. The codebook is
+    ONE literal array-of-arrays probed inside a transform() lambda —
+    n_cells separately-unrolled cosine folds made whole-stage codegen
+    compile time the dominant cost of every IVF stage (same lesson as
+    the PQ codebooks). Cell ids are the row positions of the sorted
+    codebook, so the (neg_cos, cell-asc) tie order is unchanged."""
+    cells = sorted(centroids)
+    cent_mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for _, c in cells])
+    id_arr = F.array(*[F.lit(int(i)) for i, _ in cells])
+    scored = F.zip_with(
+        cent_mat, id_arr,
+        lambda c, i: F.struct(
+            (-cosine(vec_col, c)).alias("neg_cos"), i.alias("cell")
+        ),
+    )
     return F.transform(
         F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cell"]
     )
