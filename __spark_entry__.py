@@ -2897,6 +2897,30 @@ def q_text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", normalize_url(url).alias("url_norm"))
 
 
+def q_data_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch repetition (sampling.upsample_epochs): the
+    data-recipe primitive — per-source epoch factors (2.5 / 1.25 /
+    0.5 / 1.0 by source suffix % 4); every row appears floor(e) times
+    plus one md5-bridge Bernoulli(frac) pass, with a 0-based epoch
+    index for interleaving. Zero shuffle (one explode projection).
+    Oracle: the identical draw + generate_series replay."""
+    from json_ld_spark.operators.sampling import upsample_epochs
+
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    e = (
+        F.when(srcnum % 4 == 0, F.lit(2.5))
+        .when(srcnum % 4 == 1, F.lit(1.25))
+        .when(srcnum % 4 == 2, F.lit(0.5))
+        .otherwise(F.lit(1.0))
+    )
+    out = upsample_epochs(d.withColumn("e", e), "e", seed="recipe1")
+    return out.select(
+        "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
 def q_data_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixing (sampling.weighted_sample): deterministic per-row
     Bernoulli keep with per-domain rates (1 / 0.5 / 0.25 / 0.05 by
@@ -3283,6 +3307,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_summary": q_kg_schema_summary,
         "text_url_normalize": q_text_url_normalize,
         "data_weighted_sample": q_data_weighted_sample,
+        "data_upsample_epochs": q_data_upsample_epochs,
         "data_profile_hitters": q_data_profile_hitters,
         "data_column_stats": q_data_column_stats,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -5844,6 +5869,26 @@ SELECT doc_id,
 FROM documents
 """
 
+_UPSAMPLE_EPOCHS_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(CASE CAST(substr(source, 4) AS INT) % 4
+              WHEN 0 THEN 2.5 WHEN 1 THEN 1.25 WHEN 2 THEN 0.5
+              ELSE 1.0 END AS DOUBLE) AS e,
+         ('0x' || substr(md5('recipe1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+         CAST(floor(e) AS INT)
+           + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS n_copies
+  FROM d
+)
+SELECT doc_id, source, CAST(g.i AS BIGINT) AS epoch
+FROM n CROSS JOIN generate_series(0, 9) AS g(i)
+WHERE n_copies > 0 AND g.i < n_copies
+"""
+
 _WEIGHTED_SAMPLE_SQL = """
 SELECT doc_id,
        round(CAST(CASE doc_id % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
@@ -6107,6 +6152,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_schema_summary": _SCHEMA_SUMMARY_SQL,
         "text_url_normalize": _URL_NORMALIZE_SQL,
         "data_weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "data_upsample_epochs": _UPSAMPLE_EPOCHS_SQL,
         "data_profile_hitters": _PROFILE_HITTERS_SQL,
         "data_column_stats": _COLUMN_STATS_SQL,
         "rel_agg_pricing": _AGG_PRICING_SQL,

@@ -376,3 +376,51 @@ def weighted_sample(
     u = h / F.lit(float(1 << 32))
     keep = u < F.greatest(F.least(rate, F.lit(1.0)), F.lit(0.0))
     return df.filter(keep)
+
+
+def upsample_epochs(
+    df: DataFrame,
+    epochs: Column | str | float,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Fractional-epoch repetition — the data-recipe primitive ("train
+    on 2.3 epochs of source X"): every row appears ``floor(epochs)``
+    times, plus once more with probability ``epochs - floor(epochs)``
+    (the same deterministic md5-bridge draw as :func:`weighted_sample`,
+    so the fractional pass is reproducible across reruns, partitionings
+    and engines, and raising ``epochs`` strictly grows the output).
+
+    ``epochs`` may be a per-row column/expression (per-domain recipes
+    via a joined weights table) or one float for the whole frame. The
+    output adds an ``epoch`` column (0-based copy index) so downstream
+    shuffling/packing can interleave copies instead of concatenating
+    them.
+
+    Scale shape: one ``explode(sequence(...))`` projection — zero
+    shuffle, output size exactly sum(ceil-or-floor per row); no
+    driver-side state. Copies share the row's id, so exact dedup must
+    run BEFORE upsampling (the standard ordering in a training
+    pipeline)."""
+    e = (
+        F.lit(float(epochs))
+        if isinstance(epochs, (int, float))
+        else (F.col(epochs) if isinstance(epochs, str) else epochs)
+    )
+    whole = F.floor(e).cast("int")
+    frac = e - F.floor(e)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = h / F.lit(float(1 << 32))
+    n_copies = (whole + F.when(u < frac, F.lit(1)).otherwise(F.lit(0))).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

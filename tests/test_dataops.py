@@ -502,3 +502,29 @@ def test_containment_pairs_detects_excerpts(spark):
     cands2 = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
     [r] = containment_pairs(docs2, cands2).collect()
     assert r.direction == "both" and r.c_ab_r == r.c_ba_r == 1.0
+
+
+def test_upsample_epochs(spark, sf_dir):
+    """Fractional-epoch repetition: floor copies always, fractional
+    pass deterministic + monotone in epochs; epoch index 0-based."""
+    from pyspark.sql import functions as F
+
+    from json_ld_spark.operators.sampling import upsample_epochs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = d.count()
+    out = upsample_epochs(d, 2.5, seed="s").cache()
+    rows = out.count()
+    # every doc at least twice, at most 3 times; fraction ~0.5
+    per = out.groupBy("doc_id").count()
+    assert per.filter((F.col("count") < 2) | (F.col("count") > 3)).count() == 0
+    assert 2 * n < rows < 3 * n
+    # deterministic
+    assert upsample_epochs(d, 2.5, seed="s").count() == rows
+    # monotone: raising epochs never drops a (doc, epoch) pair
+    bigger = upsample_epochs(d, 2.9, seed="s")
+    assert bigger.count() >= rows
+    assert out.join(bigger, ["doc_id", "epoch"], "left_anti").count() == 0
+    # epochs=0.0 keeps nothing; whole epochs exact
+    assert upsample_epochs(d, 0.0, seed="s").count() == 0
+    assert upsample_epochs(d, 2.0, seed="s").count() == 2 * n
