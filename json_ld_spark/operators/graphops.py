@@ -73,47 +73,64 @@ def connected_components(
     because a hot node's neighbor list is never collected, only
     min-aggregated and re-joined.
     """
-    e = _symmetrize(edges, src, dst)
+    e = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
     nodes = e.select("u").dropDuplicates()  # isolated nodes handled by caller
-    prev = None
-    for _ in range(max_iter):
-        # Large-Star: for each u, m = min(N(u) + {u}); emit (v, m) for v > u
-        mins = (
-            e.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("u", "mn").alias("m"))
-        )
-        # (no dedup here: `oriented`'s dropDuplicates below subsumes it —
-        # an extra exchange per round was a pure loss, measured)
-        large = (
-            e.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .where(F.col("a") != F.col("b"))
-        )
-        # Small-Star on the large-star output: orient (big, small), then
-        # for each a, m = min(N(a)); emit (v, m) for v in N(a)+{a}, v != m
-        oriented = large.select(
-            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-        ).dropDuplicates()
-        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        # (likewise no dedup on `small`: _symmetrize dedups after the union)
-        small = (
-            oriented.join(smins, "u")
-            .select(
-                F.explode(F.array(F.col("u"), F.col("v"))).alias("a"),
-                F.col("m").alias("b"),
+    # fingerprint of the INPUT edge set: materializes the checkpoint,
+    # seeds the fixpoint test (an already-star-shaped input converges
+    # one round earlier), and its row count gates the loop conf — the
+    # rounds are latency-bound on small graphs (alias chains, dedup
+    # clusters), so they run narrow without AQE re-planning there;
+    # corpus-scale edge sets keep the caller's width + AQE skew joins.
+    prev = _edge_fingerprint(e)
+    spark = edges.sparkSession
+    _SP = "spark.sql.shuffle.partitions"
+    _AQE = "spark.sql.adaptive.enabled"
+    sp_old, aqe_old = spark.conf.get(_SP), spark.conf.get(_AQE, "true")
+    if prev[1] <= 2_000_000:
+        spark.conf.set(_AQE, "false")
+        spark.conf.set(_SP, str(max(1, min(int(sp_old), 8))))
+    try:
+        for _ in range(max_iter):
+            # Large-Star: for each u, m = min(N(u) + {u}); emit (v, m) for v > u
+            mins = (
+                e.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m"))
             )
-            .where(F.col("a") != F.col("b"))
-        )
-        # lazy: the fingerprint aggregation right below is the
-        # materializing action — one job per round instead of two
-        e2 = _symmetrize(small, "a", "b").localCheckpoint(eager=False)
-        fp = _edge_fingerprint(e2)
-        if fp == prev:
-            e = e2
-            break
-        prev, e = fp, e2
+            # (no dedup here: `oriented`'s dropDuplicates below subsumes it —
+            # an extra exchange per round was a pure loss, measured)
+            large = (
+                e.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .where(F.col("a") != F.col("b"))
+            )
+            # Small-Star on the large-star output: orient (big, small), then
+            # for each a, m = min(N(a)); emit (v, m) for v in N(a)+{a}, v != m
+            oriented = large.select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            ).dropDuplicates()
+            smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+            # (likewise no dedup on `small`: _symmetrize dedups after the union)
+            small = (
+                oriented.join(smins, "u")
+                .select(
+                    F.explode(F.array(F.col("u"), F.col("v"))).alias("a"),
+                    F.col("m").alias("b"),
+                )
+                .where(F.col("a") != F.col("b"))
+            )
+            # lazy: the fingerprint aggregation right below is the
+            # materializing action — one job per round instead of two
+            e2 = _symmetrize(small, "a", "b").localCheckpoint(eager=False)
+            fp = _edge_fingerprint(e2)
+            if fp == prev:
+                e = e2
+                break
+            prev, e = fp, e2
+    finally:
+        spark.conf.set(_SP, sp_old)
+        spark.conf.set(_AQE, aqe_old)
     # after convergence the edge set is a union of stars centered on
     # each component's minimum: component(v) = min neighbor (or v)
     comp = e.groupBy("u").agg(F.min("v").alias("mn"))
@@ -123,6 +140,11 @@ def connected_components(
             F.col("u").alias("node"),
             F.least(F.col("u"), F.coalesce("mn", "u")).alias("component"),
         )
+        # node-sized (the operator's own output): lazily materialized so
+        # the common two-consumer pattern (rewrite subjects AND objects,
+        # merge_same_as; split train/test, leakage_safe_split) does not
+        # re-derive the input scan + star groupBy per consumer
+        .localCheckpoint(eager=False)
     )
 
 
