@@ -1601,6 +1601,38 @@ def q_kg_bgp_assistant_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("turn", "conv", "idx")
 
 
+def q_kg_bucketed_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP star join OVER THE BUCKETED PUBLISHED TABLE: the same
+    three-pattern conjunction as kg_bgp_assistant_turns, but each
+    pattern scan reads the subj-bucketed managed table published by
+    materialize_kg — all three subj-keyed equi-joins plan with ZERO
+    Exchange (HashPartitioning(subj) from every bucketed scan), the
+    join-side complement to kg_bucketed_node_table's aggregation
+    evidence (PLANS.md §25). Oracle: identical to
+    kg_bgp_assistant_turns."""
+    import re as _re
+
+    from json_ld_spark.operators.bgp import bgp_query
+    from json_ld_spark.plans.kg import materialize_kg
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    out_dir = f"/tmp/json_ld_spark_bucketed/{tag}"
+    table = f"kg_triples_bucketed_{tag}"
+    materialize_kg(t, out_dir, n_buckets=16, bucketed_table=table)
+    triples = spark.table(table)
+    out = bgp_query(
+        triples,
+        [
+            ("?turn", _V + "role", "assistant"),
+            ("?turn", _V + "conversation", "?conv"),
+            ("?turn", _V + "turnIndex", "?idx"),
+        ],
+    )
+    return out.select("turn", "conv", "idx")
+
+
 def q_kg_bgp_dialogue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with a cross-subject variable join (the join-on-object case
     that makes BGPs non-trivial): user turn and assistant turn bound to
@@ -3216,6 +3248,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_validate": q_kg_shacl_validate,
         "kg_node_table": q_kg_node_table,
         "kg_bucketed_node_table": q_kg_bucketed_node_table,
+        "kg_bucketed_bgp": q_kg_bucketed_bgp,
         "kg_entity_links": q_kg_entity_links,
         "kg_entity_links_salted": q_kg_entity_links_salted,
         "kg_triples_interned": q_kg_triples_interned,
@@ -6084,6 +6117,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_suppliers": _PAGERANK_SQL,
         "kg_pagerank_personalized": _PPR_SQL,
         "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
+        "kg_bucketed_bgp": _BGP_ASSISTANT_SQL,
         "kg_bgp_agg_roles": _BGP_AGG_SQL,
         "kg_bgp_topk_convs": _BGP_TOPK_SQL,
         "kg_bgp_subquery": _BGP_SUBQ_SQL,

@@ -133,9 +133,16 @@ def materialize_kg(
         result = cp.write_audit_publish(out, out_dir, n_buckets, key_col="conv_id")
     if bucketed_table is not None:
         spark = transcripts.sparkSession
-        published = cp.read_published(spark, out_dir).drop(cp.BUCKET_COL)
-        cp.write_bucketed_table(
-            published, bucketed_table, ["subj"], n_buckets=n_buckets
-        )
+        # refresh only when the published data changed or this session's
+        # catalog does not have the table yet (the catalog dies with the
+        # session; the data is WAP-committed and deterministic, so an
+        # existing same-session table is already current)
+        if result["run_id"] is not None or not spark.catalog.tableExists(
+            bucketed_table
+        ):
+            published = cp.read_published(spark, out_dir).drop(cp.BUCKET_COL)
+            cp.write_bucketed_table(
+                published, bucketed_table, ["subj"], n_buckets=n_buckets
+            )
         result["bucketed_table"] = bucketed_table
     return result

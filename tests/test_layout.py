@@ -91,6 +91,26 @@ def test_materialize_kg_bucketed_publish_end_to_end(spark, tmp_path):
     finally:
         spark.conf.set(auto, old_auto)
 
+    # BGP star join over the bucketed table: three subj-keyed pattern
+    # scans join with zero Exchange even with broadcast disabled (the
+    # join-side complement to the aggregation evidence above)
+    from json_ld_spark.operators.bgp import bgp_query
+
+    V = "https://example.org/transcript#"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        star = bgp_query(bt, [
+            ("?turn", V + "role", "assistant"),
+            ("?turn", V + "conversation", "?conv"),
+            ("?turn", V + "turnIndex", "?idx"),
+        ])
+        splan = star._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in splan
+        assert star.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
     # and the bucketed node table equals the direct-pipeline node table
     from json_ld_spark.operators.jsonld import dedup_triples
     from json_ld_spark.operators.native import transcript_triples_native
