@@ -101,8 +101,11 @@ def canonicalize_bnodes_df(
     use_reliable = sc.getCheckpointDir() is not None
 
     def _truncate(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if use_reliable else df.localCheckpoint(
-            eager=True
+        # LAZY in both modes: the per-round fixpoint probe (or the next
+        # round's first job) is the materializing action, so each round
+        # costs ONE job instead of checkpoint-then-probe's two
+        return df.checkpoint(eager=False) if use_reliable else df.localCheckpoint(
+            eager=False
         )
 
     prev_distinct = -1
