@@ -18,18 +18,13 @@ from json_ld_spark.api import to_rdf  # noqa: E402
 from json_ld_spark.canonicalize import canonicalize_quads  # noqa: E402
 from json_ld_spark.options import JsonLdOptions  # noqa: E402
 
-SUITE = json.loads((REPO / "tests/fixtures/golden_suite.json").read_text())
-SUITE_V2 = json.loads((REPO / "tests/fixtures/golden_suite_v2.json").read_text())
-SUITE_V3 = json.loads((REPO / "tests/fixtures/golden_suite_v3.json").read_text())
-SUITE_V4 = json.loads((REPO / "tests/fixtures/golden_suite_v4.json").read_text())
-SUITE_V5 = json.loads((REPO / "tests/fixtures/golden_suite_v5.json").read_text())
-CASES = (
-    SUITE["cases"]
-    + SUITE_V2["cases"]
-    + SUITE_V3["cases"]
-    + SUITE_V4["cases"]
-    + SUITE_V5["cases"]
-)
+# every suite version, discovered by glob — a new golden_suite_vN.json
+# is automatically counted (v6+ used to be silently missing here)
+CASES = [
+    c
+    for f in sorted((REPO / "tests/fixtures").glob("golden_suite*.json"))
+    for c in json.loads(f.read_text())["cases"]
+]
 
 
 def main() -> None:
@@ -43,7 +38,8 @@ def main() -> None:
             n_flat += 1
         if "compacted" in case:
             n_comp += 1
-        if "expand_error" in case or "flatten_error" in case:
+        if ("expand_error" in case or "flatten_error" in case
+                or "compact_error" in case):
             n_err += 1
         if "quads" not in case:
             continue
@@ -84,7 +80,10 @@ def main() -> None:
         "",
         f"Also covered: {n_exp} expanded-form equality cases, {n_flat}",
         f"flattened-form cases, {n_comp} compacted-form cases, {n_err}",
-        "negative (error) cases, plus the",
+        f"negative (error) cases (suite total {len(CASES)}; round 4",
+        "added @import interactions, @propagate scoped-context",
+        "behavior under compaction, compact-IRI corners and 14",
+        "compaction-side negatives), plus the",
         "distributed-path gate (tests/test_golden_parity.py::"
         "test_spark_golden_pr_gate) running every positive case through",
         "Spark `triples_stage` with canonical bnode labels.",
