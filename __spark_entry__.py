@@ -1182,6 +1182,37 @@ def q_kg_lpg_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_transe_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered TransE link-prediction ranking (kge.transe_rank,
+    Bordes et al. NeurIPS'13 protocol) over the transcript KG's
+    node-to-node edges (rdf:type + conversation + nextTurn): rank of
+    the true tail among all entities under integer-lattice hash
+    embeddings — integer L1 distances make every rank value-exact.
+    Test set = md5-bridge hash sample of the positive edges; scoring
+    is entities x broadcast(test) absorbed by map-side partial
+    aggregation; filtered correction is a (subj, pred) equi-join, not
+    an anti-join on the cross product. Oracle: full SQL replay
+    (list_transform embeddings + the same two counting aggregations)."""
+    from json_ld_spark.operators.kge import transe_rank
+    from json_ld_spark.operators.native import (
+        transcript_adjacency_native,
+        transcript_triples_native,
+    )
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    edges = (
+        transcript_triples_native(t)
+        .filter(F.col("obj_kind") == "iri")
+        .select("subj", "pred", "obj")
+        .unionByName(
+            transcript_adjacency_native(t, with_doc_id=False)
+            .select("subj", "pred", "obj")
+        )
+    )
+    return transe_rank(edges, dim=16, test_mod=97)
+
+
 def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for KG-embedding training
     (sampling.negative_triples, TransE-style filtered corruption):
@@ -3272,6 +3303,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "dedup_survivors": q_dedup_survivors,
         "kg_random_walks": q_kg_random_walks,
+        "kg_transe_rank": q_kg_transe_rank,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_lpg_project": q_kg_lpg_project,
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
@@ -4335,6 +4367,78 @@ FROM base
 # kg_negative_samples: SQL replay of the filtered TransE corruption —
 # md5-bridge side choice + md5-bridge index into the ROW_NUMBER-dense
 # entity dictionary, true-triple corruptions removed by NOT EXISTS.
+# kg_transe_rank: SQL replay of the filtered TransE ranking —
+# integer-lattice md5-bridge embeddings (list_transform), exact
+# integer L1 distances, the same better-all minus better-known
+# counting aggregations as kge.transe_rank. Ranks are integers, so
+# the oracle is value-exact with no float rounding.
+_TRANSE_RANK_SQL = _BASE_CTE + f"""
+, adjp AS (
+  SELECT conv_id, turn_idx,
+         LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM base
+), pos AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS subj,
+           '{_RDF_TYPE}' AS pred, '{_V}Turn' AS obj FROM base
+    UNION ALL
+    SELECT '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR),
+           '{_V}conversation', '{_CB}' || conv_id FROM base
+    UNION ALL
+    SELECT '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR),
+           '{_V}nextTurn',
+           '{_CB}' || conv_id || '/turn/' || CAST(nxt AS VARCHAR)
+    FROM adjp WHERE nxt IS NOT NULL
+  )
+), kents AS (
+  SELECT DISTINCT entity
+  FROM (SELECT subj AS entity FROM pos UNION SELECT obj FROM pos)
+), evec AS (
+  SELECT entity, list_transform(range(0, 16), i ->
+    (('0x' || substr(md5('kge|E|' || entity || '|' || CAST(i AS VARCHAR)),
+      1, 8))::BIGINT % 2001) - 1000) AS v
+  FROM kents
+), test AS (
+  SELECT subj, pred, obj,
+         list_transform(range(0, 16), i ->
+           (('0x' || substr(md5('kge|E|' || subj || '|' || CAST(i AS VARCHAR)),
+             1, 8))::BIGINT % 2001) - 1000
+           + (('0x' || substr(md5('kge|R|' || pred || '|' || CAST(i AS VARCHAR)),
+               1, 8))::BIGINT % 2001) - 1000) AS qvec
+  FROM pos
+  WHERE ('0x' || substr(md5('kge|test|' || subj || '|' || pred || '|' || obj),
+         1, 8))::BIGINT % 97 = 0
+), td AS (
+  SELECT t.subj, t.pred, t.obj, t.qvec,
+         CAST(list_sum(list_transform(range(1, 17),
+              i -> abs(t.qvec[i] - e.v[i]))) AS BIGINT) AS true_d
+  FROM test t JOIN evec e ON e.entity = t.obj
+), scored AS (
+  SELECT td.subj, td.pred, td.obj, td.true_d, e.entity,
+         CAST(list_sum(list_transform(range(1, 17),
+              i -> abs(td.qvec[i] - e.v[i]))) AS BIGINT) AS dd
+  FROM td CROSS JOIN evec e
+), ball AS (
+  SELECT subj, pred, obj,
+         CAST(SUM(CASE WHEN entity <> obj
+                        AND (dd < true_d OR (dd = true_d AND entity < obj))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_better
+  FROM scored GROUP BY 1, 2, 3
+), kb AS (
+  SELECT s.subj, s.pred, s.obj,
+         CAST(SUM(CASE WHEN s.dd < s.true_d
+                        OR (s.dd = s.true_d AND s.entity < s.obj)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+  FROM scored s JOIN pos p
+    ON p.subj = s.subj AND p.pred = s.pred AND p.obj = s.entity
+  WHERE s.entity <> s.obj
+  GROUP BY 1, 2, 3
+)
+SELECT b.subj, b.pred, b.obj,
+       CAST(1 + b.n_better - COALESCE(k.n_known, 0) AS BIGINT) AS rank
+FROM ball b LEFT JOIN kb k USING (subj, pred, obj)
+"""
+
 _NEGATIVE_SAMPLES_SQL = _BASE_CTE + f"""
 , adjp AS (
   SELECT conv_id, turn_idx,
@@ -6105,6 +6209,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_repeated_spans": _REPEATED_SPANS_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "kg_random_walks": _RANDOM_WALKS_SQL,
+        "kg_transe_rank": _TRANSE_RANK_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "kg_lpg_project": _LPG_PROJECT_SQL,
         "kg_skipgram_pairs": _SKIPGRAM_SQL,

@@ -1,0 +1,191 @@
+"""Knowledge-graph embedding scoring + link-prediction ranking (TransE).
+
+Closes the KG-embedding loop opened by sampling.negative_triples
+(TransE-style filtered corruption, Bordes et al., NeurIPS'13
+"Translating Embeddings for Modeling Multi-relational Data"): this
+module scores triples under the TransE energy d(s,p,o) = ||E(s) +
+R(p) - E(o)||_1 and computes the standard *filtered ranking*
+evaluation (rank of the true tail among all entity corruptions,
+excluding corruptions that are themselves true triples) from which
+MRR / Hits@k derive.
+
+Embeddings here are deterministic INTEGER-LATTICE hash embeddings:
+component i of term t under salt s is
+
+    bridge(s|t|i) mod 2001 - 1000          (an integer in [-1000, 1000])
+
+where bridge is the repo's md5 bridge (first 8 md5 hex chars as a
+big-endian int — Spark ``conv(substring(md5(x),1,8),16,10)`` ==
+DuckDB ``('0x'||substr(md5(x),1,8))::BIGINT``). Integer components
+make every L1 distance an exact integer, so rank comparisons carry no
+float summation-order ambiguity across engines, partitionings, or
+cluster sizes — the whole evaluation is value-exact SQL-replayable.
+This is the evaluation *harness*: swapping in trained float vectors
+is a join against an embedding table; the ranking plan is unchanged
+(trained-vector ranks then need the usual epsilon/rounding care).
+
+Scale shape (the 100 TB argument):
+* the test set is a deterministic hash sample of the positive edges
+  (bounded by ``test_mod``), never the full edge table;
+* candidate scoring is ONE broadcast nested-loop join: entities
+  (big, partitioned — embeddings computed once per entity row on the
+  stream side, before the join) x broadcast(test triples). No
+  all-pairs among entities, no collect;
+* ranks come from a SUM aggregation keyed on the test triple — the
+  |test| x |entities| score rows are absorbed by map-side partial
+  aggregation into |test| output rows; the only shuffle is on the
+  (tiny) test key;
+* the filtered-setting correction does NOT anti-join the cross
+  product: known true tails are counted separately via an equi-join
+  of the positive edges against the broadcast test set on (subj,
+  pred) and subtracted (rank = 1 + better_all - better_known).
+
+Reference tie-in: the reference emits the triples this evaluates
+(crates/core/src/rdf/mod.rs quad emission); ranking protocol is the
+public TransE filtered protocol, not a reference feature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["hash_embedding", "transe_distance", "transe_rank"]
+
+
+def _bridge(payload: Column) -> Column:
+    """md5 bridge: first 8 md5 hex chars as a non-negative BIGINT."""
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
+def hash_embedding(term: Column, dim: int, salt: str) -> Column:
+    """Deterministic integer-lattice embedding of a term string:
+    array<long> of ``dim`` components in [-1000, 1000], component i =
+    bridge(salt|term|i) mod 2001 - 1000."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.pmod(
+            _bridge(F.concat(F.lit(salt + "|"), term,
+                             F.lit("|"), i.cast("string"))),
+            F.lit(2001),
+        ) - F.lit(1000),
+    )
+
+
+def transe_distance(q: Column, e: Column) -> Column:
+    """Exact integer L1 distance between two equal-length array<long>
+    columns (JVM-side zip_with + aggregate — no UDF)."""
+    return F.aggregate(
+        F.zip_with(q, e, lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def transe_rank(
+    edges: DataFrame,
+    dim: int = 16,
+    test_mod: int = 97,
+    filtered: bool = True,
+    salt: str = "kge",
+) -> DataFrame:
+    """Filtered TransE tail-ranking over a (subj, pred, obj)
+    node-to-node edge table.
+
+    Test triples are the deterministic hash sample
+    ``bridge(salt|test|s|p|o) % test_mod == 0``. For each test triple
+    the returned ``rank`` (BIGINT, 1-based) is the position of the
+    true tail among all entities ordered by ascending TransE L1
+    distance, ties broken by entity id ascending; with
+    ``filtered=True`` entities that form a *known* true triple
+    (s, p, e) are skipped per the standard filtered protocol.
+    MRR / Hits@k are one aggregation over the output:
+    ``avg(1.0/rank)``, ``avg((rank <= k)::int)``.
+
+    Output: (subj, pred, obj, rank), one row per test triple.
+    """
+    pos = edges.select("subj", "pred", "obj").dropDuplicates()
+    ents = (
+        pos.select(F.col("subj").alias("entity"))
+        .unionByName(pos.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+
+    test = pos.filter(
+        F.pmod(
+            _bridge(F.concat(
+                F.lit(salt + "|test|"), F.col("subj"),
+                F.lit("|"), F.col("pred"), F.lit("|"), F.col("obj"),
+            )),
+            F.lit(test_mod),
+        ) == 0
+    )
+    qvec = F.zip_with(
+        hash_embedding(F.col("subj"), dim, salt + "|E"),
+        hash_embedding(F.col("pred"), dim, salt + "|R"),
+        lambda a, b: a + b,
+    )
+    test = test.select(
+        "subj", "pred", "obj",
+        qvec.alias("qvec"),
+    ).withColumn(
+        "true_d",
+        transe_distance(
+            F.col("qvec"), hash_embedding(F.col("obj"), dim, salt + "|E")
+        ),
+    )
+
+    # candidate side: embed once per entity row BEFORE the broadcast
+    # join (projection stays on the stream side of the BNLJ)
+    cand = ents.select(
+        "entity", hash_embedding(F.col("entity"), dim, salt + "|E").alias("evec")
+    ).crossJoin(F.broadcast(test))
+
+    d = transe_distance(F.col("qvec"), F.col("evec"))
+    better = (
+        (F.col("entity") != F.col("obj"))
+        & ((d < F.col("true_d"))
+           | ((d == F.col("true_d")) & (F.col("entity") < F.col("obj"))))
+    )
+    better_all = cand.groupBy("subj", "pred", "obj").agg(
+        F.sum(F.when(better, 1).otherwise(0)).alias("n_better")
+    )
+
+    if not filtered:
+        return better_all.select(
+            "subj", "pred", "obj",
+            (F.lit(1) + F.col("n_better")).cast("long").alias("rank"),
+        )
+
+    # filtered correction: count known true tails that outrank the
+    # truth — an equi-join on (subj, pred) against the broadcast test
+    # set, NOT an anti-join on the cross product
+    known = pos.select(
+        F.col("subj"), F.col("pred"), F.col("obj").alias("entity")
+    ).join(
+        F.broadcast(test),
+        on=["subj", "pred"],
+        how="inner",
+    ).filter(F.col("entity") != F.col("obj"))
+    kd = transe_distance(
+        F.col("qvec"), hash_embedding(F.col("entity"), dim, salt + "|E")
+    )
+    known_better = known.groupBy("subj", "pred", "obj").agg(
+        F.sum(
+            F.when(
+                (kd < F.col("true_d"))
+                | ((kd == F.col("true_d"))
+                   & (F.col("entity") < F.col("obj"))),
+                1,
+            ).otherwise(0)
+        ).alias("n_known")
+    )
+
+    return (
+        better_all.join(known_better, on=["subj", "pred", "obj"], how="left")
+        .select(
+            "subj", "pred", "obj",
+            (F.lit(1) + F.col("n_better")
+             - F.coalesce(F.col("n_known"), F.lit(0)))
+            .cast("long").alias("rank"),
+        )
+    )
