@@ -679,20 +679,9 @@ def q_jsonld_flatten_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_jsonld_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """toRdf with hash-based canonical blank-node labels (SURVEY.md §2
-    D10): docs where every third turn loses its @id become bnode-rooted;
-    labels must be content-deterministic.
-
-    VALUE-EXACT oracle (round-3): the local canonicalizer
-    (canonicalize.py) stabilizes after 2 refinement rounds on
-    single-bnode documents, so the label is
-    '_:c' || sha256(S||chr(31)||sha256(S||chr(31)))[:16] with
-    S = chr(30)-join of the sorted quad signatures — DuckDB replays the
-    whole chain from the deterministic transcript synthesis."""
-    _utc(spark)
-    t = transcripts_from_documents(spark, sf_dir)
-    # same doc builder as turns_to_jsonld but @id dropped on turn_idx%3==0
+def _canon_docs(t: DataFrame) -> DataFrame:
+    """Doc builder for the canonical-label queries: same as
+    turns_to_jsonld but @id dropped on turn_idx%3==0 (bnode-rooted)."""
     anon_struct = F.struct(
         F.lit("Turn").alias("@type"),
         F.col("role").alias("role"),
@@ -708,16 +697,63 @@ def q_jsonld_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_id").alias("conv"),
         F.col("turn_idx").alias("turn"),
     )
-    docs = t.select(
+    return t.select(
         F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")).alias("doc_id"),
         F.when(F.col("turn_idx") % 3 == 0, F.to_json(anon_struct, {"ignoreNullFields": "true"}))
         .otherwise(F.to_json(named_struct, {"ignoreNullFields": "true"}))
         .alias("doc"),
     )
+
+
+def q_jsonld_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toRdf with hash-based canonical blank-node labels (SURVEY.md §2
+    D10): docs where every third turn loses its @id become bnode-rooted;
+    labels must be content-deterministic.
+
+    VALUE-EXACT oracle (round-3): the local canonicalizer
+    (canonicalize.py) stabilizes after 2 refinement rounds on
+    single-bnode documents, so the label is
+    '_:c' || sha256(S||chr(31)||sha256(S||chr(31)))[:16] with
+    S = chr(30)-join of the sorted quad signatures — DuckDB replays the
+    whole chain from the deterministic transcript synthesis."""
+    _utc(spark)
+    docs = _canon_docs(transcripts_from_documents(spark, sf_dir))
     trip = triples_stage(
         docs, context=TRANSCRIPT_CONTEXT, options=JsonLdOptions(), canonical_bnodes=True
     )
     return trip.select("doc_id", "subj", "pred", "obj_kind", "obj")
+
+
+def q_kg_canonical_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental canonicalization for a document delta
+    (maintenance.incremental_canonicalize): the canonical triple table
+    absorbs edited documents (turn_idx%4==1 get ' [edited]' appended —
+    some are bnode-rooted, so their canonical labels MUST change) and
+    deletions (turn_idx%16==15) by recomputing ONLY the delta docs and
+    splicing — the kept rows are never reshuffled. Result is provably
+    equal to a full canonical rebuild of the merged corpus (canonical
+    labels are pure per-document content functions; asserted in
+    tests/test_maintenance.py), so the oracle replays the full-rebuild
+    sha chain over the post-delta document set."""
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    base = triples_stage(
+        _canon_docs(t), context=TRANSCRIPT_CONTEXT, options=JsonLdOptions(),
+        canonical_bnodes=True,
+    ).select("doc_id", "subj", "pred", "obj_kind", "obj")
+    upserts = _canon_docs(
+        t.filter(F.col("turn_idx") % 4 == 1)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [edited]")))
+    )
+    deletes = t.filter(F.col("turn_idx") % 16 == 15).select(
+        F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")).alias("doc_id")
+    )
+    from json_ld_spark.operators.maintenance import incremental_canonicalize
+
+    return incremental_canonicalize(
+        base, upserts=upserts, deletes=deletes,
+        context=TRANSCRIPT_CONTEXT, options=JsonLdOptions(),
+    )
 
 
 def q_jsonld_fromrdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3288,6 +3324,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_flatten_generic": q_jsonld_flatten_generic,
         "jsonld_triples_canonical": q_jsonld_triples_canonical,
         "jsonld_canonical_degree": q_jsonld_canonical_degree,
+        "kg_canonical_incremental": q_kg_canonical_incremental,
         "kg_dataset_diff": q_kg_dataset_diff,
         "jsonld_fromrdf_roundtrip": q_jsonld_fromrdf_roundtrip,
         "jsonld_compact_generic": q_jsonld_compact_generic,
@@ -3681,6 +3718,46 @@ _CANON_TRIPLES_SQL = _BASE_CTE + f"""
            '~|_:self|{_V}turnIndex|literal|' || CAST(turn_idx AS VARCHAR) || '|{_XI}|~'
          ]), chr(30)) AS s
   FROM base
+), lab AS (
+  SELECT *,
+         CASE WHEN turn_idx % 3 = 0
+              THEN '_:c' || substr(sha256(s || chr(31) || sha256(s || chr(31))), 1, 16)
+              ELSE '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR)
+         END AS subj
+  FROM sigged
+)
+SELECT doc_id, subj, e.pred AS pred, e.obj_kind AS obj_kind, e.obj AS obj
+FROM lab CROSS JOIN UNNEST([
+  {{'pred': '{_RDF_TYPE}', 'obj_kind': 'iri', 'obj': '{_V}Turn'}},
+  {{'pred': '{_V}conversation', 'obj_kind': 'iri', 'obj': conv_iri}},
+  {{'pred': '{_V}role', 'obj_kind': 'literal', 'obj': role}},
+  {{'pred': '{_V}text', 'obj_kind': 'literal', 'obj': text}},
+  {{'pred': '{_V}turnIndex', 'obj_kind': 'literal', 'obj': CAST(turn_idx AS VARCHAR)}}
+]) AS u(e)
+"""
+
+# kg_canonical_incremental: the splice result equals a full canonical
+# rebuild of the post-delta corpus (per-document content-pure labels),
+# so the oracle is _CANON_TRIPLES_SQL's sha-chain replay over the
+# edited/deleted document set.
+_CANON_INCR_SQL = _BASE_CTE + f"""
+, base2 AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN turn_idx % 4 = 1 THEN text || ' [edited]' ELSE text END AS text
+  FROM base
+  WHERE turn_idx % 16 <> 15
+), sigged AS (
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,
+         conv_id, turn_idx, role, text,
+         '{_CB}' || conv_id AS conv_iri,
+         array_to_string(list_sort([
+           '~|_:self|{_RDF_TYPE}|iri|{_V}Turn|~|~',
+           '~|_:self|{_V}conversation|iri|' || '{_CB}' || conv_id || '|~|~',
+           '~|_:self|{_V}role|literal|' || role || '|{_XS}|~',
+           '~|_:self|{_V}text|literal|' || text || '|{_XS}|~',
+           '~|_:self|{_V}turnIndex|literal|' || CAST(turn_idx AS VARCHAR) || '|{_XI}|~'
+         ]), chr(30)) AS s
+  FROM base2
 ), lab AS (
   SELECT *,
          CASE WHEN turn_idx % 3 = 0
@@ -6192,6 +6269,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_canonical_degree": _CANON_DEGREE_SQL,
         "jsonld_triples_canonical": _CANON_TRIPLES_SQL,
         "jsonld_canonicalize_distributed": _CANON_DIST_SQL,
+        "kg_canonical_incremental": _CANON_INCR_SQL,
         "kg_dataset_diff": _KG_DIFF_SQL,
         "jsonld_expand_generic": _EXPAND_ORACLE_SQL,
         "jsonld_flatten_generic": _FLATTEN_ORACLE_SQL,

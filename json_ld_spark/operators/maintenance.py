@@ -172,6 +172,58 @@ def affected_subjects(
     return out.dropDuplicates()
 
 
+def incremental_canonicalize(
+    base_canonical: DataFrame,
+    upserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    **stage_kwargs,
+) -> DataFrame:
+    """Splice-update a CANONICAL triple table for a document delta:
+    re-expand + re-canonicalize ONLY the upserted documents (the same
+    per-document content-hash canonicalization the full build uses,
+    ``triples_stage(..., canonical_bnodes=True)``), drop rows
+    contributed by deleted or replaced documents, pass everything else
+    through untouched.
+
+    Exactness invariant (tested): the result equals a full
+    ``triples_stage(merged_docs, canonical_bnodes=True)`` rebuild —
+    at delta cost. This holds because canonical labels are PURE
+    PER-DOCUMENT content functions: blank nodes are document-scoped by
+    construction (JSON-LD blank labels cannot cross documents; the
+    corpus graph joins on IRIs), so an untouched document's labels
+    cannot change, no matter what the delta does. At 100 TB this is
+    the difference between re-canonicalizing the world per ingest
+    batch and touching only the day's documents: the retraction is a
+    broadcast anti join on the lineage doc_id the canonical table
+    already carries, the recompute is one Arrow pass over delta-sized
+    input, and the kept rows are never reshuffled (pure union).
+
+    ``upserts``: (doc_id, doc) rows — new or replaced documents.
+    ``deletes``: doc_id rows to retract. ``stage_kwargs`` forward to
+    ``triples_stage`` (context, options, context_registry, ...).
+    """
+    from .jsonld import triples_stage
+
+    gone = []
+    if deletes is not None:
+        gone.append(deletes.select(id_col))
+    if upserts is not None:
+        gone.append(upserts.select(id_col))
+    if not gone:
+        raise ValueError("need at least one of upserts/deletes")
+    out_ids = gone[0]
+    for g in gone[1:]:
+        out_ids = out_ids.unionByName(g)
+    kept = retract_documents(base_canonical, out_ids, id_col=id_col)
+    if upserts is None:
+        return kept
+    fresh = triples_stage(
+        upserts, id_col=id_col, canonical_bnodes=True, **stage_kwargs
+    ).select(*base_canonical.columns)
+    return kept.unionByName(fresh)
+
+
 def refresh_node_table(
     old_nodes: DataFrame,
     merged_triples: DataFrame,

@@ -291,3 +291,72 @@ def test_merge_same_as_fuzz_vs_union_find(spark):
         }
         got = _set(merge_same_as(_quads(spark, rows)))
         assert got == want, trial
+
+
+def test_incremental_canonicalize_equals_full_rebuild(spark):
+    """The splice (recompute only delta docs) is EXACTLY the full
+    canonical rebuild of the merged corpus — including a bnode-rooted
+    edited doc whose canonical label must change, a named edited doc,
+    a brand-new doc, and a deletion."""
+    import json
+
+    from json_ld_spark.operators.jsonld import triples_stage
+    from json_ld_spark.operators.maintenance import incremental_canonicalize
+
+    def doc(i, text, anon):
+        d = {"@type": "T", "text": text, "n": i}
+        if not anon:
+            d["@id"] = f"http://x/{i}"
+        return (f"d{i}", json.dumps(d))
+
+    ctx = {"@vocab": "http://v/", "@base": "http://b/"}
+    base_docs = [doc(i, f"t{i}", anon=(i % 2 == 0)) for i in range(8)]
+    # edits: d0 (bnode-rooted) and d1 (named); new: d8; delete: d7
+    merged = {t[0]: t for t in base_docs}
+    for up in (doc(0, "t0 EDITED", True), doc(1, "t1 EDITED", False),
+               doc(8, "t8", True)):
+        merged[up[0]] = up
+    del merged["d7"]
+
+    schema = "doc_id string, doc string"
+    cols = ["doc_id", "graph", "subj", "pred", "obj_kind", "obj",
+            "datatype", "lang"]
+    base = triples_stage(
+        spark.createDataFrame(base_docs, schema), context=ctx,
+        canonical_bnodes=True,
+    ).select(*cols)
+    got = incremental_canonicalize(
+        base,
+        upserts=spark.createDataFrame(
+            [doc(0, "t0 EDITED", True), doc(1, "t1 EDITED", False),
+             doc(8, "t8", True)], schema),
+        deletes=spark.createDataFrame([("d7",)], "doc_id string"),
+        context=ctx,
+    )
+    full = triples_stage(
+        spark.createDataFrame(sorted(merged.values()), schema), context=ctx,
+        canonical_bnodes=True,
+    ).select(*cols)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
+    # the edited bnode-rooted doc's canonical label actually changed
+    lab = {r.doc_id: r.subj for r in got.filter("doc_id = 'd0'").collect()}
+    old = {r.doc_id: r.subj for r in base.filter("doc_id = 'd0'").collect()}
+    assert lab["d0"].startswith("_:") and lab["d0"] != old["d0"]
+
+
+def test_incremental_canonicalize_deletes_only_and_validation(spark):
+    from json_ld_spark.operators.jsonld import triples_stage
+    from json_ld_spark.operators.maintenance import incremental_canonicalize
+
+    base = triples_stage(
+        spark.createDataFrame(
+            [("a", '{"@id":"http://x/a","http://v/v":1}'),
+             ("b", '{"http://v/v":2}')],
+            "doc_id string, doc string"),
+        canonical_bnodes=True,
+    )
+    only_del = incremental_canonicalize(
+        base, deletes=spark.createDataFrame([("b",)], "doc_id string"))
+    assert {r.doc_id for r in only_del.collect()} == {"a"}
+    with pytest.raises(ValueError, match="upserts/deletes"):
+        incremental_canonicalize(base)
