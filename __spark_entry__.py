@@ -1100,6 +1100,38 @@ def _dup_doc_pairs(spark: SparkSession, sf_dir: str):
     return docs, sim_pairs
 
 
+def q_data_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization of the events stream
+    (temporal.sessionize, 30-min gap): one shuffle on user_id feeds
+    the lag + running-sum window pair; boundary decisions compare
+    integer microseconds, so every assignment is engine-exact.
+    Oracle: the same LAG + cumulative SUM windows in SQL."""
+    _utc(spark)
+    from json_ld_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(
+        ev, key="user_id", ts_col="ts", gap_seconds=1800,
+        order_cols=["event_id"],
+    ).select("event_id", "user_id", "session_idx", "session_id")
+
+
+def q_data_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup (temporal.session_stats) over the
+    sessionized events: count + integer-microsecond start/end/duration
+    — one map-side-combinable aggregation keyed on the session.
+    Oracle: grouped replay of the sessionize windows."""
+    _utc(spark)
+    from json_ld_spark.operators.temporal import session_stats, sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(
+        sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800,
+                   order_cols=["event_id"]),
+        key="user_id", ts_col="ts",
+    )
+
+
 def q_data_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split (sampling.leakage_safe_split):
     near-dup pairs -> connected components -> hash_split keyed on the
@@ -3386,6 +3418,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": q_text_pii_scan,
         "text_word_repetition": q_text_word_repetition,
         "data_hash_split": q_data_hash_split,
+        "data_sessionize": q_data_sessionize,
+        "data_session_stats": q_data_session_stats,
         "data_cluster_split": q_data_cluster_split,
         "data_chunk_documents": q_data_chunk_documents,
         "data_stratified_sample": q_data_stratified_sample,
@@ -4155,6 +4189,46 @@ ORDER BY doc_id
 
 # data_cluster_split: same components, then the md5-bucket split replay
 # keyed on the GROUP representative (hash_split's bucket recipe).
+# data_sessionize / data_session_stats: LAG + cumulative SUM windows
+# over integer microseconds — boundary decisions are exact in both
+# engines; ordering tiebreaks on event_id.
+_EV_SESSIONIZE_CTE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+), b AS (
+  SELECT event_id, user_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS boundary
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT event_id, user_id, us,
+         CAST(SUM(boundary) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM b
+)
+"""
+
+_EV_SESSIONIZE_SQL = _EV_SESSIONIZE_CTE + """
+SELECT event_id, user_id, session_idx,
+       CAST(user_id AS VARCHAR) || '#' || CAST(session_idx AS VARCHAR)
+         AS session_id
+FROM s
+"""
+
+_EV_SESSION_STATS_SQL = _EV_SESSIONIZE_CTE + """
+SELECT user_id,
+       CAST(user_id AS VARCHAR) || '#' || CAST(session_idx AS VARCHAR)
+         AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) AS BIGINT) AS end_us,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM s GROUP BY 1, 2
+"""
+
 _CLUSTER_SPLIT_SQL = _CC_CORE_SQL + """
 SELECT doc_id, dup_group,
        CASE WHEN bucket < 8000 THEN 'train'
@@ -6334,6 +6408,8 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scan": _PII_SQL,
         "text_word_repetition": _WORD_REP_SQL,
         "data_hash_split": _SPLIT_SQL,
+        "data_sessionize": _EV_SESSIONIZE_SQL,
+        "data_session_stats": _EV_SESSION_STATS_SQL,
         "data_cluster_split": _CLUSTER_SPLIT_SQL,
         "data_chunk_documents": _CHUNK_SQL,
         "data_stratified_sample": _STRAT_SAMPLE_SQL,

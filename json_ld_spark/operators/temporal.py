@@ -167,3 +167,68 @@ def decayed_counts(
             F.round(F.sum(w), 6).alias("decayed_r"),
         )
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inactivity-gap sessionization (the classic cumulative-boundary
+    trick): within each ``key``, ordered by ``ts_col`` (+``order_cols``
+    as the deterministic tiebreaker for equal timestamps), a row starts
+    a new session when the gap to the previous row exceeds
+    ``gap_seconds``; ``session_idx`` is the running count of such
+    boundaries and ``session_id`` = key#idx.
+
+    Gaps compare in integer MICROSECONDS (unix_micros), so boundary
+    decisions are exact — no float time arithmetic, engine-replayable.
+    Rows with NULL ``ts_col`` are dropped (no temporal position).
+
+    Scale shape: ONE shuffle on ``key`` feeds both window passes
+    (lag + running sum share the partitioning and ordering); state is
+    O(1) per key. A single hyperactive key serializes through one
+    task — the same profile as any per-entity window; salt or
+    pre-split upstream if one entity dominates. For unbounded streams
+    use Structured Streaming's session_window instead; this is the
+    batch/backfill twin.
+    """
+    order = [ts_col, *(order_cols or [])]
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    # parquet naive timestamps arrive as TIMESTAMP_NTZ; unix_micros
+    # needs TIMESTAMP — the cast reads the wall time in the session TZ
+    # (callers pin UTC), keeping micros aligned with DuckDB's epoch_us
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    boundary = F.when(
+        prev.isNull() | ((us - prev) > F.lit(int(gap_seconds) * 1_000_000)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(key).orderBy(*[F.col(c) for c in order]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .withColumn("session_idx", F.sum(boundary).over(run).cast("long"))
+        .withColumn(
+            "session_id",
+            F.concat(F.col(key).cast("string"), F.lit("#"),
+                     F.col("session_idx").cast("string")),
+        )
+    )
+
+
+def session_stats(sessions: DataFrame, key: str = "user_id",
+                  ts_col: str = "ts") -> DataFrame:
+    """Per-session rollup of a sessionize() output: event count and
+    integer-microsecond start/end/duration (one map-side-combinable
+    aggregation keyed on the session)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return sessions.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    )

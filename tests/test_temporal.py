@@ -226,3 +226,57 @@ def test_decayed_counts_matches_python(spark):
     for u, (n, s) in want.items():
         assert got[u][0] == n
         assert abs(got[u][1] - round(s, 6)) < 2e-6
+
+
+def test_sessionize_matches_brute_force(spark):
+    """Session assignment equals a driver-side replay, including
+    equal-timestamp tiebreaks and a NULL-ts drop."""
+    import datetime as dt
+
+    from json_ld_spark.operators.temporal import session_stats, sessionize
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # user 1: gaps 10s, 2000s (boundary), 5s; user 2: equal-ts pair
+    for i, off in enumerate([0, 10, 2010, 2015]):
+        rows.append((i, 1, t0 + dt.timedelta(seconds=off)))
+    rows += [(10, 2, t0), (11, 2, t0), (12, 2, t0 + dt.timedelta(seconds=1801))]
+    rows.append((99, 1, None))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r.event_id: (r.session_idx, r.session_id)
+        for r in sessionize(df, gap_seconds=1800,
+                            order_cols=["event_id"]).collect()
+    }
+    assert got == {
+        0: (1, "1#1"), 1: (1, "1#1"), 2: (2, "1#2"), 3: (2, "1#2"),
+        10: (1, "2#1"), 11: (1, "2#1"), 12: (2, "2#2"),
+    }  # NULL-ts row dropped
+    stats = {
+        (r.user_id, r.session_id): (r.n_events, r.duration_us)
+        for r in session_stats(
+            sessionize(df, gap_seconds=1800, order_cols=["event_id"])
+        ).collect()
+    }
+    assert stats[(1, "1#1")] == (2, 10_000_000)
+    assert stats[(2, "2#1")] == (2, 0)
+
+
+def test_sessionize_boundary_is_strict_greater(spark):
+    """A gap of exactly gap_seconds does NOT split (strict >) and
+    sub-second gaps count in integer microseconds."""
+    import datetime as dt
+
+    from json_ld_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (0, 7, t0),
+        (1, 7, t0 + dt.timedelta(seconds=1800)),            # == gap: same
+        (2, 7, t0 + dt.timedelta(seconds=3600, microseconds=1)),  # >: split
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r.event_id: r.session_idx
+           for r in sessionize(df, gap_seconds=1800,
+                               order_cols=["event_id"]).collect()}
+    assert got == {0: 1, 1: 1, 2: 2}
