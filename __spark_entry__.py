@@ -2846,6 +2846,36 @@ def q_streaming_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("subj", "pred", "obj_kind", "obj")
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming inactivity-gap sessionization (session_window + state
+    merge, streaming/stream.py streaming_sessions): events hash-split
+    into two micro-batch files so most users' sessions are SEVERED
+    across batches and must be re-merged by the merging-window state
+    store. session_window splits at strictly > gap (the exactly-gap
+    event merges — pinned in tests), end = last event + gap — the
+    oracle replays exactly those semantics over integer microseconds."""
+    import tempfile
+
+    from json_ld_spark.streaming.stream import run_stream_sessions
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="stream_sess_")
+    ev.filter(F.xxhash64("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{base}/in")
+    ev.filter(F.xxhash64("event_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{base}/in")
+    schema = spark.read.parquet(f"{base}/in").schema
+    return run_stream_sessions(
+        spark, f"{base}/in", schema=schema, gap_seconds=1800,
+        query_name="q_streaming_sessions_mem",
+    )
+
+
 def q_streaming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental streaming connected components over the nextTurn
     adjacency chains, hash-split into two file micro-batches (so most
@@ -3418,6 +3448,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": q_text_pii_scan,
         "text_word_repetition": q_text_word_repetition,
         "data_hash_split": q_data_hash_split,
+        "streaming_sessions": q_streaming_sessions,
         "data_sessionize": q_data_sessionize,
         "data_session_stats": q_data_session_stats,
         "data_cluster_split": q_data_cluster_split,
@@ -4209,6 +4240,33 @@ WITH e AS (
            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM b
 )
+"""
+
+# streaming_sessions: session_window semantics — strictly > gap splits
+# (the exactly-gap event merges; pinned in tests), end = last event +
+# gap; replayed over integer microseconds (no ordering tiebreak needed:
+# equal-ts rows have gap 0 and can never split).
+_STREAM_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+), b AS (
+  SELECT user_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS boundary
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), s AS (
+  SELECT user_id, us,
+         SUM(boundary) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT user_id,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) + 1800000000 AS BIGINT) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
 """
 
 _EV_SESSIONIZE_SQL = _EV_SESSIONIZE_CTE + """
@@ -6408,6 +6466,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scan": _PII_SQL,
         "text_word_repetition": _WORD_REP_SQL,
         "data_hash_split": _SPLIT_SQL,
+        "streaming_sessions": _STREAM_SESSIONS_SQL,
         "data_sessionize": _EV_SESSIONIZE_SQL,
         "data_session_stats": _EV_SESSION_STATS_SQL,
         "data_cluster_split": _CLUSTER_SPLIT_SQL,

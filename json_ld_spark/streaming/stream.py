@@ -230,6 +230,78 @@ def run_stream_to_memory(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def streaming_sessions(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Inactivity-gap sessionization over an unbounded stream — the
+    streaming twin of temporal.sessionize, built on Spark's native
+    ``session_window`` (merging-window state: sessions severed across
+    micro-batches are re-merged by the state store). Emits one row per
+    session: (key, start_us, end_us, n_events), timestamps as integer
+    microseconds.
+
+    Boundary semantics: an event EXACTLY gap_seconds after its
+    predecessor still MERGES (session_window's bound is inclusive;
+    verified in tests) — identical to temporal.sessionize's strict-``>``
+    split, so batch and streaming agree on every input. ``end_us`` is
+    last-event + gap (the window bound), not last-event.
+
+    Production runs append-mode: the watermark closes sessions once no
+    in-gap event can still arrive and evicts their state. Test/backfill
+    drains (run_stream_sessions) use complete mode so unclosed trailing
+    sessions are visible; state then persists for the run — bounded by
+    live keys, acceptable for a finite drain, never for 24/7.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        stream.filter(F.col(ts_col).isNotNull())
+        .withColumn("__ts", ts)
+        .withWatermark("__ts", watermark)
+        .groupBy(key, F.session_window("__ts", f"{int(gap_seconds)} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+def run_stream_sessions(
+    spark: SparkSession,
+    path: str,
+    schema,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    query_name: str = "sessions_stream",
+) -> DataFrame:
+    """Drain a file-backed event stream through streaming_sessions
+    (complete mode: the final table includes trailing unclosed
+    sessions — see streaming_sessions docstring)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        streaming_sessions(stream, key=key, ts_col=ts_col,
+                           gap_seconds=gap_seconds)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     in_path: str,

@@ -348,3 +348,81 @@ def test_streaming_curation_parity(spark, tmp_path):
         max_tokens=10, overlap=2,
     )
     assert got == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_sessions_merge_across_batches(spark, tmp_path):
+    """session_window state re-merges sessions severed across
+    micro-batch files; results match a driver-side replay of the
+    documented >=-gap semantics, including the exactly-gap MERGE (inclusive bound)."""
+    import datetime as dt
+
+    from json_ld_spark.streaming.stream import run_stream_sessions
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # user 1: one session of 4 events 10 min apart, then a 2h gap
+    for i, mins in enumerate([0, 10, 20, 30, 150]):
+        rows.append((i, 1, t0 + dt.timedelta(minutes=mins)))
+    # user 2: gap of EXACTLY 1800s -> MERGES (inclusive bound)
+    rows += [(10, 2, t0), (11, 2, t0 + dt.timedelta(seconds=1800))]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    # interleave events across the two files so every multi-event
+    # session is severed across micro-batches
+    base = str(tmp_path / "in")
+    df.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append").parquet(base)
+    df.filter(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+        "append").parquet(base)
+    out = run_stream_sessions(
+        spark, base, schema=spark.read.parquet(base).schema,
+        gap_seconds=1800, query_name="t_sessions_merge",
+    )
+    got = {(r.user_id, r.start_us, r.end_us, r.n_events)
+           for r in out.collect()}
+
+    def us(minutes=0, seconds=0):
+        return int((t0 + dt.timedelta(minutes=minutes, seconds=seconds)
+                    - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+    assert got == {
+        (1, us(0), us(30, 1800), 4),          # merged across batches
+        (1, us(150), us(150, 1800), 1),
+        (2, us(0), us(0, 3600), 2),           # exactly-gap: one session
+    }
+
+
+def test_streaming_sessions_match_batch_twin(spark, tmp_path):
+    """On gap-generic data (no exactly-gap distances) the streaming
+    sessions coincide with temporal.sessionize + session_stats
+    (start/count; streaming end = last event + gap)."""
+    import datetime as dt
+
+    from json_ld_spark.operators.temporal import session_stats, sessionize
+    from json_ld_spark.streaming.stream import run_stream_sessions
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, u, t0 + dt.timedelta(seconds=(i * 2977) % 17321 + u * 13))
+        for u in (1, 2, 3) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    base = str(tmp_path / "in")
+    df.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append").parquet(base)
+    df.filter(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+        "append").parquet(base)
+    stream = {
+        (r.user_id, r.start_us, r.end_us - 900 * 1_000_000, r.n_events)
+        for r in run_stream_sessions(
+            spark, base, schema=spark.read.parquet(base).schema,
+            gap_seconds=900, query_name="t_sessions_twin").collect()
+    }
+    batch = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in session_stats(
+            sessionize(df, gap_seconds=900, order_cols=["event_id"])
+        ).collect()
+    }
+    assert stream == batch and len(batch) >= 18  # 6 sessions x 3 users
