@@ -2436,6 +2436,20 @@ def q_jsonld_canonicalize_distributed(spark: SparkSession, sf_dir: str) -> DataF
     return out.select("doc_id", "subj", "pred", "obj_kind", "obj")
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-prune semantic dedup
+    (dedup.semantic_dedup, Abbas et al. 2023): deterministic IVF
+    codebook → nearest-cell assignment → within-cell lower-id
+    cosine>=0.3 pruning. Pair fan-in is the cell size, never corpus
+    all-pairs. Oracle: shared codebook replay + the same self-join."""
+    _utc(spark)
+    from json_ld_spark.operators.dedup import semantic_dedup
+
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    cents = sim.ivf_centroids(emb, n_cells=16, lloyd_rounds=2)
+    return semantic_dedup(emb, cents, tau=0.3)
+
+
 def q_ann_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (banded multi-table LSH
     self-join, pair-dedup before the cosine verify). Oracle: same
@@ -3438,6 +3452,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_near_duplicates": q_ann_near_duplicates,
+        "dedup_semantic": q_dedup_semantic,
         "jsonld_canonicalize_distributed": q_jsonld_canonicalize_distributed,
         "text_stats": q_text_stats,
         "text_decontaminate": q_text_decontaminate,
@@ -5500,16 +5515,16 @@ QUALIFY rank <= {k}
 _ANN_IVFPQ_SQL = _ann_ivfpq_sql()
 
 
-def _ann_ivf_sql(
-    n_cells: int = 16, lloyd_rounds: int = 2, n_probe: int = 6,
-    n_assign: int = 2, k: int = 5, dim: int = 64,
-) -> str:
-    """Full IVF replay (ivf_centroids + ivf_topk, similarity.py): seeds
-    are the n_cells vectors with the smallest md5-bridge hash; each
-    Lloyd round assigns by cosine argmax (tie → cell asc, matching
+def _ivf_codebook_prefix(
+    n_cells: int, lloyd_rounds: int, dim: int,
+) -> tuple[str, str]:
+    """Shared codebook-replay CTEs (ivf_centroids, similarity.py):
+    seeds are the n_cells vectors with the smallest md5-bridge hash;
+    each Lloyd round assigns by cosine argmax (tie → cell asc, matching
     _nearest_cells' array_sort on (neg_cos, cell)) and recomputes
     component-wise means rounded to 6 decimals (the engine quantizes
-    identically, so the codebooks are bit-comparable)."""
+    identically, so the codebooks are bit-comparable). Returns
+    (sql_prefix, final_cents_cte_name)."""
     seeds = f"""
 , cents0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS centroid
@@ -5539,8 +5554,21 @@ def _ann_ivf_sql(
   GROUP BY cell
 )"""
         prev = f"cents{r}"
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings){seeds}{rounds}
+    prefix = (
+        "\nWITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings){seeds}{rounds}"
+    )
+    return prefix, prev
+
+
+def _ann_ivf_sql(
+    n_cells: int = 16, lloyd_rounds: int = 2, n_probe: int = 6,
+    n_assign: int = 2, k: int = 5, dim: int = 64,
+) -> str:
+    """Full IVF replay (ivf_centroids + ivf_topk, similarity.py) —
+    codebook CTEs shared via _ivf_codebook_prefix."""
+    prefix, prev = _ivf_codebook_prefix(n_cells, lloyd_rounds, dim)
+    return f"""{prefix}
 , idx AS (
   SELECT cand_id, cell FROM (
     SELECT e.vec_id AS cand_id, c.cell,
@@ -5577,6 +5605,39 @@ QUALIFY rank <= {k}
 
 
 _ANN_IVF_SQL = _ann_ivf_sql()
+
+
+def _semantic_dedup_sql(
+    n_cells: int = 16, lloyd_rounds: int = 2, tau: float = 0.3,
+    dim: int = 64,
+) -> str:
+    """dedup_semantic replay: shared IVF codebook CTEs, nearest-cell
+    assignment, within-cell lower-id cosine>=tau pruning. The cosine
+    threshold compares bit-identical doubles (list_cosine_similarity
+    and the zip_with kernel both fold in array order)."""
+    prefix, prev = _ivf_codebook_prefix(n_cells, lloyd_rounds, dim)
+    return f"""{prefix}
+, assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC
+           ) AS rk
+    FROM e CROSS JOIN {prev} c)
+  WHERE rk = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {tau!r}
+)
+SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+       (d.vec_id IS NULL) AS kept
+FROM assigned s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+"""
+
+
+_SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 _ANN_SQL = """
 WITH q AS (
@@ -6418,6 +6479,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _CC_SQL,
         "dedup_repeated_spans": _REPEATED_SPANS_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
+        "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "kg_random_walks": _RANDOM_WALKS_SQL,
         "kg_transe_rank": _TRANSE_RANK_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,

@@ -533,3 +533,60 @@ def containment_pairs(
         F.round("c_ba", 6).alias("c_ba_r"),
         direction.alias("direction"),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): cluster-then-prune. Each vector
+    is assigned to its nearest centroid (the deterministic IVF codebook
+    from similarity.ivf_centroids); WITHIN each cell, a vector is
+    dropped when a lower-id vector in the same cell has cosine >= tau
+    to it. The paper keeps one near-arbitrary exemplar per semantic
+    group; the min-id rule makes that choice partition-, engine- and
+    cluster-size-invariant (and SQL-replayable).
+
+    Scale shape: pair generation is an equi-self-join on the cell id —
+    fan-in is the cell size, never corpus all-pairs; pick n_cells so
+    cells hold ~the paper's 10k-50k points and the within-cell
+    quadratic term stays bounded (the exact trade the paper makes).
+    Cosines run in the codegen'd zip_with kernel; the codebook is the
+    only driver-side state.
+
+    Returns (id_col, cell, kept) — one row per input vector.
+    """
+    from .similarity import _nearest_cells, cosine
+
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    ]
+    assigned = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("cell", _nearest_cells(F.col("vec"), cents, 1)[0])
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .where(cosine(F.col("a.vec"), F.col("b.vec")) >= F.lit(float(tau)))
+        .select(F.col("b.vid").alias("vid"))
+        .dropDuplicates()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("__dropped").isNull().alias("kept"),
+        )
+    )

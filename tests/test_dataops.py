@@ -528,3 +528,52 @@ def test_upsample_epochs(spark, sf_dir):
     # epochs=0.0 keeps nothing; whole epochs exact
     assert upsample_epochs(d, 0.0, seed="s").count() == 0
     assert upsample_epochs(d, 2.0, seed="s").count() == 2 * n
+
+
+def test_semantic_dedup_matches_brute_force(spark, sf_dir):
+    """SemDeDup cluster-then-prune: kept set equals a driver-side
+    replay (nearest-cell assignment + within-cell lower-id cosine
+    pruning), is partition-invariant, and keeps at least one vector
+    per non-empty cell."""
+    import math
+
+    from pyspark.sql import functions as F, types as T
+
+    from json_ld_spark.operators import similarity as sim
+    from json_ld_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.col("embedding").cast(T.ArrayType(T.DoubleType())).alias("embedding"),
+    )
+    cents = sim.ivf_centroids(emb, n_cells=8, lloyd_rounds=1)
+    got = {(r.vec_id, r.cell, r.kept)
+           for r in semantic_dedup(emb, cents, tau=0.3).collect()}
+    got_repart = {(r.vec_id, r.cell, r.kept)
+                  for r in semantic_dedup(emb.repartition(13), cents,
+                                          tau=0.3).collect()}
+    assert got == got_repart
+
+    cent = {r.cell: list(r.centroid) for r in cents.collect()}
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b)))
+
+    def assign(v):
+        return max(sorted(cent), key=lambda c: (cos(v, cent[c]), -c))
+
+    cells = {vid: assign(v) for vid, v in vecs.items()}
+    expect = set()
+    for vid, v in vecs.items():
+        dropped = any(
+            cells[o] == cells[vid] and o < vid and cos(vecs[o], v) >= 0.3
+            for o in vecs
+        )
+        expect.add((vid, cells[vid], not dropped))
+    assert got == expect
+    # every non-empty cell keeps >= 1 vector (min id never drops)
+    kept_cells = {c for _, c, k in got if k}
+    assert kept_cells == {c for _, c, _ in got}
