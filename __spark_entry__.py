@@ -1100,6 +1100,25 @@ def _dup_doc_pairs(spark: SparkSession, sf_dir: str):
     return docs, sim_pairs
 
 
+def q_data_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture re-weighting of the documents
+    corpus by source (sampling.temperature_mix, the multilingual-LM
+    exponentiated-sampling recipe): head sources Bernoulli-downsample,
+    tail sources fractionally repeat, total stays ~corpus-sized.
+    Rates derive from exact integer counts with one correctly-rounded
+    double division (sqrt is IEEE-exact), so every per-row draw is
+    bit-identical cross-engine. Oracle: full SQL replay (counts →
+    integer-scaled sqrt weights → epochs → md5-bridge draws →
+    generate_series replication)."""
+    _utc(spark)
+    from json_ld_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mix(
+        docs, group_col="source", alpha=0.5, seed="tm"
+    ).select("doc_id", "source", "epoch")
+
+
 def q_data_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization of the events stream
     (temporal.sessionize, 30-min gap): one shuffle on user_id feeds
@@ -3463,6 +3482,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": q_text_pii_scan,
         "text_word_repetition": q_text_word_repetition,
         "data_hash_split": q_data_hash_split,
+        "data_temperature_mix": q_data_temperature_mix,
         "streaming_sessions": q_streaming_sessions,
         "data_sessionize": q_data_sessionize,
         "data_session_stats": q_data_session_stats,
@@ -4255,6 +4275,32 @@ WITH e AS (
            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM b
 )
+"""
+
+# data_temperature_mix: counts → floor(sqrt(n)*1e6) integer weights →
+# one exact double division per group → the upsample_epochs draw
+# (md5-bridge u < frac) → generate_series replication. sqrt is
+# IEEE-exactly-rounded, integer products stay under 2^53, so the rate
+# doubles are bit-identical to the Spark side's driver-computed rates.
+_TEMPERATURE_MIX_SQL = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+), p AS (
+  SELECT source, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS pg FROM c
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(SUM(pg) AS BIGINT) AS s FROM p
+), r AS (
+  SELECT source, (pg * tot) / (s * n) AS e FROM p CROSS JOIN t
+), d AS (
+  SELECT doc_id, dd.source, r.e,
+         CAST(floor(r.e) AS BIGINT) AS whole, r.e - floor(r.e) AS frac,
+         (('0x' || substr(md5('tm|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+           / 4294967296.0 AS u
+  FROM documents dd JOIN r USING (source)
+)
+SELECT doc_id, source, CAST(g.epoch AS INT) AS epoch
+FROM d CROSS JOIN UNNEST(range(
+  0, whole + CASE WHEN u < frac THEN 1 ELSE 0 END)) AS g(epoch)
 """
 
 # streaming_sessions: session_window semantics — strictly > gap splits
@@ -6528,6 +6574,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scan": _PII_SQL,
         "text_word_repetition": _WORD_REP_SQL,
         "data_hash_split": _SPLIT_SQL,
+        "data_temperature_mix": _TEMPERATURE_MIX_SQL,
         "streaming_sessions": _STREAM_SESSIONS_SQL,
         "data_sessionize": _EV_SESSIONIZE_SQL,
         "data_session_stats": _EV_SESSION_STATS_SQL,

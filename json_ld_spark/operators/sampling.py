@@ -424,3 +424,66 @@ def upsample_epochs(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    budget: int | None = None,
+    id_col: str = "doc_id",
+    seed: str = "",
+    max_groups: int = 1_000_000,
+) -> DataFrame:
+    """Temperature (alpha) mixture re-weighting — the multilingual-LM
+    corpus recipe (exponentiated sampling, Conneau & Lample 2019;
+    Devlin et al.'s mBERT exponent): group g with n_g rows gets
+    mixture weight w_g = n_g^alpha / sum_h n_h^alpha and target size
+    t_g = budget * w_g (budget defaults to the corpus size — reshape
+    without growing). Rows are then drawn at epochs_g = t_g / n_g via
+    :func:`upsample_epochs`: epochs < 1 Bernoulli-downsamples the head
+    groups, epochs > 1 fractionally repeats the tail — one mechanism,
+    both directions. alpha=1 is proportional (identity in
+    expectation), alpha=0 uniform-over-groups.
+
+    Determinism: per-group rates are computed driver-side from EXACT
+    integer counts as (p_g * N) / (s * n_g) with p_g =
+    floor(n_g^alpha * 1e6) and s = sum p_g — integer products within
+    2^53, one correctly-rounded double division, so the rate (and
+    hence every per-row draw) is bit-identical across engines with no
+    quantization step. For alpha=0.5, n^alpha uses math.sqrt
+    (IEEE-exactly-rounded — guaranteed engine parity); other alphas
+    rely on libm pow agreement at the floor(…*1e6) boundary.
+
+    Scale shape: ONE count aggregation (|groups| rows, collected —
+    groups are dictionary-sized: sources/languages/domains; hard-capped
+    at max_groups so corpus-shaped group columns fail loudly), a
+    broadcast join of the rates, then upsample_epochs' zero-shuffle
+    projection. Output adds (epoch,) as in upsample_epochs.
+    """
+    import math
+
+    rows = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"temperature_mix: {len(rows)} groups exceeds max_groups="
+            f"{max_groups} — group_col looks corpus-shaped, not a recipe key"
+        )
+    if not rows:
+        return df.withColumn("epoch", F.lit(0)).limit(0)
+    counts = {r[group_col]: int(r["n"]) for r in rows}
+    total = sum(counts.values())
+    tgt = int(budget) if budget is not None else total
+    pow_ = (math.sqrt if alpha == 0.5
+            else (lambda x: math.pow(x, alpha)))
+    p = {g: math.floor(pow_(n) * 1_000_000) for g, n in counts.items()}
+    s = sum(p.values())
+    rates = df.sparkSession.createDataFrame(
+        [(g, (p[g] * tgt) / (s * counts[g])) for g in sorted(counts)],
+        f"{group_col} string, __epochs double",
+    )
+    out = upsample_epochs(
+        df.join(F.broadcast(rates), group_col), F.col("__epochs"),
+        id_col=id_col, seed=seed,
+    )
+    return out.drop("__epochs")

@@ -416,3 +416,48 @@ def test_weighted_sample_python_replay_and_monotonicity(spark):
         df.withColumn("rate", F.lit(0.0)), "rate").count() == 0
     assert sampling.weighted_sample(
         df.withColumn("rate", F.lit(1.0)), "rate").count() == 400
+
+
+def test_temperature_mix_python_replay_and_budget(spark):
+    """alpha-mix replay: per-group epochs from exact integer counts,
+    per-row draws via the md5 bridge; alpha=1 is identity-in-
+    expectation (every epoch rate is exactly 1.0 -> output == input);
+    alpha=0.5 lifts the tail group above 1 epoch; corpus-shaped group
+    columns fail loudly."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from json_ld_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 90 else "small", f"t{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    # alpha=1: w_g = n_g/N, epochs = 1.0 exactly -> identity (plus epoch=0)
+    out1 = temperature_mix(df, "source", alpha=1.0, seed="tm")
+    assert sorted(r.doc_id for r in out1.collect()) == list(range(100))
+    assert {r.epoch for r in out1.collect()} == {0}
+
+    # alpha=0.5 replay
+    got = sorted((r.doc_id, r.epoch)
+                 for r in temperature_mix(df, "source", alpha=0.5,
+                                          seed="tm").collect())
+    counts = {"big": 90, "small": 10}
+    total = 100
+    p = {g: math.floor(math.sqrt(n) * 1_000_000) for g, n in counts.items()}
+    s = sum(p.values())
+    expect = []
+    for i, g, _ in rows:
+        e = (p[g] * total) / (s * counts[g])
+        u = int(hashlib.md5(f"tm|{i}".encode()).hexdigest()[:8], 16) / 2**32
+        n_copies = math.floor(e) + (1 if u < e - math.floor(e) else 0)
+        expect += [(i, k) for k in range(n_copies)]
+    assert got == sorted(expect)
+    # the tail group repeats (epochs > 1 -> some epoch=1 copies)
+    assert any(ep == 1 for d, ep in got if d >= 90)
+    # total stays ~budget (= corpus size)
+    assert abs(len(got) - total) <= 15
+
+    with _pytest.raises(ValueError, match="max_groups"):
+        temperature_mix(df, "doc_id", alpha=0.5, max_groups=10)
