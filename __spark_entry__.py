@@ -502,6 +502,25 @@ def q_kg_bucketed_node_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_fuzzy_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity linking (linking.fuzzy_link_entities):
+    blocked Levenshtein match — prefix-OR-suffix 2-char pigeonhole
+    blocks (recall 1.0 at max_dist=1 for surfaces >= 4 chars), exact
+    integer distances, (dist, prior desc, entity_id) top-1 per
+    surface; fuzzy work runs at vocabulary level, the corpus stream
+    only equi-joins back. Oracle: same blocks + levenshtein() +
+    ROW_NUMBER replay."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    mention_src = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("subj"),
+        "text",
+    )
+    mentions = lk.extract_mentions(mention_src)
+    dictionary = lk.synthesize_entity_dictionary(spark, sf_dir, max_entities=2000)
+    return lk.fuzzy_link_entities(mentions, dictionary, max_dist=1)
+
+
 def q_kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mention extraction (JVM posexplode) + broadcast dictionary join +
     vectorized pandas-UDF link scoring (north_star entity-linking stage)."""
@@ -3411,6 +3430,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_table": q_kg_node_table,
         "kg_bucketed_node_table": q_kg_bucketed_node_table,
         "kg_bucketed_bgp": q_kg_bucketed_bgp,
+        "kg_fuzzy_links": q_kg_fuzzy_links,
         "kg_entity_links": q_kg_entity_links,
         "kg_entity_links_salted": q_kg_entity_links_salted,
         "kg_triples_interned": q_kg_triples_interned,
@@ -4067,6 +4087,58 @@ SELECT tf.subj AS subj, tf.surface AS surface, dict.entity_id AS entity_id,
        round(dict.prior, 6) AS prior_r,
        round(dict.prior * ln(1.0 + tf.tf) / ln(tf.first_pos + 2.0), 6) AS score_r
 FROM tf JOIN dict USING (surface)
+"""
+
+# kg_fuzzy_links: vocabulary-level blocked Levenshtein replay — the
+# mention/dict CTEs are _LINKS_SQL's; blocks via substring (DuckDB
+# negative-start substring counts from the end, like Spark's).
+_FUZZY_LINKS_SQL = """
+WITH mention_rows AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS subj,
+         e.pos AS pos, e.surface AS surface
+  FROM documents
+  CROSS JOIN UNNEST(list_transform(
+      string_split_regex(lower(text), '[^a-z0-9]+'),
+      (x, i) -> {'pos': i - 1, 'surface': x})) AS m(e)
+  WHERE length(e.surface) >= 3
+), tf AS (
+  SELECT subj, surface, COUNT(*) AS tf, MIN(pos) AS first_pos
+  FROM mention_rows GROUP BY subj, surface
+), toks AS (
+  SELECT t.e AS surface FROM documents
+  CROSS JOIN UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(e)
+  WHERE length(t.e) >= 3
+), freq AS (
+  SELECT surface, COUNT(*) AS n FROM toks GROUP BY surface
+), dict AS (
+  SELECT 'https://example.org/entity/' || surface AS entity_id, surface,
+         n / (SELECT CAST(SUM(n) AS DOUBLE) FROM freq) AS prior
+  FROM freq ORDER BY n DESC, surface ASC LIMIT 2000
+), surf AS (
+  SELECT DISTINCT surface FROM tf
+), cand AS (
+  SELECT DISTINCT s.surface, d.entity_id, d.surface AS dsurf, d.prior
+  FROM surf s JOIN dict d
+    ON substring(s.surface, 1, 2) = substring(d.surface, 1, 2)
+  UNION
+  SELECT DISTINCT s.surface, d.entity_id, d.surface AS dsurf, d.prior
+  FROM surf s JOIN dict d
+    ON substring(s.surface, -2, 2) = substring(d.surface, -2, 2)
+), matched AS (
+  SELECT surface, entity_id, prior,
+         levenshtein(surface, dsurf) AS dist
+  FROM cand WHERE levenshtein(surface, dsurf) <= 1
+), best AS (
+  SELECT surface, entity_id, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY surface
+      ORDER BY dist ASC, prior DESC, entity_id ASC) AS rk
+    FROM matched)
+  WHERE rk = 1
+)
+SELECT tf.subj, tf.surface, b.entity_id, CAST(b.dist AS INT) AS dist,
+       tf.tf AS tf, CAST(tf.first_pos AS BIGINT) AS first_pos
+FROM tf JOIN best b USING (surface)
 """
 
 _DUP_CORPUS = """
@@ -6502,6 +6574,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_interned": _TRIPLES_SQL,
         "kg_node_table": _NODES_SQL,
         "kg_bucketed_node_table": _NODES_SQL,
+        "kg_fuzzy_links": _FUZZY_LINKS_SQL,
         "kg_entity_links": _LINKS_SQL,
         "kg_entity_links_salted": _LINKS_SQL,
         "kg_pipeline_full": _KG_PIPELINE_SQL,

@@ -182,3 +182,75 @@ def mention_triples(links: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("datatype"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+def fuzzy_link_entities(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    max_dist: int = 1,
+    block_len: int = 2,
+) -> DataFrame:
+    """Typo-tolerant entity linking: blocked Levenshtein match of
+    mention surfaces against the dictionary, exact distances, top-1
+    entity per (subj, surface).
+
+    Blocking (pigeonhole): candidates are the UNION of two equi-joins —
+    same ``block_len``-char PREFIX or same SUFFIX. For ``max_dist=1``
+    and surfaces of length >= 2*block_len this has recall exactly 1.0:
+    one edit cannot alter two disjoint blocks (a deletion/insertion
+    inside the prefix shifts positions but leaves the last block_len
+    CHARACTERS intact). Shorter surfaces can hide a middle edit in both
+    blocks (len-3 with block_len=2) — the standard blocking trade,
+    asserted and documented in tests; widen blocks or raise max_dist
+    handling accordingly.
+
+    Scale shape: the fuzzy work runs at VOCABULARY level — distinct
+    mention surfaces join the (broadcast) dictionary per block, fan-in
+    = dictionary block size; Levenshtein verifies candidates only. The
+    corpus-sized mention stream only ever does an equi-join back on the
+    matched surface. Distances are exact integers (same unit-cost DP in
+    Spark and DuckDB), the pick is (dist asc, prior desc, entity_id
+    asc) — fully deterministic.
+
+    Output: (subj, surface, entity_id, dist, tf, first_pos).
+    """
+    surf = mentions.select("surface").dropDuplicates()
+    d = dictionary.select(
+        "entity_id", F.col("surface").alias("dsurf"), "prior"
+    )
+
+    def blocked(side_expr: str, dict_expr: str) -> DataFrame:
+        return (
+            surf.withColumn("__b", F.expr(side_expr))
+            .join(F.broadcast(d.withColumn("__b", F.expr(dict_expr))), "__b")
+            .drop("__b")
+        )
+
+    pre = blocked(
+        f"substring(surface, 1, {block_len})",
+        f"substring(dsurf, 1, {block_len})",
+    )
+    suf = blocked(
+        f"substring(surface, -{block_len}, {block_len})",
+        f"substring(dsurf, -{block_len}, {block_len})",
+    )
+    cand = pre.unionByName(suf).dropDuplicates(["surface", "entity_id"])
+    matched = cand.withColumn(
+        "dist", F.levenshtein("surface", "dsurf")
+    ).filter(F.col("dist") <= max_dist)
+    w = Window.partitionBy("surface").orderBy(
+        F.col("dist").asc(), F.col("prior").desc(), F.col("entity_id").asc()
+    )
+    best = (
+        matched.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("surface", "entity_id", "dist")
+    )
+    tf = mentions.groupBy("subj", "surface").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("pos").alias("first_pos")
+    )
+    return tf.join(best, "surface").select(
+        "subj", "surface", "entity_id",
+        F.col("dist").cast("int").alias("dist"),
+        "tf", F.col("first_pos").cast("long").alias("first_pos"),
+    )
