@@ -1288,6 +1288,41 @@ def q_kg_lpg_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (graphops.k_core, k=5) over a heterogeneous
+    union graph: 16-turn conversation chains + their conversation hubs
+    (degree <= 3 / 16 — peels with a 3-round cascade: turns fall first,
+    then the emptied hubs) unioned with the part–supplier co-purchase
+    graph (min degree >= 8 at every sf — the surviving dense core).
+    One degree agg + two semi-joins per round; the survivor count is
+    the round's single job. Oracle: the peel unrolled as CTE rounds."""
+    _utc(spark)
+    from json_ld_spark.operators.graphops import k_core
+    from json_ld_spark.operators.native import (
+        transcript_adjacency_native,
+        transcript_triples_native,
+    )
+
+    t = transcripts_from_documents(spark, sf_dir)
+    chain = transcript_adjacency_native(t, with_doc_id=False).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    conv = (
+        transcript_triples_native(t)
+        .filter(F.col("pred") == "https://example.org/transcript#conversation")
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    cop = (
+        _read(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    return k_core(chain.unionByName(conv).unionByName(cop), k=5)
+
+
 def q_kg_transe_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered TransE link-prediction ranking (kge.transe_rank,
     Bordes et al. NeurIPS'13 protocol) over the transcript KG's
@@ -3455,6 +3490,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "dedup_survivors": q_dedup_survivors,
         "kg_random_walks": q_kg_random_walks,
+        "kg_kcore": q_kg_kcore,
         "kg_transe_rank": q_kg_transe_rank,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_lpg_project": q_kg_lpg_project,
@@ -4709,6 +4745,41 @@ FROM base
 # kg_negative_samples: SQL replay of the filtered TransE corruption —
 # md5-bridge side choice + md5-bridge index into the ROW_NUMBER-dense
 # entity dictionary, true-triple corruptions removed by NOT EXISTS.
+# kg_kcore: the k=5 peel unrolled as CTE rounds (3 rounds reach the
+# fixpoint at every sf: turns peel, emptied conversation hubs peel,
+# the co-purchase core is stable; one extra round unrolled as guard).
+_KCORE_SQL = _BASE_CTE + f"""
+, adjp AS (
+  SELECT conv_id, turn_idx,
+         LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM base
+), raw AS (
+  SELECT '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR) AS u,
+         '{_CB}' || conv_id || '/turn/' || CAST(nxt AS VARCHAR) AS v
+  FROM adjp WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT '{_CB}' || conv_id || '/turn/' || CAST(turn_idx AS VARCHAR),
+         '{_CB}' || conv_id FROM base
+  UNION ALL
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+                  's' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+), e0 AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM raw WHERE u <> v
+    UNION ALL SELECT v AS u, u AS v FROM raw WHERE u <> v)
+), k1 AS (SELECT u FROM e0 GROUP BY u HAVING COUNT(*) >= 5),
+e1 AS (SELECT e0.u, e0.v FROM e0
+       JOIN k1 a ON a.u = e0.u JOIN k1 b ON b.u = e0.v),
+k2 AS (SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= 5),
+e2 AS (SELECT e1.u, e1.v FROM e1
+       JOIN k2 a ON a.u = e1.u JOIN k2 b ON b.u = e1.v),
+k3 AS (SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= 5),
+e3 AS (SELECT e2.u, e2.v FROM e2
+       JOIN k3 a ON a.u = e2.u JOIN k3 b ON b.u = e2.v)
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e3 GROUP BY u
+"""
+
 # kg_transe_rank: SQL replay of the filtered TransE ranking —
 # integer-lattice md5-bridge embeddings (list_transform), exact
 # integer L1 distances, the same better-all minus better-known
@@ -6600,6 +6671,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": _SURVIVORS_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "kg_random_walks": _RANDOM_WALKS_SQL,
+        "kg_kcore": _KCORE_SQL,
         "kg_transe_rank": _TRANSE_RANK_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "kg_lpg_project": _LPG_PROJECT_SQL,

@@ -734,3 +734,63 @@ def cooccurrence_graph(
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_groups"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 64,
+) -> DataFrame:
+    """k-core membership (Seidman 1983, "Network structure and minimum
+    degree"): iteratively peel nodes whose undirected degree is < k
+    until the fixpoint, returning ``(node, degree)`` for the survivors
+    (degree measured INSIDE the core). The standard dense-region /
+    graph-cleanup primitive run before expensive graph ML — walks,
+    embeddings, triangle-heavy features.
+
+    Per-round work: ONE degree aggregation + two left-semi joins that
+    keep only edges between surviving nodes. The surviving-node count
+    is the round's single job — it materializes the lazily
+    checkpointed slice AND probes the fixpoint (PLANS §26 shape).
+    Round count = peel depth of the cascade (degeneracy-ordering
+    bounded; a pure k-1-degree chain peels from the ends, two nodes
+    per round — the worst case). Small inputs run the narrow loop conf
+    like connected_components; corpus-scale slices keep the caller's
+    width and AQE skew handling.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    _SP = "spark.sql.shuffle.partitions"
+    _AQE = "spark.sql.adaptive.enabled"
+    sp_old, aqe_old = spark.conf.get(_SP), spark.conf.get(_AQE, "true")
+    n_edges = e.count()  # materializes the checkpoint + gates the conf
+    if n_edges <= 2_000_000:
+        spark.conf.set(_AQE, "false")
+        spark.conf.set(_SP, str(max(1, min(int(sp_old), 8))))
+    try:
+        keep = None
+        prev_nodes = -1
+        for _ in range(max_iter):
+            deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+            keep = deg.where(F.col("degree") >= k)
+            n = keep.count()
+            if n == prev_nodes or n == 0:
+                break
+            prev_nodes = n
+            kn = keep.select("u")
+            e = (
+                e.join(kn, "u", "left_semi")
+                .join(kn.select(F.col("u").alias("v")), "v", "left_semi")
+                .localCheckpoint(eager=False)
+            )
+        assert keep is not None
+        return keep.select(
+            F.col("u").alias("node"), F.col("degree").cast("long").alias("degree")
+        )
+    finally:
+        spark.conf.set(_SP, sp_old)
+        spark.conf.set(_AQE, aqe_old)

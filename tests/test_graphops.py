@@ -534,3 +534,45 @@ def test_cooccurrence_graph_counts_and_cap(spark):
               for r in g.cooccurrence_graph(df, max_group_size=3).collect()}
     # d3 dropped entirely: no c-d edge, a-b down to 2
     assert ("c", "d") not in capped and capped[("a", "b")] == 2
+
+
+def test_k_core_matches_brute_force_peel(spark):
+    """k_core == the textbook iterative peel on a graph with a real
+    cascade (chain + hub + clique), including the chain worst case
+    (peels from the ends) and the empty-core case."""
+    from json_ld_spark.operators.graphops import k_core
+
+    edges = (
+        # K4 clique (3-core survives k=3)
+        [(f"c{a}", f"c{b}") for a in range(4) for b in range(a + 1, 4)]
+        # a 6-node path hanging off the clique (peels under k=2? no —
+        # path interior degree 2; under k=3 it cascades into the clique
+        # attachment point, which survives on clique degrees)
+        + [("c0", "p0")] + [(f"p{i}", f"p{i+1}") for i in range(5)]
+        # a hub with 5 leaves (leaves peel at k>=2, then hub follows)
+        + [("h", f"l{i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def brute(k):
+        e = {(u, v) for u, v in edges} | {(v, u) for u, v in edges}
+        e = {(u, v) for u, v in e if u != v}
+        while True:
+            deg = {}
+            for u, _ in e:
+                deg[u] = deg.get(u, 0) + 1
+            keep = {u for u, d in deg.items() if d >= k}
+            ne = {(u, v) for u, v in e if u in keep and v in keep}
+            if ne == e:
+                break
+            e = ne
+        out = {}
+        for u, _ in e:
+            out[u] = out.get(u, 0) + 1
+        return out
+
+    for k in (1, 2, 3, 4):
+        got = {r.node: r.degree for r in k_core(df, k=k).collect()}
+        assert got == brute(k), f"k={k}"
+    assert {r.node for r in k_core(df, k=3).collect()} == {f"c{i}" for i in range(4)}
+    assert k_core(df, k=4).count() == 0
