@@ -576,3 +576,38 @@ def test_k_core_matches_brute_force_peel(spark):
         assert got == brute(k), f"k={k}"
     assert {r.node for r in k_core(df, k=3).collect()} == {f"c{i}" for i in range(4)}
     assert k_core(df, k=4).count() == 0
+
+
+def test_k_core_fuzz_vs_brute_peel(spark):
+    """Hypothesis: random small graphs peel identically to the
+    textbook algorithm for k in 1..3."""
+    from hypothesis import given, settings, strategies as st
+
+    from json_ld_spark.operators.graphops import k_core
+
+    @given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                    min_size=1, max_size=30),
+           st.integers(1, 3))
+    @settings(max_examples=10, deadline=None)
+    def prop(pairs, k):
+        edges = [(f"n{a}", f"n{b}") for a, b in pairs if a != b]
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.degree for r in k_core(df, k=k).collect()}
+        e = {(u, v) for u, v in edges} | {(v, u) for u, v in edges}
+        while True:
+            deg: dict = {}
+            for u, _ in e:
+                deg[u] = deg.get(u, 0) + 1
+            keep = {u for u, d in deg.items() if d >= k}
+            ne = {(u, v) for u, v in e if u in keep and v in keep}
+            if ne == e:
+                break
+            e = ne
+        expect: dict = {}
+        for u, _ in e:
+            expect[u] = expect.get(u, 0) + 1
+        assert got == expect
+
+    prop()

@@ -644,3 +644,41 @@ def test_fuzzy_link_entities_recall_and_pick(spark):
             continue
         want = {e for e, s, _ in dict_rows if lev(r.surface, s) <= 1}
         assert (r.surface in out) == bool(want)
+
+
+def test_fuzzy_link_recall_property(spark):
+    """Hypothesis: for any dictionary of length>=4 surfaces and any
+    single-edit corruption (sub/ins/del anywhere), the corrupted
+    surface still links — the prefix-OR-suffix pigeonhole guarantee."""
+    from hypothesis import given, settings, strategies as st
+
+    from json_ld_spark.operators.linking import fuzzy_link_entities
+
+    alphabet = "abcdefg"
+    word = st.text(alphabet, min_size=4, max_size=10)
+
+    @given(st.lists(word, min_size=1, max_size=8, unique=True),
+           st.data())
+    @settings(max_examples=10, deadline=None)
+    def prop(surfaces, data):
+        target = data.draw(st.sampled_from(surfaces))
+        kind = data.draw(st.sampled_from(["sub", "ins", "del"]))
+        pos = data.draw(st.integers(0, len(target) - 1))
+        ch = data.draw(st.sampled_from(alphabet + "xyz"))
+        if kind == "sub":
+            corrupted = target[:pos] + ch + target[pos + 1:]
+        elif kind == "ins":
+            corrupted = target[:pos] + ch + target[pos:]
+        else:
+            corrupted = target[:pos] + target[pos + 1:]
+        d = spark.createDataFrame(
+            [(f"e/{s}", s, 1.0 / (i + 2)) for i, s in enumerate(surfaces)],
+            "entity_id string, surface string, prior double")
+        m = spark.createDataFrame(
+            [("s", corrupted, 0)], "subj string, surface string, pos int")
+        out = fuzzy_link_entities(m, d, max_dist=1).collect()
+        # the corruption is within distance 1 of `target`, so SOME link
+        # must come back (possibly to a different dict word at dist 0)
+        assert len(out) == 1 and out[0].dist <= 1
+
+    prop()

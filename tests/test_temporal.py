@@ -280,3 +280,46 @@ def test_sessionize_boundary_is_strict_greater(spark):
            for r in sessionize(df, gap_seconds=1800,
                                order_cols=["event_id"]).collect()}
     assert got == {0: 1, 1: 1, 2: 2}
+
+
+def test_sessionize_fuzz_vs_python_replay(spark):
+    """Hypothesis: random event sets (duplicate timestamps, boundary
+    gaps, many keys) sessionize exactly like a driver-side replay of
+    the documented strict-> rule over integer microseconds."""
+    from hypothesis import given, settings, strategies as st
+
+    from json_ld_spark.operators.temporal import sessionize
+
+    GAP = 10  # seconds
+
+    @given(st.lists(
+        st.tuples(st.integers(0, 3),                      # user
+                  st.integers(0, 40_000_000)),            # micros offset
+        min_size=1, max_size=40))
+    @settings(max_examples=12, deadline=None)
+    def prop(rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        data = [(i, u, t0 + dt.timedelta(microseconds=us))
+                for i, (u, us) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "event_id long, user_id long, ts timestamp")
+        got = {r.event_id: (r.user_id, r.session_idx)
+               for r in sessionize(df, gap_seconds=GAP,
+                                   order_cols=["event_id"]).collect()}
+        expect = {}
+        by_user: dict = {}
+        for i, (u, us) in enumerate(rows):
+            by_user.setdefault(u, []).append((us, i))
+        for u, evs in by_user.items():
+            evs.sort()
+            sid, prev = 0, None
+            for us, i in evs:
+                if prev is None or us - prev > GAP * 1_000_000:
+                    sid += 1
+                prev = us
+                expect[i] = (u, sid)
+        assert got == expect
+
+    prop()
