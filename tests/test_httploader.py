@@ -296,3 +296,31 @@ def test_cli_expand_url(monkeypatch, capsys):
     assert main(["expand", "http://ex/doc.jsonld", "--http"]) == 0
     out = _json.loads(capsys.readouterr().out)
     assert out == [{"http://ex/name": [{"@value": "bob"}]}]
+
+
+def test_reference_header_cases_pinned():
+    """The reference's own unit cases, string-for-string
+    (crates/core/src/loader/reqwest/content_type.rs:127-190,
+    link.rs:103-130): unquoted + quoted profile values, trailing
+    params, and a bare link with no params."""
+    for value in (
+        "application/ld+json;profile=http://www.w3.org/ns/json-ld#expanded",
+        "application/ld+json; profile=http://www.w3.org/ns/json-ld#expanded",
+        "application/ld+json; profile=http://www.w3.org/ns/json-ld#expanded; q=1",
+        'application/ld+json; profile="http://www.w3.org/ns/json-ld#expanded"; q=1',
+    ):
+        ct = parse_content_type(value)
+        assert ct is not None, value
+        assert ct.media_type == "application/ld+json"
+        assert ct.profiles() == ["http://www.w3.org/ns/json-ld#expanded"], value
+
+    for value in (
+        '<http://www.example.org/context>; rel="context"; type="application/ld+json"',
+        '<http://www.example.org/context>; rel="context"; type="application/ld+json"; foo="bar"',
+    ):
+        link = parse_link(value)
+        assert link is not None, value
+        assert link.href == "http://www.example.org/context"
+        assert link.rel() == "context"
+    bare = parse_link("<http://www.example.org/context>")
+    assert bare is not None and bare.href == "http://www.example.org/context"
