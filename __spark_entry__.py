@@ -1218,6 +1218,19 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level boilerplate REMOVAL (dedup.paragraph_dedup,
+    Dolma/FineWeb-style): fixed 20-word windows as paragraphs on the
+    flat word-stream corpus, keep only the globally first occurrence
+    of each distinct paragraph ((doc_id, idx)-min — deterministic),
+    reassemble documents. On the duplicate-heavy corpus the injected
+    copies empty out completely. Oracle: full SQL replay (window
+    grouping + ROW_NUMBER first-occurrence + ordered string_agg)."""
+    _utc(spark)
+    corpus = _docs_with_dups(_read(spark, sf_dir, "documents"))
+    return dd.paragraph_dedup(corpus, sep=None, words_per_para=20)
+
+
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk corpus generation (graphops.random_walks)
     over the symmetrized part–supplier bipartite graph: 2 walks of
@@ -3488,6 +3501,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "dedup_components": q_dedup_components,
         "dedup_repeated_spans": q_dedup_repeated_spans,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_survivors": q_dedup_survivors,
         "kg_random_walks": q_kg_random_walks,
         "kg_kcore": q_kg_kcore,
@@ -4183,6 +4197,35 @@ WITH corpus AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 )
+"""
+
+# dedup_paragraphs: 20-word windows via indexed-word grouping (equal
+# to Spark's slice+array_join segmentation incl. the short tail
+# window), ROW_NUMBER first-occurrence, ordered string_agg reassembly.
+_PARA_DEDUP_SQL = _DUP_CORPUS + """
+, words AS (
+  SELECT doc_id, u.w.i - 1 AS wi, u.w.x AS word
+  FROM corpus CROSS JOIN UNNEST(list_transform(
+      string_split(text, ' '), (x, i) -> {'i': i, 'x': x})) AS u(w)
+), paras AS (
+  SELECT doc_id, CAST(wi // 20 AS INT) AS idx,
+         string_agg(word, ' ' ORDER BY wi) AS p
+  FROM words GROUP BY doc_id, wi // 20
+), kept AS (
+  SELECT doc_id, idx, p FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY p ORDER BY doc_id, idx) AS rk
+    FROM paras)
+  WHERE rk = 1
+), reasm AS (
+  SELECT doc_id, string_agg(p, ' ' ORDER BY idx) AS text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras FROM paras GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(r.text, '') AS text, t.n_paras,
+       COALESCE(r.n_kept, 0) AS n_kept
+FROM totals t LEFT JOIN reasm r USING (doc_id)
 """
 
 _EXACT_DUP_SQL = _DUP_CORPUS + r"""
@@ -6668,6 +6711,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix_filter": _MINHASH_ORACLE_SQL,
         "dedup_components": _CC_SQL,
         "dedup_repeated_spans": _REPEATED_SPANS_SQL,
+        "dedup_paragraphs": _PARA_DEDUP_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "kg_random_walks": _RANDOM_WALKS_SQL,

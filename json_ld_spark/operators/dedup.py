@@ -590,3 +590,77 @@ def semantic_dedup(
             F.col("__dropped").isNull().alias("kept"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str | None = "\n\n",
+    words_per_para: int | None = None,
+    keep_empty: bool = True,
+) -> DataFrame:
+    """Paragraph-level exact deduplication — the Dolma/FineWeb-style
+    boilerplate REMOVER (not just detector): split every document into
+    paragraphs, keep only the globally FIRST occurrence of each
+    distinct paragraph (first = smallest (doc_id, paragraph index) —
+    deterministic across partitionings/engines), drop every repeat,
+    and reassemble the documents.
+
+    Segmenters: ``sep`` splits on a separator string (real corpora:
+    "\\n\\n"); ``words_per_para=k`` instead slices fixed k-word windows
+    (for flat word-stream corpora). Exactly one must be active.
+
+    Scale shape: ONE groupBy on the paragraph hash-key computes the
+    global first occurrence (map-side-combinable MIN of a (doc, idx)
+    struct), one equi-join back marks keepers, one per-doc aggregation
+    re-concatenates in index order (array_sort of (idx, para) structs
+    — not collect_list order, which is partitioning-dependent). No
+    all-pairs anywhere; state per distinct paragraph is one struct.
+
+    Returns (id_col, text, n_paras, n_kept) — text rebuilt from the
+    kept paragraphs; with keep_empty, fully-boilerplate documents
+    survive with empty text (so downstream length filters decide).
+    """
+    if (sep is None) == (words_per_para is None):
+        raise ValueError("exactly one of sep / words_per_para required")
+    d = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    if sep is not None:
+        paras = d.select(
+            "__id", F.posexplode(F.split(F.col("__t"), F.lit(sep).cast("string"),
+                                         -1)).alias("__idx", "__p")
+        )
+    else:
+        w = int(words_per_para)
+        words = F.split(F.col("__t"), " ")
+        slices = F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(words) - 1) / F.lit(w)).cast("int")),
+            lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+        )
+        paras = d.select("__id", F.posexplode(slices).alias("__idx", "__p"))
+    firsts = paras.groupBy("__p").agg(
+        F.min(F.struct("__id", "__idx")).alias("__first")
+    )
+    kept = paras.join(firsts, "__p").where(
+        (F.col("__first.__id") == F.col("__id"))
+        & (F.col("__first.__idx") == F.col("__idx"))
+    )
+    joiner = sep if sep is not None else " "
+    reasm = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__p"))),
+                lambda s: s["__p"],
+            ),
+            joiner,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy("__id").agg(F.count(F.lit(1)).alias("n_paras"))
+    out = totals.join(reasm, "__id", "left" if keep_empty else "inner").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+    return out

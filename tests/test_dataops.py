@@ -577,3 +577,43 @@ def test_semantic_dedup_matches_brute_force(spark, sf_dir):
     # every non-empty cell keeps >= 1 vector (min id never drops)
     kept_cells = {c for _, c, k in got if k}
     assert kept_cells == {c for _, c, _ in got}
+
+
+def test_paragraph_dedup_sep_and_window_modes(spark):
+    """Boilerplate removal: global first occurrence wins (by (doc_id,
+    idx)), repeats drop, docs reassemble in order, fully-boilerplate
+    docs survive empty; the word-window mode slices k-word windows
+    including the short tail; duplicated docs empty out entirely."""
+    import pytest as _pytest
+
+    from json_ld_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame([
+        (1, "hello world\n\nshared boiler\n\nunique one"),
+        (2, "shared boiler\n\nunique two"),
+        (3, "shared boiler"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_paras, r.n_kept)
+           for r in paragraph_dedup(docs).collect()}
+    assert out[1] == ("hello world\n\nshared boiler\n\nunique one", 3, 3)
+    assert out[2] == ("unique two", 2, 1)
+    assert out[3] == ("", 1, 0)
+    # dropping empties instead:
+    assert {r.doc_id for r in
+            paragraph_dedup(docs, keep_empty=False).collect()} == {1, 2}
+
+    # word-window mode: 3-word windows, last window short; doc 11 is a
+    # full copy of doc 10 -> empties; doc 12 shares one window
+    wdocs = spark.createDataFrame([
+        (10, "a b c d e f g"),
+        (11, "a b c d e f g"),
+        (12, "a b c x y z"),
+    ], "doc_id long, text string")
+    w = {r.doc_id: (r.text, r.n_paras, r.n_kept)
+         for r in paragraph_dedup(wdocs, sep=None, words_per_para=3).collect()}
+    assert w[10] == ("a b c d e f g", 3, 3)
+    assert w[11] == ("", 3, 0)
+    assert w[12] == ("x y z", 2, 1)
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        paragraph_dedup(docs, sep=None, words_per_para=None)
