@@ -1218,6 +1218,21 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts → SFT training pairs (curation.sft_pairs): for each
+    assistant turn, prompt = the previous <=4 turns rendered
+    'role: text' (turn order pinned by array_sort, not collect_list
+    accumulation order), completion = the turn text. One conv-keyed
+    ordered window. Oracle: the same frame replayed with DuckDB's
+    list() window aggregate + list_sort."""
+    _utc(spark)
+    from json_ld_spark.operators.curation import sft_pairs
+
+    return sft_pairs(
+        transcripts_from_documents(spark, sf_dir), n_context=4
+    )
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level boilerplate REMOVAL (dedup.paragraph_dedup,
     Dolma/FineWeb-style): fixed 20-word windows as paragraphs on the
@@ -3502,6 +3517,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "data_sft_pairs": q_data_sft_pairs,
         "dedup_survivors": q_dedup_survivors,
         "kg_random_walks": q_kg_random_walks,
         "kg_kcore": q_kg_kcore,
@@ -4197,6 +4213,27 @@ WITH corpus AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 )
+"""
+
+# data_sft_pairs: the same conv-keyed ROWS frame replayed with
+# DuckDB's list() window aggregate; both engines sort the collected
+# frame by turn_idx (struct field order) before rendering.
+_SFT_PAIRS_SQL = _BASE_CTE + """
+, ctxed AS (
+  SELECT conv_id, turn_idx, role, text,
+         list({'i': turn_idx, 'r': role, 'x': text}) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS ctx
+  FROM base
+)
+SELECT conv_id, turn_idx,
+       array_to_string(list_transform(list_sort(ctx),
+                                      s -> s.r || ': ' || s.x), chr(10))
+         AS prompt,
+       text AS completion,
+       CAST(len(ctx) AS BIGINT) AS n_context_turns
+FROM ctxed
+WHERE role = 'assistant' AND len(ctx) >= 1
 """
 
 # dedup_paragraphs: 20-word windows via indexed-word grouping (equal
@@ -6712,6 +6749,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _CC_SQL,
         "dedup_repeated_spans": _REPEATED_SPANS_SQL,
         "dedup_paragraphs": _PARA_DEDUP_SQL,
+        "data_sft_pairs": _SFT_PAIRS_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "kg_random_walks": _RANDOM_WALKS_SQL,

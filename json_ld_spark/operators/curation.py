@@ -210,3 +210,56 @@ def chunk_documents(
         F.array_join("c.win", " ").alias("chunk_text"),
         F.col("c.tok_start").cast("long").alias("tok_start"),
     )
+
+
+def sft_pairs(
+    transcripts: DataFrame,
+    n_context: int = 4,
+    target_roles: tuple[str, ...] = ("assistant",),
+    min_context: int = 1,
+) -> DataFrame:
+    """Render conversation transcripts into SFT training pairs: for
+    every turn whose role is in ``target_roles``, the prompt is the
+    previous ``<= n_context`` turns rendered ``role: text`` and joined
+    with newlines (stable turn order), the completion is the turn's
+    own text — the transcripts-to-training-data transform at the end
+    of every conversation pipeline.
+
+    Scale shape: ONE conv-keyed ordered window (ROWS n_context
+    PRECEDING .. 1 PRECEDING) collects the context structs; rendering
+    sorts the collected frame by turn_idx via array_sort (never
+    relying on collect_list accumulation order) and stays in JVM
+    expressions. A conversation is one window group — the same
+    per-entity profile as every turn window in this repo.
+
+    Output: (conv_id, turn_idx, prompt, completion, n_context_turns);
+    turns with fewer than ``min_context`` preceding turns are dropped
+    (no-context pairs teach nothing).
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-int(n_context), -1)
+    )
+    ctx = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "role", "text")).over(w)
+    )
+    rendered = F.array_join(
+        F.transform(ctx, lambda s: F.concat(s["role"], F.lit(": "), s["text"])),
+        "\n",
+    )
+    return (
+        transcripts.select(
+            "conv_id", "turn_idx", "role", "text",
+            rendered.alias("prompt"),
+            F.size(ctx).cast("long").alias("n_context_turns"),
+        )
+        .where(
+            F.col("role").isin(*target_roles)
+            & (F.col("n_context_turns") >= int(min_context))
+        )
+        .select(
+            "conv_id", "turn_idx", "prompt",
+            F.col("text").alias("completion"), "n_context_turns",
+        )
+    )

@@ -310,3 +310,28 @@ def test_hashed_ngram_score_matches_python(spark):
     got = {r.id: (r.n_feats, r.score_r)
            for r in tx.hashed_ngram_score(df, wts, buckets=buckets).collect()}
     assert got == {i: py_score(t) for (i, t) in texts if py_score(t)}
+
+
+def test_sft_pairs_rendering_and_window(spark):
+    """SFT pair assembly: prompt = previous <=n turns 'role: text' in
+    turn order, completion = the target turn; min_context drops
+    no-context rows; target_roles filter; frame truncation at
+    n_context."""
+    from json_ld_spark.operators.curation import sft_pairs
+
+    rows = [("c1", i, "user" if i % 2 == 0 else "assistant", f"t{i}")
+            for i in range(6)] + [("c2", 0, "assistant", "solo")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    out = {(r.conv_id, r.turn_idx): (r.prompt, r.completion, r.n_context_turns)
+           for r in sft_pairs(df, n_context=2).collect()}
+    # assistant turns at 1, 3, 5 in c1; c2's solo turn has no context
+    assert set(out) == {("c1", 1), ("c1", 3), ("c1", 5)}
+    assert out[("c1", 1)] == ("user: t0", "t1", 1)
+    assert out[("c1", 3)] == ("assistant: t1\nuser: t2", "t3", 2)
+    assert out[("c1", 5)] == ("assistant: t3\nuser: t4", "t5", 2)
+    # wider context + user targets
+    out2 = {(r.conv_id, r.turn_idx): r.prompt
+            for r in sft_pairs(df, n_context=4,
+                               target_roles=("user",)).collect()}
+    assert out2[("c1", 4)] == "user: t0\nassistant: t1\nuser: t2\nassistant: t3"
