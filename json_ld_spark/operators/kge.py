@@ -133,6 +133,11 @@ def transe_rank(
             F.col("qvec"), hash_embedding(F.col("obj"), dim, salt + "|E")
         ),
     )
+    # the (tiny) test set feeds three consumers (candidate broadcast,
+    # filtered-correction join, and its own derivation embeds the pos
+    # dedup) — Catalyst has no cross-consumer CSE, so without this the
+    # corpus-wide pos dedup re-executes per consumer
+    test = test.localCheckpoint(eager=False)
 
     # candidate side: embed once per entity row BEFORE the broadcast
     # join (projection stays on the stream side of the BNLJ)
