@@ -88,6 +88,15 @@ def main() -> None:
         "test_spark_golden_pr_gate) running every positive case through",
         "Spark `triples_stage` with canonical bnode labels.",
         "",
+        "Round-4 addition: the ONE fixture the reference DOES vendor —",
+        "`tests/custom/t01-in.jsonld`, a real-world W3C Verifiable",
+        "Credentials presentation with the vendored credentials/v1 and",
+        "jws-2020/v1 contexts (the reference's custom.rs only asserts",
+        "to_rdf completes; it exists to pin stack depth) — is pinned",
+        "quad-for-quad in tests/test_reference_fixture.py: 13 quads incl.",
+        "the @graph-container proof graph, exercising chained remote",
+        "contexts, @protected terms and scoped contexts in one document.",
+        "",
         "| case | golden triples | P | R |",
         "|---|---|---|---|",
     ]
