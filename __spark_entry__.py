@@ -1233,6 +1233,51 @@ def q_data_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair assembly (curation.preference_pairs): for
+    every assistant turn directly after a user turn, chosen = the real
+    response, rejected = the response the next conversation (cyclic
+    md5-bridge rotation within the turn position) gave at the same
+    position — the standard mismatched-response negative. Two window
+    shuffles, zero joins. Oracle: both windows replayed verbatim
+    (lag + lead/first_value over identical orderings)."""
+    _utc(spark)
+    from json_ld_spark.operators.curation import preference_pairs
+
+    return preference_pairs(transcripts_from_documents(spark, sf_dir))
+
+
+def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (curation.dsir_weights, Xie et al.
+    NeurIPS'23): log importance ratio of add-one-smoothed hashed-
+    bigram multinomials — target = the English documents, raw = the
+    whole corpus — scoring every raw document for target-domain
+    resampling. Model state is two 4096-bucket count tables
+    (broadcast); corpus tokenized once; per-doc sum absorbed by
+    map-side partial agg. Oracle: full DuckDB replay (md5-bridge
+    buckets, ln ratios mirrored association-for-association, 6 dp)."""
+    _utc(spark)
+    from json_ld_spark.operators.curation import dsir_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n=2, buckets=4096, alpha=1.0
+    )
+
+
+def q_rel_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 WITH RECURSIVE — the Catalyst-native
+    iterative construct): customers form a decimal-trie forest
+    (parent(c) = floor(c/10), roots < 10); the recursion labels every
+    customer with its root and depth. The IDENTICAL SQL text runs on
+    both engines — the one query in the suite where the oracle is
+    literally the Spark query. floor(x/10.0) (not CAST or //) because
+    DuckDB CAST rounds where Spark cast truncates."""
+    _utc(spark)
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_REL_RECURSIVE_SQL)
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level boilerplate REMOVAL (dedup.paragraph_dedup,
     Dolma/FineWeb-style): fixed 20-word windows as paragraphs on the
@@ -1594,6 +1639,71 @@ def q_kg_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = gops.personalized_pagerank(e, seeds, damping=0.85, iters=5)
     return pr.select("node", F.round("rank", 6).alias("rank_r"))
+
+
+def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graphops.hits, Kleinberg 1999): 4
+    L1-normalized update rounds on a two-level entity DAG — supplier
+    -> customer (supplied an order) unioned with customer -> nation
+    (residency). Suppliers score as pure hubs, nations as pure
+    authorities, customers as both, so every coalesce path (no
+    in-edges / no out-edges) is exercised. Oracle: the same 4 rounds
+    unrolled as SQL CTEs; 6-dp round absorbs SUM-order drift (the
+    pagerank recipe)."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    sc_e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    cn_e = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    ).dropDuplicates()
+    hv = gops.hits(sc_e.unionByName(cn_e), iters=4)
+    return hv.select(
+        "node", F.round("hub", 6).alias("hub_r"), F.round("auth", 6).alias("auth_r")
+    )
+
+
+def q_kg_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths (graphops.shortest_paths):
+    minimum-total-weight distance over paths of <= 3 edges from the
+    seed parts (p_partkey <= 5) on the symmetric co-purchase graph,
+    integer edge weight 1 + (u+v) % 5 — every distance integer-exact.
+    Frontier Bellman-Ford: one frontier-only equi-join + groupBy MIN
+    + full-outer merge per round, lazily checkpointed, the
+    improved-count probe is each round's single job. Oracle: DuckDB
+    recursive CTE with a hop counter, MIN(dist) per node."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    ed = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates()
+    )
+    sym = ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    wed = sym.select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        (F.lit(1) + (F.col("u") + F.col("v")) % 5).alias("w"),
+    )
+    seeds = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 5)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    sp = gops.shortest_paths(wed, seeds, max_hops=3)
+    return sp.select(F.col("node").cast("long").alias("node"), "dist")
 
 
 def q_kg_bgp_optional_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3518,6 +3628,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "dedup_paragraphs": q_dedup_paragraphs,
         "data_sft_pairs": q_data_sft_pairs,
+        "data_preference_pairs": q_data_preference_pairs,
+        "text_dsir_weights": q_text_dsir_weights,
+        "rel_recursive_chain": q_rel_recursive_chain,
         "dedup_survivors": q_dedup_survivors,
         "kg_random_walks": q_kg_random_walks,
         "kg_kcore": q_kg_kcore,
@@ -3533,6 +3646,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop_parts": q_kg_khop_parts,
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
+        "kg_hits": q_kg_hits,
+        "kg_weighted_paths": q_kg_weighted_paths,
         "kg_bgp_assistant_turns": q_kg_bgp_assistant_turns,
         "kg_bgp_dialogue_pairs": q_kg_bgp_dialogue_pairs,
         "kg_bgp_optional_tool": q_kg_bgp_optional_tool,
@@ -4236,6 +4351,84 @@ FROM ctxed
 WHERE role = 'assistant' AND len(ctx) >= 1
 """
 
+# preference_pairs: lag prompt window + cyclic partner rotation within
+# each turn position, replayed with the identical window orderings.
+_PREF_PAIRS_SQL = _BASE_CTE + """
+, resp AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+  FROM base
+), r2 AS (
+  SELECT conv_id, turn_idx, prev_text AS prompt, text,
+         ('0x' || substr(md5(conv_id), 1, 8))::BIGINT AS h
+  FROM resp WHERE role = 'assistant' AND prev_role = 'user'
+), rot AS (
+  SELECT conv_id, turn_idx, prompt, text AS chosen,
+         COALESCE(lead(text) OVER w, first_value(text) OVER w2) AS rejected,
+         COALESCE(lead(conv_id) OVER w, first_value(conv_id) OVER w2)
+           AS rejected_conv
+  FROM r2
+  WINDOW w AS (PARTITION BY turn_idx ORDER BY h, conv_id),
+         w2 AS (PARTITION BY turn_idx ORDER BY h, conv_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT conv_id, turn_idx, prompt, chosen, rejected
+FROM rot WHERE rejected_conv <> conv_id
+"""
+
+# dsir_weights: hashed-bigram buckets + add-one multinomial log ratio,
+# mirrored association-for-association (each term ln(num/denom), then
+# the difference, then the per-doc SUM — only SUM order differs, 6 dp).
+_DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+), t AS (
+  SELECT doc_id, lang, generate_subscripts(l, 1) AS i, unnest(l) AS w FROM toks
+), g AS (
+  SELECT a.doc_id, a.lang, a.w || ' ' || b.w AS gram
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), f AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bucket
+  FROM g
+), tc AS (SELECT bucket, COUNT(*) AS tc FROM f WHERE lang = 'en' GROUP BY bucket),
+rc AS (SELECT bucket, COUNT(*) AS rc FROM f GROUP BY bucket),
+tot AS (
+  SELECT (SELECT CAST(COALESCE(SUM(tc), 0) AS DOUBLE) FROM tc) + 4096.0 AS tt,
+         (SELECT CAST(COALESCE(SUM(rc), 0) AS DOUBLE) FROM rc) + 4096.0 AS rt
+), ratio AS (
+  SELECT bucket,
+         ln((COALESCE(tc, 0) + 1.0) / (SELECT tt FROM tot))
+         - ln((COALESCE(rc, 0) + 1.0) / (SELECT rt FROM tot)) AS logratio
+  FROM rc FULL JOIN tc USING (bucket)
+)
+SELECT f.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       round(SUM(r.logratio), 6) AS logw_r
+FROM f JOIN ratio r USING (bucket)
+GROUP BY f.doc_id
+"""
+
+# rel_recursive_chain: the IDENTICAL SQL text runs on Spark 4.1
+# (WITH RECURSIVE landed in Spark 4.0) and DuckDB. floor(x/10.0), not
+# CAST or //: DuckDB CAST rounds where Spark cast truncates.
+_REL_RECURSIVE_SQL = r"""
+WITH RECURSIVE chain(custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, ch.root, ch.depth + 1
+  FROM customer c JOIN chain ch
+    ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = ch.custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT CAST(custkey AS BIGINT) AS custkey, CAST(root AS BIGINT) AS root,
+       CAST(depth AS BIGINT) AS depth
+FROM chain
+"""
+
 # dedup_paragraphs: 20-word windows via indexed-word grouping (equal
 # to Spark's slice+array_join segmentation incl. the short tail
 # window), ROW_NUMBER first-occurrence, ordered string_agg reassembly.
@@ -4782,6 +4975,80 @@ r{i + 1} AS (SELECT rst.node,
 
 
 _PPR_SQL = _ppr_sql(iters=5, damping=0.85)
+
+
+def _hits_sql(iters: int = 4) -> str:
+    """Unrolled HITS CTE chain mirroring graphops.hits half-step for
+    half-step (auth update + L1 normalize, then hub update + L1
+    normalize; zero-sum guarded to 1.0 exactly like the Python
+    scalar's `or 1.0`). 6-dp round absorbs SUM-order drift.
+    MATERIALIZED hints are load-bearing: DuckDB inlines multiply-
+    referenced CTEs, and this chain references each level ~4 times —
+    un-hinted, the 4-level unroll expands to 4^4 parquet re-scans and
+    dies on file descriptors."""
+    parts = [
+        r"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 's' || l_suppkey AS u, 'c' || o_custkey AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION
+  SELECT DISTINCT 'c' || c_custkey AS u, 'n' || c_nationkey AS v FROM customer
+),
+nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+v0 AS MATERIALIZED (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+ar{i} AS MATERIALIZED (SELECT e.v AS node, SUM(h.hub) AS araw
+          FROM v{i} h JOIN e ON e.u = h.node GROUP BY e.v),
+ha{i} AS MATERIALIZED (SELECT n.node, n.hub, COALESCE(a.araw, 0.0) AS araw
+          FROM v{i} n LEFT JOIN ar{i} a ON n.node = a.node),
+sa{i} AS MATERIALIZED (SELECT CASE WHEN COALESCE(SUM(araw), 0.0) = 0.0 THEN 1.0
+                      ELSE SUM(araw) END AS s FROM ha{i}),
+hf{i} AS MATERIALIZED (SELECT node, hub, araw / (SELECT s FROM sa{i}) AS auth
+          FROM ha{i}),
+hr{i} AS MATERIALIZED (SELECT e.u AS node, SUM(h.auth) AS hraw
+          FROM hf{i} h JOIN e ON e.v = h.node GROUP BY e.u),
+hb{i} AS MATERIALIZED (SELECT n.node, COALESCE(r.hraw, 0.0) AS hraw, n.auth
+          FROM hf{i} n LEFT JOIN hr{i} r ON n.node = r.node),
+sh{i} AS MATERIALIZED (SELECT CASE WHEN COALESCE(SUM(hraw), 0.0) = 0.0 THEN 1.0
+                      ELSE SUM(hraw) END AS s FROM hb{i}),
+v{i + 1} AS MATERIALIZED (SELECT node, hraw / (SELECT s FROM sh{i}) AS hub, auth
+          FROM hb{i})"""
+        )
+    parts.append(
+        f"\nSELECT node, round(hub, 6) AS hub_r, round(auth, 6) AS auth_r FROM v{iters}"
+    )
+    return "".join(parts)
+
+
+_HITS_SQL = _hits_sql(iters=4)
+
+# Hop-bounded Bellman-Ford == depth-bounded recursive relaxation: the
+# recursive UNION dedups (node, dist, hops) states; MIN(dist) per node
+# over <= 3-edge paths is exactly what 3 frontier rounds compute.
+_WPATHS_SQL = r"""
+WITH RECURSIVE ed AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), sym AS (
+  SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed
+), wed AS (
+  SELECT u, v, 1 + (u + v) % 5 AS w FROM sym
+), seeds AS (
+  SELECT p_partkey AS node FROM part WHERE p_partkey <= 5
+), reach(node, dist, hops) AS (
+  SELECT node, 0, 0 FROM seeds
+  UNION
+  SELECT e.v, r.dist + e.w, r.hops + 1 FROM reach r JOIN wed e ON e.u = r.node
+  WHERE r.hops < 3
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM reach GROUP BY node
+"""
 
 # Turn-window adjacency: the same conv-partitioned LEAD window in SQL.
 _ADJACENCY_SQL = _BASE_CTE + f"""
@@ -6750,6 +7017,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_repeated_spans": _REPEATED_SPANS_SQL,
         "dedup_paragraphs": _PARA_DEDUP_SQL,
         "data_sft_pairs": _SFT_PAIRS_SQL,
+        "data_preference_pairs": _PREF_PAIRS_SQL,
+        "text_dsir_weights": _DSIR_SQL,
+        "rel_recursive_chain": _REL_RECURSIVE_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "kg_random_walks": _RANDOM_WALKS_SQL,
@@ -6766,6 +7036,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_khop_parts": _KHOP_SQL,
         "kg_pagerank_suppliers": _PAGERANK_SQL,
         "kg_pagerank_personalized": _PPR_SQL,
+        "kg_hits": _HITS_SQL,
+        "kg_weighted_paths": _WPATHS_SQL,
         "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
         "kg_bucketed_bgp": _BGP_ASSISTANT_SQL,
         "kg_bgp_agg_roles": _BGP_AGG_SQL,

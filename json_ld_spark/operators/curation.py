@@ -263,3 +263,148 @@ def sft_pairs(
             F.col("text").alias("completion"), "n_context_turns",
         )
     )
+
+
+def _hashed_grams(docs: DataFrame, id_col: str, text_col: str, n: int, buckets: int) -> DataFrame:
+    """(id, bucket) rows: word n-grams hashed through the md5 bridge
+    (Spark conv(substring(md5(g),1,8),16,10) == DuckDB
+    ('0x'||substr(md5(g),1,8))::BIGINT) mod ``buckets`` — the feature
+    hashing trick, replayable cross-engine."""
+    grams = ngrams(F.col(text_col), n) if n > 1 else _tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+    ).select(
+        "id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+
+
+def dsir_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 1 << 12,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS'23 "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the log importance ratio of a hashed-n-gram bag-of-
+    words model fit on the target domain vs one fit on the raw corpus,
+
+        logw(d) = sum_{g in d} [ ln p_tgt(bucket(g)) - ln p_raw(bucket(g)) ]
+
+    with add-alpha smoothed multinomials p(b) = (c(b)+alpha) /
+    (C+alpha*B). Resampling the raw corpus proportional to exp(logw)
+    shifts it toward the target domain — the standard pre-training
+    data-selection recipe when the target set (curated/domain text)
+    is far smaller than the raw pool.
+
+    Plan shape (the 100 TB argument): the model state is two
+    bucket-count tables bounded by ``buckets`` rows (default 4096) —
+    KBs, broadcast; the raw corpus is tokenized ONCE into hashed
+    features, joined against the broadcast ratio table, and absorbed
+    by a map-side-partial per-doc sum. The only corpus-keyed shuffle
+    is the final groupBy(id). Two scalar totals come to the driver
+    (bounded, same contract as linking.py). Target corpus is scanned
+    once; it is small by definition.
+
+    Output: (id, n_feats, logw_r) — logw rounded 6 dp (cross-engine
+    divergence is float SUM order only; ln parity holds via libm).
+    Docs with no features (< n tokens) are absent — gate upstream.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    tgt_feats = _hashed_grams(target_docs, id_col, text_col, n, buckets)
+    raw_feats = _hashed_grams(raw_docs, id_col, text_col, n, buckets)
+    tcnt = tgt_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    rcnt = raw_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    totals = (
+        tcnt.agg(F.sum("tc").alias("t")).crossJoin(rcnt.agg(F.sum("rc").alias("r")))
+    ).first()
+    t_total = float(totals["t"] or 0) + alpha * buckets
+    r_total = float(totals["r"] or 0) + alpha * buckets
+    ratio = (
+        rcnt.join(tcnt, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + F.lit(alpha)) / F.lit(t_total)
+                )
+                - F.log(
+                    (F.coalesce("rc", F.lit(0)) + F.lit(alpha)) / F.lit(r_total)
+                )
+            ).alias("logratio"),
+        )
+    )
+    joined = raw_feats.join(F.broadcast(ratio), "bucket", "inner")
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.round(F.sum("logratio"), 6).alias("logw_r"),
+    )
+
+
+def preference_pairs(
+    transcripts: DataFrame,
+    response_role: str = "assistant",
+    prompt_role: str = "user",
+) -> DataFrame:
+    """DPO/RLHF preference-pair assembly from transcripts: for every
+    response turn whose immediate predecessor is a prompt turn, emit
+    (prompt, chosen, rejected) where chosen = the conversation's real
+    response and rejected = the response another conversation gave at
+    the SAME turn position (the standard mismatched-response negative
+    when no human preference labels exist — the real answer to the
+    prompt is preferred over a fluent answer to a different prompt).
+
+    Partner selection is deterministic and collision-free: within each
+    turn position, conversations are ordered by the md5 bridge of
+    conv_id and each takes the NEXT one's response text, cyclically
+    (lead + coalesce(first_value) over the same window) — a fixed
+    derangement whenever >= 2 conversations share the position;
+    positions with a single conversation produce no pair (rejected
+    would equal chosen) and are filtered by partner != self.
+
+    Plan: one conv-keyed window (prompt lookup via lag) + one
+    turn-position-keyed window (partner rotation) — two shuffles, no
+    joins, no Python. Both windows replay exactly in ANSI SQL, so the
+    output is value-oracle-able.
+    """
+    conv_w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    resp = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.lag("role").over(conv_w).alias("prev_role"),
+            F.lag("text").over(conv_w).alias("prev_text"),
+        )
+        .where((F.col("role") == response_role) & (F.col("prev_role") == prompt_role))
+    )
+    bridge = F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10).cast("long")
+    pos_w = Window.partitionBy("turn_idx").orderBy(bridge, F.col("conv_id"))
+    pos_all = pos_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        resp.select(
+            "conv_id",
+            "turn_idx",
+            F.col("prev_text").alias("prompt"),
+            F.col("text").alias("chosen"),
+            F.coalesce(
+                F.lead("text").over(pos_w), F.first("text").over(pos_all)
+            ).alias("rejected"),
+            F.coalesce(
+                F.lead("conv_id").over(pos_w), F.first("conv_id").over(pos_all)
+            ).alias("rejected_conv"),
+        )
+        .where(F.col("rejected_conv") != F.col("conv_id"))
+        .drop("rejected_conv")
+    )

@@ -794,3 +794,129 @@ def k_core(
     finally:
         spark.conf.set(_SP, sp_old)
         spark.conf.set(_AQE, aqe_old)
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    in a hyperlinked environment") with ``iters`` synchronous update
+    rounds and L1 (sum) normalization, returning
+    ``(node, hub, auth)``. KG use: surface entities that *curate*
+    (hubs — e.g. survey conversations linking many canonical
+    entities) vs entities that are *cited* (authorities).
+
+    Per-round plan: auth half-step = one equi-join of the hub vector
+    against the src-keyed edge list + one groupBy(dst) sum; hub
+    half-step mirrors it on dst. Each normalizer is a scalar agg
+    pulled to the driver (a single double, like pagerank's dangling
+    mass — broadcast of a 1-row DF measured slower, see pagerank).
+    Per-node state is two doubles, so memory is flat at any node
+    count; fixed iteration count keeps the oracle replayable as an
+    unrolled SQL CTE chain (6-dp round absorbs SUM-order drift).
+    Lineage is cut per round with a lazy localCheckpoint (the
+    normalizer agg is the job that materializes it), preventing the
+    2^n tree-plan blow-up documented for pagerank.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates()
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select("u").unionByName(e.select(F.col("v").alias("u"))).dropDuplicates()
+    ).select(F.col("u").alias("node"))
+    vec = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    for _ in range(iters):
+        auth_raw = (
+            vec.join(e, vec["node"] == e["u"], "inner")
+            .select(F.col("v").alias("node"), F.col("hub").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("araw"))
+        )
+        half = (
+            vec.select("node", "hub")
+            .join(auth_raw, "node", "left")
+            .select("node", "hub", F.coalesce("araw", F.lit(0.0)).alias("araw"))
+            .localCheckpoint(eager=False)
+        )
+        asum = half.agg(F.sum("araw").alias("s")).first()["s"] or 1.0
+        half = half.select("node", "hub", (F.col("araw") / F.lit(asum)).alias("auth"))
+        hub_raw = (
+            half.join(e, half["node"] == e["v"], "inner")
+            .select(F.col("u").alias("node"), F.col("auth").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("hraw"))
+        )
+        vec = (
+            half.select("node", "auth")
+            .join(hub_raw, "node", "left")
+            .select("node", F.coalesce("hraw", F.lit(0.0)).alias("hraw"), "auth")
+            .localCheckpoint(eager=False)
+        )
+        hsum = vec.agg(F.sum("hraw").alias("s")).first()["s"] or 1.0
+        vec = vec.select("node", (F.col("hraw") / F.lit(hsum)).alias("hub"), "auth")
+    return vec
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Hop-bounded single/multi-source weighted shortest paths:
+    ``(node, dist)`` where dist = minimum total edge weight over any
+    directed path of <= ``max_hops`` edges from a seed (seeds at 0).
+    The hop bound makes the semantics finite and exactly replayable
+    (DuckDB recursive CTE with a depth counter); with integer weights
+    every distance is integer-exact across engines and partitionings.
+    Unbounded SSSP = raise max_hops to the graph diameter; each round
+    is idempotent once converged and the loop exits early on a
+    fixpoint.
+
+    Per-round plan (Bellman-Ford frontier relaxation): one equi-join
+    of the *frontier only* (nodes improved last round) against the
+    src-keyed edge list, one groupBy(dst) MIN, one full-outer merge
+    into the running dist table. The merge is lazily checkpointed and
+    the improved-count probe is the single job that materializes it
+    (PLANS §26 shape). Per-node state is one long; no global sort, no
+    collect. At 100 TB the frontier shrinks geometrically after the
+    first rounds, so late rounds touch a vanishing slice.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    dist = seeds.select(F.col(seeds.columns[0]).alias("node")).dropDuplicates()
+    dist = dist.select("node", F.lit(0).cast("long").alias("dist"))
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(e, frontier["node"] == e["u"], "inner")
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            dist.join(cand, "node", "full_outer")
+            .select("node", F.col("dist").alias("old"), F.col("nd"))
+            .localCheckpoint(eager=False)
+        )
+        improved = merged.where(
+            F.col("nd").isNotNull() & (F.col("old").isNull() | (F.col("nd") < F.col("old")))
+        )
+        n_improved = improved.count()  # materializes the checkpoint + probes
+        dist = merged.select("node", F.least("old", "nd").alias("dist"))
+        if n_improved == 0:
+            break
+        frontier = improved.select("node", F.col("nd").alias("dist"))
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from json_ld_spark.operators.curation import decontaminate, lm_score, ngrams
 
 import pyspark.sql.functions as F
@@ -335,3 +337,120 @@ def test_sft_pairs_rendering_and_window(spark):
             for r in sft_pairs(df, n_context=4,
                                target_roles=("user",)).collect()}
     assert out2[("c1", 4)] == "user: t0\nassistant: t1\nuser: t2\nassistant: t3"
+
+
+def test_dsir_weights_matches_python(spark):
+    """DSIR log importance weights vs a direct Python replay of the
+    add-one hashed-bigram multinomial ratio."""
+    import hashlib
+    import math as m
+
+    from json_ld_spark.operators.curation import dsir_weights
+
+    docs = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "le chat est noir", "fr"),
+        (2, "the dog sat on the rug", "en"),
+        (3, "el perro come pan", "es"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    B, alpha = 64, 1.0
+
+    def feats(text):
+        toks = [w for w in text.lower().strip().split() if w]
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B for g in grams
+        ]
+
+    tgt_counts, raw_counts = {}, {}
+    for i, text, lang in docs:
+        for b in feats(text):
+            raw_counts[b] = raw_counts.get(b, 0) + 1
+            if lang == "en":
+                tgt_counts[b] = tgt_counts.get(b, 0) + 1
+    tt = float(sum(tgt_counts.values())) + alpha * B
+    rt = float(sum(raw_counts.values())) + alpha * B
+    expect = {}
+    for i, text, lang in docs:
+        fs = feats(text)
+        if not fs:
+            continue
+        lw = sum(
+            m.log((tgt_counts.get(b, 0) + alpha) / tt)
+            - m.log((raw_counts.get(b, 0) + alpha) / rt)
+            for b in fs
+        )
+        expect[i] = (len(fs), round(lw, 6))
+
+    got = {
+        r["id"]: (r["n_feats"], r["logw_r"])
+        for r in dsir_weights(
+            df, df.filter(F.col("lang") == "en"), buckets=B, alpha=alpha
+        ).collect()
+    }
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert abs(got[k][1] - expect[k][1]) < 2e-6
+    # English docs must outrank the non-English ones
+    en = {0, 2}
+    assert min(got[k][1] for k in en) > max(got[k][1] for k in got.keys() - en)
+
+
+def test_dsir_rejects_bad_alpha(spark):
+    from json_ld_spark.operators.curation import dsir_weights
+
+    df = spark.createDataFrame([(1, "a b", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError):
+        dsir_weights(df, df, alpha=0.0)
+
+
+def test_preference_pairs_rotation_and_filters(spark):
+    """chosen = own response; rejected = another conv's response at the
+    same position (cyclic rotation, never self); positions with a
+    single conversation emit nothing; responses not preceded by a user
+    turn emit nothing."""
+    from json_ld_spark.operators.curation import preference_pairs
+
+    rows = [
+        ("a", 0, "user", "qa"), ("a", 1, "assistant", "ra"),
+        ("b", 0, "user", "qb"), ("b", 1, "assistant", "rb"),
+        ("c", 0, "user", "qc"), ("c", 1, "assistant", "rc"),
+        # lone position: only conv 'a' has an assistant turn at idx 3
+        ("a", 2, "user", "qa2"), ("a", 3, "assistant", "ra2"),
+        # assistant not after user: dropped
+        ("b", 2, "system", "sys"), ("b", 3, "assistant", "orphan"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = preference_pairs(df).collect()
+    got = {(r["conv_id"], r["turn_idx"]): r for r in out}
+    # only the three idx-1 pairs survive
+    assert set(got) == {("a", 1), ("b", 1), ("c", 1)}
+    chosen = {"a": "ra", "b": "rb", "c": "rc"}
+    rejected = {}
+    for (cid, _), r in got.items():
+        assert r["chosen"] == chosen[cid]
+        assert r["prompt"] == "q" + cid
+        assert r["rejected"] != r["chosen"]
+        rejected[cid] = r["rejected"]
+    # cyclic derangement over the three responses
+    assert sorted(rejected.values()) == ["ra", "rb", "rc"]
+
+
+def test_preference_pairs_deterministic(spark):
+    from json_ld_spark.operators.curation import preference_pairs
+
+    rows = [
+        (f"c{i}", j, "user" if j % 2 == 0 else "assistant", f"t{i}-{j}")
+        for i in range(6)
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    a = sorted(map(tuple, preference_pairs(df).collect()))
+    b = sorted(map(tuple, preference_pairs(df.repartition(7)).collect()))
+    assert a == b and len(a) == 12

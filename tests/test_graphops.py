@@ -611,3 +611,116 @@ def test_k_core_fuzz_vs_brute_peel(spark):
         assert got == expect
 
     prop()
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def _hits_reference(edges, iters):
+    nodes = sorted({x for e in edges for x in e})
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        araw = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            araw[v] += hub[u]
+        sa = sum(araw.values()) or 1.0
+        auth = {n: araw[n] / sa for n in nodes}
+        hraw = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            hraw[u] += auth[v]
+        sh = sum(hraw.values()) or 1.0
+        hub = {n: hraw[n] / sh for n in nodes}
+    return hub, auth
+
+
+def test_hits_matches_reference_loop(spark):
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"), ("c", "a")]
+    rows = g.hits(_edges(spark, pairs), iters=3).collect()
+    hub, auth = _hits_reference(pairs, iters=3)
+    for r in rows:
+        assert math.isclose(r["hub"], hub[r["node"]], rel_tol=1e-9)
+        assert math.isclose(r["auth"], auth[r["node"]], rel_tol=1e-9)
+
+
+def test_hits_l1_normalized_and_roles(spark):
+    # bipartite u->v: left side pure hubs (auth 0), right pure auths
+    pairs = [("u1", "v1"), ("u1", "v2"), ("u2", "v2")]
+    rows = {r["node"]: r for r in g.hits(_edges(spark, pairs), iters=4).collect()}
+    assert math.isclose(sum(r["hub"] for r in rows.values()), 1.0, rel_tol=1e-9)
+    assert math.isclose(sum(r["auth"] for r in rows.values()), 1.0, rel_tol=1e-9)
+    assert rows["v1"]["hub"] == 0.0 and rows["u1"]["auth"] == 0.0
+    # v2 has two in-links from hubs -> strictly more authoritative
+    assert rows["v2"]["auth"] > rows["v1"]["auth"]
+    assert rows["u1"]["hub"] > rows["u2"]["hub"]
+
+
+def test_hits_duplicate_edges_ignored(spark):
+    once = g.hits(_edges(spark, [("a", "b"), ("b", "c")]), iters=2).collect()
+    dup = g.hits(
+        _edges(spark, [("a", "b"), ("a", "b"), ("b", "c")]), iters=2
+    ).collect()
+    assert sorted((r["node"], r["hub"], r["auth"]) for r in once) == sorted(
+        (r["node"], r["hub"], r["auth"]) for r in dup
+    )
+
+
+# ------------------------------------------------- shortest paths
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(
+        [tuple(t) for t in triples], ["src", "dst", "w"]
+    )
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], ["node"])
+
+
+def test_shortest_paths_hop_bound_semantics(spark):
+    # a->b->c->d->e chain w/ a costly shortcut a->c; 3-hop bound:
+    # e reachable only through the shortcut (4-hop cheap path excluded)
+    tri = [("a", "b", 2), ("b", "c", 3), ("a", "c", 10), ("c", "d", 1), ("d", "e", 1)]
+    got = {
+        r["node"]: r["dist"]
+        for r in g.shortest_paths(_wedges(spark, tri), _seeds(spark, ["a"]), 3).collect()
+    }
+    assert got == {"a": 0, "b": 2, "c": 5, "d": 6, "e": 12}
+    # one more hop finds the cheaper 4-edge path to e
+    got4 = {
+        r["node"]: r["dist"]
+        for r in g.shortest_paths(_wedges(spark, tri), _seeds(spark, ["a"]), 4).collect()
+    }
+    assert got4["e"] == 7
+
+
+def test_shortest_paths_multi_source_and_min_weight_edge(spark):
+    # parallel edges keep the min weight; two seeds compete
+    tri = [("s1", "m", 5), ("s1", "m", 2), ("s2", "m", 3), ("m", "t", 1)]
+    got = {
+        r["node"]: r["dist"]
+        for r in g.shortest_paths(
+            _wedges(spark, tri), _seeds(spark, ["s1", "s2"]), 3
+        ).collect()
+    }
+    assert got["m"] == 2 and got["t"] == 3 and got["s1"] == 0 and got["s2"] == 0
+
+
+def test_shortest_paths_early_exit_on_fixpoint(spark):
+    # diameter 2 but max_hops 10: loop must exit early and stay exact
+    tri = [("a", "b", 1), ("b", "c", 1)]
+    got = {
+        r["node"]: r["dist"]
+        for r in g.shortest_paths(_wedges(spark, tri), _seeds(spark, ["a"]), 10).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_shortest_paths_cycle_terminates(spark):
+    tri = [("a", "b", 1), ("b", "a", 1)]
+    got = {
+        r["node"]: r["dist"]
+        for r in g.shortest_paths(_wedges(spark, tri), _seeds(spark, ["a"]), 5).collect()
+    }
+    assert got == {"a": 0, "b": 1}
