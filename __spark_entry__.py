@@ -3001,6 +3001,27 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_features(media)
 
 
+def q_multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image detection end to end
+    (multimodal.dhash_images + dhash_near_duplicates): REAL PNG decode
+    -> NN-sampled 9x8 integer grayscale grid -> dHash row-bytes ->
+    block-LSH candidate join (pigeonhole recall exactly 1.0 for
+    hamming <= 6 < 8 blocks) -> exact popcount filter. Corpus = 48
+    closed-form TEXTURED PNGs + 16 first-column brightness-edit
+    variants (15 land within the threshold, every cross-image pair is
+    >= 9 bits away — real separation, unlike the dHash-degenerate
+    linear ramps). Oracle: DuckDB regenerates every sampled gray value
+    from the pixel formulas, builds the 64 bits per image, and
+    computes ALL-pairs hamming (64 images — all-pairs is the oracle's
+    privilege, the Spark side never does it)."""
+    _utc(spark)
+    media = mm.synthesize_png_media_textured(spark, n=48).unionByName(
+        mm.synthesize_png_media_textured(spark, n=16, variant=True)
+    )
+    hashes = mm.dhash_images(media, grid_w=8, grid_h=8)
+    return mm.dhash_near_duplicates(hashes, max_hamming=6, n_blocks=8)
+
+
 def q_multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode (operators/multimodal.py avi_decode —
     pure-stdlib uncompressed-AVI RIFF parser, no ffmpeg): per-video
@@ -3697,6 +3718,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_image_resize": q_multimodal_image_resize,
+        "multimodal_dhash_neardup": q_multimodal_dhash_neardup,
         "multimodal_audio_decimate": q_multimodal_audio_decimate,
         "multimodal_video_features": q_multimodal_video_features,
         "multimodal_frame_extract": q_multimodal_frame_extract,
@@ -5770,6 +5792,51 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
 FROM s GROUP BY media_id
 """
 
+_DHASH_NEARDUP_SQL = """
+WITH img AS (
+  SELECT i AS media_id, 16 + i % 9 AS w, 16 + (3 * i) % 9 AS h, 0 AS bump
+  FROM generate_series(0, 47) m(i)
+  UNION ALL
+  SELECT 100 + i, 16 + i % 9, 16 + (3 * i) % 9, 16
+  FROM generate_series(0, 15) m(i)
+), coef AS (
+  SELECT media_id, w, h, bump,
+         3 + ((media_id % 100) * 7) % 11 AS a,
+         1 + ((media_id % 100) * 5) % 13 AS b,
+         1 + (media_id % 100) % 7 AS c,
+         (media_id % 100) * 17 AS d
+  FROM img
+), grid AS (
+  SELECT media_id, gx.x AS gx, gy.y AS gy,
+         (gx.x * w) // 9 AS sx, (gy.y * h) // 8 AS sy, bump, a, b, c, d
+  FROM coef
+  CROSS JOIN generate_series(0, 8) gx(x)
+  CROSS JOIN generate_series(0, 7) gy(y)
+), gray AS (
+  SELECT media_id, gx, gy,
+         ((a * sx * sx + b * sy + d
+           + CASE WHEN sx = 0 THEN bump ELSE 0 END) % 256
+          + 2 * ((b * sx + c * sy * sy + 2 * d) % 256)
+          + (c * sx + a * sy + 3 * d) % 256) // 4 AS g
+  FROM grid
+), bits AS (
+  SELECT a.media_id, a.gy, a.gx AS x,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM gray a JOIN gray b
+    ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
+  WHERE a.gx < 8
+), ham AS (
+  SELECT p.media_id AS id_a, q.media_id AS id_b,
+         SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hamming
+  FROM bits p JOIN bits q
+    ON p.gy = q.gy AND p.x = q.x AND p.media_id < q.media_id
+  GROUP BY p.media_id, q.media_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 6
+"""
+
 _IMAGE_RESIZE_SQL = """
 WITH src AS (
   SELECT i, 8 + i % 9 AS w, 8 + (3 * i) % 9 AS h
@@ -7087,6 +7154,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_features": _AUDIO_FEATURES_SQL,
         "multimodal_image_features": _IMAGE_FEATURES_SQL,
         "multimodal_image_resize": _IMAGE_RESIZE_SQL,
+        "multimodal_dhash_neardup": _DHASH_NEARDUP_SQL,
         "multimodal_audio_decimate": _AUDIO_DECIMATE_SQL,
         "multimodal_video_features": _VIDEO_FEATURES_SQL,
         "multimodal_frame_extract": _FRAME_EXTRACT_SQL,

@@ -776,3 +776,143 @@ def decimate_audio(media: DataFrame, factor: int = 2) -> DataFrame:
     return media.filter(F.col("kind") == "audio").mapInPandas(
         run, schema=DECIMATE_SCHEMA
     )
+
+
+def synthesize_png_media_textured(
+    spark: SparkSession, n: int = 48, variant: bool = False, bump: int = 16
+) -> DataFrame:
+    """Textured image corpus for perceptual hashing (the linear ramps
+    of synthesize_png_media are dHash-degenerate: their gradient sign
+    is nearly constant, so every image hashes alike). Per-image
+    quadratic coefficients a=3+(7i)%11, b=1+(5i)%13, c=1+i%7, d=17i
+    drive mod-256 wrap texture:
+
+        r = (a*x^2 + b*y + d + bump*[variant and x==0]) % 256
+        g = (b*x + c*y^2 + 2d) % 256
+        b = (c*x + a*y + 3d) % 256,   w=16+i%9, h=16+(3i)%9
+
+    ``variant=True`` re-renders image i as media_id 100+i with a
+    first-column brightness edit — a localized perturbation that
+    leaves most sampled gradients intact (measured: 15/16 variants
+    within hamming 6 of their base; all cross-image pairs >= 9).
+    Integer-closed-form, so the DuckDB oracle regenerates every pixel
+    exactly."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 9, 16 + (3 * i) % 9
+        a, b, c, d = 3 + (i * 7) % 11, 1 + (i * 5) % 13, 1 + i % 7, i * 17
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                px += bytes((
+                    (a * x * x + b * y + d + (bump if variant and x == 0 else 0)) % 256,
+                    (b * x + c * y * y + 2 * d) % 256,
+                    (c * x + a * y + 3 * d) % 256,
+                ))
+        rows.append(
+            (
+                (100 + i) if variant else i,
+                "image",
+                "image/png",
+                bytearray(png_encode(w, h, bytes(px))),
+                (w, h, None),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("blocks", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def dhash_images(media: DataFrame, grid_w: int = 8, grid_h: int = 8) -> DataFrame:
+    """Perceptual difference hash (dHash, the standard near-duplicate
+    image fingerprint): REAL PNG decode per payload, nearest-neighbor
+    sample a (grid_w+1) x grid_h grayscale grid (sx = (x*w)//(grid_w+1),
+    sy = (y*h)//grid_h, gray = (r + 2g + b) // 4 — all integer), bit
+    (x,y) = gray(x+1,y) > gray(x,y). Bits are returned as ``grid_h``
+    row-bytes (``blocks[y] = sum(bit(x,y) << x)``) rather than one
+    packed word: the blocks ARE the LSH bands for
+    dhash_near_duplicates, and per-row bytes keep every value well
+    inside BIGINT for exact cross-engine replay.
+
+    Same Arrow mapInPandas batch shape as image_features — one decode
+    pass, document-local, embarrassingly parallel at any corpus size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k.name: [] for k in DHASH_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = png_decode(bytes(payload))
+                a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, ch)
+                xs = (np.arange(grid_w + 1) * w) // (grid_w + 1)
+                ys = (np.arange(grid_h) * h) // grid_h
+                g = a[np.ix_(ys, xs)].astype(np.int64)
+                gray = (g[:, :, 0] + 2 * g[:, :, 1] + g[:, :, 2]) // 4
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+                blocks = (bits << np.arange(grid_w)).sum(axis=1)
+                out["media_id"].append(int(media_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["blocks"].append([int(b) for b in blocks])
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
+def dhash_near_duplicates(
+    hashes: DataFrame, max_hamming: int = 6, n_blocks: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs within ``max_hamming`` dHash bits:
+    block-permutation LSH over the row-byte blocks (pigeonhole — a
+    pair differing in <= max_hamming < n_blocks bits must agree on at
+    least one whole block, so recall is EXACTLY 1.0, the
+    simhash_near_duplicates argument), then the exact popcount filter
+    zip_with(bit_count(xor)) on candidates only. Scale: block-keyed
+    equi-self-join, fan-in bounded by the per-(band, byte) bucket
+    size; no all-pairs anywhere. ``n_blocks`` must equal the
+    dhash_images grid_h that produced ``hashes`` (a parameter, not a
+    probe — probing would run the decode lineage an extra time)."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"max_hamming {max_hamming} needs < n_blocks {n_blocks} "
+            "for exact pigeonhole recall"
+        )
+    sides = hashes.select(
+        F.col("media_id").alias("id"),
+        "blocks",
+        F.posexplode("blocks").alias("block_no", "block_val"),
+    )
+    a = sides.select(
+        F.col("id").alias("id_a"), F.col("blocks").alias("ba"),
+        "block_no", "block_val",
+    )
+    b = sides.select(
+        F.col("id").alias("id_b"), F.col("blocks").alias("bb"),
+        "block_no", "block_val",
+    )
+    cand = (
+        a.join(b, ["block_no", "block_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ba", "bb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.aggregate(
+        F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -247,3 +247,77 @@ def test_decimate_audio_roundtrip(spark):
         dec = decode_media(bytes(r.resampled_wav), "audio")
         assert dec["sample_rate"] == 2000
         assert list(dec["samples"]) == want
+
+
+def _dhash_python(i, variant=False, bump=16, grid_w=8, grid_h=8):
+    """Pure-Python replay of the textured corpus + dHash pipeline."""
+    w, h = 16 + i % 9, 16 + (3 * i) % 9
+    a, b, c, d = 3 + (i * 7) % 11, 1 + (i * 5) % 13, 1 + i % 7, i * 17
+
+    def gray(x, y):
+        r = (a * x * x + b * y + d + (bump if variant and x == 0 else 0)) % 256
+        g = (b * x + c * y * y + 2 * d) % 256
+        bb = (c * x + a * y + 3 * d) % 256
+        return (r + 2 * g + bb) // 4
+
+    blocks = []
+    for gy in range(grid_h):
+        sy = (gy * h) // grid_h
+        val = 0
+        for gx in range(grid_w):
+            s0, s1 = (gx * w) // (grid_w + 1), ((gx + 1) * w) // (grid_w + 1)
+            if gray(s1, sy) > gray(s0, sy):
+                val |= 1 << gx
+        blocks.append(val)
+    return blocks
+
+
+def test_dhash_blocks_match_python_replay(spark):
+    from json_ld_spark.operators import multimodal as mm
+
+    media = mm.synthesize_png_media_textured(spark, n=12)
+    got = {r["media_id"]: list(r["blocks"]) for r in mm.dhash_images(media).collect()}
+    for i in range(12):
+        assert got[i] == _dhash_python(i), i
+
+
+def test_dhash_near_duplicates_recall_and_precision(spark):
+    """Variants within hamming<=6 of their base are all found
+    (pigeonhole recall 1.0); the pair list equals the brute-force
+    all-pairs answer computed in Python."""
+    import itertools
+
+    from json_ld_spark.operators import multimodal as mm
+
+    media = mm.synthesize_png_media_textured(spark, n=16).unionByName(
+        mm.synthesize_png_media_textured(spark, n=8, variant=True)
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.dhash_near_duplicates(
+            mm.dhash_images(media), max_hamming=6
+        ).collect()
+    }
+    hashes = {i: _dhash_python(i) for i in range(16)}
+    hashes.update({100 + i: _dhash_python(i, variant=True) for i in range(8)})
+
+    def ham(u, v):
+        return sum(bin(x ^ y).count("1") for x, y in zip(u, v))
+
+    want = {
+        (p, q): ham(hashes[p], hashes[q])
+        for p, q in itertools.combinations(sorted(hashes), 2)
+        if ham(hashes[p], hashes[q]) <= 6
+    }
+    assert got == want
+    assert len(got) > 0  # at least some variants land in-threshold
+
+
+def test_dhash_pigeonhole_guard(spark):
+    import pytest
+
+    from json_ld_spark.operators import multimodal as mm
+
+    media = mm.synthesize_png_media_textured(spark, n=2)
+    with pytest.raises(ValueError):
+        mm.dhash_near_duplicates(mm.dhash_images(media), max_hamming=8, n_blocks=8)
