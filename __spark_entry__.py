@@ -1641,6 +1641,33 @@ def q_kg_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank_r"))
 
 
+def q_kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peeling (graphops.k_truss, k=7, 4 synchronous rounds)
+    on the part co-purchase graph: keep edges in >= 5 surviving
+    triangles, re-counting after each peel — the cohesive-subgraph
+    refinement of kg_kcore (truss membership is per-EDGE). Fixed
+    rounds on both engines (the peel is idempotent once the cascade
+    ends; sf0.01/0.1 converge by round 4, the sparser sf0.001 keeps
+    its honest bounded-peel semantics). Oracle: the 4 rounds unrolled
+    as MATERIALIZED CTEs (triangle enumeration + HAVING filter)."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    ed = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .dropDuplicates()
+    )
+    kt = gops.k_truss(ed, k=7, rounds=4)
+    return kt.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        "support",
+    )
+
+
 def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (graphops.hits, Kleinberg 1999): 4
     L1-normalized update rounds on a two-level entity DAG — supplier
@@ -3668,6 +3695,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_hits": q_kg_hits,
+        "kg_ktruss": q_kg_ktruss,
         "kg_weighted_paths": q_kg_weighted_paths,
         "kg_bgp_assistant_turns": q_kg_bgp_assistant_turns,
         "kg_bgp_dialogue_pairs": q_kg_bgp_dialogue_pairs,
@@ -5046,6 +5074,51 @@ v{i + 1} AS MATERIALIZED (SELECT node, hraw / (SELECT s FROM sh{i}) AS hub, auth
 
 
 _HITS_SQL = _hits_sql(iters=4)
+
+
+def _ktruss_sql(k: int = 7, rounds: int = 4) -> str:
+    """Unrolled k-truss peel mirroring graphops.k_truss round for
+    round: id-ordered triangle enumeration (a<b<c via two joins + an
+    EXISTS closing edge), 3-projection support count, HAVING filter.
+    MATERIALIZED everywhere — each level is referenced 4x and DuckDB
+    would otherwise inline the chain exponentially (the _hits_sql
+    lesson)."""
+    parts = [
+        r"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+tri{i} AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.c
+  FROM e{i} e1
+  JOIN (SELECT a AS b, b AS c FROM e{i}) e2 USING (b)
+  WHERE EXISTS (SELECT 1 FROM e{i} e3 WHERE e3.a = e1.a AND e3.b = e2.c)
+),
+sup{i} AS MATERIALIZED (
+  SELECT x, y, COUNT(*) AS support FROM (
+    SELECT a AS x, b AS y FROM tri{i}
+    UNION ALL SELECT b AS x, c AS y FROM tri{i}
+    UNION ALL SELECT a AS x, c AS y FROM tri{i}
+  ) GROUP BY x, y HAVING COUNT(*) >= {k - 2}
+),
+e{i + 1} AS MATERIALIZED (SELECT x AS a, y AS b FROM sup{i})"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(x AS BIGINT) AS src, CAST(y AS BIGINT) AS dst,
+       CAST(support AS BIGINT) AS support FROM sup{rounds - 1}"""
+    )
+    return "".join(parts)
+
+
+_KTRUSS_SQL = _ktruss_sql(k=7, rounds=4)
 
 # Hop-bounded Bellman-Ford == depth-bounded recursive relaxation: the
 # recursive UNION dedups (node, dist, hops) states; MIN(dist) per node
@@ -7104,6 +7177,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_suppliers": _PAGERANK_SQL,
         "kg_pagerank_personalized": _PPR_SQL,
         "kg_hits": _HITS_SQL,
+        "kg_ktruss": _KTRUSS_SQL,
         "kg_weighted_paths": _WPATHS_SQL,
         "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
         "kg_bucketed_bgp": _BGP_ASSISTANT_SQL,

@@ -920,3 +920,77 @@ def shortest_paths(
             break
         frontier = improved.select("node", F.col("nd").alias("dist"))
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss peeling (Cohen 2008, "Trusses: cohesive subgraphs for
+    social network analysis"): after each round, keep only edges whose
+    triangle support (common-neighbor count among surviving edges) is
+    >= k-2. Returns surviving ``(src, dst, support)`` canonical
+    (src < dst) edges after ``rounds`` synchronous rounds — a FIXED
+    round count, not a fixpoint probe, so the oracle replays as an
+    unrolled CTE chain; peeling is idempotent at the fixpoint, so any
+    rounds >= the cascade depth gives the fixpoint itself. Sparse
+    graphs can cascade longer than ``rounds`` — bounded-round peeling
+    is then the standard big-graph compromise (the tail of a peel
+    cascade is long and thin; each extra round touches a shrinking
+    edge set), and the result is still a deterministic
+    support-filtered subgraph.
+
+    Per-round plan: triangle enumeration as two equi-joins over the
+    id-ordered canonical edge list (a<b<c — every triangle counted
+    once), support = union of the triangle's three edge projections +
+    one groupBy count, then one semi filter. Per-round lineage is cut
+    with a lazy localCheckpoint; the round's single job is the next
+    round's first action. Id-ordering (not degree-ordering like
+    triangle_count) keeps the enumeration identical to ANSI SQL; for
+    hub-heavy graphs swap in the degree orientation — same plan
+    shape."""
+    if k < 3:
+        raise ValueError("k must be >= 3")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    sup = None
+    for _ in range(rounds):
+        tri = (
+            e.alias("e1")
+            .join(
+                e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2"),
+                "b",
+            )
+            .join(
+                e.select(F.col("a"), F.col("b").alias("c")).alias("e3"),
+                ["a", "c"],
+                "left_semi",
+            )
+            .select("a", "b", "c")
+        )
+        sup = (
+            tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            .unionByName(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
+            .unionByName(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= k - 2)
+            .localCheckpoint(eager=False)
+        )
+        e = sup.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    assert sup is not None
+    return sup.select(
+        F.col("x").alias("src"),
+        F.col("y").alias("dst"),
+        F.col("support").cast("long").alias("support"),
+    )

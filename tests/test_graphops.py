@@ -724,3 +724,46 @@ def test_shortest_paths_cycle_terminates(spark):
         for r in g.shortest_paths(_wedges(spark, tri), _seeds(spark, ["a"]), 5).collect()
     }
     assert got == {"a": 0, "b": 1}
+
+
+# ------------------------------------------------------- k-truss
+
+
+def test_ktruss_k4_keeps_clique_peels_pendant(spark):
+    # K4 + pendant triangle: K4 edges have support 2 (>= k-2 = 2),
+    # the pendant triangle's support-1 edges peel in round 1
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (4, 6), (5, 6)]
+    out = sorted(
+        (r["src"], r["dst"], r["support"])
+        for r in g.k_truss(_edges(spark, pairs), k=4, rounds=3).collect()
+    )
+    assert out == [(1, 2, 2), (1, 3, 2), (1, 4, 2), (2, 3, 2), (2, 4, 2),
+                   (3, 4, 2)]
+
+
+def test_ktruss_cascade(spark):
+    # two K4s sharing the edge (3,4): still a 4-truss after merge;
+    # k=5 (support >= 3) peels everything in a cascade
+    k4a = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    k4b = [(3, 5), (3, 4), (4, 5), (3, 6), (4, 6), (5, 6)]
+    e = _edges(spark, k4a + k4b)
+    assert g.k_truss(e, k=5, rounds=4).count() == 0
+    assert g.k_truss(e, k=4, rounds=4).count() == 11
+
+
+def test_ktruss_idempotent_at_fixpoint(spark):
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    a = sorted(map(tuple, g.k_truss(_edges(spark, pairs), k=4, rounds=2).collect()))
+    b = sorted(map(tuple, g.k_truss(_edges(spark, pairs), k=4, rounds=5).collect()))
+    assert a == b
+
+
+def test_ktruss_undirected_canonicalization(spark):
+    # reversed/duplicate edges collapse to the canonical a<b form
+    pairs = [(2, 1), (1, 2), (3, 1), (1, 4), (3, 2), (4, 2), (4, 3)]
+    out = g.k_truss(_edges(spark, pairs), k=4, rounds=2).collect()
+    assert sorted((r["src"], r["dst"]) for r in out) == [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    with pytest.raises(ValueError):
+        g.k_truss(_edges(spark, pairs), k=2)
