@@ -2103,6 +2103,35 @@ def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_kg_sparql_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL negated property set (SPARQL 1.1 §9.1 NPS): ?a
+    !(role|text|tool|timestamp|turnIndex|a) ?conv matches every
+    predicate EXCEPT the enumerated ones — on the transcript KG that
+    isolates the conversation edge without naming it — joined with a
+    plain pattern on the other side and an ordering FILTER into
+    same-conversation turn pairs. Oracle: analytic pair replay from
+    the base CTE (the NPS leaves exactly the conversation edges, so
+    pairs = ordered turn pairs within each conversation)."""
+    from json_ld_spark.sparql import sparql
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    tri3 = (
+        transcript_triples_native(t.filter(F.col("turn_idx") < 4))
+        .select("subj", "pred", "obj")
+        .dropDuplicates()
+    )
+    return sparql(tri3, """
+        PREFIX t: <https://example.org/transcript#>
+        SELECT ?a ?b ?conv
+        WHERE {
+          ?a !(t:role|t:text|t:tool|t:timestamp|t:turnIndex|a) ?conv .
+          ?b t:conversation ?conv .
+          FILTER (?a < ?b)
+        }
+    """)
+
+
 def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL GRAPH clause over per-conversation named graphs: the
     transcript KG with each conversation's triples in its own named
@@ -3773,6 +3802,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sessionize_events": q_rel_sessionize_events,
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_path": q_kg_sparql_path,
+        "kg_sparql_negated": q_kg_sparql_negated,
         "kg_sparql_analyst": q_kg_sparql_analyst,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "kg_sparql_named": q_kg_sparql_named,
@@ -6771,6 +6801,19 @@ FROM conv a JOIN conv b ON a.c = b.c
 WHERE a.subj < b.subj
 """
 
+# kg_sparql_negated: the NPS excludes every predicate except
+# t:conversation, so the match set IS the conversation edge table.
+_SPARQL_NEGATED_SQL = _TRIPLES_CTE + f"""
+, conv AS (
+  SELECT subj, obj AS c FROM triples
+  WHERE pred = '{_V}conversation'
+    AND CAST(split_part(subj, '/turn/', 2) AS INT) < 4
+)
+SELECT DISTINCT a.subj AS a, b.subj AS b, a.c AS conv
+FROM conv a JOIN conv b ON a.c = b.c
+WHERE a.subj < b.subj
+"""
+
 _SPARQL_GRAPH_SQL = _TRIPLES_CTE + f"""
 SELECT g, n FROM (
   SELECT regexp_extract(subj, '^(.*)/turn/', 1) AS g, COUNT(*) AS n
@@ -7235,6 +7278,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_plan": _FRAME_PLAN_SQL,
         "kg_sparql_select": _SPARQL_SELECT_SQL,
         "kg_sparql_path": _SPARQL_PATH_SQL,
+        "kg_sparql_negated": _SPARQL_NEGATED_SQL,
         "kg_sparql_analyst": _SPARQL_ANALYST_SQL,
         "kg_sparql_named": _SPARQL_NAMED_SQL,
         "kg_sparql_graph_path": _SPARQL_GRAPH_PATH_SQL,

@@ -650,3 +650,34 @@ def test_ask_with_union_and_bind(kg):
         ASK {{ ?t v:role ?r . BIND(ucase(?r) AS ?u) FILTER(?u = "USER") }}''') is True
     assert sparql(kg, f'''PREFIX v: <{V}>
         ASK {{ ?t v:role ?r . BIND(ucase(?r) AS ?u) FILTER(?u = "NOPE") }}''') is False
+
+
+def test_select_negated_property_set(spark):
+    """NPS through the text front end: !(p|q) matches every predicate
+    except the enumerated ones, composes with a joined pattern."""
+    from json_ld_spark.sparql import sparql
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "http://x/p", "b"),
+            ("a", "http://x/q", "c"),
+            ("a", "http://x/r", "d"),
+            ("e", "http://x/conv", "a"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    got = sorted(
+        map(
+            tuple,
+            sparql(
+                tri,
+                "SELECT ?s ?o WHERE { ?s !(<http://x/p>|<http://x/q>) ?o }",
+            ).collect(),
+        )
+    )
+    assert got == [("a", "d"), ("e", "a")]
+    comp = sparql(
+        tri,
+        "SELECT ?s ?o WHERE { ?s !(<http://x/q>)/^<http://x/conv> ?o }",
+    ).collect()
+    assert sorted(map(tuple, comp)) == [("e", "e")]
