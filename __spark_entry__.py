@@ -1681,18 +1681,16 @@ def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     o = _read(spark, sf_dir, "orders")
     c = _read(spark, sf_dir, "customer")
-    sc_e = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
-        )
-        .dropDuplicates()
+    sc_e = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
     )
     cn_e = c.select(
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
         F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
-    ).dropDuplicates()
+    )
+    # no per-side dropDuplicates: hits() canonicalizes with ONE dedup
+    # shuffle over the union — per-side dedups would add two more
     hv = gops.hits(sc_e.unionByName(cn_e), iters=4)
     return hv.select(
         "node", F.round("hub", 6).alias("hub_r"), F.round("auth", 6).alias("auth_r")

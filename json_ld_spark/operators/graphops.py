@@ -819,10 +819,29 @@ def hits(
     unrolled SQL CTE chain (6-dp round absorbs SUM-order drift).
     Lineage is cut per round with a lazy localCheckpoint (the
     normalizer agg is the job that materializes it), preventing the
-    2^n tree-plan blow-up documented for pagerank.
+    2^n tree-plan blow-up documented for pagerank. Small graphs run
+    the narrow loop conf (sp=8, AQE off) like connected_components —
+    the 8 scalar probes per run are otherwise pure round latency at
+    200-partition widths.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropDuplicates()
     e = e.localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    _SP = "spark.sql.shuffle.partitions"
+    _AQE = "spark.sql.adaptive.enabled"
+    sp_old, aqe_old = spark.conf.get(_SP), spark.conf.get(_AQE, "true")
+    n_edges = e.count()  # materializes the checkpoint + gates the conf
+    if n_edges <= 2_000_000:
+        spark.conf.set(_AQE, "false")
+        spark.conf.set(_SP, str(max(1, min(int(sp_old), 8))))
+    try:
+        return _hits_loop(e, iters)
+    finally:
+        spark.conf.set(_SP, sp_old)
+        spark.conf.set(_AQE, aqe_old)
+
+
+def _hits_loop(e: DataFrame, iters: int) -> DataFrame:
     nodes = (
         e.select("u").unionByName(e.select(F.col("v").alias("u"))).dropDuplicates()
     ).select(F.col("u").alias("node"))
