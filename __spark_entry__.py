@@ -1033,6 +1033,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup (dedup.incremental_minhash_dedup):
+    the injected duplicate copies arrive as the NEW batch and are
+    checked against the base corpus's persisted band index + among
+    themselves — old x old pairs are NOT regenerated (the per-batch
+    production shape; dedup_minhash_lsh is the from-scratch twin).
+    Oracle: brute-force exact Jaccard >= 0.7 restricted to pairs with
+    at least one new-side doc; same 32x2 band recall argument as the
+    full run."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    out = dd.incremental_minhash_dedup(
+        old, new, num_hashes=64, bands=32, threshold=0.7
+    )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash block-LSH near-duplicates (hamming <= 3). Block-
     permutation recall is exactly 1.0 for hamming < n_blocks
@@ -3697,6 +3718,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "dedup_components": q_dedup_components,
@@ -4632,6 +4654,32 @@ FROM sh a JOIN sh b
  AND len(a.grams) * 10 >= len(b.grams) * 7
  AND len(b.grams) * 10 >= len(a.grams) * 7
 WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
+"""
+
+# dedup_incremental: the brute-force oracle restricted to pairs where
+# at least one side is in the new batch (ids >= 1000000) — exactly the
+# incremental contract (old x old already emitted in prior batches).
+_MINHASH_INCR_SQL = _DUP_CORPUS + r"""
+, sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(norm, ' ')) - 2 <= 0 THEN [norm]
+              ELSE list_distinct(list_transform(
+                     range(0, len(string_split(norm, ' ')) - 2),
+                     i -> array_to_string(list_slice(string_split(norm, ' '), i + 1, i + 3), ' ')))
+         END AS grams
+  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM corpus)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard_r
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND len(a.grams) * 10 >= len(b.grams) * 7
+ AND len(b.grams) * 10 >= len(a.grams) * 7
+WHERE (a.doc_id >= 1000000 OR b.doc_id >= 1000000)
+  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
 """
 
@@ -7192,6 +7240,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_containment": _CONTAINMENT_SQL,
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
+        "dedup_incremental": _MINHASH_INCR_SQL,
         "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "dedup_prefix_filter": _MINHASH_ORACLE_SQL,
         "dedup_components": _CC_SQL,

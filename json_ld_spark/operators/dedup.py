@@ -109,6 +109,36 @@ def minhash_lsh_candidates(
     At scale the band-bucket groupBy is the only shuffle and its key
     (band id + 16-byte hash) is uniform by construction — no skew.
     """
+    band_entries = minhash_band_entries(
+        docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_band_entries(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, band, band_hash) LSH index entries — the persistable
+    unit of a MinHash index: batch N writes its entries once; batch
+    N+1 joins against them without touching batch N's text again (see
+    incremental_minhash_dedup)."""
     rows_per_band = num_hashes // bands
     # staged projections: shingle once, string-hash once, then num_hashes
     # cheap long-remix lanes. CollapseProject keeps each stage separate
@@ -123,7 +153,7 @@ def minhash_lsh_candidates(
     sig = hashed.select(
         "doc_id", minhash_signature(F.col("hs"), num_hashes).alias("sig")
     )
-    band_entries = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -145,19 +175,78 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_hash")
-    left = band_entries.alias("l")
-    right = band_entries.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+
+
+def incremental_minhash_dedup(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    old_entries: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection for a NEW batch against an
+    already-indexed corpus — the production shape of MinHash dedup at
+    100 TB, where re-pairing the whole corpus per arriving batch would
+    be quadratic in batches. Returns exact-Jaccard-verified pairs
+    ``(doc_a, doc_b, jaccard)`` >= ``threshold`` where at least one
+    side is new (old x old pairs were already emitted when THOSE
+    batches arrived and are never regenerated).
+
+    Per-batch cost: one signature pass over the NEW docs only, one
+    equi-join of their band entries against the persisted index
+    (``old_entries`` — pass the table read back from storage; derived
+    from ``old_docs`` here only as the self-contained default), one
+    new x new self-join, then the exact verify joins keyed on doc id.
+    The index grows by exactly the new batch's entries
+    (``minhash_band_entries(new_docs)`` — union and persist it for
+    batch N+1). Band keys are uniform md5 values — no skew; the old
+    side's TEXT is touched only for the candidate ids that reach the
+    verify (semi-join-sized), not for the whole corpus.
+    """
+    if old_entries is None:
+        old_entries = minhash_band_entries(
+            old_docs, id_col, text_col, num_hashes, bands, shingle_n
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
+    new_entries = minhash_band_entries(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    ).localCheckpoint(eager=False)  # two consumers: old-join + self-join
+    n = new_entries.alias("n")
+    o = old_entries.alias("o")
+    cross = (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
     )
-    return pairs
+    n2 = new_entries.alias("m")
+    intra = (
+        n.join(
+            n2,
+            (F.col("n.band") == F.col("m.band"))
+            & (F.col("n.band_hash") == F.col("m.band_hash"))
+            & (F.col("n.doc_id") < F.col("m.doc_id")),
+        )
+        .select(F.col("n.doc_id").alias("doc_a"), F.col("m.doc_id").alias("doc_b"))
+    )
+    cands = cross.unionByName(intra).distinct()
+    corpus = old_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).unionByName(
+        new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+    return jaccard_pairs(
+        corpus, cands, shingle_n=shingle_n, threshold=threshold
+    )
 
 
 def jaccard_pairs(

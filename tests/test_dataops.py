@@ -617,3 +617,57 @@ def test_paragraph_dedup_sep_and_window_modes(spark):
 
     with _pytest.raises(ValueError, match="exactly one"):
         paragraph_dedup(docs, sep=None, words_per_para=None)
+
+
+def test_incremental_minhash_matches_restricted_full_run(spark):
+    """incremental(old, new) == from-scratch pairs over old+new
+    restricted to at-least-one-new; old x old pairs never reappear;
+    a precomputed index (old_entries) gives identical output."""
+    from json_ld_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        jaccard_pairs as _jp,
+        minhash_band_entries,
+        minhash_lsh_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows_old = [
+        (1, base),
+        (2, base),  # old x old exact dup: must NOT be re-emitted
+        (3, base.replace("river", "sea")),
+        (4, "completely different text about spark shuffles and joins here"),
+    ]
+    rows_new = [
+        (101, base),                      # dup of old 1/2
+        (102, rows_old[3][1]),            # dup of old 4
+        (103, base),                      # new x new dup with 101 too
+        (104, "nothing like anything else in this corpus at all truly"),
+    ]
+    old = spark.createDataFrame(rows_old, "doc_id long, text string")
+    new = spark.createDataFrame(rows_new, "doc_id long, text string")
+    inc = incremental_minhash_dedup(old, new, num_hashes=32, bands=16,
+                                    shingle_n=2, threshold=0.7)
+    got = {(r["doc_a"], r["doc_b"]) for r in inc.collect()}
+    assert all(a >= 101 or b >= 101 for a, b in got)
+    assert (1, 2) not in got
+    assert {(1, 101), (2, 101), (4, 102), (101, 103)} <= got
+
+    both = old.unionByName(new)
+    full = _jp(
+        both,
+        minhash_lsh_candidates(both, num_hashes=32, bands=16, shingle_n=2),
+        shingle_n=2, threshold=0.7,
+    )
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in full.collect()
+        if r["doc_a"] >= 101 or r["doc_b"] >= 101
+    }
+    assert got == want
+
+    pre = minhash_band_entries(old, num_hashes=32, bands=16, shingle_n=2)
+    inc2 = incremental_minhash_dedup(
+        old, new, num_hashes=32, bands=16, shingle_n=2, threshold=0.7,
+        old_entries=pre,
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in inc2.collect()} == got
