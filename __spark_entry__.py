@@ -1268,6 +1268,23 @@ def q_data_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pairs(transcripts_from_documents(spark, sf_dir))
 
 
+def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (retrieval.textrank_keywords,
+    Mihalcea & Tarau EMNLP'04): weighted PageRank over the corpus word
+    co-occurrence graph (window 2, 4 damped iterations), top 50
+    keywords by (6-dp rank, word). Co-occurrence pairs are built with
+    an offset-explode EQUI-join, never a range join; the loop is fully
+    lazy (symmetric graph -> no dangling probe). Oracle: tokenize +
+    pair + 4 unrolled weighted iterations in DuckDB, MATERIALIZED per
+    level."""
+    _utc(spark)
+    from json_ld_spark.operators.retrieval import textrank_keywords
+
+    return textrank_keywords(
+        _read(spark, sf_dir, "documents"), window=2, iters=4, k=50
+    )
+
+
 def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (curation.dsir_weights, Xie et al.
     NeurIPS'23): log importance ratio of add-one-smoothed hashed-
@@ -3727,6 +3744,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_sft_pairs": q_data_sft_pairs,
         "data_preference_pairs": q_data_preference_pairs,
         "text_dsir_weights": q_text_dsir_weights,
+        "text_textrank": q_text_textrank,
         "rel_recursive_chain": q_rel_recursive_chain,
         "dedup_survivors": q_dedup_survivors,
         "kg_random_walks": q_kg_random_walks,
@@ -4511,6 +4529,66 @@ SELECT f.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_feats,
 FROM f JOIN ratio r USING (bucket)
 GROUP BY f.doc_id
 """
+
+def _textrank_sql(iters: int = 4, damping: float = 0.85, k: int = 50) -> str:
+    """Unrolled TextRank mirroring retrieval.textrank_keywords: the
+    stopword literal list, the position-window pair join, the weighted
+    fraction, and each damped iteration are mirrored expression for
+    expression; (1-d) is pre-reduced via repr() like _pagerank_sql."""
+    from json_ld_spark.operators.retrieval import TEXTRANK_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in TEXTRANK_STOPWORDS)
+    d = repr(damping)
+    omd = repr(1.0 - damping)
+    parts = [
+        f"""
+WITH rawtoks AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS word
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+        FROM documents)
+), toks AS MATERIALIZED (
+  SELECT doc_id, pos, word FROM rawtoks
+  WHERE regexp_full_match(word, '[a-z]+') AND length(word) >= 3
+    AND word NOT IN ({stop})
+), pairs AS MATERIALIZED (
+  SELECT least(a.word, b.word) AS a, greatest(a.word, b.word) AS b,
+         COUNT(*) AS w
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+  WHERE a.word <> b.word
+  GROUP BY 1, 2
+), edges AS MATERIALIZED (
+  SELECT a, b, w FROM pairs UNION ALL SELECT b AS a, a AS b, w FROM pairs
+), wdeg AS MATERIALIZED (SELECT a, SUM(w) AS wd FROM edges GROUP BY a),
+src AS MATERIALIZED (
+  SELECT e.a, e.b, e.w / wd.wd AS frac FROM edges e JOIN wdeg wd ON e.a = wd.a
+), nodes AS MATERIALIZED (SELECT DISTINCT a AS word FROM edges),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT word, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+i{i} AS MATERIALIZED (
+  SELECT s.b AS word, SUM(r.rank * s.frac) AS inflow
+  FROM r{i} r JOIN src s ON r.word = s.a GROUP BY s.b
+),
+r{i + 1} AS MATERIALIZED (
+  SELECT n.word,
+         {omd} / (SELECT n FROM nn) + {d} * COALESCE(i.inflow, 0.0) AS rank
+  FROM nodes n LEFT JOIN i{i} i ON n.word = i.word
+)"""
+        )
+    parts.append(
+        f"""
+SELECT word, round(rank, 6) AS rank_r FROM r{iters}
+ORDER BY rank_r DESC, word LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+_TEXTRANK_SQL = _textrank_sql(iters=4, damping=0.85, k=50)
+
 
 # rel_recursive_chain: the IDENTICAL SQL text runs on Spark 4.1
 # (WITH RECURSIVE landed in Spark 4.0) and DuckDB. floor(x/10.0), not
@@ -7249,6 +7327,7 @@ def oracle_sql() -> dict[str, str]:
         "data_sft_pairs": _SFT_PAIRS_SQL,
         "data_preference_pairs": _PREF_PAIRS_SQL,
         "text_dsir_weights": _DSIR_SQL,
+        "text_textrank": _TEXTRANK_SQL,
         "rel_recursive_chain": _REL_RECURSIVE_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,

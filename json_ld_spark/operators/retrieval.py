@@ -192,3 +192,102 @@ def bm25(
             top_k
         )
     return scored
+
+
+# the inlined-literal stopword list (mirrored verbatim in the DuckDB
+# oracle): high-frequency English function words; keyword extraction
+# quality, not semantics, depends on its contents
+TEXTRANK_STOPWORDS = (
+    "the", "and", "for", "that", "this", "with", "from", "are", "was",
+    "were", "has", "have", "had", "not", "but", "all", "can", "will",
+    "its", "their", "they", "them", "his", "her", "she", "him", "you",
+    "your", "our", "out", "into", "over", "under", "about", "than",
+    "then", "when", "where", "which", "while", "who", "what", "how",
+)
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    iters: int = 4,
+    damping: float = 0.85,
+    k: int = 50,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04):
+    corpus-level keyword salience as weighted PageRank over the word
+    co-occurrence graph — words are nodes, edges weighted by how often
+    two words appear within ``window`` positions of each other, ranks
+    from ``iters`` damped power iterations, top ``k`` words returned
+    as ``(word, rank_r)``.
+
+    Plan shape: ONE corpus tokenize pass (posexplode), co-occurrence
+    pairs as an EQUI-join — the partner side is exploded over offsets
+    1..window and joined on exact (doc, position), never a range
+    predicate — then one groupBy((w1,w2)) count builds the weighted
+    edge list (integer weights). The iteration state is one double per
+    word; the symmetric graph has no dangling nodes, so each round is
+    one equi-join + one groupBy SUM with NO scalar probe — the whole
+    loop stays lazy (lineage cut per round with localCheckpoint).
+    Top-k is orderBy+limit = TakeOrderedAndProject (per-partition heap,
+    no global sort). The only driver scalar is the node count.
+    Ordering key is (round(rank, 6) DESC, word) so the selected set is
+    deterministic cross-engine (6 dp absorbs SUM-order drift).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "word"),
+    ).where(
+        F.col("word").rlike("^[a-z]+$")
+        & (F.length("word") >= 3)
+        & ~F.col("word").isin(*TEXTRANK_STOPWORDS)
+    )
+    offs = toks.select(
+        "doc_id",
+        "pos",
+        F.explode(F.array(*[F.lit(o) for o in range(1, window + 1)])).alias("off"),
+        F.col("word").alias("w2"),
+    ).select("doc_id", (F.col("pos") - F.col("off")).alias("pos"), "w2")
+    pairs = (
+        toks.join(offs, ["doc_id", "pos"])
+        .where(F.col("word") != F.col("w2"))
+        .select(
+            F.least("word", "w2").alias("a"), F.greatest("word", "w2").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).localCheckpoint(eager=False)
+    wdeg = edges.groupBy("a").agg(F.sum("w").alias("wd"))
+    src = edges.join(wdeg, "a").select(
+        "a", "b", (F.col("w") / F.col("wd")).alias("frac")
+    ).localCheckpoint(eager=False)
+    nodes = edges.select(F.col("a").alias("word")).dropDuplicates()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("word", F.lit(0.0).alias("rank_r"))
+    base = (1.0 - damping) / n
+    ranks = nodes.select("word", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(src, ranks["word"] == src["a"], "inner")
+            .select(F.col("b").alias("word"), (F.col("rank") * F.col("frac")).alias("c"))
+            .groupBy("word")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "word", "left")
+            .select(
+                "word",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select("word", F.round("rank", 6).alias("rank_r"))
+        .orderBy(F.col("rank_r").desc(), "word")
+        .limit(k)
+    )

@@ -461,3 +461,69 @@ def test_temperature_mix_python_replay_and_budget(spark):
 
     with _pytest.raises(ValueError, match="max_groups"):
         temperature_mix(df, "doc_id", alpha=0.5, max_groups=10)
+
+
+def test_textrank_matches_python_reference(spark):
+    """TextRank ranks vs a direct Python replay of the weighted
+    power iteration on the same co-occurrence graph."""
+    from json_ld_spark.operators.retrieval import (
+        TEXTRANK_STOPWORDS,
+        textrank_keywords,
+    )
+
+    docs = [
+        (1, "spark shuffle join spark shuffle aggregation"),
+        (2, "spark shuffle partition skew salting"),
+        (3, "graph pagerank power iteration graph"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["word"]: r["rank_r"] for r in textrank_keywords(df, window=2, iters=4, k=50).collect()}
+
+    # python replay
+    import re
+    from collections import defaultdict
+
+    pairs = defaultdict(int)
+    for _, text in docs:
+        toks = [
+            (i, w)
+            for i, w in enumerate(text.lower().strip().split())
+            if re.fullmatch("[a-z]+", w) and len(w) >= 3 and w not in TEXTRANK_STOPWORDS
+        ]
+        bypos = dict(toks)
+        for i, w in toks:
+            for off in (1, 2):
+                w2 = bypos.get(i + off)
+                if w2 is not None and w2 != w:
+                    pairs[(min(w, w2), max(w, w2))] += 1
+    edges = defaultdict(dict)
+    for (a, b), w in pairs.items():
+        edges[a][b] = edges[a].get(b, 0) + w
+        edges[b][a] = edges[b].get(a, 0) + w
+    nodes = sorted(edges)
+    n = len(nodes)
+    wdeg = {u: sum(edges[u].values()) for u in nodes}
+    rank = {u: 1.0 / n for u in nodes}
+    base = (1.0 - 0.85) / n
+    for _ in range(4):
+        inflow = {u: 0.0 for u in nodes}
+        for u in nodes:
+            for v, w in edges[u].items():
+                inflow[v] += rank[u] * (w / wdeg[u])
+        rank = {u: base + 0.85 * inflow[u] for u in nodes}
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert abs(got[u] - round(rank[u], 6)) < 2e-6, u
+    # the repeated hub word outranks a leaf word
+    assert got["shuffle"] > got["salting"]
+
+
+def test_textrank_empty_and_topk(spark):
+    from json_ld_spark.operators.retrieval import textrank_keywords
+
+    empty = spark.createDataFrame([(1, "the and for")], "doc_id long, text string")
+    assert textrank_keywords(empty).count() == 0
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    assert textrank_keywords(df, k=3).count() == 3
