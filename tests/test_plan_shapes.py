@@ -1,0 +1,69 @@
+"""Plan-shape assertions for the round-4 session-3 operators: the
+physical plans the scale arguments in PLANS.md §29 rely on — no
+cartesian products anywhere, TakeOrdered for top-k, equi-joins (not
+range joins) for window co-occurrence, broadcast for the DSIR model."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_textrank_plan_topk_and_equijoins(spark):
+    from json_ld_spark.operators.retrieval import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta delta epsilon")],
+        "doc_id long, text string",
+    )
+    plan = _plan(textrank_keywords(docs, window=2, iters=2, k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_dhash_neardup_plan_no_cartesian(spark):
+    from json_ld_spark.operators import multimodal as mm
+
+    media = mm.synthesize_png_media_textured(spark, n=4)
+    plan = _plan(mm.dhash_near_duplicates(mm.dhash_images(media), max_hamming=6))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_dsir_plan_broadcasts_model(spark):
+    from json_ld_spark.operators.curation import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en"), (2, "c d e f", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    plan = _plan(dsir_weights(docs, docs.filter(F.col("lang") == "en"), buckets=64))
+    # the per-bucket ratio table joins as a broadcast build side
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+
+
+def test_incremental_minhash_plan_no_cartesian(spark):
+    from json_ld_spark.operators.dedup import incremental_minhash_dedup
+
+    old = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    new = spark.createDataFrame([(9, "a b c d e f")], "doc_id long, text string")
+    plan = _plan(incremental_minhash_dedup(old, new, num_hashes=8, bands=4))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_weighted_paths_and_ktruss_plans(spark):
+    from json_ld_spark.operators.graphops import k_truss, shortest_paths
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2)], ["src", "dst", "w"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    assert "Cartesian" not in _plan(shortest_paths(e, seeds, max_hops=2))
+    et = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    assert "Cartesian" not in _plan(k_truss(et, k=3, rounds=1))
