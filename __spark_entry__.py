@@ -1303,6 +1303,21 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (temporal.funnel): per user the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that — integer-microsecond timestamps, one
+    filtered min-agg + uniform-key hash join per step, no windows over
+    the raw stream. The earliest-next-match greedy is exact for funnel
+    reachability. Oracle: the same three-step chain in DuckDB
+    (epoch_us == unix_micros under the UTC session)."""
+    _utc(spark)
+    from json_ld_spark.operators.temporal import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], key="user_id")
+
+
 def q_rel_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4.1 WITH RECURSIVE — the Catalyst-native
     iterative construct): customers form a decimal-trie forest
@@ -3746,6 +3761,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dsir_weights": q_text_dsir_weights,
         "text_textrank": q_text_textrank,
         "rel_recursive_chain": q_rel_recursive_chain,
+        "rel_funnel_events": q_rel_funnel_events,
         "dedup_survivors": q_dedup_survivors,
         "kg_random_walks": q_kg_random_walks,
         "kg_kcore": q_kg_kcore,
@@ -4589,6 +4605,33 @@ ORDER BY rank_r DESC, word LIMIT {k}"""
 
 _TEXTRANK_SQL = _textrank_sql(iters=4, damping=0.85, k=50)
 
+
+# rel_funnel_events: per-step min-after-previous chain; CASE-null (not
+# WHERE) keeps partially-converted users with NULL step times.
+_FUNNEL_SQL = """
+WITH ev AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+), s1 AS MATERIALIZED (
+  SELECT user_id, MIN(us) AS t1_us FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS MATERIALIZED (
+  SELECT s1.user_id, s1.t1_us,
+         MIN(CASE WHEN e.us > s1.t1_us THEN e.us END) AS t2_us
+  FROM s1 LEFT JOIN ev e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+  GROUP BY s1.user_id, s1.t1_us
+), s3 AS MATERIALIZED (
+  SELECT s2.user_id, s2.t1_us, s2.t2_us,
+         MIN(CASE WHEN e.us > s2.t2_us THEN e.us END) AS t3_us
+  FROM s2 LEFT JOIN ev e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+  GROUP BY s2.user_id, s2.t1_us, s2.t2_us
+)
+SELECT user_id, t1_us, t2_us, t3_us,
+       CAST((t1_us IS NOT NULL)::INT + (t2_us IS NOT NULL)::INT
+            + (t3_us IS NOT NULL)::INT AS BIGINT) AS steps_completed
+FROM s3
+"""
 
 # rel_recursive_chain: the IDENTICAL SQL text runs on Spark 4.1
 # (WITH RECURSIVE landed in Spark 4.0) and DuckDB. floor(x/10.0), not
@@ -7329,6 +7372,7 @@ def oracle_sql() -> dict[str, str]:
         "text_dsir_weights": _DSIR_SQL,
         "text_textrank": _TEXTRANK_SQL,
         "rel_recursive_chain": _REL_RECURSIVE_SQL,
+        "rel_funnel_events": _FUNNEL_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "kg_random_walks": _RANDOM_WALKS_SQL,

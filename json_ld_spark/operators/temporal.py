@@ -232,3 +232,63 @@ def session_stats(sessions: DataFrame, key: str = "user_id",
         F.max(us).alias("end_us"),
         (F.max(us) - F.min(us)).alias("duration_us"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequential funnel analysis: for each key, the earliest
+    timestamp of step 1, the earliest step-2 event STRICTLY AFTER it,
+    the earliest step-3 event strictly after that, and so on —
+    the standard ordered-conversion query (view -> click -> purchase).
+    Returns ``(key, t1_us..tk_us, steps_completed)`` with integer
+    microseconds (nullable past the last completed step).
+
+    Plan: one filtered min-aggregation per step (map-side partial;
+    the slice for step i is only that event type), each joined to the
+    previous frontier on the key — k-1 hash joins on a uniform key.
+    No windows over the full event stream, no per-key event sorting:
+    cost is O(matching events) per step, and the frontier can only
+    shrink. The earliest-next-match greedy is OPTIMAL for funnel
+    reachability (exchange argument: taking the earliest step-i event
+    never excludes a later step-i+1 match), so this computes true
+    multi-step conversion, not an approximation.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(key)
+        .agg(F.min(us).alias("t1_us"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col(type_col) == step).select(
+            F.col(key), us.alias("_ts")
+        )
+        prev_col = f"t{i - 1}_us"
+        # candidates at or before the previous step become NULL (not
+        # filtered): min() over all-NULL keeps the key with a NULL
+        # step time, so partially-converted keys stay in the result
+        cur = (
+            cur.join(nxt, key, "left")
+            .groupBy(key, *[f"t{j}_us" for j in range(1, i)])
+            .agg(
+                F.min(
+                    F.when(F.col("_ts") > F.col(prev_col), F.col("_ts"))
+                ).alias(f"t{i}_us")
+            )
+        )
+    completed = sum(
+        F.when(F.col(f"t{i}_us").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return cur.select(
+        key,
+        *[f"t{i}_us" for i in range(1, len(steps) + 1)],
+        completed.cast("long").alias("steps_completed"),
+    )

@@ -323,3 +323,46 @@ def test_sessionize_fuzz_vs_python_replay(spark):
         assert got == expect
 
     prop()
+
+
+def test_funnel_semantics(spark):
+    """Strict-order funnel: steps only count after the previous step's
+    earliest match; partial converters keep NULL tails; keys without
+    step 1 are absent."""
+    import datetime as dt
+
+    from json_ld_spark.operators.temporal import funnel
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, T(0), "view"), (1, T(1), "click"), (1, T(2), "purchase"),
+        (2, T(5), "click"), (2, T(6), "view"), (2, T(7), "purchase"),
+        (3, T(1), "view"), (3, T(0), "purchase"), (3, T(2), "click"),
+        (4, T(3), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: (r["steps_completed"], r["t2_us"] is None, r["t3_us"] is None)
+        for r in funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: (3, False, False), 2: (1, True, True), 3: (2, False, True)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel(df, ["view"])
+
+
+def test_funnel_earliest_greedy_is_exact(spark):
+    """The early step-2 match at t=1 does not block the later
+    purchase: earliest-next-match still finds the full path."""
+    import datetime as dt
+
+    from json_ld_spark.operators.temporal import funnel
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [(1, T(0), "view"), (1, T(1), "click"), (1, T(9), "click"),
+            (1, T(5), "purchase")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = funnel(df, ["view", "click", "purchase"]).first()
+    assert r["steps_completed"] == 3
