@@ -767,3 +767,37 @@ def test_ktruss_undirected_canonicalization(spark):
         (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
     with pytest.raises(ValueError):
         g.k_truss(_edges(spark, pairs), k=2)
+
+
+def test_shortest_paths_random_graphs_vs_python(spark):
+    """Randomized (fixed-seed) cross-check against a Python
+    hop-bounded Bellman-Ford on small digraphs."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 12
+        edges = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}", rng.randrange(1, 6))
+            for _ in range(30)
+        ]
+        edges = [(u, v, w) for u, v, w in edges if u != v]
+        seeds_py = ["n0", "n1"]
+        k = 4
+        # python reference: dist over paths with <= k edges
+        dist = {s: 0 for s in seeds_py}
+        for _ in range(k):
+            nxt = dict(dist)
+            for u, v, w in edges:
+                if u in dist and dist[u] + w < nxt.get(v, 1 << 60):
+                    nxt[v] = dist[u] + w
+            dist = nxt
+        got = {
+            r["node"]: r["dist"]
+            for r in g.shortest_paths(
+                _wedges(spark, edges),
+                _seeds(spark, seeds_py),
+                max_hops=k,
+            ).collect()
+        }
+        assert got == dist, seed
