@@ -1303,6 +1303,23 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size weighted sample without replacement (sampling.
+    weighted_topk_sample, Efraimidis-Spirakis reservoir keys): 200
+    documents drawn proportional to length — zero shuffle, a pure
+    projection + TakeOrderedAndProject heap. Oracle: the identical
+    bridge-uniform + ln(u)/w expression in DuckDB (6-dp key round
+    absorbs libm ulp differences; id tiebreak pins the set)."""
+    _utc(spark)
+    from json_ld_spark.operators.sampling import weighted_topk_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = weighted_topk_sample(docs, k=200, weight_col="n_chars", seed="wtk")
+    return out.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "es_key_r"
+    )
+
+
 def q_rel_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential conversion funnel (temporal.funnel): per user the
     earliest view, the earliest click strictly after it, the earliest
@@ -3762,6 +3779,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_textrank": q_text_textrank,
         "rel_recursive_chain": q_rel_recursive_chain,
         "rel_funnel_events": q_rel_funnel_events,
+        "data_weighted_topk": q_data_weighted_topk,
         "dedup_survivors": q_dedup_survivors,
         "kg_random_walks": q_kg_random_walks,
         "kg_kcore": q_kg_kcore,
@@ -4605,6 +4623,19 @@ ORDER BY rank_r DESC, word LIMIT {k}"""
 
 _TEXTRANK_SQL = _textrank_sql(iters=4, damping=0.85, k=50)
 
+
+# data_weighted_topk: ES reservoir keys replayed expression-for-
+# expression; selection is by the ROUNDED key + id tiebreak on both
+# sides, so the chosen set is engine-stable.
+_WEIGHTED_TOPK_SQL = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       round(ln((('0x' || substr(md5('wtk|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                / 4294967296.0) / n_chars, 6) AS es_key_r
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key_r DESC, doc_id
+LIMIT 200
+"""
 
 # rel_funnel_events: per-step min-after-previous chain; CASE-null (not
 # WHERE) keeps partially-converted users with NULL step times.
@@ -7373,6 +7404,7 @@ def oracle_sql() -> dict[str, str]:
         "text_textrank": _TEXTRANK_SQL,
         "rel_recursive_chain": _REL_RECURSIVE_SQL,
         "rel_funnel_events": _FUNNEL_SQL,
+        "data_weighted_topk": _WEIGHTED_TOPK_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "kg_random_walks": _RANDOM_WALKS_SQL,

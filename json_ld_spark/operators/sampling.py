@@ -487,3 +487,47 @@ def temperature_mix(
         id_col=id_col, seed=seed,
     )
     return out.drop("__epochs")
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: Column | str,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Exact-size-k weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, "Weighted random sampling with a reservoir"):
+    each row draws the fixed uniform ``u(id) = (bridge(seed|id) + 0.5)
+    / 2^32`` and is ranked by the ES key ``ln(u) / w`` (monotone in
+    u^(1/w)); the top k keys are a weighted sample without
+    replacement. The complement of weighted_sample: that one keeps a
+    RATE per row (random size), this one hits an exact budget (the
+    "sample 1M docs proportional to quality" shape).
+
+    Plan: pure projection + TakeOrderedAndProject (per-partition heap
+    + single driver merge of k rows) — zero shuffle, no full sort, and
+    like every sampler here the draw is a function of (seed, id):
+    reproducible across reruns, partitionings, and engines. The
+    ordering key is 6-dp-rounded with an id tiebreak so the SELECTED
+    SET is stable cross-engine (ln differs by <=1 ulp between libms;
+    at 6 dp the round absorbs it).
+
+    Rows with weight <= 0 are excluded (ES requires w > 0).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / w, 6)
+    return (
+        df.where(w > 0)
+        .withColumn("es_key_r", key)
+        .orderBy(F.col("es_key_r").desc(), F.col(id_col))
+        .limit(k)
+    )

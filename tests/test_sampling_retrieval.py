@@ -527,3 +527,37 @@ def test_textrank_empty_and_topk(spark):
         [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
     )
     assert textrank_keywords(df, k=3).count() == 3
+
+
+def test_weighted_topk_sample_es_properties(spark):
+    """ES keys: exact size k, weight<=0 excluded, deterministic across
+    partitionings, and heavier rows win in aggregate (statistical
+    sanity over the fixed hash draws)."""
+    from json_ld_spark.operators.sampling import weighted_topk_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)] + [(999, 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_topk_sample(df, k=60, weight_col="w", seed="t")
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == 60 and 999 not in got
+    heavy = sum(1 for i in got if i < 50)
+    assert heavy >= 40  # 50 heavy rows at 100x weight dominate the top-60
+    got2 = [r["doc_id"] for r in weighted_topk_sample(
+        df.repartition(13), k=60, weight_col="w", seed="t").collect()]
+    assert sorted(got) == sorted(got2)
+    # different seed -> different draw
+    got3 = [r["doc_id"] for r in weighted_topk_sample(
+        df, k=60, weight_col="w", seed="u").collect()]
+    assert sorted(got) != sorted(got3)
+
+
+def test_weighted_topk_plan_is_take_ordered(spark):
+    from json_ld_spark.operators.sampling import weighted_topk_sample
+
+    df = spark.range(1000).selectExpr("id AS doc_id", "1.0 + id % 7 AS w")
+    plan = (
+        weighted_topk_sample(df, k=10, weight_col="w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
