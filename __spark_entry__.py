@@ -1738,6 +1738,26 @@ def q_kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural profile (graphops.graph_metrics) of the
+    co-purchase graph: node/edge counts, mean degree, global
+    clustering coefficient (3 x triangles / wedges) and degree
+    assortativity (Newman 2002 Pearson r over endpoint degrees) —
+    every statistic an exact integer sum until the final divisions.
+    Oracle: the same integer aggregates in DuckDB, 6-dp rounded."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    ed = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .dropDuplicates()
+    )
+    return gops.graph_metrics(ed)
+
+
 def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (graphops.hits, Kleinberg 1999): 4
     L1-normalized update rounds on a two-level entity DAG — supplier
@@ -3797,6 +3817,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_hits": q_kg_hits,
         "kg_ktruss": q_kg_ktruss,
+        "kg_graph_metrics": q_kg_graph_metrics,
         "kg_weighted_paths": q_kg_weighted_paths,
         "kg_bgp_assistant_turns": q_kg_bgp_assistant_turns,
         "kg_bgp_dialogue_pairs": q_kg_bgp_dialogue_pairs,
@@ -5347,6 +5368,45 @@ SELECT CAST(x AS BIGINT) AS src, CAST(y AS BIGINT) AS dst,
 
 
 _KTRUSS_SQL = _ktruss_sql(k=7, rounds=4)
+
+_GRAPH_METRICS_SQL = r"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), deg AS MATERIALIZED (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n
+), tri AS MATERIALIZED (
+  SELECT COUNT(*) AS n_tri
+  FROM e e1 JOIN (SELECT a AS b, b AS c FROM e) e2 USING (b)
+  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.c)
+), counts AS MATERIALIZED (
+  SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+         (SELECT COUNT(*) FROM deg) AS n_nodes,
+         (SELECT SUM(d * (d - 1)) FROM deg) AS wedges2,
+         (SELECT n_tri FROM tri) AS n_tri
+), sym AS MATERIALIZED (
+  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+), dd AS MATERIALIZED (
+  SELECT da.d AS dx, db.d AS dy
+  FROM sym JOIN deg da ON sym.a = da.n JOIN deg db ON sym.b = db.n
+), ass AS MATERIALIZED (
+  SELECT COUNT(*) AS m, SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+  FROM dd
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       round(2.0 * n_edges / n_nodes, 6) AS avg_degree_r,
+       round(6.0 * n_tri / wedges2, 6) AS clustering_r,
+       round((m * sxy - sx * sy)
+             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                    * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+         AS assortativity_r
+FROM counts, ass
+"""
 
 # Hop-bounded Bellman-Ford == depth-bounded recursive relaxation: the
 # recursive UNION dedups (node, dist, hops) states; MIN(dist) per node
@@ -7423,6 +7483,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_personalized": _PPR_SQL,
         "kg_hits": _HITS_SQL,
         "kg_ktruss": _KTRUSS_SQL,
+        "kg_graph_metrics": _GRAPH_METRICS_SQL,
         "kg_weighted_paths": _WPATHS_SQL,
         "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
         "kg_bucketed_bgp": _BGP_ASSISTANT_SQL,

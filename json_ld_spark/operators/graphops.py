@@ -1013,3 +1013,78 @@ def k_truss(
         F.col("y").alias("dst"),
         F.col("support").cast("long").alias("support"),
     )
+
+
+def graph_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row structural profile of an undirected graph — the
+    numbers a capacity review wants before running expensive graph ML:
+    node/edge counts, mean degree, GLOBAL CLUSTERING COEFFICIENT
+    (3 x triangles / wedges — transitivity) and DEGREE ASSORTATIVITY
+    (Newman 2002: Pearson correlation of endpoint degrees over the
+    directed-both-ways edge list; negative = hub-leaf structure).
+
+    Plan: canonicalize + dedup edges once (one shuffle), one degree
+    agg, triangles via the id-ordered two-join enumeration
+    (k_truss's), then scalar aggregations — every statistic is an
+    exact integer sum until the final few divisions, so the oracle
+    replays to 6 dp with no accumulation ambiguity beyond SUM order.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2"), "b")
+        .join(e.select("a", F.col("b").alias("c")).alias("e3"), ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1)).alias("wedges2"),  # 2x wedges
+        )
+    ).crossJoin(tri)
+    # assortativity over the symmetrized edge list: for each directed
+    # edge (u,v), x = d(u), y = d(v); r = Pearson corr(x, y).
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    dd = (
+        sym.join(deg.select(F.col("n").alias("a"), F.col("d").alias("dx")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("dy")), "b")
+    )
+    assort = dd.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("dx").cast("long")).alias("sx"),
+        F.sum(F.col("dy").cast("long")).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast("long")).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("long")).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast("long")).alias("syy"),
+    )
+    return counts.crossJoin(assort).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.round(F.lit(2.0) * F.col("n_edges") / F.col("n_nodes"), 6).alias("avg_degree_r"),
+        F.round(
+            F.lit(6.0) * F.col("n_tri") / F.col("wedges2"), 6
+        ).alias("clustering_r"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            ),
+            6,
+        ).alias("assortativity_r"),
+    )

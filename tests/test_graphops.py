@@ -801,3 +801,48 @@ def test_shortest_paths_random_graphs_vs_python(spark):
             ).collect()
         }
         assert got == dist, seed
+
+
+def test_graph_metrics_reference_values(spark):
+    """K4 plus a pendant edge: every metric hand-computable."""
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    r = g.graph_metrics(_edges(spark, pairs)).first()
+    assert r["n_nodes"] == 5 and r["n_edges"] == 7
+    assert r["avg_degree_r"] == round(14 / 5, 6)
+    # triangles: 4 in K4; wedges: deg 3,3,3,4,1 -> sum d(d-1)/2 = 3+3+3+6+0 = 15
+    assert r["clustering_r"] == round(3 * 4 / 15, 6)
+    # star-heavy pendant -> disassortative
+    assert r["assortativity_r"] < 0
+
+
+def test_graph_metrics_matches_networkx_style_python(spark):
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(5)
+    pairs = {tuple(sorted(rng.sample(range(10), 2))) for _ in range(18)}
+    pairs = sorted(pairs)
+    deg = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    tri = sum(
+        1 for x, y, z in itertools.combinations(sorted(deg), 3)
+        if ((x, y) in pairs and (y, z) in pairs and (x, z) in pairs)
+    )
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    xs = [deg[u] for u, v in pairs] + [deg[v] for u, v in pairs]
+    ys = [deg[v] for u, v in pairs] + [deg[u] for u, v in pairs]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    r_assort = (m * sxy - sx * sy) / math.sqrt(
+        float(m * sxx - sx * sx) * float(m * syy - sy * sy)
+    )
+    got = g.graph_metrics(_edges(spark, pairs)).first()
+    assert got["n_nodes"] == len(deg) and got["n_edges"] == len(pairs)
+    assert got["clustering_r"] == round(3 * tri / wedges, 6)
+    assert abs(got["assortativity_r"] - round(r_assort, 6)) <= 1e-6
