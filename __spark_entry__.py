@@ -1738,6 +1738,33 @@ def q_kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled hop-bounded betweenness centrality (graphops.
+    betweenness_sampled, Brandes forward/backward from a deterministic
+    seed sample, paths <= 3 hops) on the co-purchase graph — the
+    bridging-entity metric, computed the way it is computed at scale
+    (source sampling; exact all-sources Brandes is O(V*E)). Oracle:
+    the forward sigma levels and backward dependency levels unrolled
+    as MATERIALIZED CTEs, 6-dp rounded."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    ed = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .dropDuplicates()
+    )
+    seeds = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 199 == 3)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    out = gops.betweenness_sampled(ed, seeds, max_hops=3)
+    return out.select(F.col("node").cast("long").alias("node"), "betweenness_r")
+
+
 def q_kg_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row structural profile (graphops.graph_metrics) of the
     co-purchase graph: node/edge counts, mean degree, global
@@ -3818,6 +3845,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_ktruss": q_kg_ktruss,
         "kg_graph_metrics": q_kg_graph_metrics,
+        "kg_betweenness": q_kg_betweenness,
         "kg_weighted_paths": q_kg_weighted_paths,
         "kg_bgp_assistant_turns": q_kg_bgp_assistant_turns,
         "kg_bgp_dialogue_pairs": q_kg_bgp_dialogue_pairs,
@@ -5368,6 +5396,71 @@ SELECT CAST(x AS BIGINT) AS src, CAST(y AS BIGINT) AS dst,
 
 
 _KTRUSS_SQL = _ktruss_sql(k=7, rounds=4)
+
+def _betweenness_sql(max_hops: int = 3) -> str:
+    """Unrolled sampled-Brandes: forward sigma levels l0..lk (left-anti
+    == NOT EXISTS against the cumulative assigned set), backward
+    dependency levels dk..d0 mirroring sigma/sw * (1 + delta)
+    association-for-association; 6-dp sum round."""
+    parts = [
+        r"""
+WITH ed AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), sym AS MATERIALIZED (
+  SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed
+), seeds AS MATERIALIZED (
+  SELECT p_partkey AS s FROM part WHERE p_partkey % 199 = 3
+),
+l0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM seeds),
+a0 AS MATERIALIZED (SELECT s, v FROM l0)"""
+    ]
+    for d in range(1, max_hops + 1):
+        parts.append(
+            f""",
+l{d} AS MATERIALIZED (
+  SELECT p.s, e.v AS v, SUM(p.sigma) AS sigma
+  FROM l{d - 1} p JOIN sym e ON e.u = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM a{d - 1} x WHERE x.s = p.s AND x.v = e.v)
+  GROUP BY p.s, e.v
+),
+a{d} AS MATERIALIZED (SELECT s, v FROM a{d - 1} UNION ALL SELECT s, v FROM l{d})"""
+        )
+    parts.append(
+        f""",
+d{max_hops} AS MATERIALIZED (SELECT s, v, 0.0 AS delta FROM l{max_hops})"""
+    )
+    for d in range(max_hops - 1, -1, -1):
+        parts.append(
+            f""",
+d{d} AS MATERIALIZED (
+  SELECT p.s, p.v, COALESCE(q.delta, 0.0) AS delta
+  FROM l{d} p LEFT JOIN (
+    SELECT p2.s, p2.v,
+           SUM(p2.sigma / c.sigma * (1.0 + c.delta)) AS delta
+    FROM l{d} p2
+    JOIN sym e ON e.u = p2.v
+    JOIN (SELECT l.s, l.v, l.sigma, dd.delta
+          FROM l{d + 1} l JOIN d{d + 1} dd ON l.s = dd.s AND l.v = dd.v) c
+      ON c.s = p2.s AND c.v = e.v
+    GROUP BY p2.s, p2.v
+  ) q ON q.s = p.s AND q.v = p.v
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM d{d}" for d in range(max_hops + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(v AS BIGINT) AS node, round(SUM(delta), 6) AS betweenness_r
+FROM ({union}) WHERE v <> s GROUP BY v"""
+    )
+    return "".join(parts)
+
+
+_BETWEENNESS_SQL = _betweenness_sql(max_hops=3)
 
 _GRAPH_METRICS_SQL = r"""
 WITH e AS MATERIALIZED (
@@ -7484,6 +7577,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": _HITS_SQL,
         "kg_ktruss": _KTRUSS_SQL,
         "kg_graph_metrics": _GRAPH_METRICS_SQL,
+        "kg_betweenness": _BETWEENNESS_SQL,
         "kg_weighted_paths": _WPATHS_SQL,
         "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
         "kg_bucketed_bgp": _BGP_ASSISTANT_SQL,

@@ -1088,3 +1088,105 @@ def graph_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
             6,
         ).alias("assortativity_r"),
     )
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Sampled hop-bounded betweenness centrality (Brandes 2001, "A
+    faster algorithm for betweenness centrality"; source-sampling per
+    Brandes & Pich 2007): run the Brandes forward/backward pass from
+    the ``seeds`` only, over shortest paths of <= ``max_hops`` edges
+    (k-betweenness; == exact Brandes whenever max_hops >= diameter),
+    on the undirected view. Returns ``(node, betweenness_r)`` for
+    every node reached from any seed — the per-seed dependency
+    delta(v) = sum_{w in succ(v)} sigma(v)/sigma(w) * (1 + delta(w))
+    summed over seeds, 6-dp rounded. Source sampling is THE standard
+    way betweenness is computed at scale (exact all-sources is
+    O(V*E)); the hop bound keeps the state finite and the oracle
+    replayable as an unrolled CTE chain.
+
+    Plan shape: forward pass = one frontier equi-join + one left-anti
+    (against the assigned set) + one groupBy SUM per level — sigma
+    stays an exact integer; state is (seed, node)-keyed, bounded by
+    seeds x reachable. Backward pass = one three-way equi-join +
+    groupBy SUM per level, walking levels deepest-first. Every level
+    is lazily checkpointed; the frontier-size probe is each forward
+    level's single job (PLANS §26 shape).
+    """
+    e = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
+    s0 = seeds.select(F.col(seeds.columns[0]).alias("s"))
+    lvl = s0.select(
+        "s",
+        F.col("s").alias("v"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=False)
+    levels = [lvl]
+    assigned = lvl.select("s", "v")
+    for _ in range(1, max_hops + 1):
+        prev = levels[-1]
+        cand = prev.join(e, prev["v"] == e["u"]).select(
+            "s", e["v"].alias("w"), "sigma"
+        )
+        nxt = (
+            cand.join(
+                assigned.select("s", F.col("v").alias("w")), ["s", "w"], "left_anti"
+            )
+            .groupBy("s", "w")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("s", F.col("w").alias("v"), "sigma")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+        assigned = assigned.unionByName(nxt.select("s", "v")).localCheckpoint(
+            eager=False
+        )
+    deltas = [None] * len(levels)
+    deltas[-1] = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
+    for d in range(len(levels) - 1, 0, -1):
+        child = (
+            levels[d]
+            .join(deltas[d], ["s", "v"])
+            .select(
+                "s",
+                F.col("v").alias("w"),
+                F.col("sigma").alias("sw"),
+                "delta",
+            )
+        )
+        par = levels[d - 1]
+        contrib = (
+            par.join(e, par["v"] == e["u"])
+            .select("s", par["v"].alias("v"), "sigma", e["v"].alias("w"))
+            .join(child, ["s", "w"])
+            .select(
+                "s",
+                "v",
+                (F.col("sigma") / F.col("sw") * (F.lit(1.0) + F.col("delta"))).alias(
+                    "c"
+                ),
+            )
+            .groupBy("s", "v")
+            .agg(F.sum("c").alias("delta"))
+        )
+        deltas[d - 1] = (
+            par.select("s", "v")
+            .join(contrib, ["s", "v"], "left")
+            .select("s", "v", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=False)
+        )
+    alld = deltas[0]
+    for dd in deltas[1:]:
+        alld = alld.unionByName(dd)
+    return (
+        alld.where(F.col("v") != F.col("s"))
+        .groupBy("v")
+        .agg(F.round(F.sum("delta"), 6).alias("betweenness_r"))
+        .select(F.col("v").alias("node"), "betweenness_r")
+    )

@@ -846,3 +846,85 @@ def test_graph_metrics_matches_networkx_style_python(spark):
     assert got["n_nodes"] == len(deg) and got["n_edges"] == len(pairs)
     assert got["clustering_r"] == round(3 * tri / wedges, 6)
     assert abs(got["assortativity_r"] - round(r_assort, 6)) <= 1e-6
+
+
+# -------------------------------------------------- betweenness
+
+
+def _brandes_reference(edges, seeds, max_hops):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    bc = defaultdict(float)
+    for s in seeds:
+        depth, sigma, levels = {s: 0}, {s: 1}, [[s]]
+        for d in range(1, max_hops + 1):
+            nxt = defaultdict(int)
+            for u in levels[-1]:
+                for w in adj[u]:
+                    if w not in depth:
+                        nxt[w] += sigma[u]
+            if not nxt:
+                break
+            levels.append(sorted(nxt))
+            for w, sg in nxt.items():
+                depth[w], sigma[w] = d, sg
+        delta = defaultdict(float)
+        for d in range(len(levels) - 1, 0, -1):
+            for u in levels[d - 1]:
+                acc = sum(
+                    sigma[u] / sigma[w] * (1 + delta[w])
+                    for w in adj[u]
+                    if depth.get(w) == d
+                )
+                if acc:
+                    delta[u] += acc
+        for v in depth:
+            if v != s:
+                bc[v] += delta.get(v, 0.0)
+            bc.setdefault(v, 0.0) if v != s else None
+        for v in depth:
+            if v != s:
+                bc.setdefault(v, 0.0)
+    return dict(bc)
+
+
+def test_betweenness_path_graph_exact(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    seeds = spark.createDataFrame([(x,) for x in "abcd"], ["node"])
+    got = {r["node"]: r["betweenness_r"]
+           for r in g.betweenness_sampled(e, seeds, max_hops=3).collect()}
+    # both directions counted (each unordered pair from both endpoints):
+    # b and c each bridge (a,c),(a,d) resp. (b,d),(a,d) -> 4.0
+    assert got == {"a": 0.0, "b": 4.0, "c": 4.0, "d": 0.0}
+
+
+def test_betweenness_random_graphs_vs_reference(spark):
+    import random
+
+    for seed in (3, 11, 42):
+        rng = random.Random(seed)
+        pairs = sorted({tuple(sorted(rng.sample(range(9), 2))) for _ in range(14)})
+        seeds_l = [0, 1, 2]
+        ref = _brandes_reference(pairs, seeds_l, 3)
+        e = _edges(spark, pairs)
+        sdf = spark.createDataFrame([(x,) for x in seeds_l], ["node"])
+        got = {r["node"]: r["betweenness_r"]
+               for r in g.betweenness_sampled(e, sdf, max_hops=3).collect()}
+        assert set(got) == set(ref), seed
+        for k in ref:
+            assert abs(got[k] - round(ref[k], 6)) <= 1e-6, (seed, k)
+
+
+def test_betweenness_hop_bound_limits_paths(spark):
+    # path a-b-c-d-e with max_hops=2: from seed a only b,c reachable;
+    # b bridges (a,c) once
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["betweenness_r"]
+           for r in g.betweenness_sampled(e, seeds, max_hops=2).collect()}
+    assert got == {"b": 1.0, "c": 0.0}
