@@ -5072,9 +5072,14 @@ FROM (
 # Each x<y<z triangle counted once off the canonical u<v edge list,
 # then attributed to all three corners — orientation-independent, so it
 # must equal the degree-oriented Spark count exactly.
+# ORDER BY floor(epoch): Spark's unix_timestamp TRUNCATES to whole
+# seconds while DuckDB's epoch() keeps microseconds — un-floored, an
+# event pair whose gap straddles exactly 3600s counts differently
+# (one real row at sf0.1; this round's regenerated events hit it).
 _WINDOW_RANGE_SQL = """
 SELECT event_id, user_id,
-       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+       COUNT(*) OVER (PARTITION BY user_id
+                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          AS n_last_hour
 FROM events
