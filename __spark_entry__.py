@@ -5085,10 +5085,15 @@ SELECT event_id, user_id,
 FROM events
 """
 
+# floor(epoch): Spark unix_timestamp truncates to whole seconds (the
+# rel_window_range_frame lesson) — the 6-dp round hid the fractional
+# drift so far, but mirroring the truncation makes the ages identical
+# integers instead of relying on rounding luck.
 _DECAYED_COUNTS_SQL = """
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        round(SUM(POWER(2.0,
-         -(epoch(TIMESTAMP '2026-02-01 00:00:00') - epoch(ts))
+         -(epoch(TIMESTAMP '2026-02-01 00:00:00')
+           - CAST(floor(epoch(ts)) AS BIGINT))
           / 604800.0)), 6) AS decayed_r
 FROM events GROUP BY user_id
 """
