@@ -1072,18 +1072,31 @@ def graph_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
         F.sum((F.col("dx") * F.col("dx")).cast("long")).alias("sxx"),
         F.sum((F.col("dy") * F.col("dy")).cast("long")).alias("syy"),
     )
+    # try_divide everywhere: empty graphs (n_nodes=0), wedge-free
+    # graphs (perfect matchings) and degree-regular graphs (zero
+    # assortativity variance) yield NULL instead of an ANSI
+    # DIVIDE_BY_ZERO — the driver graph has all three denominators
+    # nonzero, so the oracle needs no mirroring branch
     return counts.crossJoin(assort).select(
         F.col("n_nodes").cast("long").alias("n_nodes"),
         F.col("n_edges").cast("long").alias("n_edges"),
-        F.round(F.lit(2.0) * F.col("n_edges") / F.col("n_nodes"), 6).alias("avg_degree_r"),
         F.round(
-            F.lit(6.0) * F.col("n_tri") / F.col("wedges2"), 6
+            F.try_divide(F.lit(2.0) * F.col("n_edges"), F.col("n_nodes")), 6
+        ).alias("avg_degree_r"),
+        F.round(
+            F.try_divide(F.lit(6.0) * F.col("n_tri"), F.col("wedges2")), 6
         ).alias("clustering_r"),
         F.round(
-            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(
-                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-                * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            F.try_divide(
+                F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"),
+                F.sqrt(
+                    (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                    * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                ),
             ),
             6,
         ).alias("assortativity_r"),

@@ -67,3 +67,43 @@ def test_weighted_paths_and_ktruss_plans(spark):
     assert "Cartesian" not in _plan(shortest_paths(e, seeds, max_hops=2))
     et = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
     assert "Cartesian" not in _plan(k_truss(et, k=3, rounds=1))
+
+
+def test_session3_operators_handle_empty_inputs(spark):
+    """Degenerate inputs must return empty/identity results, not
+    crash — the production guard for empty partitions and filters
+    that match nothing."""
+    from pyspark.sql import functions as F
+
+    from json_ld_spark.operators.curation import dsir_weights, preference_pairs
+    from json_ld_spark.operators.graphops import (
+        betweenness_sampled, graph_metrics, hits, k_truss, shortest_paths,
+    )
+    from json_ld_spark.operators.temporal import funnel
+
+    empty_e = spark.createDataFrame([], "src string, dst string")
+    empty_w = spark.createDataFrame([], "src string, dst string, w long")
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    no_seeds = spark.createDataFrame([], "node string")
+
+    assert hits(empty_e, iters=2).count() == 0
+    assert k_truss(empty_e, k=3, rounds=2).count() == 0
+    assert shortest_paths(empty_w, seeds, 2).count() == 1  # seed at dist 0
+    assert shortest_paths(empty_w, no_seeds, 2).count() == 0
+    assert betweenness_sampled(empty_e, seeds, 2).count() == 0
+    gm = graph_metrics(empty_e).first()
+    assert gm["n_nodes"] == 0 and gm["n_edges"] == 0
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    some = spark.createDataFrame([(1, "a b c", "en")],
+                                 "doc_id long, text string, lang string")
+    assert dsir_weights(docs, docs).count() == 0
+    # empty TARGET still scores the raw corpus (ratio falls back to
+    # the smoothing prior)
+    assert dsir_weights(some, docs).count() == 1
+
+    t = spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string")
+    assert preference_pairs(t).count() == 0
+
+    ev = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    assert funnel(ev, ["view", "click"]).count() == 0
