@@ -1785,6 +1785,28 @@ def q_kg_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gops.graph_metrics(ed)
 
 
+def q_kg_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (graphops.weighted_pagerank): supplier ->
+    customer edges weighted by how many lineitems flowed on them —
+    contribution splits proportional to interaction volume instead of
+    uniformly. Customers are all dangling, so the weighted dangling
+    path runs every iteration. Oracle: the 5 iterations unrolled with
+    a w/wdeg fraction table (integer weights -> exact ratios; 6-dp)."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = gops.weighted_pagerank(e, iters=5, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank_r"))
+
+
 def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (graphops.hits, Kleinberg 1999): 4
     L1-normalized update rounds on a two-level entity DAG — supplier
@@ -3843,6 +3865,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_suppliers": q_kg_pagerank_suppliers,
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_hits": q_kg_hits,
+        "kg_weighted_pagerank": q_kg_weighted_pagerank,
         "kg_ktruss": q_kg_ktruss,
         "kg_graph_metrics": q_kg_graph_metrics,
         "kg_betweenness": q_kg_betweenness,
@@ -5312,6 +5335,50 @@ r{i + 1} AS (SELECT rst.node,
 
 
 _PPR_SQL = _ppr_sql(iters=5, damping=0.85)
+
+
+def _wpagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled WEIGHTED power iteration mirroring
+    graphops.weighted_pagerank: contributions rank * (w / wdeg),
+    dangling = nodes with no out-weight; constants via repr() like
+    _pagerank_sql, 6-dp round."""
+    d = repr(damping)
+    omd = repr(1.0 - damping)
+    parts = [
+        r"""
+WITH e AS MATERIALIZED (
+  SELECT 's' || l_suppkey AS u, 'c' || o_custkey AS v, COUNT(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+wdeg AS MATERIALIZED (SELECT u, SUM(w) AS wd FROM e GROUP BY u),
+frac AS MATERIALIZED (
+  SELECT e.u, e.v, e.w / wd.wd AS frac FROM e JOIN wdeg wd ON e.u = wd.u
+),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dang
+         FROM r{i} r LEFT JOIN wdeg od ON r.node = od.u
+         WHERE od.u IS NULL),
+i{i} AS MATERIALIZED (SELECT f.v AS node, SUM(r.rank * f.frac) AS inflow
+         FROM r{i} r JOIN frac f ON r.node = f.u
+         GROUP BY f.v),
+r{i + 1} AS MATERIALIZED (SELECT nodes.node,
+            {omd} / (SELECT n FROM nn)
+            + {d} * (COALESCE(i.inflow, 0.0)
+                     + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS rank
+         FROM nodes LEFT JOIN i{i} i ON nodes.node = i.node)"""
+        )
+    parts.append(f"\nSELECT node, round(rank, 6) AS rank_r FROM r{iters}")
+    return "".join(parts)
+
+
+_WPAGERANK_SQL = _wpagerank_sql(iters=5, damping=0.85)
 
 
 def _hits_sql(iters: int = 4) -> str:
@@ -7585,6 +7652,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_suppliers": _PAGERANK_SQL,
         "kg_pagerank_personalized": _PPR_SQL,
         "kg_hits": _HITS_SQL,
+        "kg_weighted_pagerank": _WPAGERANK_SQL,
         "kg_ktruss": _KTRUSS_SQL,
         "kg_graph_metrics": _GRAPH_METRICS_SQL,
         "kg_betweenness": _BETWEENNESS_SQL,

@@ -928,3 +928,28 @@ def test_betweenness_hop_bound_limits_paths(spark):
     got = {r["node"]: r["betweenness_r"]
            for r in g.betweenness_sampled(e, seeds, max_hops=2).collect()}
     assert got == {"b": 1.0, "c": 0.0}
+
+
+def test_weighted_pagerank_uniform_equals_plain(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)])
+    ew = e.select("src", "dst", F.lit(1).alias("w"))
+    a = {r["node"]: r["rank"] for r in g.pagerank(e, iters=4).collect()}
+    b = {r["node"]: r["rank"] for r in g.weighted_pagerank(ew, iters=4).collect()}
+    assert a == b
+
+
+def test_weighted_pagerank_weight_proportional(spark):
+    # 1 -> 2 (w 9) vs 1 -> 3 (w 1): 2 gets ~9x node 3's inflow share
+    ew = spark.createDataFrame([(1, 2, 9), (1, 3, 1)], ["src", "dst", "w"])
+    r = {x["node"]: x["rank"] for x in g.weighted_pagerank(ew, iters=3).collect()}
+    assert r[2] > r[3]
+    # mass conserved
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_weighted_pagerank_parallel_edges_sum(spark):
+    one = spark.createDataFrame([(1, 2, 3)], ["src", "dst", "w"])
+    split = spark.createDataFrame([(1, 2, 1), (1, 2, 2)], ["src", "dst", "w"])
+    a = sorted(map(tuple, g.weighted_pagerank(one, iters=2).collect()))
+    b = sorted(map(tuple, g.weighted_pagerank(split, iters=2).collect()))
+    assert a == b
