@@ -953,3 +953,20 @@ def test_weighted_pagerank_parallel_edges_sum(spark):
     a = sorted(map(tuple, g.weighted_pagerank(one, iters=2).collect()))
     b = sorted(map(tuple, g.weighted_pagerank(split, iters=2).collect()))
     assert a == b
+
+
+def test_weighted_pagerank_mass_conserved_random(spark):
+    import math
+    import random
+
+    for seed in (2, 17):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randrange(8), rng.randrange(8), rng.randrange(1, 7))
+            for _ in range(20)
+        ]
+        rows = [(u, v, w) for u, v, w in rows if u != v]
+        e = spark.createDataFrame(rows, "src long, dst long, w long")
+        r = [x["rank"] for x in g.weighted_pagerank(e, iters=4).collect()]
+        assert math.isclose(sum(r), 1.0, rel_tol=1e-9), seed
+        assert all(x > 0 for x in r)
