@@ -1320,6 +1320,20 @@ def q_data_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle (sampling.epoch_order,
+    epoch=2): every document's position under the (seed, epoch)
+    md5-bridge permutation — the reshuffle-each-epoch loader contract
+    as a pure projection + one uniform-key rank window; resume =
+    WHERE epoch_rank >= k. Oracle: ROW_NUMBER over the identical
+    bridge key in DuckDB."""
+    _utc(spark)
+    from json_ld_spark.operators.sampling import epoch_order
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return epoch_order(docs, epoch=2, seed="train")
+
+
 def q_rel_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential conversion funnel (temporal.funnel): per user the
     earliest view, the earliest click strictly after it, the earliest
@@ -3849,6 +3863,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_recursive_chain": q_rel_recursive_chain,
         "rel_funnel_events": q_rel_funnel_events,
         "data_weighted_topk": q_data_weighted_topk,
+        "data_epoch_order": q_data_epoch_order,
         "dedup_survivors": q_dedup_survivors,
         "kg_random_walks": q_kg_random_walks,
         "kg_kcore": q_kg_kcore,
@@ -4707,6 +4722,15 @@ FROM documents
 WHERE n_chars > 0
 ORDER BY es_key_r DESC, doc_id
 LIMIT 200
+"""
+
+_EPOCH_ORDER_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ('0x' || substr(md5('train|2|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15))::BIGINT ASC,
+                  doc_id ASC) - 1 AS BIGINT) AS epoch_rank
+FROM documents
 """
 
 # rel_funnel_events: per-step min-after-previous chain; CASE-null (not
@@ -7635,6 +7659,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_recursive_chain": _REL_RECURSIVE_SQL,
         "rel_funnel_events": _FUNNEL_SQL,
         "data_weighted_topk": _WEIGHTED_TOPK_SQL,
+        "data_epoch_order": _EPOCH_ORDER_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "kg_random_walks": _RANDOM_WALKS_SQL,

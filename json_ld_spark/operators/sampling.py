@@ -531,3 +531,44 @@ def weighted_topk_sample(
         .orderBy(F.col("es_key_r").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def epoch_order(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle ORDER for training data:
+    adds ``epoch_rank`` = the row's position under the (seed, epoch)
+    keyed md5-bridge permutation — epoch 0 and epoch 1 orders are
+    independent pseudorandom permutations, every rerun/partitioning/
+    engine agrees, and resuming mid-epoch is a WHERE epoch_rank >= k
+    filter instead of replaying a stateful shuffle. This is the
+    reshuffle-each-epoch contract of a training loader expressed as a
+    pure projection + one rank window over the permutation key.
+
+    At 100 TB the global rank window is ONE range-partitioned sort on
+    a uniform 64-bit key (no skew by construction); writers that only
+    need the ORDER (not the dense rank) can sort-write by ``es_key``
+    directly and skip the window.
+    """
+    # 15 hex chars = 60 bits: comfortably inside BIGINT on BOTH engines
+    # (16 chars can exceed 2^63 and breaks DuckDB's ::BIGINT hex cast)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}|{int(epoch)}|"), F.col(id_col).cast("string")
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    w = Window.orderBy(F.col("__ek").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__ek", h)
+        .withColumn("epoch_rank", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__ek")
+    )

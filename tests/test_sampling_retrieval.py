@@ -561,3 +561,17 @@ def test_weighted_topk_plan_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_epoch_order_is_permutation_and_epoch_independent(spark):
+    from json_ld_spark.operators.sampling import epoch_order
+
+    df = spark.range(500).selectExpr("id AS doc_id")
+    e0 = {r["doc_id"]: r["epoch_rank"] for r in epoch_order(df, 0).collect()}
+    e1 = {r["doc_id"]: r["epoch_rank"] for r in epoch_order(df, 1).collect()}
+    assert sorted(e0.values()) == list(range(500))  # dense permutation
+    assert e0 != e1  # epochs reshuffle
+    # deterministic across partitionings
+    e0b = {r["doc_id"]: r["epoch_rank"]
+           for r in epoch_order(df.repartition(7), 0).collect()}
+    assert e0 == e0b
