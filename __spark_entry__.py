@@ -1779,6 +1779,32 @@ def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").cast("long").alias("node"), "betweenness_r")
 
 
+def q_kg_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic closeness (graphops.harmonic_closeness_sampled,
+    Boldi-Vigna axiomatics; Eppstein-Wang sampling): sum of 1/d(s, v)
+    from the betweenness seed sample over <= 3-hop shortest paths on
+    the co-purchase graph — the disconnection-robust closeness.
+    Oracle: the forward BFS levels unrolled (the betweenness CTEs
+    minus sigma) with literal 1/d weights."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    ed = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .dropDuplicates()
+    )
+    seeds = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 199 == 3)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    out = gops.harmonic_closeness_sampled(ed, seeds, max_hops=3)
+    return out.select(F.col("node").cast("long").alias("node"), "harmonic_r")
+
+
 def q_kg_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row structural profile (graphops.graph_metrics) of the
     co-purchase graph: node/edge counts, mean degree, global
@@ -3884,6 +3910,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ktruss": q_kg_ktruss,
         "kg_graph_metrics": q_kg_graph_metrics,
         "kg_betweenness": q_kg_betweenness,
+        "kg_harmonic_closeness": q_kg_harmonic_closeness,
         "kg_weighted_paths": q_kg_weighted_paths,
         "kg_bgp_assistant_turns": q_kg_bgp_assistant_turns,
         "kg_bgp_dialogue_pairs": q_kg_bgp_dialogue_pairs,
@@ -5562,6 +5589,48 @@ FROM ({union}) WHERE v <> s GROUP BY v"""
 
 
 _BETWEENNESS_SQL = _betweenness_sql(max_hops=3)
+
+
+def _harmonic_sql(max_hops: int = 3) -> str:
+    """Unrolled sampled harmonic closeness: the _betweenness_sql
+    forward levels without sigma; 1/d weights inlined via repr()."""
+    parts = [
+        r"""
+WITH ed AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), sym AS MATERIALIZED (
+  SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed
+), seeds AS MATERIALIZED (
+  SELECT p_partkey AS s FROM part WHERE p_partkey % 199 = 3
+),
+l0 AS MATERIALIZED (SELECT s, s AS v FROM seeds),
+a0 AS MATERIALIZED (SELECT s, v FROM l0)"""
+    ]
+    for d in range(1, max_hops + 1):
+        parts.append(
+            f""",
+l{d} AS MATERIALIZED (
+  SELECT DISTINCT p.s, e.v AS v
+  FROM l{d - 1} p JOIN sym e ON e.u = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM a{d - 1} x WHERE x.s = p.s AND x.v = e.v)
+),
+a{d} AS MATERIALIZED (SELECT s, v FROM a{d - 1} UNION ALL SELECT s, v FROM l{d})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT v, {repr(1.0 / d)} AS c FROM l{d}" for d in range(1, max_hops + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(v AS BIGINT) AS node, round(SUM(c), 6) AS harmonic_r
+FROM ({union}) GROUP BY v"""
+    )
+    return "".join(parts)
+
+
+_HARMONIC_SQL = _harmonic_sql(max_hops=3)
 
 _GRAPH_METRICS_SQL = r"""
 WITH e AS MATERIALIZED (
@@ -7681,6 +7750,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ktruss": _KTRUSS_SQL,
         "kg_graph_metrics": _GRAPH_METRICS_SQL,
         "kg_betweenness": _BETWEENNESS_SQL,
+        "kg_harmonic_closeness": _HARMONIC_SQL,
         "kg_weighted_paths": _WPATHS_SQL,
         "kg_bgp_assistant_turns": _BGP_ASSISTANT_SQL,
         "kg_bucketed_bgp": _BGP_ASSISTANT_SQL,

@@ -970,3 +970,24 @@ def test_weighted_pagerank_mass_conserved_random(spark):
         r = [x["rank"] for x in g.weighted_pagerank(e, iters=4).collect()]
         assert math.isclose(sum(r), 1.0, rel_tol=1e-9), seed
         assert all(x > 0 for x in r)
+
+
+def test_harmonic_closeness_path_graph(spark):
+    # path a-b-c-d, seeds {a, d}, hops 3:
+    # H(b) = 1 + 1/2 = 1.5 (1 hop from a, 2 from d); symmetric for c;
+    # endpoints see only the far seed at 3 hops -> 1/3
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    seeds = spark.createDataFrame([("a",), ("d",)], ["node"])
+    got = sorted(
+        map(tuple, g.harmonic_closeness_sampled(e, seeds, 3).collect())
+    )
+    assert got == [("a", 0.333333), ("b", 1.5), ("c", 1.5), ("d", 0.333333)]
+
+
+def test_harmonic_closeness_disconnection_robust(spark):
+    # two components: unreachable pairs contribute 0, no infinities
+    e = _edges(spark, [("a", "b"), ("x", "y")])
+    seeds = spark.createDataFrame([("a",), ("x",)], ["node"])
+    got = {r["node"]: r["harmonic_r"]
+           for r in g.harmonic_closeness_sampled(e, seeds, 3).collect()}
+    assert got == {"b": 1.0, "y": 1.0}
