@@ -333,6 +333,11 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    # The final stdout line must stay compact: the grading driver captures a
+    # bounded tail of stdout, and round 4's full steal-guard telemetry grew
+    # the line past that window (BENCH_r04.json arrived truncated,
+    # `parsed: null`). Headline numbers only on stdout; the full per-sample
+    # steal-guard detail goes to BENCH_LATEST.json next to this script.
     out = {
         "metric": "kg_headline_suite_sec",
         "value": total,
@@ -341,12 +346,7 @@ def main() -> None:
         "sf": sf,
         "cores": cores,
         "amplify": amplify,
-        "steal_guard": {
-            "steal_threshold": 0.05,
-            "ext_cpu_threshold": 0.25,
-            "host_ncpu": os.cpu_count(),
-            "samples": quality,
-        },
+        "clean": not any(q["all_dirty"] for q in quality.values()),
         "derived": {
             "n_turns": n_turns,
             "n_triples_native": n_triples,
@@ -354,8 +354,25 @@ def main() -> None:
             "triples_per_sec_generic": round(n_triples / max(timings["kg_generic_triples"], 1e-9), 1),
         },
     }
+    detail = {
+        **out,
+        "steal_guard": {
+            "steal_threshold": 0.05,
+            "ext_cpu_threshold": 0.25,
+            "host_ncpu": os.cpu_count(),
+            "samples": quality,
+        },
+    }
+    try:
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LATEST.json")
+        with open(side, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
     spark.stop()
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < 2000, f"headline bench line too long ({len(line)} bytes)"
+    print(line)
 
 
 if __name__ == "__main__":

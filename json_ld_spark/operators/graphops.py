@@ -1076,7 +1076,15 @@ def graph_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
     # graphs (perfect matchings) and degree-regular graphs (zero
     # assortativity variance) yield NULL instead of an ANSI
     # DIVIDE_BY_ZERO — the driver graph has all three denominators
-    # nonzero, so the oracle needs no mirroring branch
+    # nonzero, so the oracle needs no mirroring branch.
+    # Pearson terms go through double BEFORE the products: m*sxy etc.
+    # overflow int64 on large graphs (m ~ 2|E|, sxy up to |E|*maxdeg^2)
+    # and would raise ARITHMETIC_OVERFLOW under ANSI mode; each double
+    # product/subtraction is correctly rounded, so the 6-dp oracle
+    # replay (same casts in SQL) stays bit-exact.
+    def _dbl(c: str):
+        return F.col(c).cast("double")
+
     return counts.crossJoin(assort).select(
         F.col("n_nodes").cast("long").alias("n_nodes"),
         F.col("n_edges").cast("long").alias("n_edges"),
@@ -1088,14 +1096,10 @@ def graph_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
         ).alias("clustering_r"),
         F.round(
             F.try_divide(
-                F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"),
+                _dbl("m") * _dbl("sxy") - _dbl("sx") * _dbl("sy"),
                 F.sqrt(
-                    (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                        "double"
-                    )
-                    * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-                        "double"
-                    )
+                    (_dbl("m") * _dbl("sxx") - _dbl("sx") * _dbl("sx"))
+                    * (_dbl("m") * _dbl("syy") - _dbl("sy") * _dbl("sy"))
                 ),
             ),
             6,
@@ -1240,6 +1244,10 @@ def weighted_pagerank(
     frac = e.join(wdeg, "u").select(
         "u", "v", (F.col("w") / F.col("wd")).alias("frac")
     ).localCheckpoint(eager=False)
+    if n == 0:
+        # empty edge list: mirror textrank_keywords' guard — 1/n below
+        # would raise ZeroDivisionError on the driver
+        return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iters):

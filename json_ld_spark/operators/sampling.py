@@ -463,11 +463,22 @@ def temperature_mix(
     """
     import math
 
-    rows = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    # LIMIT the aggregation BEFORE collecting: the guard must fire
+    # without ever materializing a corpus-shaped group dictionary on
+    # the driver (an unbounded collect would OOM before it could
+    # "fail loudly"). The limit bounds driver memory at max_groups+1
+    # rows in every case, and when it isn't hit we already hold the
+    # complete counts — no second job.
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_groups + 1)
+        .collect()
+    )
     if len(rows) > max_groups:
         raise ValueError(
-            f"temperature_mix: {len(rows)} groups exceeds max_groups="
-            f"{max_groups} — group_col looks corpus-shaped, not a recipe key"
+            f"temperature_mix: >{max_groups} groups (max_groups="
+            f"{max_groups}) — group_col looks corpus-shaped, not a recipe key"
         )
     if not rows:
         return df.withColumn("epoch", F.lit(0)).limit(0)
@@ -548,10 +559,16 @@ def epoch_order(
     reshuffle-each-epoch contract of a training loader expressed as a
     pure projection + one rank window over the permutation key.
 
-    At 100 TB the global rank window is ONE range-partitioned sort on
-    a uniform 64-bit key (no skew by construction); writers that only
-    need the ORDER (not the dense rank) can sort-write by ``es_key``
-    directly and skip the window.
+    The rank is computed by the same two-phase pattern as
+    :func:`dense_index` — range-repartition on the (uniform, skew-free
+    by construction) permutation key, rank locally per partition, then
+    shift by broadcast per-partition offsets. A bare
+    ``row_number() OVER (ORDER BY __ek)`` would be a partition-less
+    window: Spark funnels the WHOLE corpus through one task — the worst
+    possible shape for an every-epoch full-corpus op. Driver state is
+    one count per shuffle partition. Writers that only need the ORDER
+    (not the dense rank) can sort-write by the key and skip ranking
+    entirely.
     """
     # 15 hex chars = 60 bits: comfortably inside BIGINT on BOTH engines
     # (16 chars can exceed 2^63 and breaks DuckDB's ::BIGINT hex cast)
@@ -566,9 +583,32 @@ def epoch_order(
         ),
         16, 10,
     ).cast("long")
-    w = Window.orderBy(F.col("__ek").asc(), F.col(id_col).asc())
-    return (
+    keyed = (
         df.withColumn("__ek", h)
-        .withColumn("epoch_rank", (F.row_number().over(w) - 1).cast("long"))
-        .drop("__ek")
+        .repartitionByRange(F.col("__ek"), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # one materialization serves both the counts collect and the final
+    # projection (no cross-consumer CSE in Spark)
+    local = keyed.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__pid").orderBy(
+                F.col("__ek").asc(), F.col(id_col).asc()
+            )
+        ),
+    ).localCheckpoint(eager=True)
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = df.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    return (
+        local.join(F.broadcast(off), "__pid")
+        .withColumn("epoch_rank", (F.col("__off") + F.col("__rn") - 1).cast("long"))
+        .drop("__ek", "__pid", "__rn", "__off")
     )

@@ -13,13 +13,13 @@ being built — that is by design (the audit doubles as a smoke run).
 from __future__ import annotations
 
 import importlib.util
+import re
 import sys
 
 REPO = "/root/repo"
 sys.path.insert(0, REPO)
 
 MARKERS = [
-    ("Exchange", "exchanges"),
     ("BroadcastHashJoin", "bhj"),
     ("SortMergeJoin", "smj"),
     ("ShuffledHashJoin", "shj"),
@@ -30,6 +30,89 @@ MARKERS = [
     ("BatchEvalPython", "row_python"),
     ("TakeOrderedAndProject", "take_ordered"),
 ]
+
+# ---------------------------------------------------------------------------
+# structural plan parsing — shared by the audit and tests/test_plan_shapes.py
+# ---------------------------------------------------------------------------
+
+_LINE = re.compile(r"^(?P<tree>[\s:+-]*)(?P<gen>\*\(\d+\)\s*)?(?P<node>\S.*)$")
+
+
+def plan_nodes(plan: str) -> list[tuple[int, str]]:
+    """Parse a physical-plan string into (indent, node_text) pairs.
+
+    The indent is the width of the tree-drawing prefix (spaces, ``:``,
+    ``+-``), which encodes tree depth; the codegen marker ``*(n)`` is
+    stripped so whole-stage-codegen'd nodes compare at the same depth.
+    """
+    out: list[tuple[int, str]] = []
+    for line in plan.splitlines():
+        m = _LINE.match(line)
+        if m is None:
+            continue
+        out.append((len(m.group("tree")), m.group("node")))
+    return out
+
+
+def _top_level_bracket_groups(s: str) -> int:
+    depth = groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+    return groups
+
+
+def partitionless_windows(plan: str) -> list[str]:
+    """Window nodes whose partition spec is EMPTY — Spark funnels the
+    entire input through one task ("No Partition Defined for Window
+    operation" condition), the single worst plan shape at scale. A
+    partitioned Window prints three top-level bracket groups
+    (``Window [exprs], [partition], [order]``); a partition-less one
+    prints two (``Window [exprs], [order]``)."""
+    hits = []
+    for _, node in plan_nodes(plan):
+        if node.startswith(("Window [", "WindowInPandas [")):
+            if _top_level_bracket_groups(node) < 3:
+                hits.append(node)
+    return hits
+
+
+_GLOBAL_AGG = re.compile(r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]")
+
+
+def single_partition_exchanges(plan: str) -> list[str]:
+    """``Exchange SinglePartition`` nodes whose structural parent is NOT
+    a global (grouping-key-less) aggregate. A scalar agg legitimately
+    funnels its map-side partials into one reducer; anything else
+    moving a whole relation into one partition (partition-less windows,
+    repartition(1), global collects) is a scale violation."""
+    nodes = plan_nodes(plan)
+    hits = []
+    for i, (indent, node) in enumerate(nodes):
+        if not node.startswith("Exchange SinglePartition"):
+            continue
+        parent = ""
+        for j in range(i - 1, -1, -1):
+            if nodes[j][0] < indent:
+                parent = nodes[j][1]
+                break
+        if not _GLOBAL_AGG.match(parent):
+            hits.append(f"{node}  <- parent: {parent[:80]}")
+    return hits
+
+
+def shuffle_exchange_count(plan: str) -> int:
+    """Shuffle Exchanges only — a bare ``plan.count("Exchange")`` also
+    matches every BroadcastExchange and inflates the shuffle column."""
+    return sum(1 for _, n in plan_nodes(plan) if n.startswith("Exchange "))
+
+
+def broadcast_exchange_count(plan: str) -> int:
+    return sum(1 for _, n in plan_nodes(plan) if n.startswith("BroadcastExchange"))
 
 # documented exceptions: queries whose PLAN legitimately contains a
 # BNLJ/cartesian, each with a bounded build side by construction
@@ -71,11 +154,21 @@ def main() -> None:
             bad.append((name, f"build error {type(ex).__name__}: {ex}"))
             continue
         c = {key: plan.count(marker) for marker, key in MARKERS}
+        c["exchanges"] = shuffle_exchange_count(plan)
+        c["bcast_exchanges"] = broadcast_exchange_count(plan)
+        pw = partitionless_windows(plan)
+        spx = single_partition_exchanges(plan)
+        c["partitionless_windows"] = len(pw)
+        c["bad_single_partition"] = len(spx)
         rows.append((name, c))
         if c["row_python"]:
             bad.append((name, "row-at-a-time Python eval in plan"))
         if (c["cartesian"] or c["bnlj"]) and name not in CARTESIAN_OK:
             bad.append((name, "undocumented cartesian/BNLJ"))
+        if pw:
+            bad.append((name, f"partition-less Window: {pw[0][:100]}"))
+        if spx:
+            bad.append((name, f"SinglePartition Exchange outside scalar agg: {spx[0][:120]}"))
 
     with open(f"{REPO}/PLANS_AUDIT.md", "w") as f:
         f.write(
@@ -84,7 +177,12 @@ def main() -> None:
             "(sf0.001, local[8], AQE initial plans). Gates: zero "
             "`BatchEvalPython` anywhere (no row-at-a-time Python); "
             "cartesian/BNLJ only in the documented brute-force/scalar "
-            f"rows ({', '.join(sorted(CARTESIAN_OK))}).\n\n"
+            f"rows ({', '.join(sorted(CARTESIAN_OK))}); zero Window "
+            "nodes with an EMPTY partition spec (the whole-input-"
+            "through-one-task shape); zero `Exchange SinglePartition` "
+            "outside scalar-aggregate roots. The Exchange column counts "
+            "SHUFFLE exchanges only (BroadcastExchange has its own "
+            "column).\n\n"
             "Caveat: iterative operators cut lineage with lazy\n"
             "localCheckpoints, so their per-round shuffles do NOT appear\n"
             "in the final plan counted here (a low Exchange count on\n"
@@ -92,17 +190,19 @@ def main() -> None:
             "checkpointed, not that the rounds were free — per-round\n"
             "shapes are documented in PLANS.md).\n\n"
         )
-        f.write("| query | Exchange | BHJ | SMJ | cartesian | BNLJ | "
-                "mapInPandas | ArrowEval | rowPython | TakeOrdered |\n")
-        f.write("|---|---|---|---|---|---|---|---|---|---|\n")
+        f.write("| query | ShuffleX | BcastX | BHJ | SMJ | cartesian | BNLJ | "
+                "mapInPandas | ArrowEval | rowPython | TakeOrdered | plWin | badSPX |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|---|---|---|\n")
         for name, c in rows:
             if "error" in c:
-                f.write(f"| {name} | build error: {c['error']} | | | | | | | | |\n")
+                f.write(f"| {name} | build error: {c['error']} | | | | | | | | | | | |\n")
                 continue
             f.write(
-                f"| {name} | {c['exchanges']} | {c['bhj']} | {c['smj']} | "
+                f"| {name} | {c['exchanges']} | {c['bcast_exchanges']} | "
+                f"{c['bhj']} | {c['smj']} | "
                 f"{c['cartesian']} | {c['bnlj']} | {c['map_in_pandas']} | "
-                f"{c['arrow_eval']} | {c['row_python']} | {c['take_ordered']} |\n"
+                f"{c['arrow_eval']} | {c['row_python']} | {c['take_ordered']} | "
+                f"{c['partitionless_windows']} | {c['bad_single_partition']} |\n"
             )
         f.write(f"\n**Violations: {len(bad)}**\n")
         for name, why in bad:

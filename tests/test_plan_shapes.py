@@ -94,6 +94,14 @@ def test_session3_operators_handle_empty_inputs(spark):
     gm = graph_metrics(empty_e).first()
     assert gm["n_nodes"] == 0 and gm["n_edges"] == 0
 
+    from json_ld_spark.operators.graphops import (
+        harmonic_closeness_sampled, weighted_pagerank,
+    )
+
+    assert weighted_pagerank(empty_w, iters=2).count() == 0
+    assert harmonic_closeness_sampled(empty_e, seeds, 2).count() == 0
+    assert harmonic_closeness_sampled(empty_e, no_seeds, 2).count() == 0
+
     docs = spark.createDataFrame([], "doc_id long, text string, lang string")
     some = spark.createDataFrame([(1, "a b c", "en")],
                                  "doc_id long, text string, lang string")
@@ -107,3 +115,97 @@ def test_session3_operators_handle_empty_inputs(spark):
 
     ev = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
     assert funnel(ev, ["view", "click"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# plan-audit detector regression tests (round-5): the audit must catch
+# the two shapes that slipped past the round-4 marker counts — a
+# partition-less Window and a SinglePartition Exchange outside a
+# scalar-aggregate root — and must NOT flag the legitimate cases.
+# ---------------------------------------------------------------------------
+
+def _audit():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", "/root/repo/scripts/plan_audit.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_plan_audit_flags_partitionless_window(spark):
+    """A deliberately-injected regression: row_number() over an
+    unpartitioned window is the exact shape the round-4 audit missed."""
+    from pyspark.sql import Window
+
+    pa = _audit()
+    df = spark.range(100).withColumn("k", F.col("id") % 3)
+    bad = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    plan = _plan(bad)
+    assert len(pa.partitionless_windows(plan)) == 1
+    # the same shape also produces an unjustified SinglePartition shuffle
+    assert len(pa.single_partition_exchanges(plan)) == 1
+
+    good = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert pa.partitionless_windows(_plan(good)) == []
+    assert pa.single_partition_exchanges(_plan(good)) == []
+
+
+def test_plan_audit_allows_scalar_agg_single_partition(spark):
+    pa = _audit()
+    plan = _plan(spark.range(100).agg(F.sum("id").alias("s")))
+    assert "Exchange SinglePartition" in plan  # the legit case exists...
+    assert pa.single_partition_exchanges(plan) == []  # ...and is not flagged
+    # broadcast exchanges must not inflate the shuffle count
+    b = spark.range(100).withColumn("k", F.col("id") % 3).join(
+        F.broadcast(spark.range(3).withColumnRenamed("id", "k")), "k"
+    )
+    bplan = _plan(b)
+    assert pa.broadcast_exchange_count(bplan) == 1
+    assert pa.shuffle_exchange_count(bplan) == 0
+
+
+def test_epoch_order_two_phase_rank_plan(spark):
+    """epoch_order must rank via range-repartition + local windows +
+    broadcast offsets — never a partition-less global window (the
+    round-4 scale defect) — while still producing a dense permutation."""
+    from json_ld_spark.operators.sampling import epoch_order
+
+    pa = _audit()
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(97)], "doc_id long, text string"
+    )
+    out = epoch_order(df, epoch=1, seed="s")
+    plan = _plan(out)
+    assert pa.partitionless_windows(plan) == []
+    assert pa.single_partition_exchanges(plan) == []
+    ranks = sorted(r["epoch_rank"] for r in out.collect())
+    assert ranks == list(range(97))
+    # deterministic across reruns and independent across epochs
+    again = sorted(
+        (r["doc_id"], r["epoch_rank"]) for r in epoch_order(df, 1, seed="s").collect()
+    )
+    assert again == sorted((r["doc_id"], r["epoch_rank"]) for r in out.collect())
+    e2 = {r["doc_id"]: r["epoch_rank"] for r in epoch_order(df, 2, seed="s").collect()}
+    assert any(e2[r[0]] != r[1] for r in again)
+
+
+def test_temperature_mix_guard_probes_before_collect(spark):
+    """A corpus-shaped group column must raise BEFORE materializing the
+    group dictionary: the collect is LIMIT-bounded at max_groups+1."""
+    import pytest
+
+    from json_ld_spark.operators.sampling import temperature_mix
+
+    corpus = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("source"),  # one group per row
+    )
+    with pytest.raises(ValueError, match="corpus-shaped"):
+        temperature_mix(corpus, "source", max_groups=8)
