@@ -54,41 +54,66 @@ def plan_nodes(plan: str) -> list[tuple[int, str]]:
     return out
 
 
-def _top_level_bracket_groups(s: str) -> int:
-    depth = groups = 0
+def _top_level_bracket_groups(s: str) -> list[str]:
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
     for ch in s:
         if ch == "[":
             if depth == 0:
-                groups += 1
+                buf = []
             depth += 1
+            if depth == 1:
+                continue
         elif ch == "]":
             depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+                continue
+        if depth > 0:
+            buf.append(ch)
     return groups
+
+
+_ORDER_SPEC = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)")
 
 
 def partitionless_windows(plan: str) -> list[str]:
     """Window nodes whose partition spec is EMPTY — Spark funnels the
     entire input through one task ("No Partition Defined for Window
-    operation" condition), the single worst plan shape at scale. A
-    partitioned Window prints three top-level bracket groups
-    (``Window [exprs], [partition], [order]``); a partition-less one
-    prints two (``Window [exprs], [order]``)."""
+    operation" condition), the single worst plan shape at scale.
+
+    Spark prints up to three top-level bracket groups: ``Window
+    [exprs], [partition], [order]`` — but OMITS empty specs, so a
+    partitioned-unordered window also prints two groups (``[exprs],
+    [partition]``). Disambiguate by content: an order spec always
+    carries ``ASC/DESC NULLS FIRST/LAST`` markers, a partition spec
+    never does."""
     hits = []
     for _, node in plan_nodes(plan):
-        if node.startswith(("Window [", "WindowInPandas [")):
-            if _top_level_bracket_groups(node) < 3:
-                hits.append(node)
+        if not node.startswith(("Window [", "WindowInPandas [")):
+            continue
+        groups = _top_level_bracket_groups(node)
+        if len(groups) >= 3:
+            continue  # [exprs], [partition], [order]
+        if len(groups) == 2 and not _ORDER_SPEC.search(groups[1]):
+            continue  # [exprs], [partition] — partitioned, unordered
+        hits.append(node)
     return hits
 
 
-_GLOBAL_AGG = re.compile(r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]")
+_SP_OK_PARENT = re.compile(
+    r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"  # scalar agg
+    r"|GlobalLimit |CollectLimit "  # row flow bounded by the limit itself
+)
 
 
 def single_partition_exchanges(plan: str) -> list[str]:
     """``Exchange SinglePartition`` nodes whose structural parent is NOT
-    a global (grouping-key-less) aggregate. A scalar agg legitimately
-    funnels its map-side partials into one reducer; anything else
-    moving a whole relation into one partition (partition-less windows,
+    a global (grouping-key-less) aggregate or a global limit. A scalar
+    agg legitimately funnels its map-side partials into one reducer and
+    a limit bounds the rows that cross; anything else moving a whole
+    relation into one partition (partition-less windows,
     repartition(1), global collects) is a scale violation."""
     nodes = plan_nodes(plan)
     hits = []
@@ -100,7 +125,7 @@ def single_partition_exchanges(plan: str) -> list[str]:
             if nodes[j][0] < indent:
                 parent = nodes[j][1]
                 break
-        if not _GLOBAL_AGG.match(parent):
+        if not _SP_OK_PARENT.match(parent):
             hits.append(f"{node}  <- parent: {parent[:80]}")
     return hits
 
@@ -127,6 +152,17 @@ CARTESIAN_OK = {
     "kg_sparql_select",         # null-OR-equal predicate is non-equi by
                                 # spec; build side = the inline VALUES
                                 # table, bounded by the query text
+}
+
+# documented exceptions for the single-partition detectors: queries
+# whose ordered-global window / SinglePartition exchange runs over an
+# input BOUNDED by construction (not the corpus), so one task is the
+# correct plan — the same justification as a scalar aggregate.
+SINGLE_PARTITION_OK = {
+    "sketch_histogram_quantiles",  # cumulative sum over the BUCKET
+                                   # histogram: <= n_buckets rows by
+                                   # construction (the corpus pass is
+                                   # the groupBy that built it)
 }
 
 
@@ -165,9 +201,9 @@ def main() -> None:
             bad.append((name, "row-at-a-time Python eval in plan"))
         if (c["cartesian"] or c["bnlj"]) and name not in CARTESIAN_OK:
             bad.append((name, "undocumented cartesian/BNLJ"))
-        if pw:
+        if pw and name not in SINGLE_PARTITION_OK:
             bad.append((name, f"partition-less Window: {pw[0][:100]}"))
-        if spx:
+        if spx and name not in SINGLE_PARTITION_OK:
             bad.append((name, f"SinglePartition Exchange outside scalar agg: {spx[0][:120]}"))
 
     with open(f"{REPO}/PLANS_AUDIT.md", "w") as f:
@@ -180,9 +216,13 @@ def main() -> None:
             f"rows ({', '.join(sorted(CARTESIAN_OK))}); zero Window "
             "nodes with an EMPTY partition spec (the whole-input-"
             "through-one-task shape); zero `Exchange SinglePartition` "
-            "outside scalar-aggregate roots. The Exchange column counts "
-            "SHUFFLE exchanges only (BroadcastExchange has its own "
-            "column).\n\n"
+            "outside scalar-aggregate/global-limit roots — except the "
+            "documented bounded-input rows "
+            f"({', '.join(sorted(SINGLE_PARTITION_OK))}: the global "
+            "window runs over a table bounded by construction, e.g. "
+            "the <=n_buckets histogram, never the corpus). The ShuffleX "
+            "column counts SHUFFLE exchanges only (BroadcastExchange "
+            "has its own column).\n\n"
             "Caveat: iterative operators cut lineage with lazy\n"
             "localCheckpoints, so their per-round shuffles do NOT appear\n"
             "in the final plan counted here (a low Exchange count on\n"

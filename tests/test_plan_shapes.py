@@ -156,6 +156,22 @@ def test_plan_audit_flags_partitionless_window(spark):
     assert pa.partitionless_windows(_plan(good)) == []
     assert pa.single_partition_exchanges(_plan(good)) == []
 
+    # a partitioned-UNORDERED window prints only two bracket groups
+    # ([exprs], [partition]) — it must NOT be mistaken for partition-less
+    # (the bm25/lm_score/exact-dedup single-pass shape)
+    unordered = df.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    )
+    assert pa.partitionless_windows(_plan(unordered)) == []
+
+    # Exchange SinglePartition under a GlobalLimit is bounded by the
+    # limit itself — allowed
+    limited = df.orderBy("k").limit(5).join(
+        spark.range(10).withColumnRenamed("id", "k2"),
+        F.col("k") == F.col("k2"),
+    ).limit(3)
+    assert pa.single_partition_exchanges(_plan(limited)) == []
+
 
 def test_plan_audit_allows_scalar_agg_single_partition(spark):
     pa = _audit()
