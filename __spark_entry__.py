@@ -3137,6 +3137,56 @@ def q_data_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenization (operators/bpe.py): 30 merges learned
+    from the corpus (distributed pre-token counting -> capped
+    word-frequency table -> deterministic driver merge loop, the
+    FAISS-codebook bounded-state pattern), applied as a pure JVM
+    projection — fold of replace() over ONE literal merge array per
+    pre-token (Sennrich apply-in-learned-order semantics). Output per
+    doc: EXACT token count + md5 of the canonical encoded token
+    stream. Oracle: DuckDB replays BOTH the training (30 unrolled
+    merge-round CTEs over the same capped word table) and the
+    application (list_reduce of replace over the same merge list) —
+    value-exact, no approximation anywhere."""
+    from json_ld_spark.operators import bpe
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, n_merges=30, max_words=1500)
+    if len(merges) != 30:  # loud contract: short tables break budgets
+        raise ValueError(f"expected 30 merges, learned {len(merges)}")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        bpe.bpe_token_count(t, merges).alias("n_bpe_tokens"),
+        bpe.bpe_stream_md5(t, merges).alias("stream_md5"),
+    )
+
+
+def q_data_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing driven by EXACT BPE token counts (the trainer
+    contract is tokens, not words): bpe.bpe_token_count feeds
+    sampling.pack_documents per language shard at a 2000-token budget.
+    Oracle: the BPE training+application replay CTEs + the identical
+    SUM OVER window."""
+    from json_ld_spark.operators import bpe
+    from json_ld_spark.operators import sampling as sp
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, n_merges=30, max_words=1500)
+    toks = docs.select(
+        "doc_id", "lang",
+        bpe.bpe_token_count(F.col("text"), merges).alias("n_bpe_tokens"),
+    )
+    out = sp.pack_documents(
+        toks, "n_bpe_tokens", budget=2000, order_col="doc_id",
+        shard_col="lang",
+    )
+    return out.select("doc_id", "lang", "n_bpe_tokens", "pack_id")
+
+
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranked retrieval (operators/retrieval.py) for a fixed
     query over the documents corpus: postings pre-filtered to the query
@@ -3958,6 +4008,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_stratified_sample": q_data_stratified_sample,
         "data_sample_per_key": q_data_sample_per_key,
         "data_pack_documents": q_data_pack_documents,
+        "data_bpe_tokens": q_data_bpe_tokens,
+        "data_pack_bpe": q_data_pack_bpe,
         "text_bm25_topk": q_text_bm25_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio_features": q_multimodal_audio_features,
@@ -7044,6 +7096,87 @@ SELECT doc_id, lang, n_tok::BIGINT AS n_tok,
 FROM t
 """
 
+# BPE oracle: DuckDB replays the ENTIRE tokenizer — training and
+# application. Training: the capped word-frequency table (top-1500 by
+# count DESC, token ASC — deterministic total order), then 30 unrolled
+# merge rounds, each one MATERIALIZED CTE pair (argmax pair by count
+# DESC then pair ASC = the Python trainer's tie-break; binary UTF-8
+# collation == Python code-point order). Application: per pre-token,
+# fold replace() over the learned merge list on the chr(31)-interleaved
+# representation — replace() is non-overlapping left-to-right in BOTH
+# engines, which IS Sennrich apply order. AS MATERIALIZED is required:
+# DuckDB inlines multiply-referenced CTEs exponentially (repo rule
+# from the HITS oracle).
+
+def _bpe_prefix_sql(n_merges: int = 30, max_words: int = 1500) -> str:
+    from json_ld_spark.operators.bpe import PRETOKEN_RE
+
+    parts = [f"""WITH v0 AS MATERIALIZED (
+  SELECT regexp_replace(tok, '(.)', chr(31)||'\\1', 'g') AS w,
+         CAST(cnt AS BIGINT) AS cnt
+  FROM (
+    SELECT t.tok AS tok, COUNT(*) AS cnt
+    FROM documents, UNNEST(regexp_extract_all(text, '{PRETOKEN_RE}')) AS t(tok)
+    GROUP BY t.tok ORDER BY cnt DESC, tok ASC LIMIT {max_words}
+  )
+)"""]
+    for k in range(n_merges):
+        parts.append(f"""b{k} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT syms[i] AS a, syms[i+1] AS b, cnt
+    FROM (SELECT string_split(w, chr(31))[2:] AS syms, cnt FROM v{k}) s,
+         UNNEST(range(1, len(s.syms))) AS r(i)
+  ) GROUP BY a, b ORDER BY SUM(cnt) DESC, a ASC, b ASC LIMIT 1
+)""")
+        parts.append(f"""v{k + 1} AS MATERIALIZED (
+  SELECT replace(w, chr(31)||a||chr(31)||b, chr(31)||a||b) AS w, cnt
+  FROM v{k}, b{k}
+)""")
+    mrg = "\n  UNION ALL ".join(
+        f"SELECT {k} AS r, chr(31)||a||chr(31)||b||chr(30)||chr(31)||a||b AS m FROM b{k}"
+        for k in range(n_merges)
+    )
+    parts.append(f"mrg AS ({mrg})")
+    parts.append("ml AS (SELECT list(m ORDER BY r) AS ms FROM mrg)")
+    parts.append(f"""app AS (
+  SELECT doc_id, lang,
+    list_transform(
+      regexp_extract_all(text, '{PRETOKEN_RE}'),
+      tok -> list_reduce(
+        list_prepend(regexp_replace(tok, '(.)', chr(31)||'\\1', 'g'), ms),
+        (acc, m) -> replace(acc, split_part(m, chr(30), 1), split_part(m, chr(30), 2))
+      )
+    ) AS folded
+  FROM documents, ml
+)""")
+    parts.append("""cnts AS (
+  SELECT doc_id, lang,
+         CAST(COALESCE(list_sum(list_transform(folded,
+              s -> length(s) - length(replace(s, chr(31), '')))), 0) AS BIGINT)
+           AS n_bpe_tokens,
+         md5(array_to_string(folded, '')) AS stream_md5
+  FROM app
+)""")
+    return ",\n".join(parts)
+
+
+_BPE_TOKENS_SQL = (
+    _bpe_prefix_sql()
+    + "\nSELECT doc_id, n_bpe_tokens, stream_md5 FROM cnts"
+)
+
+_PACK_BPE_SQL = (
+    _bpe_prefix_sql()
+    + """
+SELECT doc_id, lang, n_bpe_tokens,
+       CAST(FLOOR(
+         (SUM(n_bpe_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_bpe_tokens) / 2000) AS BIGINT) AS pack_id
+FROM cnts
+"""
+)
+
 # BM25 oracle: same token normalization as the simhash/fingerprint
 # oracles; expression association mirrors retrieval.bm25 exactly so the
 # only cross-engine divergence is the per-doc SUM order (round 6)
@@ -7798,6 +7931,8 @@ def oracle_sql() -> dict[str, str]:
         "data_stratified_sample": _STRAT_SAMPLE_SQL,
         "data_sample_per_key": _SAMPLE_PER_KEY_SQL,
         "data_pack_documents": _PACK_SQL,
+        "data_bpe_tokens": _BPE_TOKENS_SQL,
+        "data_pack_bpe": _PACK_BPE_SQL,
         "text_bm25_topk": _BM25_SQL,
         "multimodal_features": _MM_FEATURES_SQL,
         "multimodal_audio_features": _AUDIO_FEATURES_SQL,
