@@ -1805,6 +1805,28 @@ def q_kg_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").cast("long").alias("node"), "harmonic_r")
 
 
+def q_kg_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighbourhood function (graphops.hyperball, Boldi &
+    Vigna 2013) over the co-purchase graph: one HLL counter per node
+    (m=64 md5-bridge registers), three merge rounds — N(t) rows for
+    t=0..3, from which effective diameter falls out. The two integer
+    columns (summed scaled harmonic mass + zero-register count) are
+    exact order-independent aggregates; the estimate column is 4-dp
+    rounded. Oracle: registers + 3 merge rounds + per-node estimator
+    unrolled in SQL (integer register math end-to-end)."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    ed = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .dropDuplicates()
+    )
+    return gops.hyperball(ed, max_t=3, p=6)
+
+
 def q_kg_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row structural profile (graphops.graph_metrics) of the
     co-purchase graph: node/edge counts, mean degree, global
@@ -3961,6 +3983,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_weighted_pagerank": q_kg_weighted_pagerank,
         "kg_ktruss": q_kg_ktruss,
         "kg_graph_metrics": q_kg_graph_metrics,
+        "kg_hyperball": q_kg_hyperball,
         "kg_betweenness": q_kg_betweenness,
         "kg_harmonic_closeness": q_kg_harmonic_closeness,
         "kg_weighted_paths": q_kg_weighted_paths,
@@ -5685,6 +5708,64 @@ FROM ({union}) GROUP BY v"""
 
 
 _HARMONIC_SQL = _harmonic_sql(max_hops=3)
+
+
+def _hyperball_sql(max_t: int = 3, p: int = 6) -> str:
+    """HyperBall replay: per-node HLL registers (integer md5-bridge
+    math, the sketch_hll recipe at m=2^p), max_t unrolled merge rounds
+    (register-wise MAX over the symmetric edge join), per-node
+    estimator + corpus sums per radius. Every register value is
+    integer; MATERIALIZED hints keep DuckDB from exponentially
+    inlining the multiply-referenced round CTEs."""
+    from json_ld_spark.operators.sketches import _alpha
+
+    m = 1 << p
+    q = 32 - p
+    num = repr(float(_alpha(m)) * float(m * m) * float(1 << 32))
+    parts = [f"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+), r0 AS MATERIALIZED (
+  SELECT node, hv // {1 << q} AS bucket,
+         CASE WHEN hv % {1 << q} = 0 THEN {q + 1}
+              ELSE {q + 1} - length(bin(hv % {1 << q})) END AS rho
+  FROM (
+    SELECT node, ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8))::BIGINT AS hv
+    FROM (SELECT DISTINCT u AS node FROM e)
+  )
+)"""]
+    for t in range(1, max_t + 1):
+        parts.append(f"""r{t} AS MATERIALIZED (
+  SELECT node, bucket, MAX(rho) AS rho FROM (
+    SELECT node, bucket, rho FROM r{t - 1}
+    UNION ALL
+    SELECT e.v AS node, r.bucket, r.rho FROM e JOIN r{t - 1} r ON e.u = r.node
+  ) GROUP BY node, bucket
+)""")
+    for t in range(max_t + 1):
+        parts.append(f"""nf{t} AS (
+  SELECT CAST({t} AS BIGINT) AS t,
+         CAST(SUM(s_scaled) AS BIGINT) AS sum_s_scaled,
+         CAST(SUM(n_zero) AS BIGINT) AS sum_n_zero,
+         round(SUM(CASE WHEN {num} / s_scaled <= {float(2.5 * m)!r} AND n_zero > 0
+                        THEN {float(m)!r} * ln({float(m)!r} / n_zero)
+                        ELSE {num} / s_scaled END), 4) AS npairs_r
+  FROM (
+    SELECT CAST({m} - COUNT(*) AS BIGINT) AS n_zero,
+           CAST(SUM(1::BIGINT << (32 - rho))
+                + ({m} - COUNT(*)) * 4294967296 AS BIGINT) AS s_scaled
+    FROM r{t} GROUP BY node
+  )
+)""")
+    union = "\nUNION ALL ".join(f"SELECT * FROM nf{t}" for t in range(max_t + 1))
+    return ",\n".join(parts) + "\n" + union
+
+
+_HYPERBALL_SQL = _hyperball_sql()
 
 _GRAPH_METRICS_SQL = r"""
 WITH e AS MATERIALIZED (
@@ -7884,6 +7965,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_weighted_pagerank": _WPAGERANK_SQL,
         "kg_ktruss": _KTRUSS_SQL,
         "kg_graph_metrics": _GRAPH_METRICS_SQL,
+        "kg_hyperball": _HYPERBALL_SQL,
         "kg_betweenness": _BETWEENNESS_SQL,
         "kg_harmonic_closeness": _HARMONIC_SQL,
         "kg_weighted_paths": _WPATHS_SQL,

@@ -1326,3 +1326,108 @@ def harmonic_closeness_sampled(
     return allc.groupBy("v").agg(
         F.round(F.sum("c"), 6).alias("harmonic_r")
     ).select(F.col("v").alias("node"), "harmonic_r")
+
+
+def hyperball(
+    edges: DataFrame,
+    max_t: int = 3,
+    p: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013, "In-core computation of geometric
+    centralities with HyperBall"): the neighbourhood function
+    ``N(t) = sum over v of |B(v, t)|`` estimated by keeping ONE
+    HyperLogLog counter per node and, each round, merging every
+    neighbour's counter into it (register-wise max) — the standard
+    big-graph distance profile, from which effective diameter falls
+    out (:func:`effective_diameter`).
+
+    Composition of the repo's two deterministic primitives: the
+    md5-bridge HLL registers (sketches.hll_registers math, here
+    per-node at ``m = 2**p`` registers) and the §26 frontier-loop shape
+    (per round ONE node-keyed equi-join + one (node, bucket) groupBy
+    MAX, lazy localCheckpoint, a single probe job). State is at most
+    ``nodes x m`` register rows — HyperBall's documented memory bound —
+    and every register is INTEGER, so the whole loop replays exactly
+    in SQL; the only floats are the final estimator divisions.
+
+    Returns one row per radius: ``(t, sum_s_scaled, sum_n_zero,
+    npairs_r)`` for t = 0..max_t — the two integer columns are
+    order-independent exact aggregates (the verification anchor), and
+    ``npairs_r`` is the neighbourhood-function estimate (per-node HLL
+    estimate summed, 4-dp round absorbing float sum order).
+    """
+    from .sketches import _HASH_BITS, _alpha
+
+    m = 1 << p
+    q = _HASH_BITS - p
+    e = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
+    nodes = e.select(F.col("u").alias("node")).dropDuplicates()
+    h = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    w = h % F.lit(1 << q)
+    regs = nodes.select(
+        "node",
+        (h / F.lit(1 << q)).cast("bigint").alias("bucket"),
+        F.when(w == 0, F.lit(q + 1))
+        .otherwise(F.lit(q) + 1 - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho"),
+    ).localCheckpoint(eager=False)
+
+    num = float(_alpha(m)) * float(m * m) * float(1 << _HASH_BITS)
+
+    def nf(regs_t: DataFrame, t: int) -> DataFrame:
+        per = regs_t.groupBy("node").agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), {_HASH_BITS} - rho)")
+            ).alias("s_present"),
+        )
+        vals = per.select(
+            (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero"),
+            (
+                F.col("s_present")
+                + (F.lit(m) - F.col("n_present")) * F.lit(1 << _HASH_BITS)
+            ).cast("long").alias("s_scaled"),
+        )
+        est = F.when(
+            (F.lit(num) / F.col("s_scaled") <= F.lit(2.5 * m))
+            & (F.col("n_zero") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero")),
+        ).otherwise(F.lit(num) / F.col("s_scaled"))
+        return vals.agg(
+            F.lit(t).cast("long").alias("t"),
+            F.coalesce(F.sum("s_scaled"), F.lit(0)).cast("long").alias("sum_s_scaled"),
+            F.coalesce(F.sum("n_zero"), F.lit(0)).cast("long").alias("sum_n_zero"),
+            F.coalesce(F.round(F.sum(est), 4), F.lit(0.0)).alias("npairs_r"),
+        )
+
+    out = nf(regs, 0)
+    for t in range(1, max_t + 1):
+        prop = e.join(regs, e["u"] == regs["node"]).select(
+            e["v"].alias("node"), "bucket", "rho"
+        )
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=False)
+        )
+        regs.count()  # one probe job materializes the round
+        out = out.unionByName(nf(regs, t))
+    return out
+
+
+def effective_diameter(nf_rows: list, q: float = 0.9) -> int:
+    """Smallest radius t with N(t) >= q * N(max_t), from the COLLECTED
+    (max_t + 1)-row neighbourhood function — bounded driver state by
+    construction."""
+    byt = sorted((r["t"], r["npairs_r"]) for r in nf_rows)
+    target = q * byt[-1][1]
+    for t, n in byt:
+        if n >= target:
+            return int(t)
+    return int(byt[-1][0])

@@ -991,3 +991,53 @@ def test_harmonic_closeness_disconnection_robust(spark):
     got = {r["node"]: r["harmonic_r"]
            for r in g.harmonic_closeness_sampled(e, seeds, 3).collect()}
     assert got == {"b": 1.0, "y": 1.0}
+
+
+# ---------------------------------------------------------------------------
+# HyperBall (round 5)
+# ---------------------------------------------------------------------------
+
+def test_hyperball_neighbourhood_function_grows_and_saturates(spark):
+    from json_ld_spark.operators.graphops import effective_diameter, hyperball
+
+    # path a-b-c-d: diameter 3; N(t) strictly grows until t=3
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    rows = hyperball(e, max_t=3, p=6).collect()
+    byt = {r["t"]: r for r in rows}
+    assert sorted(byt) == [0, 1, 2, 3]
+    n = [byt[t]["npairs_r"] for t in range(4)]
+    assert n[0] < n[1] < n[2] < n[3]
+    # registers only fill: zero-register mass decreases, scaled
+    # harmonic mass decreases (both integer-exact)
+    for t in range(3):
+        assert byt[t + 1]["sum_n_zero"] <= byt[t]["sum_n_zero"]
+        assert byt[t + 1]["sum_s_scaled"] <= byt[t]["sum_s_scaled"]
+    # t=0: every ball is {v} — exactly one register set per node
+    m = 64
+    assert byt[0]["sum_n_zero"] == 4 * (m - 1)
+    assert effective_diameter(rows) in (2, 3)  # ~90% mass by t>=2
+
+
+def test_hyperball_clique_saturates_at_one_hop(spark):
+    from json_ld_spark.operators.graphops import effective_diameter, hyperball
+
+    nodes = [f"n{i}" for i in range(5)]
+    e = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a < b], ["src", "dst"]
+    )
+    rows = hyperball(e, max_t=2, p=6).collect()
+    byt = {r["t"]: r for r in rows}
+    # B(v,1) is already the whole clique: rounds 1 and 2 identical
+    assert byt[1]["sum_s_scaled"] == byt[2]["sum_s_scaled"]
+    assert byt[1]["npairs_r"] == byt[2]["npairs_r"]
+    assert effective_diameter(rows) == 1
+
+
+def test_hyperball_empty_graph(spark):
+    from json_ld_spark.operators.graphops import hyperball
+
+    e = spark.createDataFrame([], "src string, dst string")
+    rows = hyperball(e, max_t=1, p=6).collect()
+    assert [(r["t"], r["npairs_r"]) for r in sorted(rows)] == [(0, 0.0), (1, 0.0)]
