@@ -162,6 +162,26 @@ def main() -> None:
 
     _ncpu = os.cpu_count() or cores
 
+    # Memory-subsystem contention probe (round-5 root-cause work,
+    # scripts/linked_variance.py): co-tenant episodes on this host slow
+    # memory-heavy Spark tasks 10-30x while /proc/stat steal stays 0 and
+    # no external PROCESS burns CPU — the only guest-visible symptom is
+    # that random-stride memory reads dilate (measured up to 122x while
+    # an ALU-bound loop stayed at ~1.3x). A fixed random-gather over a
+    # 128 MB array, timed before/after each sample, flags those
+    # otherwise-invisible episodes.
+    import numpy as _np
+
+    _mem_arr = _np.arange(16_000_000, dtype=_np.int64)
+    _mem_idx = _np.random.default_rng(7).integers(0, 16_000_000, 2_000_000)
+
+    def _mem_probe() -> float:
+        t0 = time.monotonic()
+        _mem_arr[_mem_idx].sum()
+        return time.monotonic() - t0
+
+    _mem_base = min(_mem_probe() for _ in range(7))
+
     def run(name: str, thunk, warm=None):
         if warm is not None:
             warm()  # compile codegen + spin python workers outside the timer
@@ -170,9 +190,12 @@ def main() -> None:
             st0, busy0, tot0 = _proc_stat()
             c0 = _jvm_cpu_sec()
             p0 = _tree_cpu_sec()
+            m0 = _mem_probe()
             t0 = time.time()
             counts[name] = thunk()
             wall = time.time() - t0
+            m1 = _mem_probe()
+            mem_x = round(min(m0, m1) / _mem_base, 1)
             st1, busy1, tot1 = _proc_stat()
             c1 = _jvm_cpu_sec()
             p1 = _tree_cpu_sec()
@@ -199,7 +222,9 @@ def main() -> None:
                 "ext_cpu_frac": round(ext_cpu_frac, 4),
                 "loadavg1": round(os.getloadavg()[0], 2),
                 "cpu_util": util,
-                "dirty": steal_pct > 0.05 or ext_cpu_frac > 0.25,
+                "mem_probe_x": mem_x,
+                "dirty": steal_pct > 0.05 or ext_cpu_frac > 0.25
+                or mem_x > 3.0,
             })
             if len([x for x in samples if not x["dirty"]]) >= 3:
                 break

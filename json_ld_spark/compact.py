@@ -566,10 +566,16 @@ def compact_iri(
             continue
         cand = term + ":" + iri[len(td.iri):]
         if candidate is None or (len(cand), cand) < (len(candidate), candidate):
+            # spec §6.2.2 step 9.4: a candidate colliding with an
+            # existing term is usable ONLY when that term maps to the
+            # same IRI AND value is null — i.e. for bare-IRI positions
+            # (types, @id values, aliases); for property KEYS with a
+            # value present the existing term's coercions could change
+            # the round-trip, so the candidate is rejected
+            # (ref iri.rs:449-455: `candidate_def.value() == Some(var)
+            # && value.is_none()`)
             existing = active.terms.get(cand)
-            if existing is None or (existing.iri == iri and "@id" in {}):
-                candidate = cand
-            elif existing.iri == iri:
+            if existing is None or (existing.iri == iri and value is None):
                 candidate = cand
     if candidate is not None:
         return candidate
