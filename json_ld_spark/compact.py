@@ -401,6 +401,16 @@ def _nest_target(active: ActiveContext, prop: str, result: dict) -> dict:
     td = active.terms.get(prop)
     if td is not None and td.nest is not None:
         nest_term = td.nest
+        # compaction-side @nest validation (ref property.rs:313-326):
+        # a nest term other than the literal @nest must be a term that
+        # EXPANDS to @nest — anything else is invalid @nest value at
+        # compact time (definition time only rejects other keywords)
+        if nest_term != "@nest":
+            nest_td = active.terms.get(nest_term)
+            if nest_td is None or nest_td.iri != "@nest":
+                from . import errors as E
+
+                raise E.InvalidNestValue(nest_term)
         return result.setdefault(nest_term, {})
     return result
 
@@ -623,6 +633,26 @@ def make_relative_iri(base: str, iri: str) -> Optional[str]:
         rel = "./"
     if rel.split("/", 1)[0].find(":") != -1:
         rel = "./" + rel
+    return _disambiguate_keyword(rel)
+
+
+def _disambiguate_keyword(rel: str) -> str:
+    """A relative IRI that LOOKS like a keyword (``@`` + alphas, e.g.
+    ``@foo``) would be dropped as an unknown keyword on re-expansion;
+    prefix ``./`` so the round trip preserves it (ref
+    iri.rs:505-511 ``disambiguate_keyword`` / syntax is_keyword_like:
+    len > 1, '@', then alphas only). True keywords can never reach
+    here (they are not IRIs), but keep the reference's exact guard."""
+    from .context import KEYWORDS
+
+    if (
+        len(rel) > 1
+        and rel[0] == "@"
+        and rel[1:].isalpha()
+        and rel[1:].isascii()
+        and rel not in KEYWORDS
+    ):
+        return "./" + rel
     return rel
 
 

@@ -80,10 +80,13 @@ def main() -> None:
         "",
         f"Also covered: {n_exp} expanded-form equality cases, {n_flat}",
         f"flattened-form cases, {n_comp} compacted-form cases, {n_err}",
-        f"negative (error) cases (suite total {len(CASES)}; round 4",
-        "added @import interactions, @propagate scoped-context",
-        "behavior under compaction, compact-IRI corners and 14",
-        "compaction-side negatives), plus the",
+        f"negative (error) cases (suite total {len(CASES)}; round 5",
+        "added 39 cases on compact-IRI candidate selection",
+        "(iri.rs:88-511), the IRI-confused-with-prefix family,",
+        "keyword-like relative disambiguation, compact-time @nest",
+        "validation and @import merge interactions, incl. 12 new",
+        "compaction-side negatives — authoring them surfaced and",
+        "fixed three real compaction bugs), plus the",
         "distributed-path gate (tests/test_golden_parity.py::"
         "test_spark_golden_pr_gate) running every positive case through",
         "Spark `triples_stage` with canonical bnode labels.",

@@ -32,6 +32,7 @@ SUITE_V6 = json.loads((_FIXDIR / "golden_suite_v6.json").read_text())
 SUITE_V7 = json.loads((_FIXDIR / "golden_suite_v7.json").read_text())
 SUITE_V8 = json.loads((_FIXDIR / "golden_suite_v8.json").read_text())
 SUITE_V9 = json.loads((_FIXDIR / "golden_suite_v9.json").read_text())
+SUITE_V10 = json.loads((_FIXDIR / "golden_suite_v10.json").read_text())
 CASES = (
     SUITE["cases"]
     + SUITE_V2["cases"]
@@ -42,6 +43,7 @@ CASES = (
     + SUITE_V7["cases"]
     + SUITE_V8["cases"]
     + SUITE_V9["cases"]
+    + SUITE_V10["cases"]
 )
 
 
