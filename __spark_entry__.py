@@ -3209,6 +3209,54 @@ def q_data_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_bpe_tokens", "pack_id")
 
 
+def q_data_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin mixture schedule (sampling.interleave_groups):
+    reading in interleave_pos order rotates through the languages one
+    doc per cycle, each language internally md5-permuted — pure
+    arithmetic (rank * n_groups + group_slot), no global window.
+    Oracle: the same partitioned ROW_NUMBER + DENSE_RANK arithmetic."""
+    from json_ld_spark.operators import sampling as sp
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    out = sp.interleave_groups(docs, "lang", "doc_id", seed="r5")
+    return out.select("doc_id", "lang", "grp_rank", "interleave_pos")
+
+
+def q_data_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility profile over the EXACT BPE
+    counts (operators/bpe.py): chars per token and tokens per document
+    by language — the standard multilingual-tokenizer equity metric
+    (a language with high chars/token is under-served by the learned
+    merges). One groupBy(lang) over the zero-shuffle token projection.
+    Oracle: the BPE training+application replay + the same integer
+    aggregates (6-dp rounded ratios)."""
+    from json_ld_spark.operators import bpe
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, n_merges=30, max_words=1500)
+    t = F.col("text")
+    per = docs.select(
+        "lang",
+        bpe.bpe_token_count(t, merges).alias("n_tok"),
+        F.length(F.concat_ws("", F.regexp_extract_all(t, F.lit(bpe.PRETOKEN_RE), 0))).cast("long").alias("n_chars"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            "lang", "n_docs", "sum_tokens", "sum_chars",
+            F.round(F.col("sum_chars") / F.col("sum_tokens"), 6).alias("chars_per_token_r"),
+            F.round(F.col("sum_tokens") / F.col("n_docs"), 6).alias("tokens_per_doc_r"),
+        )
+    )
+
+
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranked retrieval (operators/retrieval.py) for a fixed
     query over the documents corpus: postings pre-filtered to the query
@@ -4033,6 +4081,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_pack_documents": q_data_pack_documents,
         "data_bpe_tokens": q_data_bpe_tokens,
         "data_pack_bpe": q_data_pack_bpe,
+        "data_bpe_stats": q_data_bpe_stats,
+        "data_interleave": q_data_interleave,
         "text_bm25_topk": q_text_bm25_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio_features": q_multimodal_audio_features,
@@ -7258,6 +7308,49 @@ FROM cnts
 """
 )
 
+# per-language fertility: sum_chars counts pre-token characters only
+# (whitespace carries no tokens), mirroring the Spark projection
+from json_ld_spark.operators.bpe import PRETOKEN_RE as _BPE_RE  # noqa: E402
+
+_BPE_STATS_SQL = (
+    _bpe_prefix_sql()
+    + f"""
+, chars AS (
+  SELECT doc_id,
+         CAST(length(array_to_string(regexp_extract_all(text,
+              '{_BPE_RE}'), '')) AS BIGINT) AS n_chars
+  FROM documents
+)"""
+    + """
+SELECT c.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(c.n_bpe_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(ch.n_chars) AS BIGINT) AS sum_chars,
+       round(SUM(ch.n_chars)::DOUBLE / SUM(c.n_bpe_tokens), 6) AS chars_per_token_r,
+       round(SUM(c.n_bpe_tokens)::DOUBLE / COUNT(*), 6) AS tokens_per_doc_r
+FROM cnts c JOIN chars ch USING (doc_id)
+GROUP BY c.lang
+"""
+)
+
+_INTERLEAVE_SQL = r"""
+WITH gi AS (
+  SELECT lang, DENSE_RANK() OVER (ORDER BY lang) - 1 AS g,
+         (SELECT COUNT(DISTINCT lang) FROM documents) AS n
+  FROM (SELECT DISTINCT lang FROM documents)
+), r AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('ilv|r5|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id) - 1 AS BIGINT) AS grp_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.grp_rank,
+       CAST(r.grp_rank * gi.n + gi.g AS BIGINT) AS interleave_pos
+FROM r JOIN gi USING (lang)
+"""
+
 # BM25 oracle: same token normalization as the simhash/fingerprint
 # oracles; expression association mirrors retrieval.bm25 exactly so the
 # only cross-engine divergence is the per-doc SUM order (round 6)
@@ -8015,6 +8108,8 @@ def oracle_sql() -> dict[str, str]:
         "data_pack_documents": _PACK_SQL,
         "data_bpe_tokens": _BPE_TOKENS_SQL,
         "data_pack_bpe": _PACK_BPE_SQL,
+        "data_bpe_stats": _BPE_STATS_SQL,
+        "data_interleave": _INTERLEAVE_SQL,
         "text_bm25_topk": _BM25_SQL,
         "multimodal_features": _MM_FEATURES_SQL,
         "multimodal_audio_features": _AUDIO_FEATURES_SQL,

@@ -612,3 +612,78 @@ def epoch_order(
         .withColumn("epoch_rank", (F.col("__off") + F.col("__rn") - 1).cast("long"))
         .drop("__ek", "__pid", "__rn", "__off")
     )
+
+
+def interleave_groups(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "",
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Deterministic round-robin interleave across groups — the
+    mixture SCHEDULE of a multilingual/multi-source training run:
+    reading rows in ``interleave_pos`` order visits the groups in a
+    fixed rotation (one row per group per cycle, while each group
+    lasts), with each group's internal order a fresh (seed)-keyed
+    md5-bridge permutation. Consecutive same-group batches are what
+    the schedule exists to prevent.
+
+    Pure arithmetic, NO global window: within-group rank ``r`` comes
+    from one group-partitioned window (partitioned — the audited-safe
+    shape) over the permutation key, the group's rotation slot ``g``
+    from a broadcast of the sorted group dictionary, and
+
+        interleave_pos = r * n_groups + g
+
+    which is injective and orders exactly round-robin. Positions are
+    sparse once short groups exhaust (the rotation simply skips them);
+    readers ORDER BY interleave_pos, they never index by it. The group
+    dictionary is LIMIT-probed against ``max_groups`` before
+    collecting — corpus-shaped group columns fail loudly with bounded
+    driver memory (same guard as temperature_mix).
+
+    Adds (grp_rank, interleave_pos). Replays exactly in SQL:
+    ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY key, id) - 1`` plus
+    the same arithmetic on a ``DENSE_RANK`` group index.
+    """
+    rows = (
+        df.select(F.col(group_col)).dropDuplicates().limit(max_groups + 1).collect()
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"interleave_groups: >{max_groups} groups — group_col looks "
+            "corpus-shaped, not a mixture key"
+        )
+    groups = sorted(r[group_col] for r in rows)
+    n = len(groups)
+    if n == 0:
+        return (
+            df.withColumn("grp_rank", F.lit(0).cast("long"))
+            .withColumn("interleave_pos", F.lit(0).cast("long"))
+            .limit(0)
+        )
+    gi = df.sparkSession.createDataFrame(
+        [(g, i) for i, g in enumerate(groups)], f"{group_col} string, __gi long"
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"ilv|{seed}|"), F.col(id_col).cast("string")
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(gi), group_col)
+        .withColumn("grp_rank", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn(
+            "interleave_pos",
+            (F.col("grp_rank") * F.lit(n) + F.col("__gi")).cast("long"),
+        )
+        .drop("__gi")
+    )

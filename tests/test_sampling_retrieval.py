@@ -575,3 +575,58 @@ def test_epoch_order_is_permutation_and_epoch_independent(spark):
     e0b = {r["doc_id"]: r["epoch_rank"]
            for r in epoch_order(df.repartition(7), 0).collect()}
     assert e0 == e0b
+
+
+# ---------------------------------------------------------------------------
+# round-robin group interleave (round 5)
+# ---------------------------------------------------------------------------
+
+def test_interleave_groups_round_robin(spark):
+    from json_ld_spark.operators.sampling import interleave_groups
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = interleave_groups(df, "lang", "doc_id", seed="s").collect()
+    by_pos = [r["lang"] for r in sorted(out, key=lambda r: r["interleave_pos"])]
+    # equal-size groups: every cycle of 3 visits all three languages
+    for c in range(10):
+        assert set(by_pos[3 * c:3 * c + 3]) == {"en", "fr", "de"}
+    # positions injective, grp_rank dense per group
+    poss = [r["interleave_pos"] for r in out]
+    assert len(set(poss)) == len(poss)
+    for lang in ("en", "fr", "de"):
+        ranks = sorted(r["grp_rank"] for r in out if r["lang"] == lang)
+        assert ranks == list(range(10))
+    # deterministic
+    again = interleave_groups(df, "lang", "doc_id", seed="s").collect()
+    assert sorted((r["doc_id"], r["interleave_pos"]) for r in again) == \
+        sorted((r["doc_id"], r["interleave_pos"]) for r in out)
+    # a different seed permutes within groups
+    other = interleave_groups(df, "lang", "doc_id", seed="t").collect()
+    assert sorted((r["doc_id"], r["interleave_pos"]) for r in other) != \
+        sorted((r["doc_id"], r["interleave_pos"]) for r in out)
+
+
+def test_interleave_groups_skewed_and_guard(spark):
+    import pytest
+
+    from json_ld_spark.operators.sampling import interleave_groups
+
+    rows = [(i, "big" if i < 8 else "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sorted(
+        interleave_groups(df, "lang", "doc_id").collect(),
+        key=lambda r: r["interleave_pos"],
+    )
+    # while both groups last, they alternate; then 'big' continues alone
+    assert {out[0]["lang"], out[1]["lang"]} == {"big", "small"}
+    assert [r["lang"] for r in out[4:]] == ["big"] * 6
+
+    corpus = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("lang")
+    )
+    with pytest.raises(ValueError, match="corpus-shaped"):
+        interleave_groups(corpus, "lang", "doc_id", max_groups=8)
+
+    empty = spark.createDataFrame([], "doc_id long, lang string")
+    assert interleave_groups(empty, "lang", "doc_id").count() == 0
