@@ -2801,6 +2801,32 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering over embeddings: exact-cosine kNN graph
+    (k=4, ROUNDED-cos threshold 0.25 — the rounded values are the
+    hash-verified cross-engine quantity, so edge membership can never
+    straddle an ulp) -> connected components; cluster id = min member.
+    The brute kNN is the documented sampled baseline twin
+    (CARTESIAN_OK family) — at scale the IVF/LSH candidate generators
+    produce the same (src, dst) edge schema and the CC stage is
+    unchanged. Oracle: all-pairs cosine + QUALIFY rank<=4 + the
+    recursive-CTE reach with MIN grouping."""
+    _utc(spark)
+    emb = _emb_double(_read(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") % 4 == 0
+    )
+    knn = sim.brute_force_topk(emb, emb, k=4)
+    edges = knn.filter(F.round(F.col("cos"), 4) >= 0.25).select(
+        F.col("query_id").alias("src"), F.col("cand_id").alias("dst")
+    )
+    comp = gops.connected_components(edges)
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return nodes.join(comp, "node", "left").select(
+        F.col("node").cast("long").alias("node"),
+        F.coalesce(F.col("component"), F.col("node")).cast("long").alias("cluster"),
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded multi-table hyperplane-LSH ANN: equi-join on (band, sig)
     replaces the cross join; bits-per-band bounds per-bucket fan-in and
@@ -4056,6 +4082,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_prefilter": q_sketch_bloom_prefilter,
         "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "ann_semantic_clusters": q_ann_semantic_clusters,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_near_duplicates": q_ann_near_duplicates,
@@ -7068,6 +7095,32 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+_ANN_CLUSTERS_SQL = r"""
+WITH RECURSIVE sub AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 4 = 0
+), scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+), knn AS (
+  SELECT qid, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+  FROM scored
+  QUALIFY rank <= 4
+), edges AS (
+  SELECT qid AS u, cid AS v FROM knn WHERE round(cos, 4) >= 0.25
+), sym AS (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+), reach(a, b) AS (
+  SELECT vec_id, vec_id FROM sub
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+)
+SELECT CAST(a AS BIGINT) AS node, CAST(MIN(b) AS BIGINT) AS cluster
+FROM reach GROUP BY a
+"""
+
 # as-of oracle: DuckDB's native ASOF LEFT JOIN is the ground truth for
 # the union-marker window implementation; the snapshot stream is
 # deduped per (user, ts) on both sides so equal-timestamp picks agree
@@ -8084,6 +8137,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_bloom_prefilter": _BLOOM_SQL,
         "sketch_histogram_quantiles": _HISTQ_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
+        "ann_semantic_clusters": _ANN_CLUSTERS_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,
         "ann_topk_ivfpq": _ANN_IVFPQ_SQL,
