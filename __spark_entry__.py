@@ -1635,6 +1635,53 @@ def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_linkpred_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of the Adamic-Adar feature as an edge
+    predictor on the co-purchase graph — the standard link-prediction
+    eval, computed as an INTEGER rank statistic: group wedge pairs by
+    (6-dp) score with their edge/non-edge label counts, take the
+    exclusive ordered prefix sum of negatives via
+    sampling.ordered_cumsum (range partition + local window + broadcast
+    offsets — NO partition-less window), then
+    2U = sum_s n_pos(s) * (2*neg_below(s) + n_neg(s)); AUC = U /
+    (n_pos * n_neg). Every intermediate is an exact long; the only
+    float is the final rounded division. Oracle: the same algebra with
+    a plain SUM OVER (ORDER BY score) in DuckDB."""
+    from json_ld_spark.operators.graphops import link_prediction_features
+    from json_ld_spark.operators.sampling import ordered_cumsum
+
+    _utc(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    feats = link_prediction_features(e, src="u", dst="v").filter(
+        F.col("n_common") >= 2
+    )
+    lab = feats.join(
+        e.withColumn("__is_edge", F.lit(1)), ["u", "v"], "left"
+    ).select(
+        F.col("adamic_adar_r").alias("score"),
+        F.coalesce(F.col("__is_edge"), F.lit(0)).alias("pos"),
+    )
+    per_score = lab.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    cum = ordered_cumsum(
+        per_score, ["score"], "n_neg", out_col="neg_below", inclusive=False
+    )
+    return cum.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("n_pos") * (F.lit(2) * F.col("neg_below") + F.col("n_neg"))
+        ).cast("long").alias("u2"),
+    ).select(
+        "n_pos", "n_neg", "u2",
+        F.round(
+            F.col("u2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc_r"),
+    )
+
+
 def q_kg_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the co-purchase graph via
     degree-ordered edge orientation (graphops.triangle_count) — wedge
@@ -4048,6 +4095,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_copurchase_triangles": q_kg_copurchase_triangles,
         "kg_link_prediction": q_kg_link_prediction,
+        "kg_linkpred_auc": q_kg_linkpred_auc,
         "kg_label_propagation": q_kg_label_propagation,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_khop_parts": q_kg_khop_parts,
@@ -5407,6 +5455,52 @@ FROM pairs p
 JOIN deg du ON du.u = p.u
 JOIN deg dv ON dv.u = p.v
 WHERE p.n_common >= 2
+"""
+
+# tie-aware AUC as an integer rank statistic: the oracle's SUM OVER
+# (ORDER BY score) is exactly what ordered_cumsum computes without the
+# single-partition window on the Spark side
+_LINKPRED_AUC_SQL = r"""
+WITH ed0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), und AS (
+  SELECT u, v FROM ed0 UNION SELECT v AS u, u AS v FROM ed0
+), deg AS (
+  SELECT u, COUNT(*) AS deg FROM und GROUP BY u
+), wed AS (
+  SELECT l.v AS a, r.v AS b, l.u AS w
+  FROM und l JOIN und r ON l.u = r.u AND l.v < r.v
+), pairs AS (
+  SELECT a AS u, b AS v, CAST(COUNT(*) AS BIGINT) AS n_common,
+         round(SUM(1.0 / ln(d.deg)), 6) AS score
+  FROM wed JOIN deg d ON d.u = wed.w
+  GROUP BY a, b
+  HAVING COUNT(*) >= 2
+), lab AS (
+  SELECT p.score,
+         CASE WHEN e.u IS NULL THEN 0 ELSE 1 END AS pos
+  FROM pairs p LEFT JOIN ed0 e ON e.u = p.u AND e.v = p.v
+), per_score AS (
+  SELECT score,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+  FROM lab GROUP BY score
+), cum AS (
+  SELECT score, n_pos, n_neg,
+         CAST(COALESCE(SUM(n_neg) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_below
+  FROM per_score
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS u2,
+       round(CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT)
+             / (2.0 * SUM(n_pos) * SUM(n_neg)), 6) AS auc_r
+FROM cum
 """
 
 _TRIANGLES_SQL = r"""
@@ -8102,6 +8196,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_node2vec_walks": _NODE2VEC_SQL,
         "kg_copurchase_triangles": _TRIANGLES_SQL,
         "kg_link_prediction": _LINK_PREDICTION_SQL,
+        "kg_linkpred_auc": _LINKPRED_AUC_SQL,
         "kg_label_propagation": _LABEL_PROP_SQL,
         "kg_cooccurrence": _COOCCURRENCE_SQL,
         "kg_khop_parts": _KHOP_SQL,

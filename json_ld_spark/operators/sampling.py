@@ -687,3 +687,60 @@ def interleave_groups(
         )
         .drop("__gi")
     )
+
+
+def ordered_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Distributed ORDERED prefix sum — the scale-safe replacement for
+    ``SUM(x) OVER (ORDER BY ...)``, whose partition-less window funnels
+    every row through one task (the plan-audit violation class). Same
+    two-phase shape as :func:`dense_index`: range-repartition on the
+    order key(s), one PARTITIONED cumulative window locally, then shift
+    each partition by the broadcast total of the partitions before it.
+    Driver state is one partial sum per shuffle partition.
+
+    ``order_cols`` must be a total order (include a tiebreaker when
+    keys repeat — with duplicates, intra-key accumulation order is
+    undefined exactly as in SQL). ``inclusive=False`` gives the
+    exclusive prefix (sum strictly BEFORE the row). Values accumulate
+    as longs (exact; overflow raises under ANSI rather than wrapping).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    keyed = (
+        df.repartitionByRange(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[c.asc() for c in cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = keyed.withColumn(
+        "__lc", F.sum(F.col(value_col).cast("long")).over(w)
+    ).localCheckpoint(eager=True)
+    parts = sorted(
+        (r["__pid"], r["s"])
+        for r in local.groupBy("__pid")
+        .agg(F.coalesce(F.sum(F.col(value_col).cast("long")), F.lit(0)).alias("s"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in parts:
+        offsets.append((pid, acc))
+        acc += int(s)
+    off = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    cum = F.col("__off") + F.col("__lc")
+    if not inclusive:
+        cum = cum - F.col(value_col).cast("long")
+    return (
+        local.join(F.broadcast(off), "__pid")
+        .withColumn(out_col, cum.cast("long"))
+        .drop("__pid", "__lc", "__off")
+    )

@@ -630,3 +630,41 @@ def test_interleave_groups_skewed_and_guard(spark):
 
     empty = spark.createDataFrame([], "doc_id long, lang string")
     assert interleave_groups(empty, "lang", "doc_id").count() == 0
+
+
+def test_ordered_cumsum_matches_window_and_avoids_global_window(spark):
+    """ordered_cumsum == SUM OVER (ORDER BY ...) value-for-value, with
+    NO partition-less window in the executed plan (the audit-violation
+    shape it exists to replace)."""
+    import importlib.util
+
+    from json_ld_spark.operators.sampling import ordered_cumsum
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", "/root/repo/scripts/plan_audit.py"
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    rows = [(i, (i * 37) % 19, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    out = ordered_cumsum(df, ["k", "id"], "v", out_col="cum")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert pa.partitionless_windows(plan) == []
+    assert pa.single_partition_exchanges(plan) == []
+
+    got = {r["id"]: r["cum"] for r in out.collect()}
+    acc, expect = 0, {}
+    for i, k, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        acc += v
+        expect[i] = acc
+    assert got == expect
+
+    ex = {
+        r["id"]: r["cum"]
+        for r in ordered_cumsum(df, ["k", "id"], "v", inclusive=False).collect()
+    }
+    assert all(ex[i] == expect[i] - dict((r[0], r[2]) for r in rows)[i] for i in ex)
+
+    empty = spark.createDataFrame([], "id long, k long, v long")
+    assert ordered_cumsum(empty, ["k"], "v").count() == 0
