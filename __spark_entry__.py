@@ -1033,6 +1033,53 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
+def q_kg_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSATION-level near-dedup on the transcripts table (the
+    north-star input): every 7th conversation is re-injected minus its
+    last turn (a deterministic near-duplicate), conversation text is
+    assembled in pinned turn order (array_sort over collected
+    (turn_idx, text) structs — never accumulation order), then the
+    standard MinHash 32x2 band family + exact-Jaccard verify finds the
+    injected pairs. The production shape for trillion-turn dedup: one
+    conv-keyed agg + the banded candidate join — never all-pairs.
+    Oracle: transcript synthesis + injection + string_agg(ORDER BY
+    turn_idx) replayed in SQL, brute-force exact Jaccard >= 0.7 (band
+    recall 1.0 at the injected pairs' ~0.9 Jaccard; same argument as
+    dedup_minhash_lsh)."""
+    from json_ld_spark.sources.transcripts import transcripts_from_documents
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    conv_num = F.split(F.col("conv_id"), "-").getItem(1).cast("long")
+    dups = (
+        t.filter((conv_num % 7 == 0) & (F.col("turn_idx") < 15))
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-dup")))
+    )
+    allt = t.unionByName(dups)
+    corpus = (
+        allt.groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+        .select(F.col("conv_id").alias("doc_id"), "text")
+    )
+    cands = dd.minhash_lsh_candidates(corpus, num_hashes=64, bands=32)
+    out = dd.jaccard_pairs(corpus, cands, threshold=0.7)
+    return out.select(
+        F.col("doc_a").alias("conv_a"),
+        F.col("doc_b").alias("conv_b"),
+        F.round("jaccard", 6).alias("jaccard_r"),
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash dedup (dedup.incremental_minhash_dedup):
     the injected duplicate copies arrive as the NEW batch and are
@@ -2874,6 +2921,26 @@ def q_ann_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining (similarity.margin_pairs, the
+    Artetxe-Schwenk bitext scorer) between the even- and odd-id halves
+    of the embedding corpus: best-y-per-x by ratio margin with
+    order-pinned k-NN folds (bit-exact margins), 6-dp threshold 1.2.
+    Brute kNN is the sampled baseline twin; IVF/LSH generators plug
+    into the same algebra at scale. Oracle: both kNN directions, the
+    list_reduce rank-order fold, the identical margin expression."""
+    _utc(spark)
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    x = emb.filter(F.col("vec_id") % 2 == 0)
+    y = emb.filter(F.col("vec_id") % 2 == 1)
+    out = sim.margin_pairs(x, y, k=4, threshold=1.2)
+    return out.select(
+        F.col("x_id").cast("long").alias("x_id"),
+        F.col("y_id").cast("long").alias("y_id"),
+        "margin_r",
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded multi-table hyperplane-LSH ANN: equi-join on (band, sig)
     replaces the cross join; bits-per-band bounds per-bucket fan-in and
@@ -3073,6 +3140,52 @@ def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         q["n_stopwords"].alias("n_stopwords"),
         q["keep"].alias("keep"),
     )
+
+
+def q_data_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order: tier = INTEGER count of
+    Gopher rules passed (0-6, computed from the 6-dp-ROUNDED signals —
+    the hash-verified cross-engine quantities, so tier membership can
+    never straddle an ulp), within-tier order a seeded md5 permutation
+    via ONE tier-partitioned window. Readers ORDER BY (tier DESC,
+    tier_rank): cleanest documents first, shuffled within tier — the
+    standard curriculum/annealing schedule, zero global windows.
+    Oracle: the gopher replay CTE + the same indicator sum + a
+    partitioned ROW_NUMBER."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    q = tx.gopher_quality(F.col("text"))
+    sig = docs.select(
+        "doc_id",
+        q["n_words"].alias("nw"),
+        q["mean_word_len"].alias("mwl"),
+        q["symbol_ratio"].alias("sr"),
+        q["bullet_frac"].alias("bf"),
+        q["alpha_frac"].alias("af"),
+        q["n_stopwords"].alias("ns"),
+    )
+    tier = (
+        ((F.col("nw") >= 50) & (F.col("nw") <= 100000)).cast("int")
+        + ((F.col("mwl") >= 3.0) & (F.col("mwl") <= 10.0)).cast("int")
+        + (F.col("sr") <= 0.1).cast("int")
+        + (F.col("bf") <= 0.9).cast("int")
+        + (F.col("af") >= 0.7).cast("int")
+        + (F.col("ns") >= 2).cast("int")
+    ).cast("long")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    from pyspark.sql import Window as W
+
+    tiered = sig.select("doc_id", tier.alias("tier"), key.alias("__k"))
+    w = W.partitionBy("tier").orderBy(F.col("__k").asc(), F.col("doc_id").asc())
+    return tiered.withColumn(
+        "tier_rank", (F.row_number().over(w) - 1).cast("long")
+    ).select("doc_id", "tier", "tier_rank")
 
 
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4072,6 +4185,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
+        "kg_conv_dedup": q_kg_conv_dedup,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "dedup_components": q_dedup_components,
@@ -4131,6 +4245,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_semantic_clusters": q_ann_semantic_clusters,
+        "ann_margin_pairs": q_ann_margin_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_near_duplicates": q_ann_near_duplicates,
@@ -4140,6 +4255,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_normalize": q_text_normalize,
         "text_gopher_quality": q_text_gopher_quality,
+        "data_curriculum": q_data_curriculum,
         "text_lm_score": q_text_lm_score,
         "text_fingerprint": q_text_fingerprint,
         "text_pii_scan": q_text_pii_scan,
@@ -5130,6 +5246,40 @@ FROM sh a JOIN sh b
   ON a.doc_id < b.doc_id
  AND len(a.grams) * 10 >= len(b.grams) * 7
  AND len(b.grams) * 10 >= len(a.grams) * 7
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
+"""
+
+# conversation-level near-dedup: the transcript synthesis + the
+# deterministic dup injection (every 7th conversation minus its last
+# turn) + pinned-order conversation text, then the same brute-force
+# exact-Jaccard form as the document-level oracle
+_CONV_DEDUP_SQL = _BASE_CTE + r"""
+, withdup AS (
+  SELECT conv_id, turn_idx, text FROM base
+  UNION ALL
+  SELECT conv_id || '-dup' AS conv_id, turn_idx, text
+  FROM base
+  WHERE CAST(string_split(conv_id, '-')[2] AS BIGINT) % 7 = 0
+    AND turn_idx < 15
+), conv AS (
+  SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+  FROM withdup GROUP BY conv_id
+), sh AS (
+  SELECT conv_id,
+         CASE WHEN len(string_split(norm, ' ')) - 2 <= 0 THEN [norm]
+              ELSE list_distinct(list_transform(
+                     range(0, len(string_split(norm, ' ')) - 2),
+                     i -> array_to_string(list_slice(string_split(norm, ' '), i + 1, i + 3), ' ')))
+         END AS grams
+  FROM (SELECT conv_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM conv)
+)
+SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+         AS jaccard_r
+FROM sh a JOIN sh b ON a.conv_id < b.conv_id
 WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
 """
@@ -7189,6 +7339,48 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+_ANN_MARGIN_SQL = r"""
+WITH x AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 0
+), y AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 2 = 1
+), kxy AS (
+  SELECT x.vec_id AS q, y.vec_id AS c,
+         list_cosine_similarity(x.v, y.v) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                            ORDER BY list_cosine_similarity(x.v, y.v) DESC,
+                                     y.vec_id ASC) AS rk
+  FROM x CROSS JOIN y
+  QUALIFY rk <= 4
+), kyx AS (
+  SELECT y.vec_id AS q, x.vec_id AS c,
+         list_cosine_similarity(y.v, x.v) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY y.vec_id
+                            ORDER BY list_cosine_similarity(y.v, x.v) DESC,
+                                     x.vec_id ASC) AS rk
+  FROM y CROSS JOIN x
+  QUALIFY rk <= 4
+), ax AS (
+  SELECT q, list_reduce(list_prepend(0.0::DOUBLE, list(cos ORDER BY rk)),
+                        (a, b) -> a + b) / COUNT(*) AS ax
+  FROM kxy GROUP BY q
+), ay AS (
+  SELECT q, list_reduce(list_prepend(0.0::DOUBLE, list(cos ORDER BY rk)),
+                        (a, b) -> a + b) / COUNT(*) AS ay
+  FROM kyx GROUP BY q
+), m AS (
+  SELECT k.q, k.c, k.cos / ((ax.ax + ay.ay) / 2.0) AS margin,
+         ROW_NUMBER() OVER (PARTITION BY k.q
+                            ORDER BY k.cos / ((ax.ax + ay.ay) / 2.0) DESC,
+                                     k.c ASC) AS mr
+  FROM kxy k JOIN ax ON ax.q = k.q JOIN ay ON ay.q = k.c
+  QUALIFY mr = 1
+)
+SELECT CAST(q AS BIGINT) AS x_id, CAST(c AS BIGINT) AS y_id,
+       round(margin, 6) AS margin_r
+FROM m WHERE round(margin, 6) >= 1.2
+"""
+
 _ANN_CLUSTERS_SQL = r"""
 WITH RECURSIVE sub AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -7623,6 +7815,47 @@ SELECT doc_id,
    AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
    AND alpha_frac >= 0.7 AND n_stop >= 2) AS keep
 FROM sig
+"""
+
+# curriculum tier from the ROUNDED gopher signals (the hash-verified
+# quantities), within-tier md5 permutation via partitioned ROW_NUMBER
+_CURRICULUM_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    round(list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words), 6)
+      AS mwl,
+    round((length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+     + len(list_filter(words, x -> ends_with(x, '...'))))::DOUBLE
+      / len(words), 6) AS sr,
+    round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+      / len(lines), 6) AS bf,
+    round(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+      / len(words), 6) AS af,
+    len(list_intersect(list_distinct(words),
+        ['the','be','to','of','and','that','have','with'])) AS ns
+  FROM w
+), tiered AS (
+  SELECT doc_id,
+    CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+       + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END)
+       + (CASE WHEN sr <= 0.1 THEN 1 ELSE 0 END)
+       + (CASE WHEN bf <= 0.9 THEN 1 ELSE 0 END)
+       + (CASE WHEN af >= 0.7 THEN 1 ELSE 0 END)
+       + (CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS tier,
+    ('0x' || substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+  FROM sig
+)
+SELECT doc_id, tier,
+       CAST(ROW_NUMBER() OVER (PARTITION BY tier ORDER BY k ASC, doc_id ASC) - 1
+            AS BIGINT) AS tier_rank
+FROM tiered
 """
 
 # textops.normalize_text replay: nfc_normalize (probed == Python NFC),
@@ -8172,6 +8405,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": _CONTAINMENT_SQL,
         "dedup_minhash_lsh": _MINHASH_ORACLE_SQL,
         "dedup_incremental": _MINHASH_INCR_SQL,
+        "kg_conv_dedup": _CONV_DEDUP_SQL,
         "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "dedup_prefix_filter": _MINHASH_ORACLE_SQL,
         "dedup_components": _CC_SQL,
@@ -8233,6 +8467,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_histogram_quantiles": _HISTQ_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         "ann_semantic_clusters": _ANN_CLUSTERS_SQL,
+        "ann_margin_pairs": _ANN_MARGIN_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,
         "ann_topk_ivfpq": _ANN_IVFPQ_SQL,
@@ -8241,6 +8476,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": _DECONTAM_SQL,
         "text_normalize": _TEXT_NORMALIZE_SQL,
         "text_gopher_quality": _GOPHER_SQL,
+        "data_curriculum": _CURRICULUM_SQL,
         "text_lm_score": _LM_SCORE_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_pii_scan": _PII_SQL,

@@ -672,3 +672,77 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+def margin_pairs(
+    x: DataFrame,
+    y: DataFrame,
+    k: int = 4,
+    threshold: float = 1.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn=None,
+) -> DataFrame:
+    """Margin-based pair mining between two embedding collections
+    (Artetxe & Schwenk 2019, "Margin-based parallel corpus mining with
+    multilingual sentence embeddings" — the bitext-mining scorer): for
+    each x, its best y by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x->Y) + avgNN_k(y->X)) / 2)
+
+    which normalizes raw cosine by both points' local neighborhood
+    density (hubs score high against everything; the margin deflates
+    them). Returns ``(x_id, y_id, margin_r)`` for pairs whose 6-dp
+    margin clears ``threshold``.
+
+    Determinism: the k-NN average is an ORDER-PINNED fold (neighbors
+    summed in rank order), so the margin is a fixed composition of
+    IEEE ops — bit-identical across engines/partitionings, replayable
+    by list_reduce over ``list(cos ORDER BY rank)`` in SQL.
+
+    ``knn`` swaps the candidate generator (default
+    :func:`brute_force_topk` — the sampled baseline twin; pass
+    ``ivf_topk``/``lsh_topk`` closures at scale — the margin algebra
+    only needs (query_id, cand_id, cos, rank) rows).
+    """
+    gen = knn or (lambda q, c: brute_force_topk(q, c, k=k, id_col=id_col, vec_col=vec_col))
+    kxy = gen(x, y)
+    kyx = gen(y, x)
+
+    def _avg(t: DataFrame, out: str) -> DataFrame:
+        return t.groupBy("query_id").agg(
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("rank", "cos"))),
+                        lambda s: s["cos"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, c: a + c,
+                )
+                / F.count(F.lit(1))
+            ).alias(out)
+        )
+
+    ax = _avg(kxy, "ax")
+    ay = _avg(kyx, "ay")
+    m = (
+        kxy.join(ax, "query_id")
+        .join(ay.withColumnRenamed("query_id", "cand_id"), "cand_id")
+        .withColumn(
+            "margin",
+            F.col("cos") / ((F.col("ax") + F.col("ay")) / F.lit(2.0)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("margin"), F.asc("cand_id")
+    )
+    return (
+        m.withColumn("mr", F.row_number().over(w))
+        .filter((F.col("mr") == 1) & (F.round("margin", 6) >= threshold))
+        .select(
+            F.col("query_id").alias("x_id"),
+            F.col("cand_id").alias("y_id"),
+            F.round("margin", 6).alias("margin_r"),
+        )
+    )

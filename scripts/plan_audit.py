@@ -144,6 +144,7 @@ def broadcast_exchange_count(plan: str) -> int:
 CARTESIAN_OK = {
     "ann_topk_bruteforce",      # the exact baseline the LSH rows beat
     "ann_semantic_clusters",    # same brute kNN baseline feeding the CC stage
+    "ann_margin_pairs",         # brute kNN twin in BOTH directions (margin algebra)
     "dedup_ngram_jaccard",      # brute-force pairs over a bounded sample
     "dedup_containment",        # same bounded-sample brute-force twin
     "kg_transe_rank",           # broadcast(hash-sampled test) x entities
