@@ -671,3 +671,66 @@ def test_incremental_minhash_matches_restricted_full_run(spark):
         old_entries=pre,
     )
     assert {(r["doc_a"], r["doc_b"]) for r in inc2.collect()} == got
+
+
+# ---------------------------------------------------------------------------
+# margin-based pair mining (round 5)
+# ---------------------------------------------------------------------------
+
+def test_margin_pairs_deflates_hubs_and_is_deterministic(spark):
+    """A hub vector close to EVERYTHING gets a dense neighborhood, so
+    the ratio margin deflates its raw-cosine wins; a genuinely matched
+    pair with sparse neighborhoods clears the threshold."""
+    from json_ld_spark.operators.similarity import margin_pairs
+
+    def vec(*xs):
+        return list(map(float, xs))
+
+    # x0/y1 is an isolated exact match; y9 is a hub similar to all xs
+    x = spark.createDataFrame(
+        [
+            (0, vec(1, 0, 0, 0)),
+            (2, vec(0, 1, 0, 0)),
+            (4, vec(0, 0, 1, 0)),
+            (6, vec(0.5, 0.5, 0.5, 0.2)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    y = spark.createDataFrame(
+        [
+            (1, vec(1, 0.05, 0, 0)),      # x0's true match
+            (3, vec(0.05, 1, 0, 0)),      # x2's true match
+            (9, vec(0.6, 0.6, 0.6, 0.3)),  # hub
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = margin_pairs(x, y, k=2, threshold=1.0).collect()
+    got = {r["x_id"]: (r["y_id"], r["margin_r"]) for r in out}
+    assert got[0][0] == 1 and got[2][0] == 3  # true matches win
+    # the true matches outscore any hub pairing in margin
+    hub_margins = [m for (yid, m) in got.values() if yid == 9]
+    assert all(got[0][1] > m and got[2][1] > m for m in hub_margins)
+
+    again = {r["x_id"]: (r["y_id"], r["margin_r"])
+             for r in margin_pairs(x, y, k=2, threshold=1.0).collect()}
+    assert got == again
+
+    # pluggable candidate generator: same algebra over a custom knn
+    from json_ld_spark.operators.similarity import brute_force_topk
+
+    alt = margin_pairs(
+        x, y, k=2, threshold=1.0,
+        knn=lambda q, c: brute_force_topk(q, c, k=2),
+    ).collect()
+    assert {r["x_id"]: r["y_id"] for r in alt} == {k: v[0] for k, v in got.items()}
+
+
+def test_margin_pairs_empty_sides(spark):
+    from json_ld_spark.operators.similarity import margin_pairs
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    x = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert margin_pairs(x, e, k=2).count() == 0
+    assert margin_pairs(e, x, k=2).count() == 0
