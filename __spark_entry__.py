@@ -4114,6 +4114,90 @@ def q_rel_distinct_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # --------------------------------------------------------------------------
 
+def _word_count_col() -> Column:
+    """Whitespace word count matching curation._tokens (lower/trim,
+    empties dropped) — the shared Spark/DuckDB tokenization contract."""
+    return F.size(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != "")
+    ).cast("long")
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty / memorization-risk scoring
+    (curation.ngram_novelty): fraction of each doc's DISTINCT word
+    5-grams that occur in >=2 documents corpus-wide. array_distinct
+    BEFORE the explode, document frequency via ONE gram-keyed window
+    count (rows already distinct per (doc, gram)), then a per-doc agg
+    — two shuffles, no join-back."""
+    from json_ld_spark.operators.curation import ngram_novelty
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=5, min_df=2).orderBy("doc_id")
+
+
+def q_data_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget selection (sampling.token_budget_select):
+    keep a seeded-random prefix of each language until 2000 tokens are
+    reached (straddler kept). NO per-group window — the rows take one
+    GLOBAL (lang, md5-key) total order through ordered_cumsum's
+    range-partitioned two-phase rank, then each lang's start offset is
+    subtracted back (bounded agg, broadcast) — a hot language spreads
+    over many range partitions instead of one task."""
+    from json_ld_spark.operators.sampling import token_budget_select
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    keyed = docs.withColumn("nw", _word_count_col())
+    sel = token_budget_select(keyed, "lang", "nw", budget=2000)
+    return sel.select(
+        "doc_id", "lang", F.col("nw").alias("tokens"), "cum_tokens"
+    ).orderBy("doc_id")
+
+
+def q_data_bt_arena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry arena ranking (curation.bt_strengths): adjacent
+    documents (doc_id, doc_id+1) play one comparison each between
+    their md5-bucket players (12 buckets); the longer document's
+    player wins (ties to the lower doc_id). The corpus-sized
+    comparison stream collapses through ONE groupBy into a
+    players^2-bounded matrix; 8 MM rounds (Hunter 2004) then run on
+    exact integer fixed-point so the iterative fit replays
+    bit-identically as unrolled DuckDB CTE rounds."""
+    from json_ld_spark.operators.curation import bt_strengths
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    player = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bt|"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 12
+    )
+    d = docs.select(
+        F.col("doc_id").alias("d"), player.alias("p"), _word_count_col().alias("s")
+    )
+    d2 = d.select(
+        F.col("d").alias("d2"), F.col("p").alias("p2"), F.col("s").alias("s2")
+    )
+    comp = (
+        d.join(d2, F.col("d2") == F.col("d") + 1)
+        .where(F.col("p") != F.col("p2"))
+        .select(
+            F.when(F.col("s") >= F.col("s2"), F.col("p"))
+            .otherwise(F.col("p2"))
+            .alias("winner"),
+            F.when(F.col("s") >= F.col("s2"), F.col("p2"))
+            .otherwise(F.col("p"))
+            .alias("loser"),
+        )
+    )
+    return bt_strengths(comp, rounds=8).orderBy("rank", "player")
+
+
 # The 50 registered queries NO driver round (r1-r4) has ever hash-verified
 # (union of CORRECTNESS_r01..r04 keys diffed against the registry; all are
 # judge-selfcheck green at sf0.001). queries() puts these FIRST so round 5's
@@ -4273,6 +4357,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_bpe_tokens": q_data_bpe_tokens,
         "data_pack_bpe": q_data_pack_bpe,
         "data_bpe_stats": q_data_bpe_stats,
+        "text_ngram_novelty": q_text_ngram_novelty,
+        "data_token_budget": q_data_token_budget,
+        "data_bt_arena": q_data_bt_arena,
         "data_interleave": q_data_interleave,
         "text_bm25_topk": q_text_bm25_topk,
         "multimodal_features": q_multimodal_features,
@@ -8369,6 +8456,192 @@ LIMIT 10
 """
 
 
+# curation.ngram_novelty replay: same tokenize, DuckDB inclusive list
+# slice t[i:i+4] = the 5-gram, DISTINCT (doc, gram) before the
+# gram-partition COUNT(*) (the document frequency), left join keeps
+# short docs with zero grams (NULL dup_frac, zero counts).
+_NGRAM_NOVELTY_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+  FROM w, UNNEST(generate_series(1, greatest(len(t) - 4, 0))) AS u(i)
+), dfq AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS df
+  FROM g
+), per AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM dfq GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+       round(p.n_dup::DOUBLE / p.n_grams, 6) AS dup_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+# sampling.token_budget_select replay: the scale-safe global-order
+# two-phase cumsum reduces to a plain per-lang ordered SUM at oracle
+# scale; selection = exclusive prefix < budget (straddler kept).
+_TOKEN_BUDGET_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS nw,
+         ('0x' || substr(md5('tb|' || lang || '|' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, nw,
+         SUM(nw) OVER (PARTITION BY lang ORDER BY k ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM w
+)
+SELECT doc_id, lang, nw AS tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum - nw < 2000
+"""
+
+# curation.bt_strengths replay: comparisons + matrix + 8 unrolled MM
+# rounds on the SAME integer fixed-point lattice (// floor division,
+# integer sums — order-free, so no rounding is ever needed). Each
+# round's strengths are referenced twice (pi, pj) -> AS MATERIALIZED,
+# or DuckDB inlines the CTE chain exponentially (the HITS lesson).
+_BT_ARENA_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('bt|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 12 AS p,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS s
+  FROM documents
+), comp AS (
+  SELECT CASE WHEN a.s >= b.s THEN a.p ELSE b.p END AS winner,
+         CASE WHEN a.s >= b.s THEN b.p ELSE a.p END AS loser
+  FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+  WHERE a.p <> b.p
+), mat AS (
+  SELECT LEAST(winner, loser) AS a, GREATEST(winner, loser) AS b,
+         COUNT(*) AS n,
+         SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS wa
+  FROM comp GROUP BY 1, 2
+), dir AS (
+  SELECT a AS i, b AS j, n, wa AS w FROM mat
+  UNION ALL
+  SELECT b AS i, a AS j, n, n - wa AS w FROM mat
+), stat AS MATERIALIZED (
+  SELECT i, CAST(SUM(w) AS BIGINT) AS wins, CAST(SUM(n) AS BIGINT) AS n_comp
+  FROM dir GROUP BY i
+), p0 AS MATERIALIZED (
+  SELECT i, CAST(1000000 AS BIGINT) AS p FROM stat
+),
+__BT_ROUNDS__
+SELECT s.i AS player, s.wins, s.n_comp, f.p AS strength,
+       CAST(ROW_NUMBER() OVER (ORDER BY f.p DESC, s.i ASC) AS BIGINT) AS rank
+FROM stat s JOIN p8 f ON f.i = s.i
+"""
+_BT_ARENA_SQL = _BT_ARENA_SQL.replace("__BT_ROUNDS__", """p1 AS MATERIALIZED (
+  SELECT s.i,
+         GREATEST(CAST((s.wins + 1) * 1000000000000 // d.den AS BIGINT), 1) AS p
+  FROM stat s JOIN (
+    SELECT d.i,
+           CAST(SUM(d.n * 1000000000000 // (pi.p + pj.p)) AS BIGINT) AS den
+    FROM dir d
+    JOIN p0 pi ON pi.i = d.i
+    JOIN p0 pj ON pj.i = d.j
+    GROUP BY d.i
+  ) d ON d.i = s.i
+),
+p2 AS MATERIALIZED (
+  SELECT s.i,
+         GREATEST(CAST((s.wins + 1) * 1000000000000 // d.den AS BIGINT), 1) AS p
+  FROM stat s JOIN (
+    SELECT d.i,
+           CAST(SUM(d.n * 1000000000000 // (pi.p + pj.p)) AS BIGINT) AS den
+    FROM dir d
+    JOIN p1 pi ON pi.i = d.i
+    JOIN p1 pj ON pj.i = d.j
+    GROUP BY d.i
+  ) d ON d.i = s.i
+),
+p3 AS MATERIALIZED (
+  SELECT s.i,
+         GREATEST(CAST((s.wins + 1) * 1000000000000 // d.den AS BIGINT), 1) AS p
+  FROM stat s JOIN (
+    SELECT d.i,
+           CAST(SUM(d.n * 1000000000000 // (pi.p + pj.p)) AS BIGINT) AS den
+    FROM dir d
+    JOIN p2 pi ON pi.i = d.i
+    JOIN p2 pj ON pj.i = d.j
+    GROUP BY d.i
+  ) d ON d.i = s.i
+),
+p4 AS MATERIALIZED (
+  SELECT s.i,
+         GREATEST(CAST((s.wins + 1) * 1000000000000 // d.den AS BIGINT), 1) AS p
+  FROM stat s JOIN (
+    SELECT d.i,
+           CAST(SUM(d.n * 1000000000000 // (pi.p + pj.p)) AS BIGINT) AS den
+    FROM dir d
+    JOIN p3 pi ON pi.i = d.i
+    JOIN p3 pj ON pj.i = d.j
+    GROUP BY d.i
+  ) d ON d.i = s.i
+),
+p5 AS MATERIALIZED (
+  SELECT s.i,
+         GREATEST(CAST((s.wins + 1) * 1000000000000 // d.den AS BIGINT), 1) AS p
+  FROM stat s JOIN (
+    SELECT d.i,
+           CAST(SUM(d.n * 1000000000000 // (pi.p + pj.p)) AS BIGINT) AS den
+    FROM dir d
+    JOIN p4 pi ON pi.i = d.i
+    JOIN p4 pj ON pj.i = d.j
+    GROUP BY d.i
+  ) d ON d.i = s.i
+),
+p6 AS MATERIALIZED (
+  SELECT s.i,
+         GREATEST(CAST((s.wins + 1) * 1000000000000 // d.den AS BIGINT), 1) AS p
+  FROM stat s JOIN (
+    SELECT d.i,
+           CAST(SUM(d.n * 1000000000000 // (pi.p + pj.p)) AS BIGINT) AS den
+    FROM dir d
+    JOIN p5 pi ON pi.i = d.i
+    JOIN p5 pj ON pj.i = d.j
+    GROUP BY d.i
+  ) d ON d.i = s.i
+),
+p7 AS MATERIALIZED (
+  SELECT s.i,
+         GREATEST(CAST((s.wins + 1) * 1000000000000 // d.den AS BIGINT), 1) AS p
+  FROM stat s JOIN (
+    SELECT d.i,
+           CAST(SUM(d.n * 1000000000000 // (pi.p + pj.p)) AS BIGINT) AS den
+    FROM dir d
+    JOIN p6 pi ON pi.i = d.i
+    JOIN p6 pj ON pj.i = d.j
+    GROUP BY d.i
+  ) d ON d.i = s.i
+),
+p8 AS MATERIALIZED (
+  SELECT s.i,
+         GREATEST(CAST((s.wins + 1) * 1000000000000 // d.den AS BIGINT), 1) AS p
+  FROM stat s JOIN (
+    SELECT d.i,
+           CAST(SUM(d.n * 1000000000000 // (pi.p + pj.p)) AS BIGINT) AS den
+    FROM dir d
+    JOIN p7 pi ON pi.i = d.i
+    JOIN p7 pj ON pj.i = d.j
+    GROUP BY d.i
+  ) d ON d.i = s.i
+)""")
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -8477,6 +8750,9 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _TEXT_NORMALIZE_SQL,
         "text_gopher_quality": _GOPHER_SQL,
         "data_curriculum": _CURRICULUM_SQL,
+        "text_ngram_novelty": _NGRAM_NOVELTY_SQL,
+        "data_token_budget": _TOKEN_BUDGET_SQL,
+        "data_bt_arena": _BT_ARENA_SQL,
         "text_lm_score": _LM_SCORE_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_pii_scan": _PII_SQL,

@@ -424,3 +424,161 @@ def preference_pairs(
         .where(F.col("rejected_conv") != F.col("conv_id"))
         .drop("rejected_conv")
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty / memorization-risk signal: the
+    fraction of a document's DISTINCT word n-grams that also occur in
+    at least ``min_df`` documents corpus-wide (itself included).
+    High ``dup_frac`` marks boilerplate-heavy or near-memorized text —
+    the per-document complement of pair-level MinHash dedup, used as a
+    filter/weighting signal when dropping whole near-dup clusters is
+    too blunt (Lee et al. 2021 report n-gram overlap fractions
+    alongside substring dedup).
+
+    Plan: one tokenize pass -> distinct (doc, gram) rows (the
+    ``array_distinct`` happens BEFORE the explode, so within-doc
+    repeats never become rows) -> gram document-frequency via ONE
+    gram-keyed window count (rows are distinct per (doc, gram), so
+    ``count(*)`` over the gram partition IS the document frequency —
+    no join-back; Spark has no cross-consumer CSE) -> per-doc
+    aggregation. Two shuffles total, both partial-agg-friendly or
+    window-local; hot grams (corpus boilerplate) are the skew hazard
+    and split cleanly under AQE because nothing explodes after the
+    count. Docs with fewer than ``n`` words emit NULL dup_frac and
+    zero counts.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("g"),
+    )
+    df_w = F.count("*").over(Window.partitionBy("g"))
+    per_doc = (
+        grams.withColumn("__df", df_w)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("__df") >= min_df).cast("long"))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0).cast("long")).alias("n_dup"),
+            F.round(F.col("n_dup") / F.col("n_grams"), round_digits).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+def bt_strengths(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    rounds: int = 8,
+    scale: int = 1_000_000,
+    max_players: int = 4096,
+) -> DataFrame:
+    """Bradley-Terry strength fitting over pairwise comparisons — the
+    arena/reward-model primitive (Chatbot-Arena-style model ranking,
+    RLHF preference aggregation): given one row per comparison
+    (winner, loser), estimate each player's strength pi with the
+    classical MM iteration (Hunter 2004)
+
+        pi_i  <-  W_i / sum_j n_ij / (pi_i + pi_j)
+
+    run for a FIXED number of rounds from a uniform start.
+
+    Determinism: the iteration runs on EXACT integer fixed-point
+    (strengths scaled by ``scale``): each opponent term is
+    ``n_ij * scale^2 // (p_i + p_j)`` — one exact floor division per
+    term, integer sums (order-free), then
+    ``p_i' = max(W_i * scale^2 // denom_i, 1)`` (the floor at 1 keeps
+    never-winners from collapsing a later denominator to zero). Every
+    operation replays bit-identically in ANSI SQL / DuckDB ``//``,
+    so the output is value-oracle-able despite being an iterative
+    fit. Wins are +1 smoothed (half-win prior) so W_i > 0.
+
+    Scale shape: the corpus-sized comparison stream is absorbed by ONE
+    partial-agg-friendly groupBy into a matrix bounded by
+    |players|^2 (players are an arena-sized dictionary — models,
+    checkpoints, prompt templates — hard-capped at ``max_players``
+    with a LIMIT-ed probe so a corpus-shaped player column fails
+    loudly before any driver materialization, the temperature_mix
+    contract). The MM loop then runs driver-side on that bounded
+    matrix, exactly like IVF codebooks / BPE merge tables.
+
+    Output: (player, wins, n_comp, strength, rank) — raw win count,
+    comparisons played, fixed-point strength, dense 1-based rank by
+    (strength DESC, player ASC).
+    """
+    w, l = F.col(winner_col), F.col(loser_col)
+    probe = (
+        pairs.select(w.alias("p"))
+        .union(pairs.select(l.alias("p")))
+        .distinct()
+        .limit(max_players + 1)
+        .count()
+    )
+    if probe > max_players:
+        raise ValueError(
+            f"bt_strengths: >{max_players} players (max_players="
+            f"{max_players}) — player columns look corpus-shaped, not an arena"
+        )
+    out_schema = "player long, wins long, n_comp long, strength long, rank long"
+    if probe == 0:
+        return pairs.sparkSession.createDataFrame([], out_schema)
+    mat = (
+        pairs.where(w != l)
+        .select(
+            F.least(w, l).alias("a"),
+            F.greatest(w, l).alias("b"),
+            (w < l).cast("long").alias("wa"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("wa").cast("long").alias("wa"),
+        )
+        .collect()
+    )
+    dir_rows = []  # (i, j, n_ij, wins of i vs j)
+    for r in mat:
+        a, b, nn, wa = int(r["a"]), int(r["b"]), int(r["n"]), int(r["wa"])
+        dir_rows.append((a, b, nn, wa))
+        dir_rows.append((b, a, nn, nn - wa))
+    players = sorted({i for i, _, _, _ in dir_rows})
+    wins = {i: 0 for i in players}
+    ncomp = {i: 0 for i in players}
+    for i, _, nn, wi in dir_rows:
+        wins[i] += wi
+        ncomp[i] += nn
+    s2 = scale * scale
+    p = {i: scale for i in players}
+    for _ in range(rounds):
+        denom = {i: 0 for i in players}
+        for i, j, nn, _ in dir_rows:
+            denom[i] += (nn * s2) // (p[i] + p[j])
+        p = {
+            i: max(((wins[i] + 1) * s2) // denom[i], 1)
+            for i in players
+        }
+    order = sorted(players, key=lambda i: (-p[i], i))
+    rows = [
+        (i, wins[i], ncomp[i], p[i], rank + 1)
+        for rank, i in enumerate(order)
+    ]
+    return pairs.sparkSession.createDataFrame(rows, out_schema)

@@ -744,3 +744,73 @@ def ordered_cumsum(
         .withColumn(out_col, cum.cast("long"))
         .drop("__pid", "__lc", "__off")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    seed: str = "tb",
+    out_col: str = "cum_tokens",
+) -> DataFrame:
+    """Per-group token-budget selection — the mixture-recipe executor:
+    given a target token budget per group (language / source / domain),
+    keep a seeded uniform-random prefix of each group's documents until
+    the budget is reached (the straddling document is kept, so every
+    group with any data meets its budget). This is how a mixture spec
+    ("30 B tokens of code, 5 B of forum text") becomes an actual
+    document selection.
+
+    Scale shape: NO per-group window. A per-group ``SUM OVER
+    (PARTITION BY group ORDER BY ...)`` concentrates each group in one
+    task — a hot group (English) is most of the corpus, so that's the
+    epoch_order failure class in group clothing. Instead the rows get
+    ONE GLOBAL total order (group major, seeded md5 key minor) and run
+    through :func:`ordered_cumsum`'s two-phase range-partitioned rank;
+    each group's start offset is then its MIN exclusive prefix — a
+    groups-sized aggregate broadcast back. Hot groups therefore spread
+    across as many range partitions as their mass requires.
+
+    Output: the selected rows with ``tokens`` (the value) and
+    ``out_col`` = the within-group INCLUSIVE running total at that row
+    (<= budget + the straddler's overhang).
+    """
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(seed),
+                    F.col(group_col).cast("string"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = df.withColumn("__k", key)
+    cum = ordered_cumsum(
+        keyed,
+        [group_col, "__k", id_col],
+        value_col,
+        out_col="__cum",
+        inclusive=True,
+    )
+    excl = (F.col("__cum") - F.col(value_col).cast("long")).alias("__excl")
+    cum = cum.withColumn("__excl", excl)
+    base = cum.groupBy(group_col).agg(F.min("__excl").alias("__base"))
+    return (
+        cum.join(F.broadcast(base), group_col)
+        .withColumn("__wexcl", F.col("__excl") - F.col("__base"))
+        .where(F.col("__wexcl") < F.lit(int(budget)))
+        .withColumn(
+            out_col,
+            (F.col("__wexcl") + F.col(value_col).cast("long")).cast("long"),
+        )
+        .drop("__k", "__cum", "__excl", "__base", "__wexcl")
+    )

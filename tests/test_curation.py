@@ -454,3 +454,125 @@ def test_preference_pairs_deterministic(spark):
     a = sorted(map(tuple, preference_pairs(df).collect()))
     b = sorted(map(tuple, preference_pairs(df.repartition(7)).collect()))
     assert a == b and len(a) == 12
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty — memorization-risk signal
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_hand_case(spark):
+    from json_ld_spark.operators.curation import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),     # grams: "a b c d e", "b c d e f"
+            (2, "a b c d e f"),     # identical -> both grams df=2
+            (3, "q w e r t y u"),   # unique grams -> novelty 1.0
+            (4, "too short"),       # < 5 words -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=5, min_df=2).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["n_dup"] == 2
+    assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
+    assert out[3]["n_grams"] == 3 and out[3]["n_dup"] == 0
+    assert out[3]["dup_frac"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["n_dup"] == 0
+    assert out[4]["dup_frac"] is None
+
+
+def test_ngram_novelty_within_doc_repeats_not_counted(spark):
+    from json_ld_spark.operators.curation import ngram_novelty
+
+    # the same 5-gram repeated INSIDE one doc must not raise its own
+    # document frequency (array_distinct runs before the explode)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c d e")], "doc_id long, text string"
+    )
+    r = ngram_novelty(docs, n=5, min_df=2).first()
+    assert r["n_dup"] == 0
+
+
+def test_ngram_novelty_empty(spark):
+    from json_ld_spark.operators.curation import ngram_novelty
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_novelty(docs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bt_strengths — Bradley-Terry MM on the integer lattice
+# ---------------------------------------------------------------------------
+
+def _py_bt(pairs, rounds=8, scale=1_000_000):
+    """Plain-Python replica of the documented fixed-point MM."""
+    pairs = [(w, l) for w, l in pairs if w != l]
+    stats = {}
+    for w, l in pairs:
+        a, b = min(w, l), max(w, l)
+        n, wa = stats.get((a, b), (0, 0))
+        stats[(a, b)] = (n + 1, wa + (1 if w == a else 0))
+    dir_rows = []
+    for (a, b), (n, wa) in stats.items():
+        dir_rows.append((a, b, n, wa))
+        dir_rows.append((b, a, n, n - wa))
+    players = sorted({i for i, _, _, _ in dir_rows})
+    wins = {i: 0 for i in players}
+    for i, _, n, w in dir_rows:
+        wins[i] += w
+    s2 = scale * scale
+    p = {i: scale for i in players}
+    for _ in range(rounds):
+        den = {i: 0 for i in players}
+        for i, j, n, _ in dir_rows:
+            den[i] += (n * s2) // (p[i] + p[j])
+        p = {i: max(((wins[i] + 1) * s2) // den[i], 1) for i in players}
+    return p, wins
+
+
+def test_bt_strengths_hand_case(spark):
+    from json_ld_spark.operators.curation import bt_strengths
+
+    # A(1) beats B(2) 3x, B beats A once, B beats C(3) twice
+    raw = [(1, 2), (1, 2), (1, 2), (2, 1), (2, 3), (2, 3)]
+    pairs = spark.createDataFrame(raw, "winner long, loser long")
+    out = {r["player"]: r for r in bt_strengths(pairs, rounds=8).collect()}
+    exp_p, exp_w = _py_bt(raw)
+    for i in (1, 2, 3):
+        assert out[i]["strength"] == exp_p[i]
+        assert out[i]["wins"] == exp_w[i]
+    assert out[1]["strength"] > out[2]["strength"] > out[3]["strength"]
+    assert [out[i]["rank"] for i in (1, 2, 3)] == [1, 2, 3]
+    assert out[1]["n_comp"] == 4 and out[2]["n_comp"] == 6 and out[3]["n_comp"] == 2
+
+
+def test_bt_strengths_self_and_empty(spark):
+    from json_ld_spark.operators.curation import bt_strengths
+
+    empty = spark.createDataFrame([], "winner long, loser long")
+    assert bt_strengths(empty).count() == 0
+    selfs = spark.createDataFrame([(1, 1), (2, 2)], "winner long, loser long")
+    assert bt_strengths(selfs).count() == 0
+
+
+def test_bt_strengths_max_players_guard(spark):
+    from json_ld_spark.operators.curation import bt_strengths
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "winner long, loser long"
+    )
+    with pytest.raises(ValueError, match="players"):
+        bt_strengths(pairs, max_players=2)
+
+
+def test_bt_strengths_never_winner_floor(spark):
+    from json_ld_spark.operators.curation import bt_strengths
+
+    # a player that loses every comparison must keep strength >= 1
+    # (the floor that protects later denominators)
+    raw = [(1, 2)] * 50
+    pairs = spark.createDataFrame(raw, "winner long, loser long")
+    out = {r["player"]: r for r in bt_strengths(pairs, rounds=8).collect()}
+    assert out[2]["strength"] >= 1
+    exp_p, _ = _py_bt(raw)
+    assert out[2]["strength"] == exp_p[2]

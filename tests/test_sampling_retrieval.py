@@ -668,3 +668,76 @@ def test_ordered_cumsum_matches_window_and_avoids_global_window(spark):
 
     empty = spark.createDataFrame([], "id long, k long, v long")
     assert ordered_cumsum(empty, ["k"], "v").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select — per-group token-budget mixture executor
+# ---------------------------------------------------------------------------
+
+def _py_token_budget(rows, budget, seed="tb"):
+    """Exact replica: rows = [(id, group, value)]; returns
+    {id: within-group inclusive cum} for the selected prefix."""
+    import hashlib
+
+    def key(g, i):
+        h = hashlib.md5(f"{seed}|{g}|{i}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    sel = {}
+    groups = sorted({g for _, g, _ in rows})
+    for g in groups:
+        members = sorted(
+            [(key(g, i), i, v) for i, gg, v in rows if gg == g]
+        )
+        cum = 0
+        for _, i, v in members:
+            if cum >= budget:
+                break
+            cum += v
+            sel[i] = cum
+    return sel
+
+
+def test_token_budget_select_matches_python(spark):
+    from json_ld_spark.operators.sampling import token_budget_select
+
+    rows = [(i, ["en", "de", "fr"][i % 3], 10 + (i * 7) % 23) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, nw long")
+    out = token_budget_select(df, "lang", "nw", budget=100)
+    got = {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
+    assert got == _py_token_budget(rows, 100)
+
+
+def test_token_budget_select_small_group_fully_kept(spark):
+    from json_ld_spark.operators.sampling import token_budget_select
+
+    # a group whose total is under budget keeps every row
+    rows = [(1, "a", 5), (2, "a", 5), (3, "b", 500), (4, "b", 500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, nw long")
+    out = token_budget_select(df, "lang", "nw", budget=100).collect()
+    a = [r for r in out if r["lang"] == "a"]
+    b = [r for r in out if r["lang"] == "b"]
+    assert len(a) == 2            # both kept (total 10 < 100)
+    assert len(b) == 1            # first row already straddles
+    assert b[0]["cum_tokens"] == 500
+
+
+def test_token_budget_select_empty_and_plan(spark):
+    from json_ld_spark.operators.sampling import token_budget_select
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, nw long")
+    assert token_budget_select(empty, "lang", "nw", budget=10).count() == 0
+
+    df = spark.createDataFrame(
+        [(i, "en", 1) for i in range(20)], "doc_id long, lang string, nw long"
+    )
+    plan = (
+        token_budget_select(df, "lang", "nw", budget=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the scale contract: no partition-less window (ordered_cumsum's
+    # two-phase rank partitions by __pid)
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        assert "windowspecdefinition" not in m.group(1) or "__pid" in m.group(1) or "lang" in m.group(1)
