@@ -4198,6 +4198,46 @@ def q_data_bt_arena(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_strengths(comp, rounds=8).orderBy("rank", "player")
 
 
+def q_kg_conv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation SFT-quality gate (curation.conversation_quality)
+    over the transcripts table: role counts, tool calls, broken-
+    alternation repeats, mean assistant words, wall-clock span, keep
+    flag. One conv-keyed window + one conv-keyed agg — the corpus
+    shuffles once (the window's partitioning satisfies the groupBy)."""
+    from json_ld_spark.operators.curation import conversation_quality
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    return conversation_quality(t).orderBy("conv_id")
+
+
+def q_text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused by reciprocal-rank fusion
+    (retrieval.rrf_fuse, Cormack 2009): BM25 top-20 for a fixed term
+    query + exact-cosine top-20 for embedding query vec_id=0
+    (vec_id aligns with doc_id), rrf = 1/(60+r_bm25) + 1/(60+r_dense).
+    Both rank lists are top-k BOUNDED by construction, so the fusion
+    join and the sparse list's global rank window run on k rows —
+    never the corpus (documented plan-audit exemption, the
+    sketch_histogram_quantiles argument)."""
+    from json_ld_spark.operators import retrieval as rt
+    from json_ld_spark.operators.retrieval import rrf_fuse
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    sparse = rt.bm25(docs, ["shuffle", "join", "window"], top_k=20)
+    sw = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    sparse_ranked = sparse.select(
+        "doc_id", F.row_number().over(sw).cast("long").alias("rank")
+    )
+    dense = sim.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=20
+    ).select(F.col("cand_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([("bm25", sparse_ranked), ("dense", dense)], key_col="doc_id")
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+
+
 # The 50 registered queries NO driver round (r1-r4) has ever hash-verified
 # (union of CORRECTNESS_r01..r04 keys diffed against the registry; all are
 # judge-selfcheck green at sf0.001). queries() puts these FIRST so round 5's
@@ -4360,6 +4400,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": q_text_ngram_novelty,
         "data_token_budget": q_data_token_budget,
         "data_bt_arena": q_data_bt_arena,
+        "kg_conv_quality": q_kg_conv_quality,
+        "text_hybrid_rrf": q_text_hybrid_rrf,
         "data_interleave": q_data_interleave,
         "text_bm25_topk": q_text_bm25_topk,
         "multimodal_features": q_multimodal_features,
@@ -8642,6 +8684,69 @@ p8 AS MATERIALIZED (
 
 
 
+# curation.conversation_quality replay: the transcripts base CTE +
+# one conv-keyed lag window + one conv-keyed agg. span_us derives
+# from doc_id (ts = 2026-01-01 + doc_id seconds by construction);
+# assistant mean = exact integer sum / count, one division, 6-dp.
+_CONV_QUALITY_SQL = _BASE_CTE + r"""
+, lagged AS (
+  SELECT conv_id, role, tool, doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '')) AS wc,
+         CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   = role THEN 1 ELSE 0 END AS rep
+  FROM base
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool,
+       CAST(SUM(rep) AS BIGINT) AS n_role_repeats,
+       round(AVG(CASE WHEN role = 'assistant' THEN wc END), 6)
+         AS mean_assistant_words,
+       CAST((MAX(doc_id) - MIN(doc_id)) * 1000000 AS BIGINT) AS span_us,
+       (COUNT(*) >= 2
+        AND SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) >= 1
+        AND SUM(rep) = 0) AS keep
+FROM lagged
+GROUP BY conv_id
+"""
+
+# retrieval.rrf_fuse replay: the green BM25 oracle verbatim as the
+# sparse list (6-dp-rounded scores rank deterministically), the
+# ann_topk_bruteforce cosine convention as the dense list, fusion =
+# one exact division per source + a pinned two-term add before the
+# 6-dp round.
+_HYBRID_RRF_SQL = """
+WITH bm AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM (""" + _BM25_SQL + """) bs
+), dn AS (
+  SELECT c.vec_id AS doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           q.qv) DESC,
+                    c.vec_id ASC) AS r
+  FROM embeddings c CROSS JOIN (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+  ) q
+  WHERE c.vec_id <> 0
+  QUALIFY r <= 20
+)
+SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+       bm.r AS rank_bm25,
+       dn.r AS rank_dense,
+       round(COALESCE(1.0 / (60 + bm.r), 0.0)
+             + COALESCE(1.0 / (60 + dn.r), 0.0), 6) AS rrf_score
+FROM bm FULL JOIN dn ON bm.doc_id = dn.doc_id
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -8753,6 +8858,8 @@ def oracle_sql() -> dict[str, str]:
         "text_ngram_novelty": _NGRAM_NOVELTY_SQL,
         "data_token_budget": _TOKEN_BUDGET_SQL,
         "data_bt_arena": _BT_ARENA_SQL,
+        "kg_conv_quality": _CONV_QUALITY_SQL,
+        "text_hybrid_rrf": _HYBRID_RRF_SQL,
         "text_lm_score": _LM_SCORE_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_pii_scan": _PII_SQL,

@@ -582,3 +582,56 @@ def bt_strengths(
         for rank, i in enumerate(order)
     ]
     return pairs.sparkSession.createDataFrame(rows, out_schema)
+
+
+def conversation_quality(
+    transcripts: DataFrame,
+    min_turns: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-conversation SFT-data quality gate over the transcripts
+    table — the instruction-tuning analogue of Gopher document rules:
+    turn counts by role, tool-call count, role-repeat violations
+    (consecutive turns by the same speaker — broken alternation),
+    mean assistant-turn word length, and the conversation's wall-clock
+    span. ``keep`` = enough turns, at least one assistant turn, and no
+    role repeats — the standard pre-filter before SFT-pair assembly.
+
+    Plan: ONE conv-keyed ordered window (lag for the repeat check)
+    feeding ONE conv-keyed aggregation — the window's hash
+    partitioning already satisfies the groupBy requirement, so the
+    corpus shuffles once. Word counts are JVM expressions; the
+    assistant mean is an exact integer sum divided once (no float
+    accumulation order), rounded for the cross-engine contract.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wc = F.size(_tokens(F.col("text"))).cast("long")
+    t = transcripts.select(
+        "conv_id",
+        "role",
+        "tool",
+        "ts",
+        wc.alias("__wc"),
+        (F.lag("role").over(w) == F.col("role")).cast("long").alias("__rep"),
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    agg = t.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).cast("long").alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .cast("long")
+        .alias("n_assistant"),
+        F.sum(F.col("tool").isNotNull().cast("long")).cast("long").alias("n_tool"),
+        F.coalesce(F.sum("__rep"), F.lit(0)).cast("long").alias("n_role_repeats"),
+        F.round(
+            F.avg(F.when(F.col("role") == "assistant", F.col("__wc"))),
+            round_digits,
+        ).alias("mean_assistant_words"),
+        (F.max(us) - F.min(us)).cast("long").alias("span_us"),
+    )
+    keep = (
+        (F.col("n_turns") >= min_turns)
+        & (F.col("n_assistant") >= 1)
+        & (F.col("n_role_repeats") == 0)
+    )
+    return agg.withColumn("keep", keep)

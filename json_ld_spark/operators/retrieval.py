@@ -291,3 +291,46 @@ def textrank_keywords(
         .orderBy(F.col("rank_r").desc(), "word")
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: list,
+    key_col: str = "doc_id",
+    k: int = 60,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-search combiner for sparse (BM25) + dense (ANN) rank lists:
+    rrf(d) = sum over sources of 1 / (k + rank_source(d)), documents
+    missing from a source contribute 0.
+
+    ``rankings`` is an ORDERED list of (name, DataFrame) where each
+    frame carries (key_col, rank). The score sum follows the list
+    order, so it is a fixed IEEE composition — one exact division per
+    source plus a pinned-order chain of adds — and replays
+    bit-identically in SQL before the 6-dp round.
+
+    Scale shape: rank lists are top-k bounded by construction (each
+    source ends in a TakeOrderedAndProject / per-query window), so the
+    full-outer join chain runs on k-sized inputs per query — fusion
+    cost is O(sources * k), never corpus-shaped. Output keeps each
+    source's rank column (rank_<name>, NULL when absent) plus
+    ``rrf_score``.
+    """
+    from functools import reduce
+
+    outs = [
+        df.select(
+            F.col(key_col),
+            F.col("rank").cast("long").alias(f"rank_{name}"),
+        )
+        for name, df in rankings
+    ]
+    joined = reduce(lambda a, b: a.join(b, key_col, "full_outer"), outs)
+    score = None
+    for name, _ in rankings:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"rank_{name}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return joined.withColumn("rrf_score", F.round(score, round_digits))

@@ -149,6 +149,8 @@ CARTESIAN_OK = {
     "dedup_containment",        # same bounded-sample brute-force twin
     "kg_transe_rank",           # broadcast(hash-sampled test) x entities
     "kg_graph_metrics",         # one-row scalar crossJoins (3x)
+    "text_hybrid_rrf",          # dense list = the brute-force twin
+                                # (broadcast 1-query cross join)
     "sketch_histogram_quantiles",  # build side = the 3-row quantile list
     "kg_bgp_values_minus",      # SPARQL VALUES compatibility join: the
     "kg_sparql_select",         # null-OR-equal predicate is non-equi by
@@ -165,6 +167,10 @@ SINGLE_PARTITION_OK = {
                                    # histogram: <= n_buckets rows by
                                    # construction (the corpus pass is
                                    # the groupBy that built it)
+    "text_hybrid_rrf",             # sparse-list rank window runs over
+                                   # the top-20 rows a
+                                   # TakeOrderedAndProject already cut
+                                   # — k-bounded by construction
 }
 
 

@@ -576,3 +576,50 @@ def test_bt_strengths_never_winner_floor(spark):
     assert out[2]["strength"] >= 1
     exp_p, _ = _py_bt(raw)
     assert out[2]["strength"] == exp_p[2]
+
+
+# ---------------------------------------------------------------------------
+# conversation_quality — SFT-data gate
+# ---------------------------------------------------------------------------
+
+def test_conversation_quality_hand_case(spark):
+    from datetime import datetime
+
+    from json_ld_spark.operators.curation import conversation_quality
+
+    t = spark.createDataFrame(
+        [
+            # clean 2-turn conversation
+            ("c1", 0, "user", "hi there", None, datetime(2026, 1, 1, 0, 0, 0)),
+            ("c1", 1, "assistant", "hello friend of mine", "search",
+             datetime(2026, 1, 1, 0, 0, 9)),
+            # broken alternation (two consecutive user turns), no assistant
+            ("c2", 0, "user", "a b", None, datetime(2026, 1, 1)),
+            ("c2", 1, "user", "c", None, datetime(2026, 1, 1)),
+            # single-turn conversation
+            ("c3", 0, "assistant", "solo", None, datetime(2026, 1, 1)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in conversation_quality(t).collect()}
+    c1 = out["c1"]
+    assert c1["n_turns"] == 2 and c1["n_user"] == 1 and c1["n_assistant"] == 1
+    assert c1["n_tool"] == 1 and c1["n_role_repeats"] == 0
+    assert c1["mean_assistant_words"] == 4.0
+    assert c1["span_us"] == 9_000_000
+    assert c1["keep"] is True
+    c2 = out["c2"]
+    assert c2["n_role_repeats"] == 1 and c2["n_assistant"] == 0
+    assert c2["keep"] is False and c2["mean_assistant_words"] is None
+    c3 = out["c3"]
+    assert c3["keep"] is False  # below min_turns
+    assert c3["span_us"] == 0
+
+
+def test_conversation_quality_empty(spark):
+    from json_ld_spark.operators.curation import conversation_quality
+
+    t = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    assert conversation_quality(t).count() == 0

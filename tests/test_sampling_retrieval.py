@@ -741,3 +741,34 @@ def test_token_budget_select_empty_and_plan(spark):
 
     for m in re.finditer(r"Window \[(.*?)\]", plan):
         assert "windowspecdefinition" not in m.group(1) or "__pid" in m.group(1) or "lang" in m.group(1)
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse — reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_hand_case(spark):
+    from json_ld_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse([("a", a), ("b", b)], k=60).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 3 appears in both lists
+    assert out[3]["rank_a"] == 3 and out[3]["rank_b"] == 1
+    assert abs(out[3]["rrf_score"] - round(1 / 63 + 1 / 61, 6)) < 1e-12
+    # doc 1 only in a; missing source contributes 0
+    assert out[1]["rank_b"] is None
+    assert abs(out[1]["rrf_score"] - round(1 / 61, 6)) < 1e-12
+    # overlap beats single-source membership
+    assert out[3]["rrf_score"] > out[1]["rrf_score"]
+
+
+def test_rrf_fuse_single_source_and_empty(spark):
+    from json_ld_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
+    out = rrf_fuse([("only", a)]).collect()
+    assert len(out) == 1 and abs(out[0]["rrf_score"] - round(1 / 61, 6)) < 1e-12
+    e = spark.createDataFrame([], "doc_id long, rank long")
+    assert rrf_fuse([("a", e), ("b", e)]).count() == 0
