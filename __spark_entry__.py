@@ -4238,6 +4238,35 @@ def q_text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
 
 
+def q_ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification eval (similarity.knn_classify)
+    over the embeddings table's label column: leave-one-out 5-NN for a
+    hash-sampled query set, deterministic vote resolution (count DESC,
+    best neighbor rank ASC, label ASC). Brute candidate twin in the
+    sampled baseline (CARTESIAN_OK family); ivf/lsh generators drop in
+    via the neighbors parameter at scale."""
+    _utc(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    embd = _emb_double(emb)
+    q = embd.filter(F.col("vec_id") % 25 == 0)
+    pred = sim.knn_classify(q, embd, emb.select("vec_id", "label"), k=5)
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            "best_rank",
+            (F.col("true_label") == F.col("pred_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # The 50 registered queries NO driver round (r1-r4) has ever hash-verified
 # (union of CORRECTNESS_r01..r04 keys diffed against the registry; all are
 # judge-selfcheck green at sf0.001). queries() puts these FIRST so round 5's
@@ -4402,6 +4431,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_bt_arena": q_data_bt_arena,
         "kg_conv_quality": q_kg_conv_quality,
         "text_hybrid_rrf": q_text_hybrid_rrf,
+        "ann_knn_classify": q_ann_knn_classify,
         "data_interleave": q_data_interleave,
         "text_bm25_topk": q_text_bm25_topk,
         "multimodal_features": q_multimodal_features,
@@ -8747,6 +8777,42 @@ FROM bm FULL JOIN dn ON bm.doc_id = dn.doc_id
 
 
 
+# similarity.knn_classify replay: the ann_topk_bruteforce cosine
+# convention (leave-one-out, rank on raw cos with cand tiebreak) +
+# the identical deterministic vote window.
+_KNN_CLASSIFY_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS t
+  FROM embeddings WHERE vec_id % 25 = 0
+), nn AS (
+  SELECT q.query_id, c.label AS lab,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           q.qv) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+  QUALIFY rank <= 5
+), votes AS (
+  SELECT query_id, lab,
+         CAST(COUNT(*) AS BIGINT) AS n_votes,
+         CAST(MIN(rank) AS BIGINT) AS best_rank
+  FROM nn GROUP BY query_id, lab
+), pred AS (
+  SELECT query_id, lab, n_votes, best_rank,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY n_votes DESC, best_rank ASC, lab ASC) AS rn
+  FROM votes QUALIFY rn = 1
+)
+SELECT p.query_id, q.t AS true_label, p.lab AS pred_label,
+       p.n_votes, p.best_rank, (q.t = p.lab) AS correct
+FROM pred p JOIN q ON q.query_id = p.query_id
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -8860,6 +8926,7 @@ def oracle_sql() -> dict[str, str]:
         "data_bt_arena": _BT_ARENA_SQL,
         "kg_conv_quality": _CONV_QUALITY_SQL,
         "text_hybrid_rrf": _HYBRID_RRF_SQL,
+        "ann_knn_classify": _KNN_CLASSIFY_SQL,
         "text_lm_score": _LM_SCORE_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_pii_scan": _PII_SQL,

@@ -746,3 +746,61 @@ def margin_pairs(
             F.round("margin", 6).alias("margin_r"),
         )
     )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    labels: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    neighbors: DataFrame | None = None,
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding column —
+    the standard label-propagation / eval primitive (predict a doc's
+    topic/quality class from its nearest labeled neighbors). The
+    candidate generator is pluggable exactly as in margin_pairs: pass
+    ``neighbors`` (query_id, cand_id, rank) from ivf_topk / lsh_topk
+    at scale; the default is the exact :func:`brute_force_topk` twin.
+
+    Vote resolution is fully deterministic: per query, labels rank by
+    (vote count DESC, best neighbor rank ASC, label ASC) — the
+    best-rank tiebreak means a 2-2 split goes to the label owning the
+    NEAREST neighbor, and the final label tiebreak is total. One
+    neighbor-label equi-join + one (query,label) agg + one
+    query-partitioned window; nothing corpus-shaped after the
+    candidate stage.
+
+    Output: (query_id, pred_label, n_votes, best_rank).
+    """
+    nn = (
+        neighbors
+        if neighbors is not None
+        else brute_force_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    )
+    lab = labels.select(
+        F.col(id_col).alias("cand_id"), F.col(label_col).alias("__lab")
+    )
+    votes = (
+        nn.join(lab, "cand_id")
+        .groupBy("query_id", "__lab")
+        .agg(
+            F.count("*").cast("long").alias("n_votes"),
+            F.min("rank").cast("long").alias("best_rank"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("best_rank"), F.asc("__lab")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("__lab").alias("pred_label"),
+            "n_votes",
+            "best_rank",
+        )
+    )

@@ -772,3 +772,60 @@ def test_rrf_fuse_single_source_and_empty(spark):
     assert len(out) == 1 and abs(out[0]["rrf_score"] - round(1 / 61, 6)) < 1e-12
     e = spark.createDataFrame([], "doc_id long, rank long")
     assert rrf_fuse([("a", e), ("b", e)]).count() == 0
+
+
+def test_knn_classify_hand_case(spark):
+    from json_ld_spark.operators.similarity import knn_classify
+
+    # 2D embeddings: two tight clusters with labels 0 and 1
+    pts = [
+        (0, [1.0, 0.0], 0), (1, [0.99, 0.1], 0), (2, [0.98, 0.15], 0),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.99], 1), (5, [0.15, 0.98], 1),
+    ]
+    emb = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>, label int"
+    )
+    q = emb.filter(F.col("vec_id").isin(0, 3)).select("vec_id", "embedding")
+    out = {
+        r["query_id"]: r
+        for r in knn_classify(
+            q, emb.select("vec_id", "embedding"),
+            emb.select("vec_id", "label"), k=3,
+        ).collect()
+    }
+    assert out[0]["pred_label"] == 0 and out[3]["pred_label"] == 1
+    # leave-one-out: query 0's 3-NN are {1, 2, 3} -> votes 2 for label 0
+    assert out[0]["n_votes"] == 2 and out[0]["best_rank"] == 1
+
+
+def test_knn_classify_tie_goes_to_nearest(spark):
+    from json_ld_spark.operators.similarity import knn_classify
+
+    # 2-2 vote split: label of the single NEAREST neighbor must win
+    pts = [
+        (10, [1.0, 0.0], None),   # query (label unused)
+        (1, [0.999, 0.01], 7),    # nearest, label 7
+        (2, [0.99, 0.05], 3),
+        (3, [0.98, 0.08], 7),
+        (4, [0.97, 0.1], 3),
+    ]
+    emb = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>, label int"
+    )
+    corpus = emb.filter(F.col("vec_id") != 10)
+    q = emb.filter(F.col("vec_id") == 10).select("vec_id", "embedding")
+    out = knn_classify(
+        q, corpus.select("vec_id", "embedding"),
+        corpus.select("vec_id", "label"), k=4,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["pred_label"] == 7 and out[0]["n_votes"] == 2
+    assert out[0]["best_rank"] == 1
+
+
+def test_knn_classify_empty(spark):
+    from json_ld_spark.operators.similarity import knn_classify
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    lab = spark.createDataFrame([], "vec_id long, label int")
+    assert knn_classify(e, e, lab).count() == 0
