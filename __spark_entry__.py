@@ -4267,6 +4267,20 @@ def q_ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing
+    (curation.ccnet_buckets, Wenzek et al. 2020): corpus bigram-LM
+    score -> fixed-bin histogram tercile thresholds -> integer-bucket
+    labels. The tercile cut is integer arithmetic end to end; the
+    oracle reuses the green lm_score SQL verbatim and replays the
+    histogram-quantile algebra."""
+    from json_ld_spark.operators.curation import ccnet_buckets
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return ccnet_buckets(docs).orderBy("doc_id")
+
+
 # The 50 registered queries NO driver round (r1-r4) has ever hash-verified
 # (union of CORRECTNESS_r01..r04 keys diffed against the registry; all are
 # judge-selfcheck green at sf0.001). queries() puts these FIRST so round 5's
@@ -4432,6 +4446,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conv_quality": q_kg_conv_quality,
         "text_hybrid_rrf": q_text_hybrid_rrf,
         "ann_knn_classify": q_ann_knn_classify,
+        "text_ccnet_buckets": q_text_ccnet_buckets,
         "data_interleave": q_data_interleave,
         "text_bm25_topk": q_text_bm25_topk,
         "multimodal_features": q_multimodal_features,
@@ -8813,6 +8828,56 @@ FROM pred p JOIN q ON q.query_id = p.query_id
 
 
 
+# curation.ccnet_buckets replay: the green lm_score SQL verbatim as
+# the scorer, then the _HISTQ_SQL quantile algebra over avg_logprob
+# (integer bucket formula, smallest bucket with cum >= ceil(q*total)),
+# CASE on integer buckets — no float comparison anywhere.
+_CCNET_SQL = """
+WITH sc AS (
+  SELECT * FROM (""" + _LM_SCORE_SQL + """) s
+), h AS (
+  SELECT LEAST(999, GREATEST(0,
+           CAST(FLOOR(((CAST(avg_logprob AS DOUBLE) - (-16.0)) / 16.0)
+                      * 1000) AS INT))) AS bucket,
+         COUNT(*) AS c
+  FROM sc WHERE avg_logprob IS NOT NULL
+  GROUP BY 1
+), cum AS (
+  SELECT bucket,
+         SUM(c) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS total
+  FROM h
+), cuts AS (
+  SELECT qs.q, MIN(cum.bucket) AS b
+  FROM cum JOIN (SELECT unnest([0.33::DOUBLE, 0.67::DOUBLE]) AS q) qs
+    ON cum.cum >= CEIL(qs.q * cum.total)
+  GROUP BY qs.q
+), th AS (
+  SELECT MIN(CASE WHEN q = 0.33 THEN b END) AS b_lo,
+         MIN(CASE WHEN q = 0.67 THEN b END) AS b_hi
+  FROM cuts
+)
+SELECT sc.doc_id, sc.avg_logprob,
+       CASE WHEN sc.avg_logprob IS NULL THEN NULL
+            ELSE LEAST(999, GREATEST(0,
+                   CAST(FLOOR(((CAST(sc.avg_logprob AS DOUBLE) - (-16.0))
+                               / 16.0) * 1000) AS INT))) END AS score_bucket,
+       CASE WHEN sc.avg_logprob IS NULL THEN NULL
+            WHEN LEAST(999, GREATEST(0,
+                   CAST(FLOOR(((CAST(sc.avg_logprob AS DOUBLE) - (-16.0))
+                               / 16.0) * 1000) AS INT))) <= th.b_lo
+              THEN 'tail'
+            WHEN LEAST(999, GREATEST(0,
+                   CAST(FLOOR(((CAST(sc.avg_logprob AS DOUBLE) - (-16.0))
+                               / 16.0) * 1000) AS INT))) <= th.b_hi
+              THEN 'middle'
+            ELSE 'head' END AS ccnet_bucket
+FROM sc CROSS JOIN th
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -8927,6 +8992,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_conv_quality": _CONV_QUALITY_SQL,
         "text_hybrid_rrf": _HYBRID_RRF_SQL,
         "ann_knn_classify": _KNN_CLASSIFY_SQL,
+        "text_ccnet_buckets": _CCNET_SQL,
         "text_lm_score": _LM_SCORE_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_pii_scan": _PII_SQL,

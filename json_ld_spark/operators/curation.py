@@ -635,3 +635,72 @@ def conversation_quality(
         & (F.col("n_role_repeats") == 0)
     )
     return agg.withColumn("keep", keep)
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    lo: float = -16.0,
+    hi: float = 0.0,
+    bins: int = 1000,
+    qs: tuple = (0.33, 0.67),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus bigram LM (:func:`lm_score`), then
+    split the corpus into head / middle / tail terciles of LM quality
+    — the signature move of the CCNet curation pipeline (train on
+    head+middle, drop or downweight tail).
+
+    Thresholds come from the fixed-bin histogram-quantile sketch, so
+    the tercile cut is INTEGER bucket arithmetic end to end: each doc
+    maps to clamp(floor((score-lo)/(hi-lo)*bins)) and compares against
+    the two quantile buckets (smallest bucket whose cumulative count
+    reaches ceil(q*total)) — no float comparison can straddle engines.
+    Docs with no bigrams (NULL score) get a NULL bucket (CCNet drops
+    them before LM scoring).
+
+    Scale shape: lm_score's two vocabulary-keyed window counts + one
+    per-doc agg; the histogram is ONE partial-agg shuffle with
+    <= bins rows of state; thresholds are a 2-row driver collect
+    (sketch contract). The labeling pass is a pure projection.
+    """
+    from json_ld_spark.operators.sketches import histogram_quantiles
+
+    scored = lm_score(docs, text_col=text_col, id_col=id_col)
+    x = F.col("avg_logprob").cast("double")
+    ib = F.when(
+        x.isNotNull(),
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    ((x - F.lit(float(lo))) / F.lit(float(hi - lo))) * bins
+                ).cast("int"),
+            ),
+        ),
+    )
+    cuts = {
+        float(r["q"]): int(r["bucket"])
+        for r in histogram_quantiles(
+            scored, "avg_logprob", lo=lo, hi=hi, bins=bins, qs=qs
+        ).collect()
+    }
+    # empty/all-NULL corpora produce no histogram rows; -1 keeps the
+    # projection valid (no row has a bucket <= -1, labels stay NULL
+    # via the ib guard or fall to "head" vacuously on zero rows)
+    b_lo = cuts.get(float(qs[0]), -1)
+    b_hi = cuts.get(float(qs[1]), -1)
+    label = (
+        F.when(ib.isNull(), F.lit(None).cast("string"))
+        .when(ib <= F.lit(b_lo), F.lit("tail"))
+        .when(ib <= F.lit(b_hi), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return scored.select(
+        id_col,
+        "avg_logprob",
+        ib.cast("int").alias("score_bucket"),
+        label.alias("ccnet_bucket"),
+    )

@@ -623,3 +623,127 @@ def test_conversation_quality_empty(spark):
         [], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
     )
     assert conversation_quality(t).count() == 0
+
+
+def test_bt_strengths_matches_python_fuzz(spark):
+    """Random tournaments: the Spark pipeline (distributed matrix agg +
+    driver MM) must equal the pure-Python replica exactly — the fit is
+    integer arithmetic, so there is no tolerance."""
+    from hypothesis import given, settings, strategies as st
+
+    from json_ld_spark.operators.curation import bt_strengths
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 6)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def prop(raw):
+        pairs = spark.createDataFrame(raw, "winner long, loser long")
+        out = {r["player"]: r for r in bt_strengths(pairs, rounds=5).collect()}
+        exp_p, exp_w = _py_bt(raw, rounds=5)
+        assert set(out) == set(exp_p)
+        for i, p in exp_p.items():
+            assert out[i]["strength"] == p
+            assert out[i]["wins"] == exp_w[i]
+        # ranks are the (-strength, player) total order
+        order = sorted(exp_p, key=lambda i: (-exp_p[i], i))
+        for rank, i in enumerate(order, start=1):
+            assert out[i]["rank"] == rank
+
+    prop()
+
+
+def test_ngram_novelty_matches_python_fuzz(spark):
+    """Random corpora of small-vocab docs vs a pure-Python document-
+    frequency replica."""
+    from hypothesis import given, settings, strategies as st
+
+    from json_ld_spark.operators.curation import ngram_novelty
+
+    words = st.sampled_from(["a", "b", "c", "d"])
+
+    @given(
+        st.lists(
+            st.lists(words, min_size=0, max_size=8).map(" ".join),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def prop(texts):
+        n = 3
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup"])
+            for r in ngram_novelty(docs, n=n, min_df=2).collect()
+        }
+        grams = {
+            i: {
+                " ".join(t.split()[j:j + n])
+                for j in range(max(len(t.split()) - n + 1, 0))
+            }
+            for i, t in enumerate(texts)
+        }
+        df = {}
+        for gs in grams.values():
+            for g in gs:
+                df[g] = df.get(g, 0) + 1
+        for i, gs in grams.items():
+            assert got[i] == (len(gs), sum(1 for g in gs if df[g] >= 2))
+
+    prop()
+
+
+# ---------------------------------------------------------------------------
+# ccnet_buckets — head/middle/tail perplexity terciles
+# ---------------------------------------------------------------------------
+
+def test_ccnet_buckets_tercile_shape(spark, sf_dir):
+    from json_ld_spark.operators.curation import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ccnet_buckets(docs)
+    counts = {r["ccnet_bucket"]: r["n"] for r in
+              out.groupBy("ccnet_bucket").agg(F.count("*").alias("n")).collect()}
+    total = docs.count()
+    # all three buckets populated, tercile-ish (histogram-resolution
+    # slack), and the partition covers every scored doc
+    for b in ("head", "middle", "tail"):
+        assert counts.get(b, 0) > 0
+        assert counts[b] < 0.6 * total
+    assert sum(v for k, v in counts.items() if k) <= total
+
+
+def test_ccnet_buckets_order_and_nulls(spark):
+    from json_ld_spark.operators.curation import ccnet_buckets
+
+    rows = [(i, "the quick brown fox " * (1 + i % 7)) for i in range(30)]
+    rows += [(100, "")]  # no bigrams -> NULL score and bucket
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ccnet_buckets(docs, qs=(0.33, 0.67)).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["ccnet_bucket"], []).append(r)
+    assert by_bucket[None][0]["doc_id"] == 100
+    # every tail score <= every middle score <= every head score
+    def rng(b):
+        xs = [r["avg_logprob"] for r in by_bucket.get(b, [])]
+        return (min(xs), max(xs)) if xs else None
+    t, m, h = rng("tail"), rng("middle"), rng("head")
+    if t and m:
+        assert t[1] <= m[0] + 1e-9
+    if m and h:
+        assert m[1] <= h[0] + 1e-9
+
+
+def test_ccnet_buckets_empty(spark):
+    from json_ld_spark.operators.curation import ccnet_buckets
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert ccnet_buckets(docs).count() == 0

@@ -829,3 +829,32 @@ def test_knn_classify_empty(spark):
     e = spark.createDataFrame([], "vec_id long, embedding array<double>")
     lab = spark.createDataFrame([], "vec_id long, label int")
     assert knn_classify(e, e, lab).count() == 0
+
+
+def test_token_budget_select_fuzz(spark):
+    """Random (group, value) tables vs the exact Python replica — the
+    md5 permutation, straddler semantics, and within-group cumsum must
+    agree for every group shape (empty, tiny, all-one-group)."""
+    from hypothesis import given, settings, strategies as st
+
+    from json_ld_spark.operators.sampling import token_budget_select
+
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["g1", "g2", "g3"]), st.integers(1, 40)),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(1, 120),
+    )
+    @settings(max_examples=10, deadline=None)
+    def prop(pairs, budget):
+        rows = [(i, g, v) for i, (g, v) in enumerate(pairs)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, nw long")
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in token_budget_select(df, "lang", "nw", budget=budget).collect()
+        }
+        assert got == _py_token_budget(rows, budget)
+
+    prop()
