@@ -4281,6 +4281,42 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(docs).orderBy("doc_id")
 
 
+def q_streaming_conv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of kg_conv_quality: the transcript turn stream is
+    split into two ORDERED micro-batch files (early turns strictly
+    older mtime — the FileStreamSource pickup order producers of turn
+    logs get for free) and drained through the per-conv monoid-state
+    updater (streaming/stream.py make_quality_batch_updater): counts
+    and sums merge, the role-repeat count carries slice-boundary
+    (turn_idx, role) state so repeats straddling a micro-batch are
+    found. Shares kg_conv_quality's oracle — streaming == batch is the
+    claim being hash-verified."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from json_ld_spark.streaming.stream import run_stream_quality
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_q_")
+    t.filter(F.col("turn_idx") < 8).coalesce(1).write.mode("append").parquet(
+        f"{base}/in"
+    )
+    first = set(glob.glob(f"{base}/in/part-*"))
+    t.filter(F.col("turn_idx") >= 8).coalesce(1).write.mode("append").parquet(
+        f"{base}/in"
+    )
+    now = time.time()
+    for f in glob.glob(f"{base}/in/part-*"):
+        os.utime(f, (now - 120, now - 120) if f in first else (now, now))
+    return run_stream_quality(
+        spark, f"{base}/in", f"{base}/state", f"{base}/ckpt",
+        schema=t.schema,
+    ).orderBy("conv_id")
+
+
 # The 50 registered queries NO driver round (r1-r4) has ever hash-verified
 # (union of CORRECTNESS_r01..r04 keys diffed against the registry; all are
 # judge-selfcheck green at sf0.001). queries() puts these FIRST so round 5's
@@ -4447,6 +4483,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hybrid_rrf": q_text_hybrid_rrf,
         "ann_knn_classify": q_ann_knn_classify,
         "text_ccnet_buckets": q_text_ccnet_buckets,
+        "streaming_conv_quality": q_streaming_conv_quality,
         "data_interleave": q_data_interleave,
         "text_bm25_topk": q_text_bm25_topk,
         "multimodal_features": q_multimodal_features,
@@ -8993,6 +9030,7 @@ def oracle_sql() -> dict[str, str]:
         "text_hybrid_rrf": _HYBRID_RRF_SQL,
         "ann_knn_classify": _KNN_CLASSIFY_SQL,
         "text_ccnet_buckets": _CCNET_SQL,
+        "streaming_conv_quality": _CONV_QUALITY_SQL,
         "text_lm_score": _LM_SCORE_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_pii_scan": _PII_SQL,

@@ -15,6 +15,7 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
 
 from ..operators.native import transcript_triples_native
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
@@ -410,3 +411,227 @@ def run_stream_components(
     out = _latest_component_state(spark, state_path, before=1 << 62)
     assert out is not None
     return out
+
+
+# ---------------------------------------------------------------------------
+# incremental conversation quality (streaming SFT-gate maintenance)
+# ---------------------------------------------------------------------------
+
+_QSTATE_COLS = (
+    "conv_id", "n_turns", "n_user", "n_assistant", "n_tool", "n_reps",
+    "sum_aw", "n_aw", "first_idx", "first_role", "last_idx", "last_role",
+    "min_us", "max_us",
+)
+
+
+def _quality_partials(batch: DataFrame) -> DataFrame:
+    """Per-conversation MONOID partials for one micro-batch slice:
+    everything curation.conversation_quality needs, reduced to a
+    constant number of mergeable fields per conv — counts and sums
+    plus the slice's boundary (first/last turn_idx + role), which is
+    exactly the extra state the role-repeat count needs to merge
+    across slice boundaries."""
+    from ..operators.curation import _tokens
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t = batch.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        us.alias("__us"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("__wc"),
+        (F.lag("role").over(w) == F.col("role")).cast("long").alias("__rep"),
+    )
+    return t.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).cast("long").alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .cast("long")
+        .alias("n_assistant"),
+        F.sum(F.col("tool").isNotNull().cast("long")).cast("long").alias("n_tool"),
+        F.coalesce(F.sum("__rep"), F.lit(0)).cast("long").alias("n_reps"),
+        F.coalesce(
+            F.sum(F.when(F.col("role") == "assistant", F.col("__wc"))), F.lit(0)
+        ).cast("long").alias("sum_aw"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .cast("long")
+        .alias("n_aw"),
+        F.min("turn_idx").cast("long").alias("first_idx"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        F.max("turn_idx").cast("long").alias("last_idx"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+        F.min("__us").cast("long").alias("min_us"),
+        F.max("__us").cast("long").alias("max_us"),
+    )
+
+
+def _latest_quality_state(
+    spark: SparkSession, state_path: str, before: int
+) -> DataFrame | None:
+    import os
+    import re
+
+    if not os.path.isdir(state_path):
+        return None
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(state_path)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    ]
+    versions = [v for v in versions if v < before]
+    if not versions:
+        return None
+    return spark.read.parquet(f"{state_path}/v={max(versions)}")
+
+
+def make_quality_batch_updater(state_path: str):
+    """foreachBatch updater maintaining per-conversation quality state
+    over a transcript TURN stream — the streaming twin of
+    curation.conversation_quality. State is one bounded row per
+    conversation (counts, sums, boundary turn/role, time range); each
+    batch computes its slice partials and merges them in:
+
+        merge(a, b) with a the earlier slice (first_idx order):
+        counts/sums add; the boundary role repeat is
+        (a.last_role == b.first_role AND b.first_idx == a.last_idx+1);
+        first_* from a, last_* from b; min/max over the time range.
+
+    Contract: per conversation, micro-batches deliver turns in
+    event order with contiguous turn indexes (the Kafka
+    partitioned-by-conv log shape). The adjacency check makes an
+    out-of-contract gap UNDERCOUNT repeats rather than miscount.
+
+    Exactly-once: state versions write to `state_path/v=<batch_id>`
+    and a batch reads the newest version strictly below its own id —
+    a replayed batch re-reads its true input and idempotently
+    rewrites the same output (the component-updater protocol)."""
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        p = _quality_partials(batch_df)
+        s = _latest_quality_state(spark, state_path, before=batch_id)
+        if s is None:
+            merged = p.select(*_QSTATE_COLS)
+        else:
+            sd = s.select(
+                *[F.col(c).alias(f"s_{c}" if c != "conv_id" else c)
+                  for c in _QSTATE_COLS]
+            )
+            pd_ = p.select(
+                *[F.col(c).alias(f"p_{c}" if c != "conv_id" else c)
+                  for c in _QSTATE_COLS]
+            )
+            j = sd.join(pd_, "conv_id", "full_outer")
+            both = F.col("s_n_turns").isNotNull() & F.col("p_n_turns").isNotNull()
+            s_early = F.col("s_first_idx") <= F.col("p_first_idx")
+
+            def pick(field: str, early: bool):
+                a = F.col(f"s_{field}") if early else F.col(f"p_{field}")
+                b = F.col(f"p_{field}") if early else F.col(f"s_{field}")
+                return F.when(s_early, a).otherwise(b)
+
+            def add(field: str):
+                return F.coalesce(F.col(f"s_{field}"), F.lit(0)) + F.coalesce(
+                    F.col(f"p_{field}"), F.lit(0)
+                )
+
+            boundary = (
+                (pick("last_role", True) == pick("first_role", False))
+                & (pick("first_idx", False) == pick("last_idx", True) + 1)
+            ).cast("long")
+            merged = j.select(
+                "conv_id",
+                add("n_turns").cast("long").alias("n_turns"),
+                add("n_user").cast("long").alias("n_user"),
+                add("n_assistant").cast("long").alias("n_assistant"),
+                add("n_tool").cast("long").alias("n_tool"),
+                (add("n_reps") + F.when(both, boundary).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("n_reps"),
+                add("sum_aw").cast("long").alias("sum_aw"),
+                add("n_aw").cast("long").alias("n_aw"),
+                F.least(
+                    F.coalesce("s_first_idx", "p_first_idx"),
+                    F.coalesce("p_first_idx", "s_first_idx"),
+                ).cast("long").alias("first_idx"),
+                F.when(both, pick("first_role", True))
+                .otherwise(F.coalesce("s_first_role", "p_first_role"))
+                .alias("first_role"),
+                F.greatest(
+                    F.coalesce("s_last_idx", "p_last_idx"),
+                    F.coalesce("p_last_idx", "s_last_idx"),
+                ).cast("long").alias("last_idx"),
+                F.when(both, pick("last_role", False))
+                .otherwise(F.coalesce("s_last_role", "p_last_role"))
+                .alias("last_role"),
+                F.least(
+                    F.coalesce("s_min_us", "p_min_us"),
+                    F.coalesce("p_min_us", "s_min_us"),
+                ).cast("long").alias("min_us"),
+                F.greatest(
+                    F.coalesce("s_max_us", "p_max_us"),
+                    F.coalesce("p_max_us", "s_max_us"),
+                ).cast("long").alias("max_us"),
+            )
+        merged.write.mode("overwrite").parquet(f"{state_path}/v={batch_id}")
+
+    return update
+
+
+def quality_state_metrics(
+    state: DataFrame, min_turns: int = 2, round_digits: int = 6
+) -> DataFrame:
+    """Project the maintained state into conversation_quality's exact
+    output schema (the same mean = exact integer sum / ONE division)."""
+    return state.select(
+        "conv_id",
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        "n_tool",
+        F.col("n_reps").alias("n_role_repeats"),
+        F.round(
+            F.when(
+                F.col("n_aw") > 0, F.col("sum_aw") / F.col("n_aw")
+            ),
+            round_digits,
+        ).alias("mean_assistant_words"),
+        (F.col("max_us") - F.col("min_us")).cast("long").alias("span_us"),
+        (
+            (F.col("n_turns") >= min_turns)
+            & (F.col("n_assistant") >= 1)
+            & (F.col("n_reps") == 0)
+        ).alias("keep"),
+    )
+
+
+def run_stream_quality(
+    spark: SparkSession,
+    in_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    schema,
+    min_turns: int = 2,
+) -> DataFrame:
+    """Drain a file-backed transcript-turn stream through the quality
+    updater; returns conversation_quality's output schema for every
+    conversation seen. File pickup order follows modification time
+    (FileStreamSource semantics) — producers of ordered turn logs get
+    that for free; tests pin mtimes explicitly."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(make_quality_batch_updater(state_path))
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = _latest_quality_state(spark, state_path, before=1 << 62)
+    assert state is not None
+    return quality_state_metrics(state, min_turns=min_turns)

@@ -426,3 +426,95 @@ def test_streaming_sessions_match_batch_twin(spark, tmp_path):
         ).collect()
     }
     assert stream == batch and len(batch) >= 18  # 6 sessions x 3 users
+
+
+def _ordered_turn_files(spark, t, in_dir, split_idx):
+    """Write two turn slices as separate files with PINNED modification
+    times (slice 1 strictly older) so FileStreamSource's mtime order
+    delivers them in event order — the ordered-log contract."""
+    import glob
+    import os
+    import time
+
+    t.filter(F.col("turn_idx") < split_idx).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    first = set(glob.glob(f"{in_dir}/part-*"))
+    t.filter(F.col("turn_idx") >= split_idx).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    now = time.time()
+    for f in glob.glob(f"{in_dir}/part-*"):
+        os.utime(f, (now - 120, now - 120) if f in first else (now, now))
+
+
+def test_stream_quality_matches_batch(spark, tmp_path):
+    """Incremental per-conv quality state over ordered turn slices ==
+    batch conversation_quality on the full transcript — including a
+    conversation whose role-repeat pair STRADDLES the batch boundary."""
+    from datetime import datetime
+
+    from json_ld_spark.operators.curation import conversation_quality
+    from json_ld_spark.streaming.stream import run_stream_quality
+
+    rows = []
+    # c1: clean alternation, 4 turns, split 2/2
+    for i, role in enumerate(["user", "assistant", "user", "assistant"]):
+        rows.append(("c1", i, role, f"turn {i} words here", None,
+                     datetime(2026, 1, 1, 0, 0, i)))
+    # c2: repeat pair exactly at the boundary (turns 1,2 both 'user')
+    for i, role in enumerate(["user", "user", "user", "assistant"]):
+        rows.append(("c2", i, role, "x y", "search" if i == 3 else None,
+                     datetime(2026, 1, 1, 0, 0, 10 + i)))
+    # c3: lives entirely in the first slice
+    rows.append(("c3", 0, "user", "hello", None, datetime(2026, 1, 1)))
+    rows.append(("c3", 1, "assistant", "hi", None, datetime(2026, 1, 1, 0, 0, 5)))
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    in_dir = tmp_path / "turns_in"
+    _ordered_turn_files(spark, t, in_dir, split_idx=2)
+    got = run_stream_quality(
+        spark, str(in_dir), str(tmp_path / "q_state"),
+        str(tmp_path / "q_ckpt"),
+        schema=t.schema,
+    )
+    got_rows = {r["conv_id"]: r.asDict() for r in got.collect()}
+    exp_rows = {r["conv_id"]: r.asDict() for r in conversation_quality(t).collect()}
+    assert got_rows == exp_rows
+    # the straddling repeat was found (c2 has two: turns 0-1 in slice 1,
+    # turns 1-2 across the boundary)
+    assert got_rows["c2"]["n_role_repeats"] == 2
+    assert got_rows["c1"]["keep"] is True
+
+
+def test_stream_quality_replay_idempotent(spark, tmp_path):
+    from json_ld_spark.streaming.stream import (
+        _latest_quality_state, make_quality_batch_updater,
+        quality_state_metrics,
+    )
+    from datetime import datetime
+
+    state = str(tmp_path / "q_state2")
+    upd = make_quality_batch_updater(state)
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    b0 = spark.createDataFrame(
+        [("c", 0, "user", "a b", None, datetime(2026, 1, 1))], schema
+    )
+    b1 = spark.createDataFrame(
+        [("c", 1, "user", "c", None, datetime(2026, 1, 1, 0, 1))], schema
+    )
+    upd(b0, 0)
+    upd(b1, 1)
+    first = {tuple(r) for r in
+             quality_state_metrics(
+                 _latest_quality_state(spark, state, 1 << 62)).collect()}
+    upd(b1, 1)  # at-least-once replay
+    again = {tuple(r) for r in
+             quality_state_metrics(
+                 _latest_quality_state(spark, state, 1 << 62)).collect()}
+    assert first == again
+    (row,) = first
+    assert row[0] == "c" and row[5] == 1  # the boundary repeat, once
