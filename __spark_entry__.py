@@ -4317,6 +4317,19 @@ def q_streaming_conv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+def q_dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup EXECUTION (dedup.remove_repeated_spans,
+    Lee et al. 2022): over the duplicate-injected corpus, every word
+    10-gram occurring >= 2 times keeps only its global first
+    occurrence; other occurrences merge into maximal intervals and are
+    cut. Injected full-doc copies therefore lose (almost) their whole
+    text; originals keep theirs. Oracle replays windows, the
+    cummax-island interval merge, and the token filter."""
+    _utc(spark)
+    corpus = _docs_with_dups(_read(spark, sf_dir, "documents"))
+    return dd.remove_repeated_spans(corpus, n=10, min_count=2).orderBy("doc_id")
+
+
 # The 50 registered queries NO driver round (r1-r4) has ever hash-verified
 # (union of CORRECTNESS_r01..r04 keys diffed against the registry; all are
 # judge-selfcheck green at sf0.001). queries() puts these FIRST so round 5's
@@ -4484,6 +4497,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_classify": q_ann_knn_classify,
         "text_ccnet_buckets": q_text_ccnet_buckets,
         "streaming_conv_quality": q_streaming_conv_quality,
+        "dedup_remove_spans": q_dedup_remove_spans,
         "data_interleave": q_data_interleave,
         "text_bm25_topk": q_text_bm25_topk,
         "multimodal_features": q_multimodal_features,
@@ -8915,6 +8929,74 @@ FROM sc CROSS JOIN th
 
 
 
+# dedup.remove_repeated_spans replay: dup-injected corpus, 10-gram
+# relation with the two gram windows, keep-first by (doc_id, pos),
+# cut-interval merge as a cummax gaps-and-islands, token filter by
+# NOT EXISTS over the merged intervals, md5 of the single-space
+# reassembly (string_agg ORDER BY position == array_join order).
+_REMOVE_SPANS_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+), w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM corpus
+), g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+9], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, greatest(len(t) - 9, 0))) AS u(i)
+), occ AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY gram) AS c,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g
+), cut AS (
+  SELECT doc_id, pos FROM occ WHERE c >= 2 AND rn > 1
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos <= MAX(pos + 10) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS flag
+  FROM cut
+), num AS (
+  SELECT doc_id, pos,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS iid
+  FROM isl
+), ivs AS (
+  SELECT doc_id, iid, MIN(pos) AS s, MAX(pos) + 10 AS e
+  FROM num GROUP BY doc_id, iid
+), toks AS (
+  SELECT doc_id, t[i] AS tok, i - 1 AS ti
+  FROM w, UNNEST(generate_series(1, len(t))) AS u(i)
+), kept AS (
+  SELECT k.doc_id, k.tok, k.ti FROM toks k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ivs
+    WHERE ivs.doc_id = k.doc_id AND k.ti >= ivs.s AND k.ti < ivs.e
+  )
+), ka AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY ti) AS out_text
+  FROM kept GROUP BY doc_id
+), ni AS (
+  SELECT doc_id, COUNT(*) AS n_intervals FROM ivs GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(w.t) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_cut_tokens,
+       CAST(COALESCE(ni.n_intervals, 0) AS BIGINT) AS n_intervals,
+       md5(COALESCE(ka.out_text, '')) AS dedup_md5
+FROM w LEFT JOIN ka USING (doc_id) LEFT JOIN ni USING (doc_id)
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -9031,6 +9113,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_knn_classify": _KNN_CLASSIFY_SQL,
         "text_ccnet_buckets": _CCNET_SQL,
         "streaming_conv_quality": _CONV_QUALITY_SQL,
+        "dedup_remove_spans": _REMOVE_SPANS_SQL,
         "text_lm_score": _LM_SCORE_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "text_pii_scan": _PII_SQL,

@@ -753,3 +753,103 @@ def paragraph_dedup(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
     return out
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    n: int = 12,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level dedup EXECUTION — the second half of Lee et al.
+    2022 (:func:`repeated_spans` is the discovery half): every word
+    n-gram occurring >= ``min_count`` times corpus-wide keeps exactly
+    its FIRST occurrence (global (doc_id, pos) order) and every other
+    occurrence is cut from its document. Overlapping cut spans merge
+    into maximal intervals before token removal, so nested/staggered
+    repeats cut cleanly.
+
+    Plan: one posexplode into the gram relation, ONE gram-keyed
+    shuffle serving both windows (the occurrence count and the
+    first-occurrence rank share the partition key), a doc-keyed
+    interval aggregation, and a doc-keyed join back. The interval
+    merge is a pure-JVM ``aggregate`` fold over the sorted start
+    array (fixed span width makes the running end the last element's
+    end); token removal is a ``filter`` over position-tagged tokens.
+    Nothing after the gram shuffle is corpus-fan-out: cut rows are
+    bounded by true repeats (Zipf tail grams never survive the
+    min_count filter).
+
+    Output: (id_col, n_tokens, n_kept, n_cut_tokens, n_intervals,
+    dedup_md5) with ``dedup_md5`` the md5 of the whitespace-normalized
+    deduplicated text (single-space joined surviving tokens).
+    """
+    from .curation import _tokens, ngrams as _word_ngrams
+
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(_word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+    )
+    w = Window.partitionBy("gram")
+    first = F.row_number().over(w.orderBy(id_col, "pos"))
+    cut = (
+        grams.withColumn("__occ", F.count("*").over(w))
+        .withColumn("__rn", first)
+        .filter((F.col("__occ") >= min_count) & (F.col("__rn") > 1))
+        .select(id_col, F.col("pos").cast("long").alias("pos"))
+    )
+    starts = cut.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("__starts")
+    )
+    empty_ivs = F.expr("CAST(array() AS array<struct<s:BIGINT,e:BIGINT>>)")
+    merged = F.aggregate(
+        F.col("__starts"),
+        empty_ivs,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], p + F.lit(n)
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(p.alias("s"), (p + F.lit(n)).alias("e"))),
+            )
+        ),
+    )
+    toks = _tokens(F.col(text_col))
+    tagged = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
+    )
+    ivs = F.coalesce(F.col("__ivs"), empty_ivs)
+    kept = F.filter(
+        tagged,
+        lambda s: ~F.exists(
+            ivs, lambda iv: (s["i"] >= iv["s"]) & (s["i"] < iv["e"])
+        ),
+    )
+    out_text = F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    return (
+        docs.join(
+            starts.withColumn("__ivs", merged).drop("__starts"),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("n_kept"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_cut_tokens"),
+            F.size(ivs).cast("long").alias("n_intervals"),
+            F.md5(out_text).alias("dedup_md5"),
+        )
+    )

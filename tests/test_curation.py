@@ -747,3 +747,64 @@ def test_ccnet_buckets_empty(spark):
 
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert ccnet_buckets(docs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# remove_repeated_spans — substring-dedup execution
+# ---------------------------------------------------------------------------
+
+def test_remove_repeated_spans_hand_case(spark):
+    import hashlib
+
+    from json_ld_spark.operators.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # global first occurrence
+            (2, "x y a b c d e f z"),        # repeat inside -> cut 6 tokens
+            (3, "unique words only here now"),
+            (4, "a b c d e f a b c d e f"),  # both copies are non-first
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_repeated_spans(docs, n=6, min_count=2).collect()}
+    assert out[1]["n_cut_tokens"] == 0           # first occurrence kept
+    assert out[2]["n_kept"] == 3 and out[2]["n_intervals"] == 1
+    assert out[2]["dedup_md5"] == hashlib.md5(b"x y z").hexdigest()
+    assert out[3]["n_cut_tokens"] == 0
+    # doc 4: occurrences at pos 0 and 6 merge into one [0,12) interval
+    assert out[4]["n_kept"] == 0 and out[4]["n_intervals"] == 1
+    assert out[4]["dedup_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_remove_repeated_spans_staggered_overlap(spark):
+    from json_ld_spark.operators.dedup import remove_repeated_spans
+
+    # two DIFFERENT repeated grams overlapping in one doc must merge
+    # into a single maximal interval
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s"),
+            (2, "q r s t"),
+            (3, "z p q r s t z"),  # contains both (pos 1 and pos 2)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_repeated_spans(docs, n=4, min_count=2).collect()}
+    assert out[3]["n_intervals"] == 1
+    assert out[3]["n_kept"] == 2  # the two flanking z tokens
+
+
+def test_remove_repeated_spans_empty_and_short(spark):
+    from json_ld_spark.operators.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "tiny")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           remove_repeated_spans(docs, n=6, min_count=2).collect()}
+    assert out[2]["n_kept"] == 1 and out[2]["n_intervals"] == 0
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert remove_repeated_spans(empty).count() == 0
