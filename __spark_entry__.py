@@ -4358,6 +4358,102 @@ _NEVER_DRIVER_CHECKED = (
 )
 
 
+def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of the label-propagation communities on
+    the co-purchase graph (graphops.modularity): per community, the
+    in-community edge count, degree mass, and contribution
+    Q_c = m_c/m - (d_c/2m)^2 — the standard objective for judging a
+    community assignment (Newman & Girvan 2004) before partitioning a
+    KG by it. Scale shape: two node-keyed equi-joins of the edge table
+    against the node-sized label table, two map-side-combinable aggs,
+    and a 1-row totals broadcast — no all-pairs, no window; nodes LPA
+    never reached fall into '_unlabeled' so the partition is total.
+    Oracle: the unrolled 2-round LPA CTEs + the same modularity algebra
+    in SQL (every intermediate an exact long; one double expression)."""
+    from json_ld_spark.operators.graphops import label_propagation, modularity
+
+    _utc(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .dropDuplicates()
+    )
+    seeds = nodes.filter(F.col("node") % 250 == 0).select(
+        "node",
+        F.concat(F.lit("c"), (F.col("node") % 3).cast("string")).alias("label"),
+    )
+    labels = label_propagation(e, seeds, iters=2, src="u", dst="v")
+    return modularity(e, labels, src="u", dst="v")
+
+
+def q_text_kn_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM statistics over the documents
+    corpus (textops.kn_bigram_stats): bigram counts, left-context
+    totals, continuation/follower type counts, the absolute discount
+    D = n1/(n1+2*n2) from count-of-counts, and P_KN(w2|w1) — the count
+    tables an n-gram LM trainer collects at corpus scale (Brants et
+    al. 2007). One tokenize+explode projection + four
+    map-side-combinable aggs + a 1-row totals broadcast; output is the
+    deterministic c >= 3 bigram set (vocabulary-bounded, not
+    corpus-bounded). Oracle: the same algebra over DuckDB's zipped
+    parallel unnest of the two shifted word slices."""
+    from json_ld_spark.operators.textops import kn_bigram_stats
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return kn_bigram_stats(docs.select("text"), min_count=3)
+
+
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing partial-overlap detection (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003; textops.winnow_fingerprints): md5 word-4-gram
+    hashes, min per sliding window of 5, distinct selected fingerprints
+    per doc — any shared run of 8 words guarantees a shared
+    fingerprint, so this catches PARTIAL overlap the single global-min
+    fingerprint cannot. Pairs sharing >= 3 selected fingerprints are
+    reported. Scale shape: fingerprint equi-join (LSH-bucket-like
+    fan-in), with a stop-fingerprint cap (df <= 50) bounding hot-bucket
+    fan-out exactly like the MinHash band cap — never all-pairs.
+    Oracle: the identical selection + join in DuckDB list SQL."""
+    from json_ld_spark.operators.textops import winnow_fingerprints
+
+    _utc(spark)
+    corpus = _docs_with_dups(_read(spark, sf_dir, "documents"))
+    fps = corpus.select(
+        "doc_id",
+        F.explode(
+            winnow_fingerprints(F.col("text"), gram=4, window=5)
+        ).alias("fp"),
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            F.col("shared").cast("long").alias("shared"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
     front = set(_NEVER_DRIVER_CHECKED)
@@ -4489,6 +4585,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_bpe_tokens": q_data_bpe_tokens,
         "data_pack_bpe": q_data_pack_bpe,
         "data_bpe_stats": q_data_bpe_stats,
+        "kg_modularity": q_kg_modularity,
+        "text_kn_bigrams": q_text_kn_bigrams,
+        "dedup_winnowing": q_dedup_winnowing,
         "text_ngram_novelty": q_text_ngram_novelty,
         "data_token_budget": q_data_token_budget,
         "data_bt_arena": q_data_bt_arena,
@@ -8997,6 +9096,123 @@ FROM w LEFT JOIN ka USING (doc_id) LEFT JOIN ni USING (doc_id)
 
 
 
+# kg_modularity: the unrolled 2-round LPA CTEs feed the Newman-Girvan
+# per-community algebra; every intermediate is an exact long and the
+# single double expression mirrors the Spark column order exactly
+_MODULARITY_SQL = (
+    """
+WITH lpa_e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), lpa_und AS (
+  SELECT u, v FROM lpa_e UNION SELECT v AS u, u AS v FROM lpa_e
+), lpa_sd AS (
+  SELECT node, 'c' || CAST(node % 3 AS VARCHAR) AS label
+  FROM (SELECT DISTINCT u AS node FROM lpa_und)
+  WHERE node % 250 = 0
+), l0 AS (SELECT * FROM lpa_sd)"""
+    + _lpa_round(1)
+    + _lpa_round(2)
+    + """
+, mdeg AS (
+  SELECT u AS node, COUNT(*) AS deg FROM lpa_und GROUP BY u
+), comm AS (
+  SELECT d.node, COALESCE(l.label, '_unlabeled') AS community, d.deg
+  FROM mdeg d LEFT JOIN l2 l ON l.node = d.node
+), mtot AS (SELECT COUNT(*) AS m FROM lpa_e)
+, minc AS (
+  SELECT cu.community, COUNT(*) AS in_edges
+  FROM lpa_e e
+  JOIN comm cu ON cu.node = e.u
+  JOIN comm cv ON cv.node = e.v
+  WHERE cu.community = cv.community
+  GROUP BY cu.community
+), mdsum AS (
+  SELECT community, COUNT(*) AS n_nodes, SUM(deg) AS degree_sum
+  FROM comm GROUP BY community
+)
+SELECT d.community,
+       CAST(d.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(i.in_edges, 0) AS BIGINT) AS in_edges,
+       CAST(d.degree_sum AS BIGINT) AS degree_sum,
+       round(COALESCE(i.in_edges, 0) / CAST(m.m AS DOUBLE)
+             - POWER(d.degree_sum / (2.0 * m.m), 2), 6) AS q_contrib_r
+FROM mdsum d
+LEFT JOIN minc i ON i.community = d.community
+CROSS JOIN mtot m
+"""
+)
+
+# text_kn_bigrams: DuckDB's parallel unnest of the two shifted word
+# slices zips adjacent pairs; count-of-counts discount and P_KN use
+# the exact expression shapes of textops.kn_bigram_stats
+_KN_BIGRAMS_SQL = r"""
+WITH w AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS words FROM documents
+  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2
+), bg0 AS (
+  SELECT unnest(list_slice(words, 1, len(words) - 1)) AS w1,
+         unnest(list_slice(words, 2, len(words))) AS w2
+  FROM w
+), bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg0 GROUP BY w1, w2
+), lft AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+         CAST(COUNT(*) AS BIGINT) AS nfollow_w1
+  FROM bc GROUP BY w1
+), rgt AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont_w2 FROM bc GROUP BY w2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS btypes,
+         CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 END), 0) AS BIGINT) AS n2
+  FROM bc
+)
+SELECT bc.w1, bc.w2, bc.c, lft.cw1, lft.nfollow_w1, rgt.ncont_w2,
+       round(tot.n1 / greatest(tot.n1 + 2 * tot.n2, 1), 6) AS d_r,
+       round(
+         greatest(bc.c - tot.n1 / greatest(tot.n1 + 2 * tot.n2, 1), 0.0)
+           / CAST(lft.cw1 AS DOUBLE)
+         + (tot.n1 / greatest(tot.n1 + 2 * tot.n2, 1))
+           * (lft.nfollow_w1 / CAST(lft.cw1 AS DOUBLE))
+           * (rgt.ncont_w2 / CAST(tot.btypes AS DOUBLE)), 6) AS pkn_r
+FROM bc JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+WHERE bc.c >= 3
+"""
+
+# dedup_winnowing: identical gram hashing, window-min selection (list
+# slices clamp at the tail in both engines), stop-fingerprint cap, and
+# shared-fingerprint pair join over the dup-injected corpus
+_WINNOWING_SQL = _DUP_CORPUS + r"""
+, ww AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM corpus
+), wg AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(words) - 3, 1)),
+                        i -> md5(array_to_string(list_slice(words, i, i + 3), ' '))) AS grams
+  FROM ww
+), ws AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(grams) - 4, 1)),
+           j -> list_min(list_slice(grams, j, j + 4))))) AS fp
+  FROM wg
+), wrare AS (
+  SELECT fp FROM ws GROUP BY fp HAVING COUNT(*) <= 50
+), wsc AS (
+  SELECT ws.doc_id, ws.fp FROM ws JOIN wrare USING (fp)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM wsc a JOIN wsc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -9131,6 +9347,9 @@ def oracle_sql() -> dict[str, str]:
         "data_bpe_tokens": _BPE_TOKENS_SQL,
         "data_pack_bpe": _PACK_BPE_SQL,
         "data_bpe_stats": _BPE_STATS_SQL,
+        "kg_modularity": _MODULARITY_SQL,
+        "text_kn_bigrams": _KN_BIGRAMS_SQL,
+        "dedup_winnowing": _WINNOWING_SQL,
         "data_interleave": _INTERLEAVE_SQL,
         "text_bm25_topk": _BM25_SQL,
         "multimodal_features": _MM_FEATURES_SQL,

@@ -356,3 +356,119 @@ def hashed_ngram_score(
         F.count(F.lit(1)).alias("n_feats"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("score_r"),
     )
+
+
+def bigram_pairs(col: Column) -> Column:
+    """Adjacent word pairs of a text column as an array of
+    (w1, w2) structs — the flatMap step of n-gram LM count
+    collection. Built from two clamped slices + zip_with (never
+    element_at / sequence), so documents with < 2 words yield an
+    empty array instead of an ANSI index error — safe to evaluate
+    on every row regardless of filter/projection collapse."""
+    words = _words(col)
+    ln = F.greatest(F.size(words) - F.lit(1), F.lit(0))
+    return F.zip_with(
+        F.slice(words, 1, ln),
+        F.slice(words, 2, ln),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def kn_bigram_stats(
+    df: DataFrame, text_col: str = "text", min_count: int = 3
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram statistics (Kneser & Ney 1995;
+    Chen & Goodman 1998) — the count tables an n-gram LM trainer
+    needs, computed distributed:
+
+      c(w1 w2)        bigram count
+      c(w1 .)         left-context total        (cw1)
+      N1+(w1 .)       distinct continuations    (nfollow_w1)
+      N1+(. w2)       distinct left contexts    (ncont_w2)
+      D = n1/(n1+2 n2)  absolute discount from count-of-counts
+      P_KN(w2|w1) = max(c-D,0)/c(w1) + D*N1+(w1 .)/c(w1) * N1+(. w2)/B
+
+    where B is the number of distinct bigram types. Output is the
+    deterministic set of bigrams with c >= min_count (no top-k limit,
+    so the result is order-free and oracle-hashable).
+
+    Scale shape: one tokenize+explode projection, then four
+    map-side-combinable aggregations keyed by bigram / w1 / w2, and a
+    1-row totals broadcast — the classic MapReduce LM-count job
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation"). No window, no all-pairs, no collect.
+    """
+    lit1 = F.lit(1)
+    toks = df.select(bigram_pairs(F.col(text_col)).alias("bg"))
+    bg = toks.select(F.explode("bg").alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(lit1).alias("c"))
+    left = bc.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count(lit1).alias("nfollow_w1")
+    )
+    right = bc.groupBy("w2").agg(F.count(lit1).alias("ncont_w2"))
+    tot = bc.agg(
+        F.count(lit1).alias("btypes"),
+        F.coalesce(
+            F.sum((F.col("c") == 1).cast("long")), F.lit(0)
+        ).alias("n1"),
+        F.coalesce(
+            F.sum((F.col("c") == 2).cast("long")), F.lit(0)
+        ).alias("n2"),
+    )
+    d = F.col("n1") / F.greatest(
+        F.col("n1") + F.lit(2) * F.col("n2"), F.lit(1)
+    )
+    cw1d = F.col("cw1").cast("double")
+    pkn = (
+        F.greatest(F.col("c") - d, F.lit(0.0)) / cw1d
+        + d
+        * (F.col("nfollow_w1") / cw1d)
+        * (F.col("ncont_w2") / F.col("btypes").cast("double"))
+    )
+    return (
+        bc.filter(F.col("c") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("c"),
+            F.col("cw1").cast("long").alias("cw1"),
+            F.col("nfollow_w1").cast("long").alias("nfollow_w1"),
+            F.col("ncont_w2").cast("long").alias("ncont_w2"),
+            F.round(d, 6).alias("d_r"),
+            F.round(pkn, 6).alias("pkn_r"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    col: Column, gram: int = 4, window: int = 5
+) -> Column:
+    """MOSS winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    md5 hashes of word ``gram``-grams, the minimum hash selected from
+    every sliding window of ``window`` consecutive gram hashes, then
+    de-duplicated — the guaranteed-coverage local fingerprint set
+    (any shared run of ``gram + window - 1`` words yields at least one
+    shared fingerprint). Unlike the single global-min `fingerprint`,
+    this detects PARTIAL overlap between documents.
+
+    md5 (not xxhash64) so a DuckDB oracle replays the selection
+    bit-for-bit; windows near the end of short documents clamp, which
+    both engines do identically via slice semantics.
+    """
+    words = _words(col)
+    ng = F.greatest(F.size(words) - F.lit(gram - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), ng - F.lit(1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + F.lit(1), gram))),
+    )
+    nw = F.greatest(F.size(grams) - F.lit(window - 1), F.lit(1))
+    sel = F.transform(
+        F.sequence(F.lit(0), nw - F.lit(1)),
+        lambda j: F.array_min(F.slice(grams, j + F.lit(1), window)),
+    )
+    return F.array_distinct(sel)

@@ -734,3 +734,112 @@ def test_margin_pairs_empty_sides(spark):
     )
     assert margin_pairs(x, e, k=2).count() == 0
     assert margin_pairs(e, x, k=2).count() == 0
+
+
+# ------------------------------------------------ Kneser-Ney bigrams
+
+
+def test_kn_bigram_stats_hand_computed(spark):
+    from json_ld_spark.operators.textops import kn_bigram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran"),
+            (3, "a dog sat on the mat"),
+            (4, "hi"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in kn_bigram_stats(docs, min_count=2).collect()
+    }
+    # counts: the-cat/sat-on/on-the/the-mat = 2; four singletons
+    # n1 = 4, n2 = 4 -> D = 1/3; btypes = 8
+    assert set(rows) == {
+        ("the", "cat"), ("sat", "on"), ("on", "the"), ("the", "mat")
+    }
+    r = rows[("the", "cat")]
+    assert (r["c"], r["cw1"], r["nfollow_w1"], r["ncont_w2"]) == (2, 4, 2, 1)
+    assert r["d_r"] == pytest.approx(1 / 3, abs=1e-6)
+    # (2 - 1/3)/4 + 1/3 * (2/4) * (1/8)
+    assert r["pkn_r"] == pytest.approx(0.4375, abs=1e-6)
+    r = rows[("sat", "on")]
+    assert (r["c"], r["cw1"], r["nfollow_w1"], r["ncont_w2"]) == (2, 2, 1, 1)
+    assert r["pkn_r"] == pytest.approx(
+        (2 - 1 / 3) / 2 + (1 / 3) * (1 / 2) * (1 / 8), abs=1e-6
+    )
+
+
+def test_kn_bigram_short_docs_are_safe(spark):
+    from json_ld_spark.operators.textops import kn_bigram_stats
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "   "), (4, "a b a b a b")],
+        ["doc_id", "text"],
+    )
+    rows = {(r["w1"], r["w2"]): r["c"] for r in
+            kn_bigram_stats(docs, min_count=1).collect()}
+    # only doc 4 contributes: a-b x3, b-a x2
+    assert rows == {("a", "b"): 3, ("b", "a"): 2}
+
+
+# ---------------------------------------------------- MOSS winnowing
+
+
+def _py_winnow(text, gram=4, window=5):
+    import hashlib
+
+    words = text.strip().lower().split()
+    ng = max(len(words) - gram + 1, 1)
+    grams = [
+        hashlib.md5(" ".join(words[i:i + gram]).encode()).hexdigest()
+        for i in range(ng)
+    ]
+    nw = max(len(grams) - window + 1, 1)
+    return {min(grams[j:j + window]) for j in range(nw)}
+
+
+def test_winnow_matches_python_replay(spark):
+    from json_ld_spark.operators.textops import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short one",
+        "a b c d e f g h i j k l m n o p",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert out[i] == _py_winnow(t), f"doc {i}"
+
+
+def test_winnow_shared_run_guarantee(spark):
+    from json_ld_spark.operators.textops import winnow_fingerprints
+
+    # any shared run of gram + window - 1 = 8 words guarantees >= 1
+    # shared fingerprint (the winnowing coverage lemma)
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    a = "xx yy zz " + run + " pp qq"
+    b = run + " completely different tail words here"
+    c = "totally disjoint vocabulary nothing in common at all whatsoever"
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    assert out[0] & out[1], "shared 8-word run must share a fingerprint"
+    assert not (out[0] & out[2])
+    assert not (out[1] & out[2])

@@ -1041,3 +1041,47 @@ def test_hyperball_empty_graph(spark):
     e = spark.createDataFrame([], "src string, dst string")
     rows = hyperball(e, max_t=1, p=6).collect()
     assert [(r["t"], r["npairs_r"]) for r in sorted(rows)] == [(0, 0.0), (1, 0.0)]
+
+
+# -------------------------------------------------------- modularity
+
+
+def test_modularity_hand_computed(spark):
+    # two triangles bridged by one edge; node 6 unlabeled
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)])
+    labels = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b")], ["node", "label"]
+    )
+    rows = {r["community"]: r for r in g.modularity(e, labels).collect()}
+    # m = 7; a: in=3, d=7 -> 3/7 - (7/14)^2; b: in=1, d=5; _unlabeled: deg 2
+    assert rows["a"]["n_nodes"] == 3
+    assert rows["a"]["in_edges"] == 3
+    assert rows["a"]["degree_sum"] == 7
+    assert rows["a"]["q_contrib_r"] == pytest.approx(3 / 7 - 0.25, abs=1e-6)
+    assert rows["b"]["in_edges"] == 1
+    assert rows["b"]["degree_sum"] == 5
+    assert rows["b"]["q_contrib_r"] == pytest.approx(
+        1 / 7 - (5 / 14) ** 2, abs=1e-6
+    )
+    assert rows["_unlabeled"]["n_nodes"] == 1
+    assert rows["_unlabeled"]["in_edges"] == 0
+    assert rows["_unlabeled"]["q_contrib_r"] == pytest.approx(
+        -((2 / 14) ** 2), abs=1e-6
+    )
+
+
+def test_modularity_single_community_is_zero(spark):
+    # the whole graph in one community: Q = m/m - (2m/2m)^2 = 0
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    labels = spark.createDataFrame(
+        [(i, "all") for i in range(1, 5)], ["node", "label"]
+    )
+    [row] = g.modularity(e, labels).collect()
+    assert row["community"] == "all"
+    assert row["q_contrib_r"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_modularity_empty_edges(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    labels = spark.createDataFrame([(1, "a")], ["node", "label"])
+    assert g.modularity(e, labels).count() == 0
