@@ -4454,6 +4454,53 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronized Louvain node-move round (graphops.louvain_move,
+    Blondel et al. 2008) refining the label-propagation communities on
+    the co-purchase graph: each node evaluates every NEIGHBOR community
+    by the exact-integer gain 2m*k_ic - k_i*tot'(c) (decimal lattice —
+    no float ordering anywhere) and keeps the argmax, ties preferring
+    to stay, then the smaller label; LPA-unreached nodes start as
+    Louvain singletons. Shapes: neighbor-community count agg +
+    community mass agg + per-NODE argmax window + 1-row m broadcast.
+    Oracle: the unrolled LPA CTEs + the same algebra with HUGEINT
+    gains and the identical ROW_NUMBER ordering."""
+    from json_ld_spark.operators.graphops import label_propagation, louvain_move
+
+    _utc(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .dropDuplicates()
+    )
+    seeds = nodes.filter(F.col("node") % 250 == 0).select(
+        "node",
+        F.concat(F.lit("c"), (F.col("node") % 3).cast("string")).alias("label"),
+    )
+    labels = label_propagation(e, seeds, iters=2, src="u", dst="v")
+    out = louvain_move(e, labels, src="u", dst="v")
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        "old_label", "new_label", "moved",
+    )
+
+
+def q_text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Kneser-Ney bigram LM fluency scores over documents
+    (textops.kn_doc_logprob): the corpus-trained KN table (min_count=1)
+    scores every document's bigrams; per-bigram log terms are micro-nat
+    longs summed exactly (order-free), one float division per doc at
+    the end — CCNet-style LM quality filtering with our own model, a
+    two-pass train+score pipeline. Oracle: the full KN training replay
+    + the same join/agg in SQL (ln over the identical 6-dp pkn_r)."""
+    from json_ld_spark.operators.textops import kn_doc_logprob
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return kn_doc_logprob(docs.select("doc_id", "text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
     front = set(_NEVER_DRIVER_CHECKED)
@@ -4588,6 +4635,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": q_kg_modularity,
         "text_kn_bigrams": q_text_kn_bigrams,
         "dedup_winnowing": q_dedup_winnowing,
+        "kg_louvain_move": q_kg_louvain_move,
+        "text_kn_perplexity": q_text_kn_perplexity,
         "text_ngram_novelty": q_text_ngram_novelty,
         "data_token_budget": q_data_token_budget,
         "data_bt_arena": q_data_bt_arena,
@@ -9213,6 +9262,112 @@ HAVING COUNT(*) >= 3
 
 
 
+# kg_louvain_move: LPA communities feed one synchronized Louvain round;
+# gains are HUGEINT-exact so the argmax ordering is identical to the
+# Spark decimal lattice
+_LOUVAIN_MOVE_SQL = (
+    """
+WITH lpa_e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), lpa_und AS (
+  SELECT u, v FROM lpa_e UNION SELECT v AS u, u AS v FROM lpa_e
+), lpa_sd AS (
+  SELECT node, 'c' || CAST(node % 3 AS VARCHAR) AS label
+  FROM (SELECT DISTINCT u AS node FROM lpa_und)
+  WHERE node % 250 = 0
+), l0 AS (SELECT * FROM lpa_sd)"""
+    + _lpa_round(1)
+    + _lpa_round(2)
+    + """
+, ldeg AS (
+  SELECT u AS node, COUNT(*) AS k FROM lpa_und GROUP BY u
+), lcomm AS (
+  SELECT d.node,
+         COALESCE(l.label, '_n' || CAST(d.node AS VARCHAR)) AS community,
+         d.k
+  FROM ldeg d LEFT JOIN l2 l ON l.node = d.node
+), ltot AS (
+  SELECT community, SUM(k) AS tot FROM lcomm GROUP BY community
+), lnbr AS (
+  SELECT e.u AS node, cv.community AS c, CAST(COUNT(*) AS BIGINT) AS k_ic
+  FROM lpa_und e JOIN lcomm cv ON cv.node = e.v
+  GROUP BY e.u, cv.community
+), lcand AS (
+  SELECT node, c, SUM(k_ic) AS k_ic FROM (
+    SELECT node, c, k_ic FROM lnbr
+    UNION ALL
+    SELECT node, community AS c, 0 AS k_ic FROM lcomm
+  ) GROUP BY node, c
+), lm AS (SELECT COUNT(*) AS m FROM lpa_e)
+, lscored AS (
+  SELECT cd.node, cd.c, cm.community AS cur,
+         2 * CAST(m.m AS HUGEINT) * CAST(cd.k_ic AS HUGEINT)
+           - CAST(cm.k AS HUGEINT)
+             * CAST(ct.tot - CASE WHEN cd.c = cm.community THEN cm.k
+                                  ELSE 0 END AS HUGEINT) AS gain
+  FROM lcand cd
+  JOIN lcomm cm ON cm.node = cd.node
+  JOIN ltot ct ON ct.community = cd.c
+  CROSS JOIN lm m
+)
+SELECT CAST(node AS BIGINT) AS node, cur AS old_label, c AS new_label,
+       (c <> cur) AS moved
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY node ORDER BY gain DESC, (c = cur) DESC, c ASC
+  ) AS rk FROM lscored
+) WHERE rk = 1
+"""
+)
+
+# text_kn_perplexity: full KN training replay (min_count=1) + per-doc
+# micro-nat scoring; ln runs over the identical 6-dp-rounded pkn_r
+_KN_PERPLEXITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words FROM documents
+  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2
+), bg0 AS (
+  SELECT doc_id, unnest(list_slice(words, 1, len(words) - 1)) AS w1,
+         unnest(list_slice(words, 2, len(words))) AS w2
+  FROM w
+), bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg0 GROUP BY w1, w2
+), lft AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+         CAST(COUNT(*) AS BIGINT) AS nfollow_w1
+  FROM bc GROUP BY w1
+), rgt AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont_w2 FROM bc GROUP BY w2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS btypes,
+         CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 END), 0) AS BIGINT) AS n2
+  FROM bc
+), kn AS (
+  SELECT bc.w1, bc.w2,
+       round(
+         greatest(bc.c - tot.n1 / greatest(tot.n1 + 2 * tot.n2, 1), 0.0)
+           / CAST(lft.cw1 AS DOUBLE)
+         + (tot.n1 / greatest(tot.n1 + 2 * tot.n2, 1))
+           * (lft.nfollow_w1 / CAST(lft.cw1 AS DOUBLE))
+           * (rgt.ncont_w2 / CAST(tot.btypes AS DOUBLE)), 6) AS pkn_r
+  FROM bc JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+), sc AS (
+  SELECT b.doc_id,
+         CAST(round(ln(greatest(k.pkn_r, 1e-6)) * 1000000.0, 0) AS BIGINT) AS micro
+  FROM bg0 b JOIN kn k ON k.w1 = b.w1 AND k.w2 = b.w2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(micro) AS BIGINT) AS logp_micro,
+       round(SUM(micro) / 1000000.0 / COUNT(*), 6) AS avg_logp_r
+FROM sc GROUP BY doc_id
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -9350,6 +9505,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_modularity": _MODULARITY_SQL,
         "text_kn_bigrams": _KN_BIGRAMS_SQL,
         "dedup_winnowing": _WINNOWING_SQL,
+        "kg_louvain_move": _LOUVAIN_MOVE_SQL,
+        "text_kn_perplexity": _KN_PERPLEXITY_SQL,
         "data_interleave": _INTERLEAVE_SQL,
         "text_bm25_topk": _BM25_SQL,
         "multimodal_features": _MM_FEATURES_SQL,

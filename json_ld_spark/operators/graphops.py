@@ -1509,3 +1509,110 @@ def modularity(
             ).alias("q_contrib_r"),
         )
     )
+
+
+def louvain_move(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """One synchronized Louvain node-move round (Blondel et al. 2008;
+    the synchronous variant is the standard distributed adaptation,
+    e.g. GraphX/Grappolo): every node i evaluates moving to each
+    NEIGHBOR community c and keeps the argmax of
+
+        gain(i -> c)  ∝  2m * k_{i,c}  -  k_i * Σtot'(c)
+
+    where m = |edges|, k_{i,c} = links from i into c, k_i = degree,
+    and Σtot'(c) = degree mass of c with i itself removed — the
+    standard ΔQ numerator scaled by 2m² so the comparison is EXACT
+    integer arithmetic (decimal(38,0) lattice; no float ordering,
+    no cross-engine ulp risk). Ties prefer staying put, then the
+    smaller community label. Nodes the input labeling never reached
+    start in singleton communities ('_n<id>'), Louvain's classic
+    initial state.
+
+    Scale shape: one neighbor-community count agg, one community
+    degree-mass agg, a per-NODE argmax window (partitioned — never
+    global), and a 1-row totals broadcast. No all-pairs, no collect;
+    the same shapes as label_propagation's vote round.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("label")
+    )
+    comm = deg.join(lab, deg["u"] == lab["node"], "left").select(
+        F.col("u").alias("node"),
+        F.coalesce(
+            F.col("label"), F.concat(F.lit("_n"), F.col("u").cast("string"))
+        ).alias("community"),
+        "k",
+    )
+    tot = comm.groupBy("community").agg(F.sum("k").alias("tot"))
+    nbr = (
+        und.join(
+            comm.select(
+                F.col("node").alias("v"), F.col("community").alias("c")
+            ),
+            "v",
+        )
+        .groupBy(F.col("u").alias("node"), "c")
+        .agg(F.count(F.lit(1)).alias("k_ic"))
+    )
+    cur = comm.select("node", F.col("community").alias("cur"), "k")
+    cand = (
+        nbr.unionByName(
+            cur.select(
+                "node",
+                F.col("cur").alias("c"),
+                F.lit(0).cast("long").alias("k_ic"),
+            )
+        )
+        .groupBy("node", "c")
+        .agg(F.sum("k_ic").alias("k_ic"))
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+
+    def d38(c):
+        return c.cast("decimal(19,0)")
+
+    scored = (
+        cand.join(cur, "node")
+        .join(tot, cand["c"] == tot["community"])
+        .drop("community")
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "tot_adj",
+            F.col("tot")
+            - F.when(F.col("c") == F.col("cur"), F.col("k")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "gain",
+            F.lit(2).cast("decimal(19,0)") * d38(F.col("m")) * d38(F.col("k_ic"))
+            - d38(F.col("k")) * d38(F.col("tot_adj")),
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("gain"), F.desc(F.col("c") == F.col("cur")), F.asc("c")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "node",
+            F.col("cur").alias("old_label"),
+            F.col("c").alias("new_label"),
+            (F.col("c") != F.col("cur")).alias("moved"),
+        )
+    )

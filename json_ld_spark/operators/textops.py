@@ -472,3 +472,56 @@ def winnow_fingerprints(
         lambda j: F.array_min(F.slice(grams, j + F.lit(1), window)),
     )
     return F.array_distinct(sel)
+
+
+def kn_doc_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average Kneser-Ney bigram log-probability under the
+    corpus-trained table (kn_bigram_stats, min_count=1) — LM-fluency
+    quality scoring in the CCNet tradition, but with OUR OWN n-gram
+    model instead of an external one, so the whole train+score pipeline
+    is two passes over the corpus.
+
+    Determinism contract: the joined probability is the 6-dp-rounded
+    pkn_r (cross-engine stable, floored at 1e-6 so ln never sees 0),
+    each bigram's log term is rounded to micro-nats and summed as an
+    EXACT long — the cross-partition sum is order-free, the one float
+    division happens once per doc at the end.
+
+    Scale shape: tokenize+explode, one (w1,w2)-keyed equi-join of doc
+    bigrams against the bigram table (both corpus-derived; shuffle
+    hash join), one per-doc agg. Documents with < 2 words have no
+    bigrams and drop out (no NULL scores).
+    """
+    bg = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(bigram_pairs(F.col(text_col))).alias("p"),
+    ).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    stats = kn_bigram_stats(
+        df.select(F.col(text_col).alias("text")), text_col="text", min_count=1
+    ).select("w1", "w2", "pkn_r")
+    micro = F.round(
+        F.log(F.greatest(F.col("pkn_r"), F.lit(1e-6))) * F.lit(1000000.0), 0
+    ).cast("long")
+    return (
+        bg.join(stats, ["w1", "w2"])
+        .select("doc_id", micro.alias("micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("micro").cast("long").alias("logp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logp_micro",
+            F.round(
+                F.col("logp_micro") / F.lit(1000000.0)
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("avg_logp_r"),
+        )
+    )

@@ -151,6 +151,8 @@ CARTESIAN_OK = {
     "kg_graph_metrics",         # one-row scalar crossJoins (3x)
     "kg_modularity",            # one-row broadcast of the edge total m
     "text_kn_bigrams",          # one-row broadcast of (btypes, n1, n2)
+    "text_kn_perplexity",       # same KN totals broadcast inside scoring
+    "kg_louvain_move",          # one-row broadcast of the edge total m
     "text_hybrid_rrf",          # dense list = the brute-force twin
                                 # (broadcast 1-query cross join)
     "ann_knn_classify",         # same brute twin (leave-one-out eval)

@@ -843,3 +843,26 @@ def test_winnow_shared_run_guarantee(spark):
     assert out[0] & out[1], "shared 8-word run must share a fingerprint"
     assert not (out[0] & out[2])
     assert not (out[1] & out[2])
+
+
+def test_kn_doc_logprob_hand_computed(spark):
+    from json_ld_spark.operators.textops import kn_doc_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran"),
+            (3, "a dog sat on the mat"),
+            (4, "hi"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in kn_doc_logprob(docs).collect()}
+    # doc 4 has one word -> no bigrams -> dropped
+    assert set(rows) == {1, 2, 3}
+    # doc 2 = the-cat (pkn .4375) + cat-ran (pkn .375):
+    # micro-nats round(ln(.4375)*1e6) + round(ln(.375)*1e6)
+    r = rows[2]
+    assert r["n_bigrams"] == 2
+    assert r["logp_micro"] == -826679 + -980829
+    assert r["avg_logp_r"] == pytest.approx(-0.903754, abs=1e-6)

@@ -1085,3 +1085,74 @@ def test_modularity_empty_edges(spark):
     e = spark.createDataFrame([], "src long, dst long")
     labels = spark.createDataFrame([(1, "a")], ["node", "label"])
     assert g.modularity(e, labels).count() == 0
+
+
+# ------------------------------------------------------- louvain move
+
+
+def test_louvain_move_hand_computed(spark):
+    # triangle {1,2,3}='a' + pendant 4='b' on 3; m=4. Moving 3 to b
+    # (gain 2m*1 - 3*1 = 5) beats staying (2m*2 - 3*(7-3) = 4); 4
+    # joins a (gain 8-7=1 beats staying 0). 1 and 2 stay.
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    lab = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")], ["node", "label"]
+    )
+    out = {
+        r["node"]: (r["old_label"], r["new_label"], r["moved"])
+        for r in g.louvain_move(e, lab).collect()
+    }
+    assert out == {
+        1: ("a", "a", False),
+        2: ("a", "a", False),
+        3: ("a", "b", True),
+        4: ("b", "a", True),
+    }
+
+
+def test_louvain_move_matches_bruteforce(spark):
+    # deterministic pseudo-random graph; half the nodes pre-labeled
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in (
+            ((i * 7 + 3) % 13, (i * 11 + 5) % 13) for i in range(40)
+        )
+        if a != b
+    })
+    labels = [(n, f"c{n % 2}") for n in range(13) if n % 3 == 0]
+    e = _edges(spark, edges)
+    lab = spark.createDataFrame(labels, ["node", "label"])
+    got = {
+        r["node"]: r["new_label"] for r in g.louvain_move(e, lab).collect()
+    }
+
+    # pure-python replay of the synchronized move rule
+    from collections import Counter, defaultdict
+
+    und = defaultdict(set)
+    for u, v in edges:
+        und[u].add(v)
+        und[v].add(u)
+    m = len(edges)
+    k = {n: len(vs) for n, vs in und.items()}
+    lmap = dict(labels)
+    comm = {n: lmap.get(n, f"_n{n}") for n in und}
+    tot = Counter()
+    for n in und:
+        tot[comm[n]] += k[n]
+    expected = {}
+    for i in und:
+        k_ic = Counter(comm[j] for j in und[i])
+        cands = set(k_ic) | {comm[i]}
+        best = max(
+            cands,
+            key=lambda c: (
+                2 * m * k_ic.get(c, 0)
+                - k[i] * (tot[c] - (k[i] if c == comm[i] else 0)),
+                c == comm[i],
+                # ASC label tie-break -> invert for max()
+                tuple(-ord(ch) for ch in c),
+            ),
+        )
+        expected[i] = best
+    assert got == expected
