@@ -4330,13 +4330,25 @@ def q_dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.remove_repeated_spans(corpus, n=10, min_count=2).orderBy("doc_id")
 
 
-# The 50 registered queries NO driver round (r1-r4) has ever hash-verified
-# (union of CORRECTNESS_r01..r04 keys diffed against the registry; all are
-# judge-selfcheck green at sf0.001). queries() puts these FIRST so round 5's
-# 50-query driver sample covers exactly them, completing >=1 driver
-# verification for every registered query. Pure verification-surface
-# rotation; query bodies are untouched.
+# Verification-surface ordering for the round-5 driver sample (the driver
+# hash-verifies the FIRST 50 keys of queries() at sf0.01).
+#   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
+#   driver round OR judge selfcheck; highest-value driver coverage.
+#   Tier 2 (next 26+): the r1-r4 never-driver-verified batch — all 50 of
+#   these were judge-selfcheck green in the round-4 review, so the ones
+#   displaced past position 50 already carry independent verification.
+# Pure verification-surface rotation; query bodies are untouched.
 _NEVER_DRIVER_CHECKED = (
+    # --- Tier 1: round-5 additions (no independent verification yet) ---
+    "kg_conv_dedup", "kg_linkpred_auc", "kg_hyperball",
+    "ann_semantic_clusters", "ann_margin_pairs", "data_curriculum",
+    "data_bpe_tokens", "data_pack_bpe", "data_bpe_stats",
+    "kg_modularity", "text_kn_bigrams", "dedup_winnowing",
+    "kg_louvain_move", "text_kn_perplexity", "text_ngram_novelty",
+    "data_token_budget", "data_bt_arena", "kg_conv_quality",
+    "text_hybrid_rrf", "ann_knn_classify", "text_ccnet_buckets",
+    "streaming_conv_quality", "dedup_remove_spans", "data_interleave",
+    # --- Tier 2: r1-r4 never-driver-verified (judge-green in r4) ---
     "text_pii_scan", "text_word_repetition", "data_hash_split",
     "data_temperature_mix", "streaming_sessions", "data_sessionize",
     "data_session_stats", "data_cluster_split", "data_chunk_documents",
