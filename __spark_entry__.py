@@ -4340,6 +4340,8 @@ def q_dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure verification-surface rotation; query bodies are untouched.
 _NEVER_DRIVER_CHECKED = (
     # --- Tier 1: round-5 additions (no independent verification yet) ---
+    "kg_time_travel", "kg_local_clustering", "kg_ppmi_edges",
+    "data_label_votes", "data_embed_quantize", "kg_tool_sequences",
     "kg_conv_dedup", "kg_linkpred_auc", "kg_hyperball",
     "ann_semantic_clusters", "ann_margin_pairs", "data_curriculum",
     "data_bpe_tokens", "data_pack_bpe", "data_bpe_stats",
@@ -4513,6 +4515,181 @@ def q_text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_doc_logprob(docs.select("doc_id", "text"))
 
 
+def q_kg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot of the triple graph (maintenance.as_of):
+    a deterministic assert/retract changelog is synthesized over the
+    native transcript triples (assert-all at ts=100; retract the
+    md5-bridge subj|pred % 5 == 0 slice at ts=200; re-assert the
+    % 10 == 0 sub-slice at ts=300; a ts=400 retract wave that the
+    snapshot must NOT see), then the graph state at ts=350 is
+    reconstructed — Iceberg snapshot-at-T semantics at the TRIPLE
+    grain. Scale shape: ts filter (partition-prunable on a
+    ts-partitioned changelog) + ONE map-side-combinable max_by agg; no
+    window, no self-join. Oracle: the same changelog as UNION ALL CTEs
+    reduced with arg_max(op, seq) in DuckDB."""
+    from json_ld_spark.operators.maintenance import as_of
+
+    _utc(spark)
+    t = transcript_triples_native(transcripts_from_documents(spark, sf_dir)).select(
+        *TRIPLE_COLS
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("subj"), F.lit("|"), F.col("pred"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    base = t.withColumn("__h", h)
+    log = (
+        base.select(
+            *TRIPLE_COLS, F.lit("assert").alias("op"),
+            F.lit(100).cast("long").alias("ts"), F.lit(1).cast("long").alias("seq"),
+        )
+        .unionByName(
+            base.filter(F.col("__h") % 5 == 0).select(
+                *TRIPLE_COLS, F.lit("retract").alias("op"),
+                F.lit(200).cast("long").alias("ts"), F.lit(2).cast("long").alias("seq"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("__h") % 10 == 0).select(
+                *TRIPLE_COLS, F.lit("assert").alias("op"),
+                F.lit(300).cast("long").alias("ts"), F.lit(3).cast("long").alias("seq"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("__h") % 7 == 0).select(
+                *TRIPLE_COLS, F.lit("retract").alias("op"),
+                F.lit(400).cast("long").alias("ts"), F.lit(4).cast("long").alias("seq"),
+            )
+        )
+    )
+    return as_of(log, ts=350)
+
+
+def q_kg_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (graphops.local_clustering;
+    Watts-Strogatz 1998) over the co-purchase graph — the node-grained
+    spam/hub signature graph_metrics' global transitivity cannot see.
+    Scale shape: degree-oriented triangle enumeration (arboricity-
+    bounded wedge fan-out), one degree agg, one left join; exact longs
+    until the single division. Oracle: the id-ordered triangle
+    enumeration + corner re-attribution in SQL."""
+    _utc(spark)
+    return gops.local_clustering(
+        _copurchase_edges(spark, sf_dir).select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        )
+    )
+
+
+def q_kg_ppmi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPMI reweighting of the co-purchase co-occurrence graph
+    (graphops.ppmi_edges; Levy & Goldberg 2014 — the matrix skip-gram
+    factorizes): shared-order pair counts become max(0, ln(n*D /
+    (m_u*m_v))) association weights, the closed-form stand-in for a
+    trained embedding's similarity graph. Scale shape: one pair agg,
+    one node-sized marginal agg, one 1-row totals broadcast, two
+    node-keyed joins — never all-pairs. Oracle: identical integer
+    algebra + one ln, 6-dp rounded."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    cooc = gops.cooccurrence_graph(
+        li.select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("i")),
+        group_col="g",
+        item_col="i",
+    )
+    return gops.ppmi_edges(cooc)
+
+
+def q_data_label_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-annotator label aggregation with one reliability round
+    (curation.label_votes; Dawid & Skene 1979): five synthetic
+    annotators label every document's language, each wrong on a
+    deterministic md5-keyed slice (annotator j errs when
+    h % (j+3) == 0, so later annotators are more reliable); round 1
+    majority-votes, round 2 reweights annotators by exact-integer
+    majority-agreement counts and revotes. The LLM-judge-ensemble
+    aggregation shape. Scale: three map-side-combinable aggs + one
+    broadcast (workforce-sized) weight join; ties break
+    lexicographically so the result is a pure function of the vote
+    set. Oracle: the same two rounds via windowed argmin in SQL."""
+    from json_ld_spark.operators.curation import label_votes
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    ann = docs.select(
+        "doc_id", "lang", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ann"), F.col("j").cast("string"), F.lit("|"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    ann = ann.select(
+        F.col("doc_id").alias("item"),
+        F.concat(F.lit("a"), F.col("j").cast("string")).alias("annotator"),
+        F.when(
+            h % (F.col("j") + 3) == 0,
+            F.concat(F.lit("z"), (h % 3).cast("string")),
+        )
+        .otherwise(F.coalesce(F.col("lang"), F.lit("und")))
+        .alias("label"),
+    )
+    return label_votes(ann)
+
+
+def q_data_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embeddings table
+    (similarity.quantize_int8; FAISS SQ8 shape): per-dimension global
+    [min,max] calibration, floor-quantize to 256 levels, report the
+    exact-integer code-vector fingerprint and max reconstruction
+    error per vector — the 4x index-compression step before ANN.
+    Scale: posexplode fan-out (xD, map-side), one dim-keyed agg
+    (d-row calibration table, broadcast back), one vector-keyed agg;
+    max/sum-of-int are order-independent so the hash is partition-
+    stable. Oracle: parallel-unnest replay of the identical IEEE
+    expression in DuckDB."""
+    from json_ld_spark.operators.similarity import quantize_int8
+
+    _utc(spark)
+    embs = _read(spark, sf_dir, "embeddings")
+    return quantize_int8(embs).withColumnRenamed("id", "vec_id")
+
+
+def q_kg_tool_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive tool-call pattern mining over agent transcripts
+    (native.tool_bigrams; the L2 step of Agrawal-Srikant sequential
+    patterns): which tool follows which, with occurrence counts and
+    conversation support. The base synthesis emits one tool, so the
+    query enriches the tool column deterministically from doc_id
+    (doc_id%3==0 turns call tools[(doc_id//3)%4]) before mining —
+    same corruption-family trick as kg_shacl_validate. Scale: one
+    pushed filter + one conversation-partitioned window (conversation-
+    bounded partitions) + one map-side-combinable agg with exact
+    distinct-conv support. Oracle: the same lead() window in SQL."""
+    from json_ld_spark.operators.native import tool_bigrams
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    tools = F.array(F.lit("search"), F.lit("browse"), F.lit("python"), F.lit("sql"))
+    t = docs.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") / 16).cast("long").cast("string")).alias("conv_id"),
+        (F.col("doc_id") % 16).cast("int").alias("turn_idx"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.element_at(tools, ((F.col("doc_id") / 3).cast("long") % 4 + 1).cast("int")),
+        ).alias("tool"),
+    )
+    return tool_bigrams(t)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
     front = set(_NEVER_DRIVER_CHECKED)
@@ -4645,6 +4822,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_pack_bpe": q_data_pack_bpe,
         "data_bpe_stats": q_data_bpe_stats,
         "kg_modularity": q_kg_modularity,
+        "kg_time_travel": q_kg_time_travel,
+        "kg_local_clustering": q_kg_local_clustering,
+        "kg_ppmi_edges": q_kg_ppmi_edges,
+        "data_label_votes": q_data_label_votes,
+        "data_embed_quantize": q_data_embed_quantize,
+        "kg_tool_sequences": q_kg_tool_sequences,
         "text_kn_bigrams": q_text_kn_bigrams,
         "dedup_winnowing": q_dedup_winnowing,
         "kg_louvain_move": q_kg_louvain_move,
@@ -9380,6 +9563,182 @@ FROM sc GROUP BY doc_id
 
 
 
+# kg_time_travel: the same synthesized changelog as UNION ALL waves over
+# the native triples, reduced with arg_max(op, seq) per quad key at
+# ts <= 350 — DuckDB's arg_max == Spark's max_by
+_TIME_TRAVEL_SQL = _TRIPLES_CTE + """
+, h AS (
+  SELECT graph, subj, pred, obj_kind, obj, datatype, lang,
+         ('0x' || substr(md5(subj || '|' || pred), 1, 8))::BIGINT AS hh
+  FROM triples
+), changelog AS (
+  SELECT graph, subj, pred, obj_kind, obj, datatype, lang,
+         'assert' AS op, 100 AS ts, 1 AS seq FROM h
+  UNION ALL
+  SELECT graph, subj, pred, obj_kind, obj, datatype, lang,
+         'retract', 200, 2 FROM h WHERE hh % 5 = 0
+  UNION ALL
+  SELECT graph, subj, pred, obj_kind, obj, datatype, lang,
+         'assert', 300, 3 FROM h WHERE hh % 10 = 0
+  UNION ALL
+  SELECT graph, subj, pred, obj_kind, obj, datatype, lang,
+         'retract', 400, 4 FROM h WHERE hh % 7 = 0
+)
+SELECT graph, subj, pred, obj_kind, obj, datatype, lang
+FROM changelog
+WHERE ts <= 350
+GROUP BY graph, subj, pred, obj_kind, obj, datatype, lang
+HAVING arg_max(op, seq) = 'assert'
+"""
+
+# kg_local_clustering: id-ordered triangle enumeration (a<b via the edge
+# canon, b<c via the join) + corner re-attribution; same algebra, 6 dp
+_LCC_SQL = r"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), deg AS (
+  SELECT n AS node, COUNT(*) AS deg FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+), pcnt AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN round(2.0 * COALESCE(p.n_tri, 0)
+                       / (CAST(d.deg AS DOUBLE) * (d.deg - 1)), 6)
+            ELSE 0.0 END AS lcc_r
+FROM deg d LEFT JOIN pcnt p USING (node)
+"""
+
+# kg_ppmi_edges: pair counts over distinct (order, part) membership, node
+# marginals, 2*total directed events, one ln — all exact longs before it
+_PPMI_SQL = r"""
+WITH m AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+  FROM lineitem WHERE l_orderkey % 5 = 0
+), e AS (
+  SELECT a.i AS u, b.i AS v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM m a JOIN m b USING (g)
+  WHERE a.i < b.i
+  GROUP BY a.i, b.i
+), marg AS (
+  SELECT node, CAST(SUM(n) AS BIGINT) AS mg FROM (
+    SELECT u AS node, n FROM e UNION ALL SELECT v, n FROM e
+  ) GROUP BY node
+), tot AS (SELECT CAST(2 * SUM(n) AS BIGINT) AS d_total FROM e)
+SELECT e.u, e.v, e.n,
+       round(greatest(0.0,
+             ln(CAST(e.n AS DOUBLE) * t.d_total
+                / (CAST(mu.mg AS DOUBLE) * mv.mg))), 6) AS ppmi_r
+FROM e
+JOIN marg mu ON mu.node = e.u
+JOIN marg mv ON mv.node = e.v
+CROSS JOIN tot t
+"""
+
+# data_label_votes: five md5-keyed noisy annotators, round-1 majority via
+# windowed argmin (count desc, label asc), exact-integer agreement
+# weights, round-2 weighted revote — the deterministic Dawid-Skene round
+_LABEL_VOTES_SQL = r"""
+WITH ann AS (
+  SELECT d.doc_id AS item, 'a' || CAST(j AS VARCHAR) AS annotator,
+         CASE WHEN ('0x' || substr(md5('ann' || CAST(j AS VARCHAR) || '|'
+                        || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % (j + 3) = 0
+              THEN 'z' || CAST(
+                   ('0x' || substr(md5('ann' || CAST(j AS VARCHAR) || '|'
+                        || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 3
+                   AS VARCHAR)
+              ELSE COALESCE(d.lang, 'und') END AS label
+  FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS j)
+), votes AS (
+  SELECT DISTINCT item, annotator, label FROM ann
+), counts AS (
+  SELECT item, label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM votes GROUP BY item, label
+), mv AS (
+  SELECT item, label AS label_mv FROM counts
+  QUALIFY row_number() OVER (PARTITION BY item ORDER BY c DESC, label ASC) = 1
+), agree AS (
+  SELECT v.annotator,
+         CAST(SUM(CASE WHEN v.label = m.label_mv THEN 1 ELSE 0 END)
+              AS BIGINT) AS w
+  FROM votes v JOIN mv m USING (item) GROUP BY v.annotator
+), wc AS (
+  SELECT v.item, v.label, CAST(SUM(a.w) AS BIGINT) AS wcnt
+  FROM votes v JOIN agree a USING (annotator) GROUP BY v.item, v.label
+), ww AS (
+  SELECT item, label AS label_weighted, wcnt FROM wc
+  QUALIFY row_number() OVER (PARTITION BY item ORDER BY wcnt DESC, label ASC) = 1
+), nv AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_votes FROM votes GROUP BY item
+)
+SELECT nv.item, nv.n_votes, mv.label_mv, ww.label_weighted,
+       ww.wcnt AS top_weight
+FROM nv JOIN mv USING (item) JOIN ww USING (item)
+"""
+
+# data_embed_quantize: parallel unnest zips (value, position); the code
+# and reconstruction-error expressions mirror quantize_int8's IEEE
+# expression shapes exactly; per-vector max/sum-of-int are order-free
+_QUANTIZE_SQL = r"""
+WITH ex AS (
+  SELECT vec_id AS id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings
+), stats AS (
+  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos
+), q AS (
+  SELECT ex.id, s.mn, s.mx, ex.x,
+         CASE WHEN s.mx > s.mn
+              THEN least(255, greatest(0,
+                   CAST(floor((ex.x - s.mn) * 255.0 / (s.mx - s.mn)) AS INT)))
+              ELSE 0 END AS code
+  FROM ex JOIN stats s USING (pos)
+)
+SELECT id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       round(MAX(abs(x - (mn + code * (mx - mn) / 255.0))), 6) AS max_abs_err_r
+FROM q GROUP BY id
+"""
+
+# kg_tool_sequences: the same deterministic tool enrichment, one lead()
+# window per conversation, pattern counts + exact distinct-conv support
+_TOOL_SEQ_SQL = r"""
+WITH t AS (
+  SELECT 'conv-' || CAST(doc_id // 16 AS VARCHAR) AS conv_id,
+         CAST(doc_id % 16 AS INT) AS turn_idx,
+         CASE WHEN doc_id % 3 = 0
+              THEN (['search', 'browse', 'python', 'sql'])
+                   [CAST((doc_id // 3) % 4 AS INT) + 1]
+         END AS tool
+  FROM documents
+), p AS (
+  SELECT conv_id, tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC)
+           AS tool_next
+  FROM t WHERE tool IS NOT NULL
+)
+SELECT tool AS tool_a, tool_next AS tool_b,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM p WHERE tool_next IS NOT NULL
+GROUP BY tool, tool_next
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -9515,6 +9874,12 @@ def oracle_sql() -> dict[str, str]:
         "data_pack_bpe": _PACK_BPE_SQL,
         "data_bpe_stats": _BPE_STATS_SQL,
         "kg_modularity": _MODULARITY_SQL,
+        "kg_time_travel": _TIME_TRAVEL_SQL,
+        "kg_local_clustering": _LCC_SQL,
+        "kg_ppmi_edges": _PPMI_SQL,
+        "data_label_votes": _LABEL_VOTES_SQL,
+        "data_embed_quantize": _QUANTIZE_SQL,
+        "kg_tool_sequences": _TOOL_SEQ_SQL,
         "text_kn_bigrams": _KN_BIGRAMS_SQL,
         "dedup_winnowing": _WINNOWING_SQL,
         "kg_louvain_move": _LOUVAIN_MOVE_SQL,

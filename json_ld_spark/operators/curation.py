@@ -704,3 +704,69 @@ def ccnet_buckets(
         ib.cast("int").alias("score_bucket"),
         label.alias("ccnet_bucket"),
     )
+
+
+def label_votes(
+    annotations: DataFrame,
+    item_col: str = "item",
+    annotator_col: str = "annotator",
+    label_col: str = "label",
+) -> DataFrame:
+    """Multi-annotator label aggregation with one Dawid-Skene-style
+    reliability round (Dawid & Skene 1979; the modern crowd/LLM-judge
+    ensemble shape): round 1 takes the per-item majority label; round
+    2 weights each annotator by HOW MANY items it agreed with the
+    round-1 majority on (an exact integer — the deterministic stand-in
+    for the EM confusion-matrix weight, chosen so the whole pipeline
+    is integer-exact and engine-portable), then revotes with those
+    weights. Ties break to the lexicographically smallest label at
+    both rounds, so the output is a pure function of the input set.
+
+    Output: ``(item, n_votes, label_mv, label_weighted, top_weight)``.
+
+    Plan shape: two item-keyed aggs (map-side combinable min-of-struct
+    argmin — no windows), one annotator-keyed agg over the
+    item-joined votes (annotator table is workforce-sized, so the
+    round-2 weight join broadcasts), and one final item-keyed agg.
+    Nothing is ever keyed on (item x annotator x label) beyond the
+    input votes themselves; no all-pairs, no driver state."""
+    votes = annotations.select(
+        F.col(item_col).alias("item"),
+        F.col(annotator_col).alias("annotator"),
+        F.col(label_col).alias("label"),
+    ).dropDuplicates()
+    counts = votes.groupBy("item", "label").agg(F.count(F.lit(1)).alias("c"))
+    mv = counts.groupBy("item").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lb")))["lb"]
+        .alias("label_mv")
+    )
+    agree = (
+        votes.join(mv, "item")
+        .groupBy("annotator")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("label_mv"), 1).otherwise(0)
+            ).alias("w")
+        )
+    )
+    wcounts = (
+        votes.join(F.broadcast(agree), "annotator")
+        .groupBy("item", "label")
+        .agg(F.sum("w").alias("wc"))
+    )
+    weighted = wcounts.groupBy("item").agg(
+        F.min(F.struct((-F.col("wc")).alias("nwc"), F.col("label").alias("lb")))
+        .alias("__m")
+    )
+    nv = votes.groupBy("item").agg(F.count(F.lit(1)).alias("n_votes"))
+    return (
+        nv.join(mv, "item")
+        .join(weighted, "item")
+        .select(
+            "item",
+            F.col("n_votes").cast("long").alias("n_votes"),
+            "label_mv",
+            F.col("__m")["lb"].alias("label_weighted"),
+            (-F.col("__m")["nwc"]).cast("long").alias("top_weight"),
+        )
+    )

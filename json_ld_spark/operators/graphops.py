@@ -1616,3 +1616,93 @@ def louvain_move(
             (F.col("c") != F.col("cur")).alias("moved"),
         )
     )
+
+
+def local_clustering(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node LOCAL clustering coefficient over the undirected simple
+    graph: ``(node, deg, n_triangles, lcc_r)`` with
+    lcc = 2*tri(v) / (deg(v)*(deg(v)-1)), 0 when deg < 2 — Watts &
+    Strogatz (1998). graph_metrics reports the GLOBAL transitivity;
+    this is the node-grained version a KG curation pass thresholds on
+    (low-LCC high-degree nodes are the classic spam/hub signature in
+    web and citation graphs).
+
+    Plan shape: reuses triangle_count's degree-oriented enumeration
+    (arboricity-bounded wedge fan-out — the only triangle strategy
+    that survives power-law degree at 100 TB), one degree agg, one
+    node-keyed left join; the division is the only double. Nodes in no
+    triangle get n_triangles = 0 via the left join, so the output is a
+    TOTAL profile over nodes, not just triangle participants."""
+    und = _symmetrize(edges, src, dst)
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    tri = triangle_count(edges, src, dst)
+    return (
+        deg.withColumnRenamed("u", "node")
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / (F.col("deg").cast("double") * (F.col("deg") - F.lit(1))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc_r"),
+        )
+    )
+
+
+def ppmi_edges(
+    cooc: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    weight_col: str = "n_groups",
+) -> DataFrame:
+    """Positive pointwise mutual information reweighting of a weighted
+    undirected co-occurrence edge list — the Levy & Goldberg (NeurIPS
+    2014) result that word2vec/DeepWalk skip-gram factorizes exactly
+    this matrix, so PPMI edges are the cheap closed-form stand-in for
+    a trained embedding's similarity graph. Each undirected edge of
+    weight n contributes n directed events per orientation:
+    D = 2*sum(n), #(u) = sum of incident n, and
+    ppmi(u,v) = max(0, ln(n * D / (#(u) * #(v)))).
+
+    Plan shape: one edge-keyed agg for marginals (map-side
+    combinable), one 1-row totals broadcast, two node-keyed equi-joins
+    — marginal tables are node-sized, never all-pairs; every
+    intermediate is an exact long, one ln at the end (oracle-stable
+    to 6 dp)."""
+    e = cooc.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v"),
+        F.col(weight_col).cast("long").alias("n"),
+    )
+    marg = (
+        e.select(F.col("u").alias("node"), "n")
+        .unionByName(e.select(F.col("v").alias("node"), "n"))
+        .groupBy("node")
+        .agg(F.sum("n").alias("m"))
+    )
+    tot = e.agg((F.lit(2) * F.sum("n")).alias("d_total"))
+    return (
+        e.join(marg.select(F.col("node").alias("u"), F.col("m").alias("mu")), "u")
+        .join(marg.select(F.col("node").alias("v"), F.col("m").alias("mv")), "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "u", "v", "n",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        F.col("n").cast("double") * F.col("d_total")
+                        / (F.col("mu").cast("double") * F.col("mv"))
+                    ),
+                ),
+                6,
+            ).alias("ppmi_r"),
+        )
+    )

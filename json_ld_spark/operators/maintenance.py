@@ -267,3 +267,41 @@ def update_where(
     dels = instantiate_template(bindings, delete) if delete else None
     ins = instantiate_template(bindings, insert) if insert else None
     return merge_triples(triples, adds=ins, deletes=dels)
+
+
+def as_of(
+    changelog: DataFrame,
+    ts: int,
+    ts_col: str = "ts",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Time-travel reconstruction of the triple graph at changelog
+    position ``ts``: given an append-only changelog of
+    ``(key..., op in {'assert','retract'}, ts, seq)`` rows, return the
+    triples whose LATEST entry at or before ``ts`` is an assert — the
+    same snapshot-at-T semantics Iceberg exposes per table, applied at
+    the TRIPLE grain so a KG can answer "what did the graph say last
+    Tuesday" without storing one full copy per day.
+
+    ``seq`` is the total order within the changelog (Iceberg commit
+    sequence number / Kafka offset); ties on ``ts`` resolve by the
+    larger ``seq`` so replays are exactly deterministic.
+
+    Plan shape: one filter (``ts <= T`` — partition-prunable when the
+    changelog is written ts-partitioned, which is how a 100 TB
+    changelog should be laid out) + ONE key-grouped ``max_by``
+    aggregation. max_by is map-side combinable, so the shuffle carries
+    one candidate row per key per input partition, not the history;
+    no window, no self-join, no driver state. The reference has no
+    maintenance story (it reprocesses documents — see module
+    docstring); this is the delta-native replacement.
+    """
+    key = _key_of(changelog)
+    snap = changelog.filter(F.col(ts_col) <= F.lit(ts))
+    return (
+        snap.groupBy(*key)
+        .agg(F.max_by(F.col(op_col), F.col(seq_col)).alias("__last_op"))
+        .filter(F.col("__last_op") == F.lit("assert"))
+        .drop("__last_op")
+    )

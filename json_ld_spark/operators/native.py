@@ -172,3 +172,36 @@ def transcript_context_windows(
         F.array_join(ctx, sep).alias("context"),
         F.col("text").alias("target"),
     )
+
+
+def tool_bigrams(transcripts: DataFrame) -> DataFrame:
+    """Frequent consecutive tool-call patterns across agent
+    transcripts: for every conversation, order the turns that actually
+    invoked a tool by turn_idx, form adjacent (tool_a -> tool_b)
+    bigrams, and report each pattern's total occurrence count and
+    conversation support — the first thing an agent-behavior analysis
+    asks of a trillion-turn transcript corpus ("what does the agent do
+    right after a search?"). Sequential-pattern-mining base case
+    (Agrawal & Srikant 1995's L2 step).
+
+    Plan shape: one filter (tool IS NOT NULL — pushed to the scan),
+    one conversation-partitioned window (conversations are bounded:
+    thousands of turns, never corpus-sized, so the window partition is
+    the natural safe grain), one map-side-combinable pattern agg with
+    an exact distinct-conv count. No self-join: lead() makes bigram
+    formation linear in turns."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc())
+    pairs = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn("tool_next", F.lead("tool").over(w))
+        .filter(F.col("tool_next").isNotNull())
+    )
+    return pairs.groupBy(
+        F.col("tool").alias("tool_a"), F.col("tool_next").alias("tool_b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )

@@ -804,3 +804,73 @@ def knn_classify(
             "best_rank",
         )
     )
+
+
+def quantize_int8(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column with per-
+    dimension global [min, max] calibration — the standard 4x
+    index-compression step before an ANN index is built (FAISS
+    ScalarQuantizer / SQ8): code = floor((x - mn_d) * (levels-1) /
+    (mx_d - mn_d)) clamped to [0, levels-1], reconstruction
+    x' = mn_d + code * (mx_d - mn_d) / (levels-1).
+
+    Output per vector: ``(id, n_dims, code_sum, max_abs_err_r)`` —
+    code_sum is the exact-integer fingerprint of the code vector (the
+    value a re-implementation must reproduce bit-for-bit), max_abs_err
+    the reconstruction quality gate. floor (not round) keeps the code
+    a pure IEEE-expression function of the input, portable across
+    engines; max/sum-of-int per vector are order-independent, so the
+    whole operator is hash-stable under any partitioning.
+
+    Plan shape: one posexplode (xD fan-out, map-side only), one
+    dim-keyed agg for calibration (output is d rows — broadcast back),
+    one broadcast join, one vector-keyed agg. Calibration state is
+    dimension-sized, never driver-collected; constant per-executor
+    memory at any corpus size."""
+    ex = embs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = ex.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    lv = float(levels - 1)
+    q = (
+        ex.join(F.broadcast(stats), "pos")
+        .withColumn(
+            "code",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.least(
+                    F.lit(levels - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("x") - F.col("mn")) * F.lit(lv)
+                            / (F.col("mx") - F.col("mn"))
+                        ).cast("int"),
+                    ),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "err",
+            F.abs(
+                F.col("x")
+                - (
+                    F.col("mn")
+                    + F.col("code") * (F.col("mx") - F.col("mn")) / F.lit(lv)
+                )
+            ),
+        )
+    )
+    return q.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.sum("code").cast("long").alias("code_sum"),
+        F.round(F.max("err"), 6).alias("max_abs_err_r"),
+    )

@@ -150,6 +150,7 @@ CARTESIAN_OK = {
     "kg_transe_rank",           # broadcast(hash-sampled test) x entities
     "kg_graph_metrics",         # one-row scalar crossJoins (3x)
     "kg_modularity",            # one-row broadcast of the edge total m
+    "kg_ppmi_edges",            # one-row broadcast of the event total D
     "text_kn_bigrams",          # one-row broadcast of (btypes, n1, n2)
     "text_kn_perplexity",       # same KN totals broadcast inside scoring
     "kg_louvain_move",          # one-row broadcast of the edge total m

@@ -808,3 +808,70 @@ def test_remove_repeated_spans_empty_and_short(spark):
     assert out[2]["n_kept"] == 1 and out[2]["n_intervals"] == 0
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert remove_repeated_spans(empty).count() == 0
+
+
+# ------------------------------------------------------------ label_votes
+
+def _ann(spark, rows):
+    return spark.createDataFrame(
+        rows, "item long, annotator string, label string"
+    )
+
+
+def test_label_votes_simple_majority(spark):
+    from json_ld_spark.operators.curation import label_votes
+
+    ann = _ann(spark, [
+        (1, "a0", "cat"), (1, "a1", "cat"), (1, "a2", "dog"),
+        (2, "a0", "dog"), (2, "a1", "dog"), (2, "a2", "dog"),
+    ])
+    got = {r.item: r for r in label_votes(ann).collect()}
+    assert got[1].label_mv == "cat" and got[2].label_mv == "dog"
+    assert got[1].n_votes == 3
+    # weights: a0 agrees 2x, a1 2x, a2 1x (dog on item 1 disagrees)
+    # item 1 weighted: cat = 2+2 = 4 beats dog = 1
+    assert got[1].label_weighted == "cat" and got[1].top_weight == 4
+    assert got[2].label_weighted == "dog" and got[2].top_weight == 5
+
+
+def test_label_votes_tie_breaks_lexicographic(spark):
+    from json_ld_spark.operators.curation import label_votes
+
+    ann = _ann(spark, [
+        (1, "a0", "zebra"), (1, "a1", "ant"),
+    ])
+    got = label_votes(ann).collect()[0]
+    assert got.label_mv == "ant"  # 1-1 tie -> smaller label
+
+
+def test_label_votes_reliability_flips_weighted_winner(spark):
+    from json_ld_spark.operators.curation import label_votes
+
+    # Item 1 splits 2-2, so round 1 falls to the lexicographic
+    # tie-break ('w' < 'x' -> mv = 'w'). But a0/a1 carry more
+    # majority-agreements from the other items (item 7 is theirs
+    # alone), so round 2's reliability weights flip the winner to 'x'.
+    ann = _ann(spark, [
+        (9, "a0", "k"), (9, "a1", "k"), (9, "a2", "k"), (9, "a3", "k"),
+        (8, "a0", "m"), (8, "a1", "m"), (8, "a2", "q"), (8, "a3", "q"),
+        (7, "a0", "m"), (7, "a1", "m"),
+        (1, "a0", "x"), (1, "a1", "x"), (1, "a2", "w"), (1, "a3", "w"),
+    ])
+    got = {r.item: r for r in label_votes(ann).collect()}
+    # round 1 on item 1: 2-2 tie -> 'w' (lexicographic)
+    assert got[1].label_mv == "w"
+    # weights: a0/a1 agree on items 9, 8, 7 -> 3 each;
+    #          a2/a3 agree on items 9, 1   -> 2 each.
+    # item 1 round 2: x = 3+3 = 6 beats w = 2+2 = 4 -> the flip.
+    assert got[1].label_weighted == "x"
+    assert got[1].top_weight == 6
+
+
+def test_label_votes_duplicate_votes_collapse(spark):
+    from json_ld_spark.operators.curation import label_votes
+
+    ann = _ann(spark, [
+        (1, "a0", "cat"), (1, "a0", "cat"), (1, "a1", "dog"),
+    ])
+    got = label_votes(ann).collect()[0]
+    assert got.n_votes == 2  # the duplicate (item, annotator, label) row drops

@@ -866,3 +866,89 @@ def test_kn_doc_logprob_hand_computed(spark):
     assert r["n_bigrams"] == 2
     assert r["logp_micro"] == -826679 + -980829
     assert r["avg_logp_r"] == pytest.approx(-0.903754, abs=1e-6)
+
+
+# ----------------------------------------------------------- quantize_int8
+
+def test_quantize_int8_codes_and_error(spark):
+    from json_ld_spark.operators.similarity import quantize_int8
+
+    embs = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [1.0, 20.0]), (3, [2.0, 30.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.id: r for r in quantize_int8(embs).collect()}
+    # dim 0: mn=0 mx=2 -> codes floor(x*255/2): 0, 127, 255
+    # dim 1: mn=10 mx=30 -> codes floor((x-10)*255/20): 0, 127, 255
+    assert got[1].code_sum == 0
+    assert got[2].code_sum == 254
+    assert got[3].code_sum == 510
+    assert got[1].n_dims == 2
+    # exact endpoints reconstruct exactly
+    assert got[1].max_abs_err_r == 0.0 and got[3].max_abs_err_r == 0.0
+    # mid: code 127 reconstructs to 127*2/255 = 0.996078 (err 0.003922)
+    # and 10 + 127*20/255 = 19.960784 (err 0.039216) -> max is dim 1
+    assert got[2].max_abs_err_r == 0.039216
+
+
+def test_quantize_int8_constant_dimension_is_code_zero(spark):
+    from json_ld_spark.operators.similarity import quantize_int8
+
+    embs = spark.createDataFrame(
+        [(1, [5.0, 1.0]), (2, [5.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.id: r for r in quantize_int8(embs).collect()}
+    # constant dim 0 -> code 0 for everyone, reconstruction error = |5 - 5| = 0
+    # (mn == mx branch reconstructs to mn exactly)
+    assert got[1].code_sum == 0          # 0 (const) + 0 (min of dim 1)
+    assert got[2].code_sum == 255        # 0 + 255 (max of dim 1)
+
+
+def test_quantize_int8_error_bounded_by_step(spark):
+    import random
+
+    from json_ld_spark.operators.similarity import quantize_int8
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # per-dim range <= 2.0 -> quantization step <= 2/255; floor gives
+    # error < one full step
+    for r in quantize_int8(embs).collect():
+        assert r.max_abs_err_r < 2.0 / 255 + 1e-9
+        assert r.n_dims == 8
+
+
+# ------------------------------------------------------------ tool_bigrams
+
+def test_tool_bigrams_counts_and_support(spark):
+    from json_ld_spark.operators.native import tool_bigrams
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "search"), ("c1", 2, "python"), ("c1", 5, "search"),
+            ("c1", 7, "python"),
+            ("c2", 1, "search"), ("c2", 3, "python"),
+            ("c3", 0, "sql"),                      # lone tool: no bigram
+            ("c4", 0, None), ("c4", 1, "search"),  # null tools skipped
+        ],
+        "conv_id string, turn_idx int, tool string",
+    )
+    got = {(r.tool_a, r.tool_b): (r.n_occurrences, r.n_convs)
+           for r in tool_bigrams(t).collect()}
+    assert got == {
+        ("search", "python"): (3, 2),   # twice in c1, once in c2
+        ("python", "search"): (1, 1),
+    }
+
+
+def test_tool_bigrams_orders_by_turn_not_input_order(spark):
+    from json_ld_spark.operators.native import tool_bigrams
+
+    t = spark.createDataFrame(
+        [("c1", 9, "b"), ("c1", 1, "a")],  # reversed input order
+        "conv_id string, turn_idx int, tool string",
+    )
+    got = [(r.tool_a, r.tool_b) for r in tool_bigrams(t).collect()]
+    assert got == [("a", "b")]

@@ -1156,3 +1156,83 @@ def test_louvain_move_matches_bruteforce(spark):
         )
         expected[i] = best
     assert got == expected
+
+
+# ----------------------------------------------------- local_clustering
+
+def test_local_clustering_triangle_plus_pendant(spark):
+    # triangle 1-2-3 plus pendant 4 hanging off 1:
+    # node 1: deg 3, tri 1, lcc = 2*1/(3*2) = 0.333333
+    # nodes 2,3: deg 2, tri 1, lcc = 1.0 ; node 4: deg 1, lcc = 0
+    from json_ld_spark.operators.graphops import local_clustering
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long"
+    )
+    got = {r.node: (r.deg, r.n_triangles, r.lcc_r)
+           for r in local_clustering(e).collect()}
+    assert got == {
+        1: (3, 1, 0.333333),
+        2: (2, 1, 1.0),
+        3: (2, 1, 1.0),
+        4: (1, 0, 0.0),
+    }
+
+
+def test_local_clustering_duplicate_and_reversed_edges_collapse(spark):
+    from json_ld_spark.operators.graphops import local_clustering
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1)],
+        "src long, dst long",
+    )
+    got = {r.node: (r.deg, r.n_triangles, r.lcc_r)
+           for r in local_clustering(e).collect()}
+    assert got == {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (2, 1, 1.0)}
+
+
+def test_local_clustering_empty(spark):
+    from json_ld_spark.operators.graphops import local_clustering
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert local_clustering(e).count() == 0
+
+
+# ------------------------------------------------------------ ppmi_edges
+
+def test_ppmi_edges_hand_computed(spark):
+    import math
+
+    from json_ld_spark.operators.graphops import ppmi_edges
+
+    # edges: (a,b,n=3), (a,c,n=1) -> D = 2*(3+1) = 8
+    # m_a = 4, m_b = 3, m_c = 1
+    # ppmi(a,b) = max(0, ln(3*8/(4*3))) = ln(2) ; ppmi(a,c) = ln(8/4) = ln(2)
+    cooc = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "u string, v string, n_groups long"
+    )
+    got = {(r.u, r.v): (r.n, r.ppmi_r) for r in ppmi_edges(cooc).collect()}
+    ln2 = round(math.log(2.0), 6)
+    assert got == {("a", "b"): (3, ln2), ("a", "c"): (1, ln2)}
+
+
+def test_ppmi_negative_association_clamps_to_zero(spark):
+    from json_ld_spark.operators.graphops import ppmi_edges
+
+    # hub h touches everything: pair (h,x) with small n relative to the
+    # marginals gets PMI < 0 -> clamped to 0 (the "positive" in PPMI)
+    cooc = spark.createDataFrame(
+        [("h", "x", 1), ("h", "y", 9), ("x", "y", 9)],
+        "u string, v string, n_groups long",
+    )
+    got = {(r.u, r.v): r.ppmi_r for r in ppmi_edges(cooc).collect()}
+    # D = 38, m_h = 10, m_x = 10: pmi(h,x) = ln(38/100) < 0 -> 0.0
+    assert got[("h", "x")] == 0.0
+    assert got[("h", "y")] > 0.0 and got[("x", "y")] > 0.0
+
+
+def test_ppmi_empty(spark):
+    from json_ld_spark.operators.graphops import ppmi_edges
+
+    cooc = spark.createDataFrame([], "u string, v string, n_groups long")
+    assert ppmi_edges(cooc).count() == 0

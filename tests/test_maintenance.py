@@ -360,3 +360,65 @@ def test_incremental_canonicalize_deletes_only_and_validation(spark):
     assert {r.doc_id for r in only_del.collect()} == {"a"}
     with pytest.raises(ValueError, match="upserts/deletes"):
         incremental_canonicalize(base)
+
+
+# ---------------------------------------------------------------- as_of
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, op string, ts long, seq long"
+    )
+
+
+def test_as_of_basic_assert_retract(spark):
+    log = _log(spark, [
+        ("s1", "p", "a", "assert", 100, 1),
+        ("s2", "p", "b", "assert", 100, 2),
+        ("s1", "p", "a", "retract", 200, 3),
+        ("s1", "p", "a", "assert", 300, 4),
+    ])
+    from json_ld_spark.operators.maintenance import as_of
+
+    def keys(t):
+        return sorted(
+            (r.subj, r.pred, r.obj) for r in as_of(log, ts=t).collect()
+        )
+
+    assert keys(50) == []                                   # before any op
+    assert keys(150) == [("s1", "p", "a"), ("s2", "p", "b")]
+    assert keys(250) == [("s2", "p", "b")]                  # retract visible
+    assert keys(350) == [("s1", "p", "a"), ("s2", "p", "b")]  # re-asserted
+
+
+def test_as_of_ties_on_ts_resolve_by_seq(spark):
+    # same ts: the larger seq wins (commit order), so retract@seq5 beats
+    # assert@seq4 even at the exact snapshot timestamp
+    log = _log(spark, [
+        ("s1", "p", "a", "assert", 100, 4),
+        ("s1", "p", "a", "retract", 100, 5),
+        ("s2", "p", "b", "retract", 100, 6),
+        ("s2", "p", "b", "assert", 100, 7),
+    ])
+    from json_ld_spark.operators.maintenance import as_of
+
+    got = sorted(r.subj for r in as_of(log, ts=100).collect())
+    assert got == ["s2"]
+
+
+def test_as_of_future_ops_invisible(spark):
+    log = _log(spark, [
+        ("s1", "p", "a", "assert", 100, 1),
+        ("s1", "p", "a", "retract", 900, 2),
+        ("s9", "p", "z", "assert", 900, 3),
+    ])
+    from json_ld_spark.operators.maintenance import as_of
+
+    got = sorted(r.subj for r in as_of(log, ts=500).collect())
+    assert got == ["s1"]
+
+
+def test_as_of_empty_changelog(spark):
+    from json_ld_spark.operators.maintenance import as_of
+
+    log = _log(spark, [])
+    assert as_of(log, ts=100).count() == 0
