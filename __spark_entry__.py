@@ -4342,6 +4342,7 @@ _NEVER_DRIVER_CHECKED = (
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_time_travel", "kg_local_clustering", "kg_ppmi_edges",
     "data_label_votes", "data_embed_quantize", "kg_tool_sequences",
+    "kg_snapshot_diff", "ann_classifier_report", "data_calibration_bins",
     "kg_conv_dedup", "kg_linkpred_auc", "kg_hyperball",
     "ann_semantic_clusters", "ann_margin_pairs", "data_curriculum",
     "data_bpe_tokens", "data_pack_bpe", "data_bpe_stats",
@@ -4515,21 +4516,12 @@ def q_text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_doc_logprob(docs.select("doc_id", "text"))
 
 
-def q_kg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-travel snapshot of the triple graph (maintenance.as_of):
-    a deterministic assert/retract changelog is synthesized over the
-    native transcript triples (assert-all at ts=100; retract the
-    md5-bridge subj|pred % 5 == 0 slice at ts=200; re-assert the
-    % 10 == 0 sub-slice at ts=300; a ts=400 retract wave that the
-    snapshot must NOT see), then the graph state at ts=350 is
-    reconstructed — Iceberg snapshot-at-T semantics at the TRIPLE
-    grain. Scale shape: ts filter (partition-prunable on a
-    ts-partitioned changelog) + ONE map-side-combinable max_by agg; no
-    window, no self-join. Oracle: the same changelog as UNION ALL CTEs
-    reduced with arg_max(op, seq) in DuckDB."""
-    from json_ld_spark.operators.maintenance import as_of
-
-    _utc(spark)
+def _tt_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic assert/retract changelog over the native triples:
+    assert-all at ts=100; retract the md5-bridge subj|pred % 5 == 0
+    slice at ts=200; re-assert the % 10 == 0 sub-slice at ts=300; a
+    ts=400 retract wave for the % 7 == 0 slice. Shared by
+    kg_time_travel and kg_snapshot_diff."""
     t = transcript_triples_native(transcripts_from_documents(spark, sf_dir)).select(
         *TRIPLE_COLS
     )
@@ -4563,7 +4555,46 @@ def q_kg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return as_of(log, ts=350)
+    return log
+
+
+def q_kg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot of the triple graph (maintenance.as_of):
+    the _tt_changelog assert/retract waves reduced to the graph state
+    at ts=350 (the ts=400 wave must NOT be visible) — Iceberg
+    snapshot-at-T semantics at the TRIPLE grain. Scale shape: ts
+    filter (partition-prunable on a ts-partitioned changelog) + ONE
+    map-side-combinable max_by agg; no window, no self-join. Oracle:
+    the same changelog as UNION ALL CTEs reduced with
+    arg_max(op, seq) in DuckDB."""
+    from json_ld_spark.operators.maintenance import as_of
+
+    _utc(spark)
+    return as_of(_tt_changelog(spark, sf_dir), ts=350)
+
+
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changed between two graph snapshots (maintenance.as_of x2
+    + diff.dataset_diff): the ts=150 state vs the ts=350 state of the
+    _tt_changelog — rows tagged 'removed' (retracted at ts=200, not
+    re-asserted) and 'added' (none in this timeline: ts=300 only
+    re-asserts) — the audit query behind any KG release note. Scale
+    shape: two max_by snapshot aggs + two null-safe anti-joins
+    (hash-joinable; quad keys are the join columns); canonicalization
+    skipped because both snapshots come from the SAME labeled triple
+    table. Oracle: two arg_max snapshot CTEs + anti-join EXCEPT
+    semantics in SQL."""
+    from json_ld_spark.operators.diff import dataset_diff
+    from json_ld_spark.operators.maintenance import as_of
+
+    _utc(spark)
+    log = _tt_changelog(spark, sf_dir).localCheckpoint(eager=False)
+    s1 = as_of(log, ts=150)
+    s2 = as_of(log, ts=350)
+    d = dataset_diff(s1, s2, canonicalize=False)
+    return d["only_left"].select(F.lit("removed").alias("side"), *TRIPLE_COLS).unionByName(
+        d["only_right"].select(F.lit("added").alias("side"), *TRIPLE_COLS)
+    )
 
 
 def q_kg_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4688,6 +4719,51 @@ def q_kg_tool_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tool"),
     )
     return tool_bigrams(t)
+
+
+def q_ann_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class confusion-matrix evaluation
+    (curation.classification_report) of the k-NN majority-vote
+    classifier: the ann_knn_classify prediction table reduced to
+    (label, support, tp, fp, fn, precision, recall, F1) — F1 as the
+    single-division 2tp/(2tp+fp+fn) form so exact integers carry to
+    the last step; macro/micro averages derive by one agg over the
+    output. Scale: three label-keyed map-side aggs + two outer joins
+    over label-cardinality tables. Oracle: the green knn CTE verbatim
+    + the same confusion algebra."""
+    from json_ld_spark.operators.curation import classification_report
+
+    _utc(spark)
+    preds = q_ann_knn_classify(spark, sf_dir)
+    return classification_report(preds)
+
+
+def q_data_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins / ECE inputs (curation.calibration_bins;
+    Guo et al. 2017) over a synthesized scored table: confidence =
+    md5-bridge(doc_id) % 1001 (integer-scaled 0..1000 by the operator
+    contract — the ccnet_buckets trick, so bin ids and mean confidence
+    are exact integer arithmetic) and outcome drawn from a second
+    independent md5 channel with P(y=1) = confidence/1000, making the
+    table well-calibrated in expectation. One map-side agg over <= 10
+    groups. Oracle: identical integer algebra in SQL."""
+    from json_ld_spark.operators.curation import calibration_bins
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    h1 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("conf|"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("out|"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    scored = docs.select(
+        (h1 % 1001).alias("conf_scaled"),
+        F.when(h2 % 1000 < h1 % 1001, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    return calibration_bins(scored, "conf_scaled", "y", scale=1000, bins=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4828,6 +4904,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_label_votes": q_data_label_votes,
         "data_embed_quantize": q_data_embed_quantize,
         "kg_tool_sequences": q_kg_tool_sequences,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
+        "ann_classifier_report": q_ann_classifier_report,
+        "data_calibration_bins": q_data_calibration_bins,
         "text_kn_bigrams": q_text_kn_bigrams,
         "dedup_winnowing": q_dedup_winnowing,
         "kg_louvain_move": q_kg_louvain_move,
@@ -9563,10 +9642,10 @@ FROM sc GROUP BY doc_id
 
 
 
-# kg_time_travel: the same synthesized changelog as UNION ALL waves over
-# the native triples, reduced with arg_max(op, seq) per quad key at
-# ts <= 350 — DuckDB's arg_max == Spark's max_by
-_TIME_TRAVEL_SQL = _TRIPLES_CTE + """
+# kg_time_travel / kg_snapshot_diff: the same synthesized changelog as
+# UNION ALL waves over the native triples, reduced with arg_max(op, seq)
+# per quad key — DuckDB's arg_max == Spark's max_by
+_TT_LOG_CTE = _TRIPLES_CTE + """
 , h AS (
   SELECT graph, subj, pred, obj_kind, obj, datatype, lang,
          ('0x' || substr(md5(subj || '|' || pred), 1, 8))::BIGINT AS hh
@@ -9584,11 +9663,92 @@ _TIME_TRAVEL_SQL = _TRIPLES_CTE + """
   SELECT graph, subj, pred, obj_kind, obj, datatype, lang,
          'retract', 400, 4 FROM h WHERE hh % 7 = 0
 )
+"""
+
+_TIME_TRAVEL_SQL = _TT_LOG_CTE + """
 SELECT graph, subj, pred, obj_kind, obj, datatype, lang
 FROM changelog
 WHERE ts <= 350
 GROUP BY graph, subj, pred, obj_kind, obj, datatype, lang
 HAVING arg_max(op, seq) = 'assert'
+"""
+
+# kg_snapshot_diff: two arg_max snapshots + EXCEPT both ways (EXCEPT's
+# NULL-equality == the Spark side's eqNullSafe anti-joins)
+_SNAPSHOT_DIFF_SQL = _TT_LOG_CTE + """
+, s1 AS (
+  SELECT graph, subj, pred, obj_kind, obj, datatype, lang
+  FROM changelog WHERE ts <= 150
+  GROUP BY graph, subj, pred, obj_kind, obj, datatype, lang
+  HAVING arg_max(op, seq) = 'assert'
+), s2 AS (
+  SELECT graph, subj, pred, obj_kind, obj, datatype, lang
+  FROM changelog WHERE ts <= 350
+  GROUP BY graph, subj, pred, obj_kind, obj, datatype, lang
+  HAVING arg_max(op, seq) = 'assert'
+)
+SELECT 'removed' AS side, * FROM (SELECT * FROM s1 EXCEPT SELECT * FROM s2)
+UNION ALL
+SELECT 'added' AS side, * FROM (SELECT * FROM s2 EXCEPT SELECT * FROM s1)
+"""
+
+# ann_classifier_report: the green knn prediction CTE verbatim feeds the
+# confusion algebra; F1 = 2tp/(2tp+fp+fn) keeps one exact-int division
+_CLS_REPORT_SQL = (
+    """
+WITH preds AS (
+""" + _KNN_CLASSIFY_SQL + """
+), m AS (
+  SELECT true_label AS t, pred_label AS p FROM preds
+), tp AS (
+  SELECT t AS label, COUNT(*) AS tp FROM m WHERE t = p GROUP BY t
+), sup AS (
+  SELECT t AS label, COUNT(*) AS support FROM m GROUP BY t
+), pc AS (
+  SELECT p AS label, COUNT(*) AS pred_n FROM m GROUP BY p
+), base AS (
+  SELECT label,
+         CAST(COALESCE(support, 0) AS BIGINT) AS support,
+         CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+         CAST(COALESCE(pred_n, 0) - COALESCE(tp, 0) AS BIGINT) AS fp,
+         CAST(COALESCE(support, 0) - COALESCE(tp, 0) AS BIGINT) AS fn
+  FROM sup FULL OUTER JOIN pc USING (label) LEFT JOIN tp USING (label)
+)
+SELECT label, support, tp, fp, fn,
+       CASE WHEN tp + fp > 0
+            THEN round(tp / CAST(tp + fp AS DOUBLE), 6) ELSE 0.0 END
+         AS precision_r,
+       CASE WHEN tp + fn > 0
+            THEN round(tp / CAST(tp + fn AS DOUBLE), 6) ELSE 0.0 END
+         AS recall_r,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN round(2 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6)
+            ELSE 0.0 END AS f1_r
+FROM base
+"""
+)
+
+# data_calibration_bins: integer-scaled confidences and a second md5
+# channel for outcomes; bin ids and mean confidence are exact integers
+_CALIB_SQL = r"""
+WITH sc AS (
+  SELECT ('0x' || substr(md5('conf|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1001 AS s,
+         CASE WHEN ('0x' || substr(md5('out|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000
+                 < ('0x' || substr(md5('conf|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1001
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+)
+SELECT LEAST(9, GREATEST(0, CAST(FLOOR((s * 10) / 1000.0) AS BIGINT))) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS acc_r,
+       round(SUM(s) / CAST(COUNT(*) * 1000 AS DOUBLE), 6) AS conf_r,
+       round(abs(SUM(y) / CAST(COUNT(*) AS DOUBLE)
+                 - SUM(s) / CAST(COUNT(*) * 1000 AS DOUBLE)), 6) AS gap_r
+FROM sc GROUP BY 1
 """
 
 # kg_local_clustering: id-ordered triangle enumeration (a<b via the edge
@@ -9880,6 +10040,9 @@ def oracle_sql() -> dict[str, str]:
         "data_label_votes": _LABEL_VOTES_SQL,
         "data_embed_quantize": _QUANTIZE_SQL,
         "kg_tool_sequences": _TOOL_SEQ_SQL,
+        "kg_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "ann_classifier_report": _CLS_REPORT_SQL,
+        "data_calibration_bins": _CALIB_SQL,
         "text_kn_bigrams": _KN_BIGRAMS_SQL,
         "dedup_winnowing": _WINNOWING_SQL,
         "kg_louvain_move": _LOUVAIN_MOVE_SQL,

@@ -770,3 +770,117 @@ def label_votes(
             (-F.col("__m")["nwc"]).cast("long").alias("top_weight"),
         )
     )
+
+
+def classification_report(
+    preds: DataFrame,
+    true_col: str = "true_label",
+    pred_col: str = "pred_label",
+) -> DataFrame:
+    """Per-class confusion-matrix evaluation of a prediction table —
+    the scoreboard every labeler/classifier in the curation pipeline
+    (knn_classify, hashed_ngram_score gates, label_votes) reports to:
+    ``(label, support, tp, fp, fn, precision_r, recall_r, f1_r)`` for
+    every label appearing on either side. F1 is computed as
+    2*tp / (2*tp + fp + fn) — algebraically identical to the harmonic
+    mean but a single division over exact integers, so engines can't
+    disagree through intermediate float precision/recall. Zero
+    denominators score 0.0 (sklearn's zero_division=0 convention).
+    Macro/micro averages derive by one trivial aggregation over the
+    output (kept per-class so the output grain is uniform).
+
+    Plan shape: three map-side-combinable label-keyed aggs (tp /
+    support / predicted-count) + two label-keyed outer joins over
+    label-cardinality-sized tables — the corpus is touched once per
+    agg, never joined row-to-row."""
+    m = preds.select(
+        F.col(true_col).alias("t"), F.col(pred_col).alias("p")
+    )
+    tp = (
+        m.filter(F.col("t") == F.col("p"))
+        .groupBy(F.col("t").alias("label"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    sup = m.groupBy(F.col("t").alias("label")).agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    pc = m.groupBy(F.col("p").alias("label")).agg(
+        F.count(F.lit(1)).alias("pred_n")
+    )
+    base = (
+        sup.join(pc, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("pred_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce("support", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    def _ratio(num, den):
+        return F.when(den > 0, F.round(num / den.cast("double"), 6)).otherwise(
+            F.lit(0.0)
+        )
+
+    return base.select(
+        "label", "support", "tp", "fp", "fn",
+        _ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_r"),
+        _ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_r"),
+        _ratio(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn"))
+        .alias("f1_r"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_scaled_col: str,
+    outcome_col: str,
+    scale: int = 1000,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram / expected-calibration-error bins (Guo et
+    al. 2017) over a table of (integer-scaled confidence, binary
+    outcome): bin b collects rows with score_scaled*bins // scale == b
+    (clamped), and reports count, positives, accuracy, mean confidence
+    and the |acc - conf| gap. ECE = sum(n * gap) / N derives by one
+    aggregation over the output.
+
+    The confidence column is INTEGER-scaled (0..scale) by contract —
+    the same trick as ccnet_buckets' tercile cut: bin assignment and
+    mean confidence are then exact integer arithmetic (sums of longs),
+    so no cross-engine float summation-order ambiguity exists anywhere;
+    the only doubles are the two final divisions. One
+    map-side-combinable agg over <= bins groups."""
+    s = F.col(score_scaled_col).cast("long")
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), (s * bins / F.lit(scale)).cast("long")),
+    )
+    return (
+        scored.select(
+            b.alias("bin"),
+            s.alias("sc"),
+            F.col(outcome_col).cast("long").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.round(F.sum("y") / F.count(F.lit(1)).cast("double"), 6).alias("acc_r"),
+            F.round(
+                F.sum("sc") / (F.count(F.lit(1)) * F.lit(scale)).cast("double"), 6
+            ).alias("conf_r"),
+            F.round(
+                F.abs(
+                    F.sum("y") / F.count(F.lit(1)).cast("double")
+                    - F.sum("sc") / (F.count(F.lit(1)) * F.lit(scale)).cast("double")
+                ),
+                6,
+            ).alias("gap_r"),
+        )
+    )

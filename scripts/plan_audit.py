@@ -157,6 +157,7 @@ CARTESIAN_OK = {
     "text_hybrid_rrf",          # dense list = the brute-force twin
                                 # (broadcast 1-query cross join)
     "ann_knn_classify",         # same brute twin (leave-one-out eval)
+    "ann_classifier_report",    # confusion algebra OVER the knn brute twin
     "sketch_histogram_quantiles",  # build side = the 3-row quantile list
     "kg_bgp_values_minus",      # SPARQL VALUES compatibility join: the
     "kg_sparql_select",         # null-OR-equal predicate is non-equi by

@@ -875,3 +875,82 @@ def test_label_votes_duplicate_votes_collapse(spark):
     ])
     got = label_votes(ann).collect()[0]
     assert got.n_votes == 2  # the duplicate (item, annotator, label) row drops
+
+
+# --------------------------------------------------- classification_report
+
+def test_classification_report_hand_case(spark):
+    from json_ld_spark.operators.curation import classification_report
+
+    preds = spark.createDataFrame(
+        [
+            ("cat", "cat"), ("cat", "cat"), ("cat", "dog"),
+            ("dog", "dog"), ("dog", "cat"),
+            ("fox", "dog"),                 # fox never predicted
+        ],
+        "true_label string, pred_label string",
+    )
+    got = {r.label: r for r in classification_report(preds).collect()}
+    # cat: tp 2, fp 1 (dog->cat), fn 1 -> p = 2/3, r = 2/3, f1 = 2/3
+    assert (got["cat"].tp, got["cat"].fp, got["cat"].fn) == (2, 1, 1)
+    assert got["cat"].precision_r == got["cat"].recall_r == 0.666667
+    assert got["cat"].f1_r == 0.666667
+    # dog: tp 1, fp 2 (cat->dog, fox->dog), fn 1
+    assert (got["dog"].tp, got["dog"].fp, got["dog"].fn) == (1, 2, 1)
+    assert got["dog"].precision_r == 0.333333 and got["dog"].recall_r == 0.5
+    assert got["dog"].f1_r == 0.4  # 2*1/(2+2+1)
+    # fox: support 1, never predicted -> precision 0 by zero_division=0
+    assert (got["fox"].support, got["fox"].tp, got["fox"].fp) == (1, 0, 0)
+    assert got["fox"].precision_r == 0.0 and got["fox"].recall_r == 0.0
+
+
+def test_classification_report_label_only_predicted(spark):
+    from json_ld_spark.operators.curation import classification_report
+
+    preds = spark.createDataFrame(
+        [("a", "b"), ("a", "a")], "true_label string, pred_label string"
+    )
+    got = {r.label: r for r in classification_report(preds).collect()}
+    # 'b' appears only as a prediction: support 0, fp 1, recall 0
+    assert (got["b"].support, got["b"].fp, got["b"].recall_r) == (0, 1, 0.0)
+
+
+def test_classification_report_perfect(spark):
+    from json_ld_spark.operators.curation import classification_report
+
+    preds = spark.createDataFrame(
+        [("a", "a"), ("b", "b")], "true_label string, pred_label string"
+    )
+    for r in classification_report(preds).collect():
+        assert r.precision_r == r.recall_r == r.f1_r == 1.0
+
+
+# ------------------------------------------------------- calibration_bins
+
+def test_calibration_bins_hand_case(spark):
+    from json_ld_spark.operators.curation import calibration_bins
+
+    scored = spark.createDataFrame(
+        [
+            (50, 0), (150, 0), (150, 1),     # bins 0 and 1
+            (950, 1), (1000, 1),             # bin 9 (1000 clamps into 9)
+        ],
+        "conf int, y int",
+    )
+    got = {r.bin: r for r in calibration_bins(scored, "conf", "y").collect()}
+    assert got[0].n == 1 and got[0].acc_r == 0.0 and got[0].conf_r == 0.05
+    assert got[1].n == 2 and got[1].acc_r == 0.5 and got[1].conf_r == 0.15
+    assert got[1].gap_r == 0.35
+    assert got[9].n == 2 and got[9].acc_r == 1.0 and got[9].conf_r == 0.975
+    assert got[9].gap_r == 0.025
+
+
+def test_calibration_bins_perfectly_calibrated_gap_zero(spark):
+    from json_ld_spark.operators.curation import calibration_bins
+
+    # two rows at confidence 0.5, one positive -> acc == conf -> gap 0
+    scored = spark.createDataFrame(
+        [(500, 1), (500, 0)], "conf int, y int"
+    )
+    got = calibration_bins(scored, "conf", "y").collect()
+    assert len(got) == 1 and got[0].gap_r == 0.0
