@@ -4343,6 +4343,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_time_travel", "kg_local_clustering", "kg_ppmi_edges",
     "data_label_votes", "data_embed_quantize", "kg_tool_sequences",
     "kg_snapshot_diff", "ann_classifier_report", "data_calibration_bins",
+    "streaming_graph_state",
     "kg_conv_dedup", "kg_linkpred_auc", "kg_hyperball",
     "ann_semantic_clusters", "ann_margin_pairs", "data_curriculum",
     "data_bpe_tokens", "data_pack_bpe", "data_bpe_stats",
@@ -4766,6 +4767,32 @@ def q_data_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(scored, "conf_scaled", "y", scale=1000, bins=10)
 
 
+def q_streaming_graph_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of kg_time_travel's reduction: the _tt_changelog
+    waves land as four separate micro-batch files and drain through the
+    incremental graph-state updater
+    (streaming/stream.py make_graph_state_batch_updater) — per quad key
+    the latest (op, ts, seq) survives, a commutative idempotent monoid,
+    so batch boundaries and pickup order cannot change the result. The
+    returned table is the current (ts=infinity) asserted set; the
+    hash-verified claim is streaming == batch arg_max over the full
+    changelog."""
+    import tempfile
+
+    from json_ld_spark.streaming.stream import run_stream_graph_state
+
+    _utc(spark)
+    log = _tt_changelog(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_g_")
+    for wave in (1, 2, 3, 4):
+        log.filter(F.col("seq") == wave).coalesce(1).write.mode("append").parquet(
+            f"{base}/in"
+        )
+    return run_stream_graph_state(
+        spark, f"{base}/in", f"{base}/state", f"{base}/ckpt", schema=log.schema
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
     front = set(_NEVER_DRIVER_CHECKED)
@@ -4907,6 +4934,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "ann_classifier_report": q_ann_classifier_report,
         "data_calibration_bins": q_data_calibration_bins,
+        "streaming_graph_state": q_streaming_graph_state,
         "text_kn_bigrams": q_text_kn_bigrams,
         "dedup_winnowing": q_dedup_winnowing,
         "kg_louvain_move": q_kg_louvain_move,
@@ -9692,6 +9720,15 @@ UNION ALL
 SELECT 'added' AS side, * FROM (SELECT * FROM s2 EXCEPT SELECT * FROM s1)
 """
 
+# streaming_graph_state: the batch arg_max over the FULL changelog (no
+# ts filter — current state); streaming == batch is the verified claim
+_GRAPH_STATE_SQL = _TT_LOG_CTE + """
+SELECT graph, subj, pred, obj_kind, obj, datatype, lang
+FROM changelog
+GROUP BY graph, subj, pred, obj_kind, obj, datatype, lang
+HAVING arg_max(op, seq) = 'assert'
+"""
+
 # ann_classifier_report: the green knn prediction CTE verbatim feeds the
 # confusion algebra; F1 = 2tp/(2tp+fp+fn) keeps one exact-int division
 _CLS_REPORT_SQL = (
@@ -10043,6 +10080,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "ann_classifier_report": _CLS_REPORT_SQL,
         "data_calibration_bins": _CALIB_SQL,
+        "streaming_graph_state": _GRAPH_STATE_SQL,
         "text_kn_bigrams": _KN_BIGRAMS_SQL,
         "dedup_winnowing": _WINNOWING_SQL,
         "kg_louvain_move": _LOUVAIN_MOVE_SQL,

@@ -635,3 +635,95 @@ def run_stream_quality(
     state = _latest_quality_state(spark, state_path, before=1 << 62)
     assert state is not None
     return quality_state_metrics(state, min_turns=min_turns)
+
+
+# ---------------------------------------------------------------------------
+# incremental graph state (streaming changelog -> current triple table)
+# ---------------------------------------------------------------------------
+
+_GSTATE_KEY = (
+    "graph", "subj", "pred", "obj_kind", "obj", "datatype", "lang",
+)
+
+
+def _changelog_latest(batch: DataFrame) -> DataFrame:
+    """One row per quad key carrying the latest (seq, op, ts) entry of
+    this slice — max of a seq-led struct, so one map-side-combinable
+    agg fetches every field. seq is the changelog total order by
+    contract (Iceberg commit sequence / Kafka offset), so the struct
+    comparison never reaches the tie-break fields."""
+    return (
+        batch.groupBy(*_GSTATE_KEY)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("seq").cast("long").alias("seq"),
+                    F.col("op").alias("op"),
+                    F.col("ts").cast("long").alias("ts"),
+                )
+            ).alias("m")
+        )
+        .select(
+            *_GSTATE_KEY,
+            F.col("m.op").alias("op"),
+            F.col("m.ts").alias("ts"),
+            F.col("m.seq").alias("seq"),
+        )
+    )
+
+
+def make_graph_state_batch_updater(state_path: str):
+    """foreachBatch updater maintaining the CURRENT graph state over an
+    assert/retract changelog stream — the streaming twin of
+    maintenance.as_of (whose snapshot-at-T is the batch read of the
+    same reduction). State is one row per quad key ever touched,
+    carrying the latest (op, ts, seq); the current triple table is the
+    op == 'assert' slice.
+
+    The per-key reduction (latest entry by seq) is a commutative,
+    idempotent monoid: merging the previous state with a batch partial
+    is the SAME max-struct agg over their union, so micro-batch
+    boundaries, file pickup order, and replays cannot change the
+    result (asserted against the batch as_of in tests).
+
+    Exactly-once: state versions write to `state_path/v=<batch_id>`
+    and a batch reads the newest version strictly below its own id —
+    the component-updater protocol."""
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = _changelog_latest(batch_df)
+        prev = _latest_component_state(spark, state_path, before=batch_id)
+        if prev is not None:
+            part = _changelog_latest(prev.unionByName(part))
+        part.write.mode("overwrite").parquet(f"{state_path}/v={batch_id}")
+
+    return update
+
+
+def run_stream_graph_state(
+    spark: SparkSession,
+    in_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stream changelog files through the incremental graph-state
+    updater; returns the current asserted triple table (== batch
+    as_of at ts = infinity over the same changelog)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(make_graph_state_batch_updater(state_path))
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = _latest_component_state(spark, state_path, before=1 << 62)
+    assert out is not None
+    return out.filter(F.col("op") == "assert").select(*_GSTATE_KEY)

@@ -518,3 +518,82 @@ def test_stream_quality_replay_idempotent(spark, tmp_path):
     assert first == again
     (row,) = first
     assert row[0] == "c" and row[5] == 1  # the boundary repeat, once
+
+
+# --------------------------------------------------- incremental graph state
+
+_LOG_SCHEMA = ("graph string, subj string, pred string, obj_kind string, "
+               "obj string, datatype string, lang string, "
+               "op string, ts long, seq long")
+
+
+def _lrow(s, o, op, ts, seq):
+    return (None, s, "p", "iri", o, None, None, op, ts, seq)
+
+
+def test_stream_graph_state_matches_batch_asof(spark, tmp_path):
+    from json_ld_spark.operators.maintenance import as_of
+    from json_ld_spark.streaming.stream import make_graph_state_batch_updater
+    from json_ld_spark.streaming.stream import _latest_component_state
+
+    rows = [
+        _lrow("s1", "a", "assert", 100, 1),
+        _lrow("s2", "b", "assert", 100, 2),
+        _lrow("s1", "a", "retract", 200, 3),
+        _lrow("s3", "c", "assert", 200, 4),
+        _lrow("s1", "a", "assert", 300, 5),
+        _lrow("s2", "b", "retract", 300, 6),
+    ]
+    log = spark.createDataFrame(rows, _LOG_SCHEMA)
+    state = str(tmp_path / "gstate")
+    upd = make_graph_state_batch_updater(state)
+    # micro-batches deliberately NOT aligned with ts waves
+    upd(spark.createDataFrame(rows[:1], _LOG_SCHEMA), 0)
+    upd(spark.createDataFrame(rows[1:4], _LOG_SCHEMA), 1)
+    upd(spark.createDataFrame(rows[4:], _LOG_SCHEMA), 2)
+    cur = _latest_component_state(spark, state, 1 << 62)
+    got = sorted(
+        (r.subj, r.obj) for r in cur.filter(F.col("op") == "assert").collect()
+    )
+    want = sorted(
+        (r.subj, r.obj) for r in as_of(log, ts=1 << 40).collect()
+    )
+    assert got == want == [("s1", "a"), ("s3", "c")]
+
+
+def test_stream_graph_state_batch_order_irrelevant(spark, tmp_path):
+    # the reduction is a commutative monoid: delivering the waves in
+    # reverse produces the same state
+    from json_ld_spark.streaming.stream import make_graph_state_batch_updater
+    from json_ld_spark.streaming.stream import _latest_component_state
+
+    rows = [
+        _lrow("s1", "a", "assert", 100, 1),
+        _lrow("s1", "a", "retract", 200, 2),
+    ]
+    fwd_state = str(tmp_path / "fwd")
+    rev_state = str(tmp_path / "rev")
+    for st, order in ((fwd_state, [0, 1]), (rev_state, [1, 0])):
+        upd = make_graph_state_batch_updater(st)
+        for bid, i in enumerate(order):
+            upd(spark.createDataFrame([rows[i]], _LOG_SCHEMA), bid)
+    f = _latest_component_state(spark, fwd_state, 1 << 62)
+    r = _latest_component_state(spark, rev_state, 1 << 62)
+    assert sorted(map(tuple, f.collect())) == sorted(map(tuple, r.collect()))
+    assert f.filter(F.col("op") == "assert").count() == 0
+
+
+def test_stream_graph_state_replay_idempotent(spark, tmp_path):
+    from json_ld_spark.streaming.stream import make_graph_state_batch_updater
+    from json_ld_spark.streaming.stream import _latest_component_state
+
+    state = str(tmp_path / "replay")
+    upd = make_graph_state_batch_updater(state)
+    b0 = spark.createDataFrame([_lrow("s1", "a", "assert", 100, 1)], _LOG_SCHEMA)
+    b1 = spark.createDataFrame([_lrow("s1", "a", "retract", 200, 2)], _LOG_SCHEMA)
+    upd(b0, 0)
+    upd(b1, 1)
+    first = sorted(map(tuple, _latest_component_state(spark, state, 1 << 62).collect()))
+    upd(b1, 1)  # at-least-once replay
+    again = sorted(map(tuple, _latest_component_state(spark, state, 1 << 62).collect()))
+    assert first == again
