@@ -4343,7 +4343,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_time_travel", "kg_local_clustering", "kg_ppmi_edges",
     "data_label_votes", "data_embed_quantize", "kg_tool_sequences",
     "kg_snapshot_diff", "ann_classifier_report", "data_calibration_bins",
-    "streaming_graph_state",
+    "streaming_graph_state", "data_rank_normalize",
     "kg_conv_dedup", "kg_linkpred_auc", "kg_hyperball",
     "ann_semantic_clusters", "ann_margin_pairs", "data_curriculum",
     "data_bpe_tokens", "data_pack_bpe", "data_bpe_stats",
@@ -4793,6 +4793,23 @@ def q_streaming_graph_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile normalization of document length
+    (sampling.rank_normalize) — the cross-lingual quality-calibration
+    move: thresholds on a raw score don't transfer across languages;
+    thresholds on its within-group percentile do. NO per-group window
+    (hot groups are the partition-less-window hazard in group
+    clothing): global two-phase rank over (lang, n_chars, doc_id) +
+    one broadcast group-offset join, LIMIT-probed group cap. Oracle:
+    PERCENT_RANK() with the unique-id tiebreak, which row_number
+    semantics make exactly equal."""
+    from json_ld_spark.operators.sampling import rank_normalize
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return rank_normalize(docs, "lang", "n_chars", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
     front = set(_NEVER_DRIVER_CHECKED)
@@ -4935,6 +4952,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_classifier_report": q_ann_classifier_report,
         "data_calibration_bins": q_data_calibration_bins,
         "streaming_graph_state": q_streaming_graph_state,
+        "data_rank_normalize": q_data_rank_normalize,
         "text_kn_bigrams": q_text_kn_bigrams,
         "dedup_winnowing": q_dedup_winnowing,
         "kg_louvain_move": q_kg_louvain_move,
@@ -9729,6 +9747,15 @@ GROUP BY graph, subj, pred, obj_kind, obj, datatype, lang
 HAVING arg_max(op, seq) = 'assert'
 """
 
+# data_rank_normalize: with the unique doc_id tiebreak there are no rank
+# peers, so PERCENT_RANK == (row_number-1)/(n-1) == the two-phase rank
+_RANK_NORM_SQL = r"""
+SELECT doc_id, lang, n_chars,
+       round(PERCENT_RANK() OVER (
+         PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC), 6) AS pct_r
+FROM documents
+"""
+
 # ann_classifier_report: the green knn prediction CTE verbatim feeds the
 # confusion algebra; F1 = 2tp/(2tp+fp+fn) keeps one exact-int division
 _CLS_REPORT_SQL = (
@@ -10081,6 +10108,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_classifier_report": _CLS_REPORT_SQL,
         "data_calibration_bins": _CALIB_SQL,
         "streaming_graph_state": _GRAPH_STATE_SQL,
+        "data_rank_normalize": _RANK_NORM_SQL,
         "text_kn_bigrams": _KN_BIGRAMS_SQL,
         "dedup_winnowing": _WINNOWING_SQL,
         "kg_louvain_move": _LOUVAIN_MOVE_SQL,

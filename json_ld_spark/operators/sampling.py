@@ -814,3 +814,60 @@ def token_budget_select(
         )
         .drop("__k", "__cum", "__excl", "__base", "__wexcl")
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    out_col: str = "pct_r",
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """Per-group percentile (rank) normalization of a score column —
+    the cross-lingual quality-calibration move (a raw quality score is
+    not comparable across languages/sources; its within-group
+    percentile is): pct = (rank_in_group - 1) / (n_group - 1), with
+    the unique ``id_col`` as tiebreaker so the rank is row_number-exact
+    and PERCENT_RANK-equal on both engines.
+
+    Scale shape: NO per-group window (a hot group would be the
+    partition-less-window failure class in group clothing). The global
+    rank over (group, score, id) comes from :func:`ordered_cumsum`'s
+    two-phase range-repartition pattern; each group's start offset and
+    size then come from ONE group-keyed aggregation whose output is
+    group-cardinality-sized and broadcasts back. ``max_groups`` probes
+    the cardinality with a LIMIT before that broadcast so a
+    corpus-shaped group column fails loudly instead of OOMing the
+    join (the temperature_mix guard)."""
+    probe = (
+        df.select(group_col).distinct().limit(max_groups + 1).count()
+    )
+    if probe > max_groups:
+        raise ValueError(
+            f"rank_normalize: >{max_groups} distinct {group_col!r} groups — "
+            "the group table must be dictionary-sized (raise max_groups if "
+            "that is genuinely true)"
+        )
+    base = df.withColumn("__one", F.lit(1))
+    ranked = ordered_cumsum(
+        base, [group_col, score_col, id_col], "__one", out_col="__r"
+    )
+    g = ranked.groupBy(group_col).agg(
+        F.min("__r").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        ranked.join(F.broadcast(g), group_col)
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__n") > 1,
+                F.round(
+                    (F.col("__r") - F.col("__s"))
+                    / (F.col("__n") - 1).cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__one", "__r", "__s", "__n")
+    )

@@ -858,3 +858,46 @@ def test_token_budget_select_fuzz(spark):
         assert got == _py_token_budget(rows, budget)
 
     prop()
+
+
+# ---------------------------------------------------------- rank_normalize
+
+def test_rank_normalize_matches_percent_rank(spark):
+    from json_ld_spark.operators.sampling import rank_normalize
+
+    rows = [
+        (1, "en", 10), (2, "en", 30), (3, "en", 20), (4, "en", 30),
+        (5, "fr", 7), (6, "fr", 9),
+        (7, "de", 4),                       # singleton group -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score long")
+    got = {r.doc_id: r.pct_r
+           for r in rank_normalize(df, "lang", "score", "doc_id").collect()}
+    # en order by (score, id): 1(10) 3(20) 2(30) 4(30) -> 0, 1/3, 2/3, 1
+    assert got[1] == 0.0 and got[3] == 0.333333
+    assert got[2] == 0.666667 and got[4] == 1.0      # id breaks the 30-tie
+    assert got[5] == 0.0 and got[6] == 1.0
+    assert got[7] == 0.0
+
+
+def test_rank_normalize_partitioning_invariant(spark):
+    from json_ld_spark.operators.sampling import rank_normalize
+
+    rows = [(i, "g" + str(i % 3), (i * 37) % 11) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score long")
+    a = sorted(map(tuple, rank_normalize(df, "lang", "score").collect()))
+    b = sorted(map(tuple,
+                   rank_normalize(df.repartition(13), "lang", "score").collect()))
+    assert a == b
+
+
+def test_rank_normalize_group_cap_fails_loudly(spark):
+    import pytest
+
+    from json_ld_spark.operators.sampling import rank_normalize
+
+    df = spark.createDataFrame(
+        [(i, f"g{i}", i) for i in range(30)], "doc_id long, lang string, score long"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        rank_normalize(df, "lang", "score", max_groups=10)
