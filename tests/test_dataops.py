@@ -952,3 +952,50 @@ def test_tool_bigrams_orders_by_turn_not_input_order(spark):
     )
     got = [(r.tool_a, r.tool_b) for r in tool_bigrams(t).collect()]
     assert got == [("a", "b")]
+
+
+def test_quantize_int8_matches_python_replay_fuzz(spark):
+    """Property: codes and errors equal a sequential Python replay of
+    the same IEEE expressions, for random small embedding tables."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from json_ld_spark.operators.similarity import quantize_int8
+
+    @st.composite
+    def tables(draw):
+        d = draw(st.integers(1, 4))
+        n = draw(st.integers(1, 8))
+        vals = st.floats(-10, 10, allow_nan=False, width=32)
+        return [
+            (i, [draw(vals) for _ in range(d)]) for i in range(n)
+        ]
+
+    @given(tables())
+    @settings(max_examples=20, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r.id: (r.code_sum, r.max_abs_err_r)
+               for r in quantize_int8(df).collect()}
+        d = len(rows[0][1])
+        mn = [min(r[1][j] for r in rows) for j in range(d)]
+        mx = [max(r[1][j] for r in rows) for j in range(d)]
+        for i, vec in rows:
+            cs, me = 0, 0.0
+            for j, x in enumerate(vec):
+                if mx[j] > mn[j]:
+                    c = int(math.floor((x - mn[j]) * 255.0 / (mx[j] - mn[j])))
+                    c = min(255, max(0, c))
+                else:
+                    c = 0
+                cs += c
+                if mx[j] > mn[j]:
+                    rec = mn[j] + c * (mx[j] - mn[j]) / 255.0
+                else:
+                    rec = mn[j]
+                me = max(me, abs(x - rec))
+            assert got[i][0] == cs, (i, vec)
+            assert got[i][1] == round(me, 6), (i, vec)
+
+    check()

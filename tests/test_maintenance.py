@@ -422,3 +422,43 @@ def test_as_of_empty_changelog(spark):
 
     log = _log(spark, [])
     assert as_of(log, ts=100).count() == 0
+
+
+def test_as_of_matches_python_replay_fuzz(spark):
+    """Property: as_of == a sequential Python dict replay of the
+    changelog, for random logs and random snapshot times."""
+    from hypothesis import given, settings, strategies as st
+
+    from json_ld_spark.operators.maintenance import as_of
+
+    keys = [("s%d" % i, "p%d" % (i % 3), "o%d" % (i % 5)) for i in range(6)]
+
+    @st.composite
+    def logs(draw):
+        n = draw(st.integers(1, 25))
+        rows = []
+        for seq in range(1, n + 1):
+            k = draw(st.sampled_from(keys))
+            op = draw(st.sampled_from(["assert", "retract"]))
+            ts = draw(st.integers(0, 9)) * 100
+            rows.append((*k, op, ts, seq))
+        t = draw(st.integers(-1, 10)) * 100
+        return rows, t
+
+    @given(logs())
+    @settings(max_examples=25, deadline=None)
+    def check(arg):
+        rows, t = arg
+        log = _log(spark, rows)
+        got = sorted(
+            (r.subj, r.pred, r.obj) for r in as_of(log, ts=t).collect()
+        )
+        # Python replay: latest (ts <= t) op per key by seq order
+        state = {}
+        for s, p, o, op, ts, seq in sorted(rows, key=lambda r: r[5]):
+            if ts <= t:
+                state[(s, p, o)] = op
+        want = sorted(k for k, op in state.items() if op == "assert")
+        assert got == want
+
+    check()
