@@ -4340,6 +4340,8 @@ def q_dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure verification-surface rotation; query bodies are untouched.
 _NEVER_DRIVER_CHECKED = (
     # --- Tier 1: round-5 additions (no independent verification yet) ---
+    "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
+    "data_doremi_weights", "data_best_of_n",
     "kg_time_travel", "kg_local_clustering", "kg_ppmi_edges",
     "data_label_votes", "data_embed_quantize", "kg_tool_sequences",
     "kg_snapshot_diff", "ann_classifier_report", "data_calibration_bins",
@@ -4810,6 +4812,145 @@ def q_data_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs, "lang", "n_chars", "doc_id")
 
 
+def q_kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round Weisfeiler-Leman color refinement over the co-purchase
+    graph (graphops.wl_refinement; Shervashidze et al. JMLR'11): the
+    distributed partition-refinement histogram behind WL graph kernels
+    and the exact analogue of URDNA2015's degree-then-neighborhood
+    blank-node partitioning. Neighbor multisets fold through a
+    commutative modular hash SUM (map-side combinable, hub-safe — no
+    sorted collect_list), one equi-join + one agg per round. Oracle:
+    the two rounds unrolled as CTEs with the identical md5 algebra."""
+    _utc(spark)
+    return gops.wl_refinement(
+        _copurchase_edges(spark, sf_dir).select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ),
+        rounds=2,
+    )
+
+
+def q_kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GraphSAGE fan-out neighbor sampling
+    (graphops.neighbor_sample; Hamilton et al. NeurIPS'17) on the
+    co-purchase graph: per root (every 10th part id), md5-bridge top-3
+    1-hop neighbors, then top-2 neighbors of each — the GNN minibatch
+    tree-construction primitive, reproducible across reruns/engines so
+    failed epochs rebuild identical minibatches. Per hop: one frontier
+    equi-join + one (root, parent)-PARTITIONED window (group size <=
+    max degree — the audited-safe shape). Oracle: the same two ranked
+    windows in SQL."""
+    _utc(spark)
+    return gops.neighbor_sample(
+        _copurchase_edges(spark, sf_dir).select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ),
+        fanouts=(3, 2),
+        root_filter=lambda c: c % 10 == 0,
+        seed="ns",
+    )
+
+
+def q_kg_kge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation KGE eval metrics — MRR and Hits@{1,3,10} — over the
+    filtered TransE ranking (kge.transe_rank, Bordes et al. NeurIPS'13
+    protocol) at a denser test sample (mod 29) than kg_transe_rank's:
+    the leaderboard aggregation every embedding trainer reports. Ranks
+    are exact integers (integer-lattice embeddings), so MRR is a sum of
+    exact reciprocals rounded once; Hits@k are integer-count ratios.
+    One extra map-side-combinable groupBy over the rank table. Oracle:
+    the full ranking replay wrapped in the same aggregation."""
+    from json_ld_spark.operators.kge import transe_rank
+    from json_ld_spark.operators.native import (
+        transcript_adjacency_native,
+        transcript_triples_native,
+    )
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    edges = (
+        transcript_triples_native(t)
+        .filter(F.col("obj_kind") == "iri")
+        .select("subj", "pred", "obj")
+        .unionByName(
+            transcript_adjacency_native(t, with_doc_id=False)
+            .select("subj", "pred", "obj")
+        )
+    )
+    ranks = transe_rank(edges, dim=16, test_mod=29)
+    return ranks.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(F.sum(1.0 / F.col("rank")) / F.count(F.lit(1)), 6).alias("mrr_r"),
+        F.round(
+            F.sum(F.when(F.col("rank") <= 1, 1).otherwise(0))
+            / F.count(F.lit(1)), 6,
+        ).alias("hits1_r"),
+        F.round(
+            F.sum(F.when(F.col("rank") <= 3, 1).otherwise(0))
+            / F.count(F.lit(1)), 6,
+        ).alias("hits3_r"),
+        F.round(
+            F.sum(F.when(F.col("rank") <= 10, 1).otherwise(0))
+            / F.count(F.lit(1)), 6,
+        ).alias("hits10_r"),
+    )
+
+
+def q_data_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style one-step domain-mixture reweighting
+    (curation.doremi_weights; Xie et al. NeurIPS'23) over the documents
+    corpus grouped by `source`: per-domain excess of mean per-doc loss
+    (whitespace token count as the deterministic proxy loss) over the
+    global mean scales the token-share reference mixture by
+    exp(eta*excess), renormalized — the next epoch's sampling recipe
+    for temperature_mix/interleave. ONE corpus groupBy (count + two
+    integer-exact sums) + domain-table algebra; the domain table is
+    LIMIT-probed before any collect. Oracle: same aggregation algebra
+    with the identical 6-dp rounds around the single exp."""
+    from json_ld_spark.operators.curation import _tokens, doremi_weights
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.size(_tokens(F.col("text"))).cast("long").alias("loss"),
+    )
+    return doremi_weights(docs, "source", "loss", "n_chars", eta=1.0)
+
+
+def q_data_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection sampling (curation.best_of_n; WebGPT /
+    Llama-2 RFT shape) over the transcripts table: per conversation,
+    among its ASSISTANT turns keep exactly the max-reward candidate
+    (md5-bridge pseudo-reward in [0,1) standing in for a reward-model
+    score; deterministic lowest-turn tiebreak), dropping conversations
+    whose best is under 0.2. ONE map-side-combinable struct-argmax per
+    conversation — no window, no self-join. Oracle: the same packed
+    MAX() in SQL."""
+    from json_ld_spark.operators.curation import best_of_n
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir).where(
+        F.col("role") == "assistant"
+    )
+    reward = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("rm"), F.col("conv_id"),
+                        F.col("turn_idx").cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 1000
+    ) / 1000.0
+    return best_of_n(
+        t, "conv_id", "turn_idx", score=reward, min_score=F.lit(0.2)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
     front = set(_NEVER_DRIVER_CHECKED)
@@ -5018,6 +5159,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_decayed_counts": q_rel_decayed_counts,
         "rel_semi_anti_customers": q_rel_semi_anti_customers,
         "rel_distinct_topk_orders": q_rel_distinct_topk_orders,
+        "kg_wl_colors": q_kg_wl_colors,
+        "kg_neighbor_sample": q_kg_neighbor_sample,
+        "kg_kge_eval": q_kg_kge_eval,
+        "data_doremi_weights": q_data_doremi_weights,
+        "data_best_of_n": q_data_best_of_n,
     }
 
 
@@ -9962,6 +10108,154 @@ FROM p WHERE tool_next IS NOT NULL
 GROUP BY tool, tool_next
 """
 
+# shared copurchase-graph CTE prefix for the WL / neighbor-sample
+# oracles: the same sampled co-purchase edge set as _LCC_SQL, plus the
+# symmetrized (both-orientations) view graphops._symmetrize produces
+_COPURCHASE_SYM_CTE = r"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 5 = 0
+), e AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+)
+"""
+
+# kg_wl_colors: the two WL rounds unrolled — degree color, then per
+# round the commutative modular hash-sum of neighbor colors feeding the
+# next md5; identical string algebra on both engines (md5 lowercase
+# hex, CAST of exact integer sums to VARCHAR)
+_WL_COLORS_SQL = _COPURCHASE_SYM_CTE + r"""
+, c0 AS (
+  SELECT u AS node,
+         substr(md5('wl0|' || CAST(COUNT(*) AS VARCHAR)), 1, 16) AS c
+  FROM e GROUP BY u
+), n1 AS (
+  SELECT e.u AS node,
+         SUM(('0x' || substr(md5('wlh|' || c0.c), 1, 12))::BIGINT
+             % 1000000007) AS sig
+  FROM e JOIN c0 ON c0.node = e.v GROUP BY e.u
+), c1 AS (
+  SELECT c0.node,
+         substr(md5('wl1|' || c0.c || '|'
+                    || CAST(COALESCE(n1.sig, 0) AS VARCHAR)), 1, 16) AS c
+  FROM c0 LEFT JOIN n1 USING (node)
+), n2 AS (
+  SELECT e.u AS node,
+         SUM(('0x' || substr(md5('wlh|' || c1.c), 1, 12))::BIGINT
+             % 1000000007) AS sig
+  FROM e JOIN c1 ON c1.node = e.v GROUP BY e.u
+), c2 AS (
+  SELECT c1.node,
+         substr(md5('wl2|' || c1.c || '|'
+                    || CAST(COALESCE(n2.sig, 0) AS VARCHAR)), 1, 16) AS c
+  FROM c1 LEFT JOIN n2 USING (node)
+), sz AS (SELECT c, COUNT(*) AS class_size FROM c2 GROUP BY c)
+SELECT c2.node, c2.c AS wl_color, CAST(sz.class_size AS BIGINT) AS class_size
+FROM c2 JOIN sz USING (c)
+"""
+
+# kg_neighbor_sample: the two md5-ranked fan-out hops replayed as
+# partitioned ROW_NUMBER windows (ties broken by child id, as in the
+# operator)
+_NEIGHBOR_SAMPLE_SQL = _COPURCHASE_SYM_CTE + r"""
+, roots AS (SELECT DISTINCT u AS root FROM e WHERE u % 10 = 0),
+h1 AS (
+  SELECT r.root, r.root AS parent, e.v AS child,
+         ROW_NUMBER() OVER (
+           PARTITION BY r.root
+           ORDER BY md5('ns|1|' || CAST(r.root AS VARCHAR) || '|'
+                        || CAST(r.root AS VARCHAR) || '|'
+                        || CAST(e.v AS VARCHAR)) ASC, e.v ASC) AS rn
+  FROM roots r JOIN e ON e.u = r.root
+), p1 AS (SELECT root, parent, child FROM h1 WHERE rn <= 3),
+f2 AS (SELECT DISTINCT root, child AS node FROM p1),
+h2 AS (
+  SELECT f2.root, f2.node AS parent, e.v AS child,
+         ROW_NUMBER() OVER (
+           PARTITION BY f2.root, f2.node
+           ORDER BY md5('ns|2|' || CAST(f2.root AS VARCHAR) || '|'
+                        || CAST(f2.node AS VARCHAR) || '|'
+                        || CAST(e.v AS VARCHAR)) ASC, e.v ASC) AS rn
+  FROM f2 JOIN e ON e.u = f2.node
+), p2 AS (SELECT root, parent, child FROM h2 WHERE rn <= 2)
+SELECT root, CAST(1 AS INT) AS hop, parent, child FROM p1
+UNION ALL
+SELECT root, CAST(2 AS INT) AS hop, parent, child FROM p2
+"""
+
+# kg_kge_eval: the full filtered-TransE ranking replay (same CTEs as
+# kg_transe_rank, at the denser mod-29 test sample) wrapped in the
+# per-relation MRR / Hits@k aggregation; ranks are exact integers so
+# only the final reciprocal sum is float (rounded once, like ppmi's ln)
+_KGE_EVAL_SQL = (
+    "SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_test,\n"
+    "       round(SUM(1.0::DOUBLE / rank) / COUNT(*), 6) AS mrr_r,\n"
+    "       round(SUM(CASE WHEN rank <= 1 THEN 1 ELSE 0 END)\n"
+    "             / CAST(COUNT(*) AS DOUBLE), 6) AS hits1_r,\n"
+    "       round(SUM(CASE WHEN rank <= 3 THEN 1 ELSE 0 END)\n"
+    "             / CAST(COUNT(*) AS DOUBLE), 6) AS hits3_r,\n"
+    "       round(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)\n"
+    "             / CAST(COUNT(*) AS DOUBLE), 6) AS hits10_r\n"
+    "FROM (\n"
+    # the % 97 test-sample literal appears exactly once in the rank SQL
+    + _TRANSE_RANK_SQL.replace("% 97 = 0", "% 29 = 0")
+    + "\n) ranks GROUP BY pred"
+)
+
+# data_doremi_weights: per-domain count + two integer-exact sums, a
+# 1-row totals CTE, then the mirror-descent algebra with the identical
+# 6-dp rounds around the single exp
+_DOREMI_SQL = r"""
+WITH per AS (
+  SELECT source AS domain,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST(len(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               w -> w <> '')) AS BIGINT)) AS loss_sum,
+         SUM(CAST(n_chars AS BIGINT)) AS size_sum
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(loss_sum) AS g_loss, SUM(n_docs) AS g_n,
+         SUM(size_sum) AS g_size
+  FROM per
+), ex AS (
+  SELECT domain, n_docs,
+         round(size_sum / CAST(g_size AS DOUBLE), 6) AS base_share_r,
+         round(loss_sum / CAST(n_docs AS DOUBLE)
+               - g_loss / CAST(g_n AS DOUBLE), 6) AS excess_r
+  FROM per CROSS JOIN tot
+), scored AS (
+  SELECT domain, n_docs, base_share_r, excess_r,
+         round(base_share_r * round(exp(excess_r), 6), 12) AS unnorm
+  FROM ex
+), z AS (SELECT SUM(unnorm) AS z FROM scored)
+SELECT domain, n_docs, base_share_r, excess_r,
+       round(unnorm / z, 6) AS weight_r
+FROM scored CROSS JOIN z
+"""
+
+# data_best_of_n: md5-bridge pseudo-reward per assistant turn, then the
+# per-conversation argmax (score DESC, turn ASC) with the 0.2 floor
+_BEST_OF_N_SQL = _BASE_CTE + r"""
+, sc AS (
+  SELECT conv_id, turn_idx,
+         round(CAST(('0x' || substr(md5('rm|' || conv_id || '|'
+                 || CAST(turn_idx AS VARCHAR)), 1, 8))::BIGINT % 1000
+               AS DOUBLE) / 1000.0, 6) AS s
+  FROM base WHERE role = 'assistant'
+), pick AS (
+  SELECT conv_id, turn_idx, s,
+         ROW_NUMBER() OVER (
+           PARTITION BY conv_id ORDER BY s DESC, turn_idx ASC) AS rn
+  FROM sc
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS best_turn_idx,
+       s AS best_score_r
+FROM pick WHERE rn = 1 AND s >= 0.2
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -10163,4 +10457,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_decayed_counts": _DECAYED_COUNTS_SQL,
         "rel_semi_anti_customers": _SEMI_ANTI_SQL,
         "rel_distinct_topk_orders": _TOPK_SQL,
+        "kg_wl_colors": _WL_COLORS_SQL,
+        "kg_neighbor_sample": _NEIGHBOR_SAMPLE_SQL,
+        "kg_kge_eval": _KGE_EVAL_SQL,
+        "data_doremi_weights": _DOREMI_SQL,
+        "data_best_of_n": _BEST_OF_N_SQL,
     }

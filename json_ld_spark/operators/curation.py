@@ -884,3 +884,114 @@ def calibration_bins(
             ).alias("gap_r"),
         )
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    loss_col: str = "loss",
+    size_col: str = "n_chars",
+    eta: float = 1.0,
+    max_domains: int = 100_000,
+) -> DataFrame:
+    """One DoReMi-style mirror-descent update of training-mixture
+    domain weights (Xie et al., "DoReMi: Optimizing Data Mixtures
+    Speeds Up Language Model Pretraining", NeurIPS'23): starting from
+    the token-share reference mixture, each domain's weight is scaled
+    by ``exp(eta * excess_loss)`` — excess = the domain's mean
+    per-example loss minus the size-weighted global mean (the "proxy
+    minus reference" regret signal) — then renormalized. Domains whose
+    examples are harder than the corpus average get upweighted; the
+    output column feeds `temperature_mix` / `interleave_groups` as the
+    next epoch's recipe.
+
+    Plan shape: ONE map-side-combinable groupBy over the corpus
+    (per-domain count, loss sum, size sum) + ONE scalar agg for the
+    global means; the exp/normalize algebra runs on the domain table,
+    which is LIMIT-probed against ``max_domains`` BEFORE any collect
+    (the `temperature_mix` guard pattern) — never corpus-sized driver
+    state. Ratios are rounded to 6 dp before the exp and the exp
+    rounded to 6 dp so both engines' libm agree bit-for-bit after the
+    round.
+
+    Output: (domain, n_docs, base_share_r, excess_r, weight_r) with
+    weight_r summing to ~1 (each term individually rounded).
+    """
+    d = F.col(domain_col)
+    per = df.groupBy(d.alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(loss_col).cast("double")).alias("loss_sum"),
+        F.sum(F.col(size_col).cast("long")).alias("size_sum"),
+    )
+    probe = per.select("domain").limit(max_domains + 1).count()
+    if probe > max_domains:
+        raise ValueError(
+            f"doremi_weights: >{max_domains} domains — domain_col looks "
+            "corpus-shaped, not a mixture key"
+        )
+    tot = per.agg(
+        F.sum("loss_sum").alias("g_loss"),
+        F.sum("n_docs").alias("g_n"),
+        F.sum("size_sum").alias("g_size"),
+    )
+    base = F.round(F.col("size_sum") / F.col("g_size"), 6)
+    excess = F.round(
+        F.col("loss_sum") / F.col("n_docs") - F.col("g_loss") / F.col("g_n"), 6
+    )
+    scored = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            base.alias("base_share_r"),
+            excess.alias("excess_r"),
+            F.round(base * F.round(F.exp(F.lit(float(eta)) * excess), 6), 12)
+            .alias("unnorm"),
+        )
+    )
+    z = scored.agg(F.sum("unnorm").alias("z"))
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .select(
+            "domain", "n_docs", "base_share_r", "excess_r",
+            F.round(F.col("unnorm") / F.col("z"), 6).alias("weight_r"),
+        )
+    )
+
+
+def best_of_n(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    id_col: str = "turn_idx",
+    score: Column = None,
+    min_score: Column = None,
+) -> DataFrame:
+    """Best-of-n rejection sampling over candidate responses — the
+    RLHF / RFT data-selection primitive (Nakano et al. WebGPT'21;
+    rejection-sampling fine-tuning in Llama-2): per prompt group keep
+    exactly the max-`score` candidate (ties broken by lowest id so
+    the pick is deterministic), optionally dropping groups whose best
+    is below ``min_score``.
+
+    Plan shape: ONE map-side-combinable argmax per group — the scored
+    row is packed into a struct and reduced with MAX (score first,
+    then inverted id so MAX realizes min-id tiebreak), the
+    `dedup_survivors` shape — no windows, no self-join back. Output:
+    one row per surviving group with the winning id and 6-dp score.
+    """
+    s = F.round(score.cast("double"), 6)
+    packed = df.select(
+        F.col(group_col).alias("grp"),
+        F.struct(
+            s.alias("s"),
+            (-F.col(id_col).cast("long")).alias("neg_id"),
+        ).alias("cand"),
+    )
+    best = packed.groupBy("grp").agg(F.max("cand").alias("best")).select(
+        F.col("grp").alias(group_col),
+        (-F.col("best.neg_id")).cast("long").alias("best_" + id_col),
+        F.col("best.s").alias("best_score_r"),
+    )
+    if min_score is not None:
+        best = best.where(F.col("best_score_r") >= min_score)
+    return best

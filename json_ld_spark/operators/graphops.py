@@ -1706,3 +1706,143 @@ def ppmi_edges(
             ).alias("ppmi_r"),
         )
     )
+
+
+def wl_refinement(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Weisfeiler-Leman (1-WL) color refinement with hashed-multiset
+    neighbor aggregation — the classical graph-isomorphism refinement
+    (Weisfeiler & Leman 1968; Shervashidze et al. JMLR'11 WL kernels)
+    and the exact distributed analogue of URDNA2015's blank-node
+    degree-then-neighborhood partitioning (canonicalize.py): two nodes
+    share a round-r color iff their r-hop neighborhood trees agree
+    (up to the documented hash-multiset collision bound).
+
+    Per round every node's color becomes
+    ``md5(round | old_color | SUM over neighbors of
+    bridge(old_neighbor_color) mod p)``. The multiset of neighbor
+    colors is folded through a COMMUTATIVE modular sum of per-color
+    hashes instead of a sorted concat: the sum is map-side combinable
+    and hub-safe (a sorted collect_list would hold max-degree strings
+    per group — the 100 TB hub killer), at the standard sketching
+    collision risk (p = 1e9+7; per-pair collision ~1e-9, documented).
+    Round-0 color is the degree. Each round is ONE equi-join
+    (colors onto the symmetrized edge list) + ONE map-side-combinable
+    groupBy sum — no windows, no collects; per-round lineage is
+    truncated like every fixpoint loop here.
+
+    Output: (node, wl_color VARCHAR(16), class_size BIGINT) — class
+    size via one final color-keyed agg, the partition-refinement
+    histogram a canonical labeller or isomorphism test consumes.
+    """
+    # the symmetrized edge list feeds 1 + rounds consumers (degree agg
+    # plus one neighbor join per round) — no cross-consumer CSE in
+    # Spark, so materialize it once (shared-input pattern, cf. hits)
+    e = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    colors = deg.select(
+        "node",
+        F.substring(
+            F.md5(F.concat(F.lit("wl0|"), F.col("deg").cast("string"))), 1, 16
+        ).alias("c"),
+    )
+    p = F.lit(1_000_000_007)
+    for r in range(1, int(rounds) + 1):
+        nbr = (
+            e.join(colors.withColumnRenamed("node", "v"), "v")
+            .select(
+                F.col("u").alias("node"),
+                (
+                    F.conv(F.substring(F.md5(F.concat(F.lit("wlh|"), F.col("c"))), 1, 12), 16, 10)
+                    .cast("long") % p
+                ).alias("h"),
+            )
+            .groupBy("node")
+            .agg(F.sum("h").alias("sig"))
+        )
+        colors = (
+            colors.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"wl{r}|"), F.col("c"), F.lit("|"),
+                            F.coalesce(F.col("sig"), F.lit(0)).cast("string"),
+                        )
+                    ),
+                    1, 16,
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    sizes = colors.groupBy("c").agg(F.count(F.lit(1)).alias("class_size"))
+    return colors.join(sizes, "c").select(
+        "node", F.col("c").alias("wl_color"), "class_size"
+    )
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    fanouts: tuple = (3, 2),
+    root_filter=None,
+    seed: str = "",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic GraphSAGE-style fan-out neighbor sampling
+    (Hamilton et al. NeurIPS'17): for each root, keep at most
+    ``fanouts[0]`` 1-hop neighbors, then at most ``fanouts[1]``
+    neighbors of EACH sampled neighbor (keyed by root, so the sampled
+    computation trees are independent across roots), and so on — the
+    minibatch-construction primitive of every distributed GNN trainer.
+
+    The "sample" is the md5-bridge top-k: rank neighbors of n within
+    (root, hop, n) by ``md5(seed|hop|root|n|neighbor)`` and keep
+    rank <= fanout. Reproducible across reruns / partitionings /
+    engines, and resumable — a re-run selects the identical trees, so
+    a failed epoch's minibatches can be rebuilt exactly.
+
+    Plan shape per hop: ONE equi-join of the current frontier against
+    the symmetrized edge list + ONE window partitioned by (root,
+    parent) — a PARTITIONED window (max group size = max degree, the
+    audited-safe shape; never a global sort). Frontier rows carry only
+    (root, node), so state is O(sum of fanout products), not
+    O(graph).
+
+    Output: (root, hop, parent, child) — every sampled tree edge.
+    """
+    from pyspark.sql.window import Window
+
+    # one consumer per hop plus the root derivation — materialize the
+    # symmetrized adjacency once (no cross-consumer CSE in Spark)
+    e = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
+    roots = e.select(F.col("u").alias("root")).dropDuplicates()
+    if root_filter is not None:
+        roots = roots.where(root_filter(F.col("root")))
+    frontier = roots.select("root", F.col("root").alias("node"))
+    out = None
+    for hop, k in enumerate(fanouts, start=1):
+        cand = frontier.join(e.withColumnRenamed("u", "node"), "node").select(
+            "root", F.col("node").alias("parent"), F.col("v").alias("child")
+        )
+        key = F.md5(
+            F.concat_ws(
+                "|", F.lit(seed), F.lit(str(hop)),
+                F.col("root").cast("string"), F.col("parent").cast("string"),
+                F.col("child").cast("string"),
+            )
+        )
+        w = Window.partitionBy("root", "parent").orderBy(key.asc(), F.col("child").asc())
+        picked = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= int(k))
+            .select("root", F.lit(hop).cast("int").alias("hop"), "parent", "child")
+        )
+        out = picked if out is None else out.unionByName(picked)
+        frontier = picked.select("root", F.col("child").alias("node")).dropDuplicates()
+    return out

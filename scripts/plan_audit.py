@@ -163,6 +163,10 @@ CARTESIAN_OK = {
     "kg_sparql_select",         # null-OR-equal predicate is non-equi by
                                 # spec; build side = the inline VALUES
                                 # table, bounded by the query text
+    "kg_kge_eval",              # broadcast(hash-sampled test) x entities
+                                # (the transe_rank shape) + 1-row z total
+    "data_doremi_weights",      # one-row broadcasts of the global
+                                # loss/size totals and the normalizer z
 }
 
 # documented exceptions for the single-partition detectors: queries

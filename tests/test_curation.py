@@ -954,3 +954,76 @@ def test_calibration_bins_perfectly_calibrated_gap_zero(spark):
     )
     got = calibration_bins(scored, "conf", "y").collect()
     assert len(got) == 1 and got[0].gap_r == 0.0
+
+
+# ------------------------------------------------- DoReMi weights
+
+
+def test_doremi_upweights_harder_domain(spark):
+    from json_ld_spark.operators.curation import doremi_weights
+
+    # domain b's docs carry twice the loss of a's at equal size
+    rows = [("a", 10, 100), ("a", 10, 100), ("b", 20, 100), ("b", 20, 100)]
+    df = spark.createDataFrame(rows, "source string, loss int, n_chars int")
+    out = {r["domain"]: r for r in doremi_weights(df).collect()}
+    assert out["a"]["base_share_r"] == out["b"]["base_share_r"] == 0.5
+    assert out["b"]["excess_r"] == 5.0 and out["a"]["excess_r"] == -5.0
+    assert out["b"]["weight_r"] > out["a"]["weight_r"]
+    assert out["a"]["weight_r"] + out["b"]["weight_r"] == pytest.approx(
+        1.0, abs=2e-6
+    )
+    assert out["a"]["n_docs"] == 2 and out["b"]["n_docs"] == 2
+
+
+def test_doremi_zero_excess_returns_base_shares(spark):
+    from json_ld_spark.operators.curation import doremi_weights
+
+    rows = [("a", 5, 300), ("b", 5, 100)]
+    df = spark.createDataFrame(rows, "source string, loss int, n_chars int")
+    out = {r["domain"]: r for r in doremi_weights(df).collect()}
+    # equal losses: exp(0)=1, weights reduce to the token-share mixture
+    assert out["a"]["weight_r"] == pytest.approx(0.75, abs=1e-6)
+    assert out["b"]["weight_r"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_doremi_guard_fires_before_collecting_corpus_key(spark):
+    from json_ld_spark.operators.curation import doremi_weights
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").cast("string").alias("source"),
+        F.lit(1).alias("loss"),
+        F.lit(10).alias("n_chars"),
+    )
+    with pytest.raises(ValueError, match="corpus-shaped"):
+        doremi_weights(df, max_domains=100)
+
+
+# --------------------------------------------------- best-of-n
+
+
+def test_best_of_n_argmax_with_tiebreak_and_floor(spark):
+    from json_ld_spark.operators.curation import best_of_n
+
+    rows = [
+        ("c1", 0, 0.5), ("c1", 1, 0.9), ("c1", 2, 0.9),  # tie -> turn 1
+        ("c2", 0, 0.1), ("c2", 1, 0.15),                  # best < floor
+        ("c3", 7, 0.3),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, s double")
+    out = {
+        r["conv_id"]: r
+        for r in best_of_n(
+            df, "conv_id", "turn_idx", score=F.col("s"), min_score=F.lit(0.2)
+        ).collect()
+    }
+    assert set(out) == {"c1", "c3"}
+    assert out["c1"]["best_turn_idx"] == 1
+    assert out["c1"]["best_score_r"] == 0.9
+    assert out["c3"]["best_turn_idx"] == 7
+
+
+def test_best_of_n_empty_input(spark):
+    from json_ld_spark.operators.curation import best_of_n
+
+    df = spark.createDataFrame([], "conv_id string, turn_idx int, s double")
+    assert best_of_n(df, "conv_id", "turn_idx", score=F.col("s")).count() == 0

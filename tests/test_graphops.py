@@ -1236,3 +1236,82 @@ def test_ppmi_empty(spark):
 
     cooc = spark.createDataFrame([], "u string, v string, n_groups long")
     assert ppmi_edges(cooc).count() == 0
+
+
+# ------------------------------------------------- WL refinement
+
+
+def test_wl_distinguishes_path_positions(spark):
+    # path 1-2-3-4-5: round 0 separates ends (deg 1) from middles
+    # (deg 2); round 2 separates node 3 (two deg-2 neighbors) from
+    # nodes 2/4 (one deg-1, one deg-2 neighbor)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    out = {r["node"]: r for r in g.wl_refinement(e, rounds=2).collect()}
+    assert out[1]["wl_color"] == out[5]["wl_color"]
+    assert out[2]["wl_color"] == out[4]["wl_color"]
+    assert out[3]["wl_color"] != out[2]["wl_color"]
+    assert out[1]["wl_color"] != out[2]["wl_color"]
+    assert out[1]["class_size"] == 2
+    assert out[2]["class_size"] == 2
+    assert out[3]["class_size"] == 1
+
+
+def test_wl_symmetric_graphs_get_identical_histograms(spark):
+    # two disjoint copies of the same triangle-with-pendant gadget:
+    # corresponding nodes must share colors (WL is isomorphism-
+    # invariant), so every class size doubles
+    gadget = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    copy = [(u + 100, v + 100) for u, v in gadget]
+    out = g.wl_refinement(_edges(spark, gadget + copy), rounds=2).collect()
+    by_node = {r["node"]: r["wl_color"] for r in out}
+    for u in (1, 2, 3, 4):
+        assert by_node[u] == by_node[u + 100]
+    assert all(r["class_size"] % 2 == 0 for r in out)
+
+
+def test_wl_regular_graph_stays_monochrome(spark):
+    # a 4-cycle is 2-regular and vertex-transitive: 1-WL can never
+    # split it — one color class of size 4 after any round count
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    out = g.wl_refinement(e, rounds=3).collect()
+    assert len({r["wl_color"] for r in out}) == 1
+    assert all(r["class_size"] == 4 for r in out)
+
+
+# ---------------------------------------------- neighbor sampling
+
+
+def test_neighbor_sample_respects_fanouts(spark):
+    # star: hub 0 with 10 leaves; root 0 keeps exactly 3 at hop 1,
+    # each sampled leaf has only the hub back-edge at hop 2
+    e = _edges(spark, [(0, i) for i in range(1, 11)])
+    out = g.neighbor_sample(e, fanouts=(3, 2), seed="t").collect()
+    h1 = [r for r in out if r["root"] == 0 and r["hop"] == 1]
+    h2 = [r for r in out if r["root"] == 0 and r["hop"] == 2]
+    assert len(h1) == 3
+    assert {r["parent"] for r in h1} == {0}
+    # each hop-1 child's only neighbor is the hub
+    assert {(r["parent"], r["child"]) for r in h2} == {
+        (r["child"], 0) for r in h1
+    }
+
+
+def test_neighbor_sample_deterministic_and_edge_subset(spark):
+    e = _edges(spark, [(i, j) for i in range(6) for j in range(i + 1, 6)])
+    a = sorted(map(tuple, g.neighbor_sample(e, (2, 2), seed="s").collect()))
+    b = sorted(map(tuple, g.neighbor_sample(e, (2, 2), seed="s").collect()))
+    assert a == b
+    edge_set = {(i, j) for i in range(6) for j in range(6) if i != j}
+    assert all((r[2], r[3]) in edge_set for r in a)
+    # a different seed picks a different (still valid) sample somewhere
+    c = sorted(map(tuple, g.neighbor_sample(e, (2, 2), seed="x").collect()))
+    assert a != c
+
+
+def test_neighbor_sample_root_filter(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    out = g.neighbor_sample(
+        e, fanouts=(2,), root_filter=lambda c: c % 2 == 0, seed=""
+    ).collect()
+    assert {r["root"] for r in out} == {2, 4}
+    assert all(r["hop"] == 1 for r in out)
