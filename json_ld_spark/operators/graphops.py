@@ -1846,3 +1846,191 @@ def neighbor_sample(
         out = picked if out is None else out.unionByName(picked)
         frontier = picked.select("root", F.col("child").alias("node")).dropDuplicates()
     return out
+
+
+def _fresh_ckpt(df: DataFrame, eager: bool = False) -> DataFrame:
+    """localCheckpoint + Catalyst-stats reset for iterative loop state.
+
+    LogicalRDD (what localCheckpoint produces) PRESERVES the origin
+    Dataset's statistics, and SizeInBytesOnlyStatsPlanVisitor
+    MULTIPLIES child sizeInBytes through every join — so a loop that
+    checkpoints a join of previous checkpoints inflates sizeInBytes
+    exponentially (measured: 4,566 digits after ~6 generations at
+    fan-in 3; planning then drowns in BigInteger.multiply — Karatsuba/
+    ToomCook frames dominate the driver thread). Rebuilding the
+    checkpointed Dataset from its JavaRDD drops originStats, so every
+    generation restarts from defaultSizeInBytes (19 digits) and stats
+    arithmetic stays O(1) per round. JVM-side only (toJavaRDD →
+    createDataFrame(JavaRDD[Row], schema)); no Python round-trip, and
+    the wrapped RDD still scans the checkpoint-persisted blocks.
+    Safe for flat-typed loop state (longs/strings); exotic types
+    should verify encoder round-trip first.
+    """
+    from pyspark.sql.dataframe import DataFrame as _PyDF
+
+    ck = df.localCheckpoint(eager=eager)
+    spark = df.sparkSession
+    jdf = spark._jsparkSession.createDataFrame(ck._jdf.toJavaRDD(), ck._jdf.schema())
+    return _PyDF(jdf, spark)
+
+
+def _min_prop(nodes: DataFrame, e: DataFrame, forward: bool, max_iter: int = 40) -> DataFrame:
+    """Fixpoint min-label propagation over a DIRECTED edge set.
+
+    forward=True computes lab(v) = min(ancestors(v) + {v}) (labels flow
+    along s->d); forward=False the descendant min (labels flow d->s).
+
+    Each round combines a 1-hop spread (frontier equi-join + map-side
+    combinable MIN) with a pointer-jumping shortcut lab' = lab(lab(v))
+    — sound because lab(v) is a known ancestor of v, so any known
+    ancestor of lab(v) is also an ancestor of v, and it collapses the
+    propagation distance geometrically (hash-to-min style), so rounds
+    are O(log diameter) instead of O(diameter). Fixpoint is detected
+    by the order-independent label fingerprint; one probe job per
+    round, lineage cut with lazy localCheckpoint.
+    """
+    s, d = ("s", "d") if forward else ("d", "s")
+    lab = nodes.select("node", F.col("node").alias("lab")).transform(_fresh_ckpt)
+    prev = _edge_fingerprint(lab.select(F.col("node").alias("u"), F.col("lab").alias("v")))
+    for _ in range(max_iter):
+        hop = (
+            e.join(lab.withColumnRenamed("node", s), s)
+            .groupBy(F.col(d).alias("node"))
+            .agg(F.min("lab").alias("m1"))
+        )
+        jump = (
+            lab.alias("a")
+            .join(lab.alias("b"), F.col("a.lab") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.lab").alias("m2"))
+        )
+        lab2 = (
+            lab.join(hop, "node", "left")
+            .join(jump, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce("m1", "lab"), F.coalesce("m2", "lab")
+                ).alias("lab"),
+            )
+            .transform(_fresh_ckpt)
+        )
+        fp = _edge_fingerprint(
+            lab2.select(F.col("node").alias("u"), F.col("lab").alias("v"))
+        )
+        lab = lab2
+        if fp == prev:
+            break
+        prev = fp
+    return lab
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 12,
+) -> DataFrame:
+    """(node, scc) with scc = min node id in the node's strongly
+    connected component — the directed-graph twin of
+    connected_components, used to find cyclic clusters (mutual
+    sameAs/derivedFrom loops, tool-call cycles) a KG curation pass
+    must collapse or break.
+
+    Coloring algorithm (Orzan 2004 / the Hong, Rodia & Olukotun
+    PPoPP'13 "color propagation" phase, re-expressed as DataFrame
+    joins). Each outer round over the remaining subgraph:
+
+    1. color(v) = min(ancestors(v) + {v}) — forward fixpoint
+       min-propagation (`_min_prop`, pointer-jumping, O(log d)
+       rounds). Every class root c has color(c) == c and is its
+       class's minimum.
+    2. Restrict edges to same-color endpoints. Any v→c path from a
+       color-c node to its root stays inside the class (an
+       intermediate with a smaller-min ancestor set would have forced
+       color(v) < c), so backward class-restricted reachability from
+       c is exactly SCC(c): run `_min_prop` backward over the
+       restricted edges — b(v) == color(v) certifies v reaches its
+       own root, i.e. v ∈ SCC(color(v)).
+    3. Assign those nodes, peel them and their incident edges. A
+       cycle through an assigned node would itself be in an assigned
+       SCC, so peeling preserves every remaining SCC.
+
+    Every round assigns AT LEAST every class root's SCC — in
+    particular every self-colored node — so pure-DAG regions collapse
+    in ONE round (each DAG node is its own color and trivially
+    reaches itself) rather than the O(chain) rounds a naive
+    f==b MultiStep peel needs; rounds = nesting depth of SCCs under
+    smaller-id ancestors, a handful in practice.
+
+    Scale shape: all steps are node- or edge-keyed equi-joins +
+    map-side-combinable MINs — no collect, no window, no all-pairs;
+    state per round is one (node, lab) table.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col(src) != F.col(dst))
+        .dropDuplicates()
+        .transform(_fresh_ckpt)
+    )
+    nodes = (
+        e0.select(F.col("s").alias("node"))
+        .unionByName(e0.select(F.col("d").alias("node")))
+        .dropDuplicates()
+        .transform(_fresh_ckpt)
+    )
+    spark = edges.sparkSession
+    _SP = "spark.sql.shuffle.partitions"
+    _AQE = "spark.sql.adaptive.enabled"
+    sp_old, aqe_old = spark.conf.get(_SP), spark.conf.get(_AQE, "true")
+    if _edge_fingerprint(e0.select(F.col("s").alias("u"), F.col("d").alias("v")))[1] <= 2_000_000:
+        spark.conf.set(_AQE, "false")
+        spark.conf.set(_SP, str(max(1, min(int(sp_old), 8))))
+    try:
+        assigned = None
+        remaining, e = nodes, e0
+        for _ in range(max_outer):
+            color = _min_prop(remaining, e, forward=True).withColumnRenamed(
+                "lab", "color"
+            ).transform(_fresh_ckpt)
+            ec = (
+                e.join(
+                    color.select(F.col("node").alias("s"), F.col("color").alias("cs")),
+                    "s",
+                )
+                .join(
+                    color.select(F.col("node").alias("d"), F.col("color").alias("cd")),
+                    "d",
+                )
+                .where(F.col("cs") == F.col("cd"))
+                .select("s", "d")
+                .transform(_fresh_ckpt)
+            )
+            b = _min_prop(remaining, ec, forward=False).withColumnRenamed("lab", "blab")
+            both = color.join(b, "node").transform(_fresh_ckpt)
+            done = both.where(F.col("color") == F.col("blab")).select(
+                "node", F.col("color").alias("scc")
+            )
+            assigned = done if assigned is None else assigned.unionByName(done)
+            assigned = assigned.transform(_fresh_ckpt)
+            remaining = (
+                both.where(F.col("color") != F.col("blab"))
+                .select("node")
+                .transform(_fresh_ckpt)
+            )
+            if remaining.count() == 0:
+                break
+            e = (
+                e.join(remaining.withColumnRenamed("node", "s"), "s")
+                .join(remaining.withColumnRenamed("node", "d"), "d")
+                .select("s", "d")
+                .transform(_fresh_ckpt)
+            )
+        else:
+            raise RuntimeError(
+                "strongly_connected_components did not converge in "
+                f"{max_outer} outer rounds"
+            )
+    finally:
+        spark.conf.set(_SP, sp_old)
+        spark.conf.set(_AQE, aqe_old)
+    return assigned

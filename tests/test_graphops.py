@@ -1315,3 +1315,117 @@ def test_neighbor_sample_root_filter(spark):
     ).collect()
     assert {r["root"] for r in out} == {2, 4}
     assert all(r["hop"] == 1 for r in out)
+
+
+# ------------------------------------------------------- SCC
+
+
+def _tarjan(edges):
+    """Reference SCC: iterative Tarjan over an adjacency dict.
+    Returns {node: min node id of its SCC}."""
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+        if s != d:
+            adj.setdefault(s, []).append(d)
+    index, low, onstack, stack = {}, {}, set(), []
+    sccs, counter = [], [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack.add(v)
+            recurse = False
+            kids = adj.get(v, [])
+            for i in range(pi, len(kids)):
+                w = kids[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    out = {}
+    for comp in sccs:
+        m = min(comp)
+        for v in comp:
+            out[v] = m
+    return out
+
+
+def _scc_spark(spark, pairs):
+    out = g.strongly_connected_components(_edges(spark, pairs))
+    return {r["node"]: r["scc"] for r in out.collect()}
+
+
+def test_scc_two_cycles_bridged_by_dag_edge(spark):
+    # 1->2->3->1 and 10->11->10, bridged 3->10: two SCCs, no merge
+    pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (3, 10)]
+    assert _scc_spark(spark, pairs) == _tarjan(pairs)
+
+
+def test_scc_pure_dag_chain_all_singletons(spark):
+    # descending chain is the naive-peel worst case; coloring does it
+    # in one outer round — every node its own SCC
+    pairs = [(i + 1, i) for i in range(1, 30)]
+    got = _scc_spark(spark, pairs)
+    assert got == {v: v for v in range(1, 31)}
+
+
+def test_scc_cycle_through_smaller_outside_node(spark):
+    # 5->6->7->5 with 1->5 and 7->2: node 1's color floods the cycle
+    # but 1 is not in it — the class-restricted backward pass must
+    # exclude it (regression guard for color!=scc)
+    pairs = [(5, 6), (6, 7), (7, 5), (1, 5), (7, 2)]
+    assert _scc_spark(spark, pairs) == _tarjan(pairs)
+
+
+def test_scc_nested_cycles_random_graphs_vs_tarjan(spark):
+    import random
+
+    for seed in (7, 99):
+        rng = random.Random(seed)
+        n = 26
+        pairs = sorted(
+            {
+                (rng.randrange(1, n + 1), rng.randrange(1, n + 1))
+                for _ in range(70)
+            }
+        )
+        pairs = [(a, b) for a, b in pairs if a != b]
+        assert _scc_spark(spark, pairs) == _tarjan(pairs), seed
+
+
+def test_scc_empty_and_self_loop_only(spark):
+    import pyspark.sql.types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType(
+            [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
+        )
+    )
+    out = g.strongly_connected_components(empty)
+    assert out is None or out.count() == 0
