@@ -4339,6 +4339,8 @@ def q_dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   displaced past position 50 already carry independent verification.
 # Pure verification-surface rotation; query bodies are untouched.
 _NEVER_DRIVER_CHECKED = (
+    # --- Tier 0: round-5 session-5 additions ---
+    "kg_scc",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -4951,6 +4953,74 @@ def q_data_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scc_testbed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic directed graph over customer keys with a KNOWN SCC
+    profile: 8-node ring per key-octet; octet pairs (4j, 4j+1) are
+    bridged BOTH ways (16-node SCCs); octets g≡3 (mod 4) emit a
+    descending DAG edge into octet g-2. All cross-octet reachability
+    either merges a pair or flows strictly toward smaller keys, so the
+    coloring outer loop settles everything in ONE round while still
+    exercising rings, merged SCCs, and DAG edges. Bounded reach sets
+    (<=32) keep the DuckDB transitive-closure oracle cheap."""
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("v0")
+    )
+    # normalize to a 0-based dense-ish index so the octet arithmetic
+    # never goes negative (c_custkey is 0-based here, but this is
+    # convention-immune; DuckDB's // truncates toward zero while
+    # Spark's floor() floors, so negative operands MUST NOT occur)
+    n = c.agg(F.min("v0").alias("vmin"), F.max("v0").alias("vmax"))
+    b = c.crossJoin(F.broadcast(n)).select(
+        (F.col("v0") - F.col("vmin")).alias("v"),
+        (F.col("vmax") - F.col("vmin")).alias("n"),
+    ).select(
+        "v", "n",
+        F.floor(F.col("v") / 8).alias("g"),
+        (F.floor(F.col("v") / 8) * 8).alias("a"),
+        F.least(F.floor(F.col("v") / 8) * 8 + 7, F.col("n")).alias("bmax"),
+    )
+    cycle = b.select(
+        F.col("v").alias("s"),
+        F.when(F.col("v") < F.col("bmax"), F.col("v") + 1)
+        .otherwise(F.col("a"))
+        .alias("d"),
+    )
+    asc = b.where(
+        (F.col("g") % 4 == 0) & (F.col("v") == F.col("a") + 3)
+        & (F.col("a") + 8 <= F.col("n"))
+    ).select(F.col("v").alias("s"), (F.col("a") + 8).alias("d"))
+    desc = b.where(
+        (F.col("g") % 4 == 1) & (F.col("v") == F.col("a") + 2)
+    ).select(F.col("v").alias("s"), (F.col("a") - 8).alias("d"))
+    dag = b.where(
+        (F.col("g") % 4 == 3) & (F.col("v") == F.col("a") + 5)
+    ).select(F.col("v").alias("s"), (F.col("a") - 16).alias("d"))
+    return (
+        cycle.unionByName(asc).unionByName(desc).unionByName(dag)
+        .where(F.col("s") != F.col("d"))
+        .dropDuplicates()
+    )
+
+
+def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (graphops.
+    strongly_connected_components; Orzan-coloring + pointer-jumping
+    min-propagation) over the deterministic ring/pair/DAG testbed —
+    the directed-cycle collapse every KG curation pass needs for
+    mutual sameAs/derivedFrom loops. Output (node, scc) with scc =
+    min member id. Oracle: full recursive-CTE transitive closure,
+    scc = min over mutually-reachable nodes — algorithm-independent
+    ground truth."""
+    from json_ld_spark.operators.graphops import strongly_connected_components
+
+    _utc(spark)
+    e = _scc_testbed_edges(spark, sf_dir)
+    return strongly_connected_components(e, src="s", dst="d").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("scc").cast("long").alias("scc"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
     front = set(_NEVER_DRIVER_CHECKED)
@@ -5164,6 +5234,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kge_eval": q_kg_kge_eval,
         "data_doremi_weights": q_data_doremi_weights,
         "data_best_of_n": q_data_best_of_n,
+        "kg_scc": q_kg_scc,
     }
 
 
@@ -10257,6 +10328,55 @@ FROM pick WHERE rn = 1 AND s >= 0.2
 """
 
 
+# kg_scc: algorithm-independent ground truth — full transitive closure
+# by recursive CTE (reach sets bounded <=32 by the testbed design),
+# scc(v) = min over {v} ∪ {w : v→*w and w→*v}.
+_KG_SCC_SQL = r"""
+WITH RECURSIVE ck0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS v0 FROM customer
+),
+mm AS (SELECT MIN(v0) AS vmin, MAX(v0) AS vmax FROM ck0),
+ck AS (
+  -- 0-based normalized index: octet arithmetic never goes negative
+  -- (DuckDB's // truncates toward zero; Spark's floor() floors)
+  SELECT v0 - (SELECT vmin FROM mm) AS v FROM ck0
+),
+mx AS (SELECT (SELECT vmax FROM mm) - (SELECT vmin FROM mm) AS n),
+b AS (
+  SELECT v,
+         (v // 8) AS g,
+         (v // 8) * 8 AS a,
+         LEAST((v // 8) * 8 + 7, (SELECT n FROM mx)) AS bmax
+  FROM ck
+),
+edges0 AS (
+  SELECT v AS s, CASE WHEN v < bmax THEN v + 1 ELSE a END AS d FROM b
+  UNION ALL
+  SELECT v, a + 8 FROM b
+  WHERE g % 4 = 0 AND v = a + 3 AND a + 8 <= (SELECT n FROM mx)
+  UNION ALL
+  SELECT v, a - 8 FROM b WHERE g % 4 = 1 AND v = a + 2
+  UNION ALL
+  SELECT v, a - 16 FROM b WHERE g % 4 = 3 AND v = a + 5
+),
+edges AS (SELECT DISTINCT s, d FROM edges0 WHERE s <> d),
+nodes AS (SELECT s AS v FROM edges UNION SELECT d FROM edges),
+reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT nd.v AS node,
+       LEAST(nd.v,
+             COALESCE(MIN(CASE WHEN r2.s IS NOT NULL THEN r1.d END), nd.v)
+       ) AS scc
+FROM nodes nd
+LEFT JOIN reach r1 ON r1.s = nd.v
+LEFT JOIN reach r2 ON r2.s = r1.d AND r2.d = nd.v
+GROUP BY nd.v
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -10462,4 +10582,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_kge_eval": _KGE_EVAL_SQL,
         "data_doremi_weights": _DOREMI_SQL,
         "data_best_of_n": _BEST_OF_N_SQL,
+        "kg_scc": _KG_SCC_SQL,
     }
