@@ -4340,7 +4340,7 @@ def q_dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure verification-surface rotation; query bodies are untouched.
 _NEVER_DRIVER_CHECKED = (
     # --- Tier 0: round-5 session-5 additions ---
-    "kg_scc",
+    "kg_scc", "rel_retention_cohorts", "data_iqr_outliers", "kg_reify",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5021,6 +5021,65 @@ def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (temporal.retention_cohorts) over
+    the events table — group every user by the 7-day period of their
+    first event, then count per (cohort, offset) how many are still
+    active, with the retention ratio vs cohort size. Periods are
+    integer epoch-day buckets (no calendar semantics to cross-check).
+    Two user-keyed shuffles + one bounded cohort-keyed agg; no
+    windows. Oracle: the identical integer bucket algebra in SQL."""
+    from json_ld_spark.operators.temporal import retention_cohorts
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    out = retention_cohorts(ev, key="user_id", ts_col="ts", unit_days=7)
+    # DATE surfaces as datetime.date from Spark but Timestamp from
+    # DuckDB's pandas bridge — lexical form is the hash-stable choice
+    return out.withColumn(
+        "cohort_start", F.date_format("cohort_start", "yyyy-MM-dd")
+    )
+
+
+def q_data_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Tukey-fence outlier flags + winsorized lengths
+    (profile.iqr_outliers) over documents — the robust clipping pass
+    run before lengths feed sampling weights. Exact interpolated
+    q1/q3 per group (identical definition to SQL quantile_cont; the
+    interpolation fractions are quarters, so the doubles agree
+    bit-exactly), fences rounded 6 dp, broadcast joined back. Oracle:
+    quantile_cont + the same clamp."""
+    from json_ld_spark.operators.profile import iqr_outliers
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return iqr_outliers(docs, "lang", "n_chars", k=1.5)
+
+
+def q_kg_reify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF reification with per-statement provenance
+    (canonical.reify_statements): every native transcript triple
+    becomes a content-addressed statement node (base + md5 of the
+    quad) carrying rdf:type/subject/predicate/object plus
+    prov:wasDerivedFrom the conversation IRI — the trace-back-to-
+    source layer a trillion-turn KG needs. Pure projection +
+    5-way explode + md5-keyed dedup; zero other shuffles. Oracle: the
+    same md5 statement id + UNNEST in SQL."""
+    from json_ld_spark.operators.canonical import reify_statements
+    from json_ld_spark.operators.native import transcript_triples_native
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    tri = (
+        transcript_triples_native(t, with_doc_id=False)
+        .select(*TRIPLE_COLS)
+        .withColumn("src", F.regexp_replace(F.col("subj"), "/turn/[0-9]+$", ""))
+    )
+    return reify_statements(
+        tri, base="https://example.org/stmt/", source_col="src"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
     front = set(_NEVER_DRIVER_CHECKED)
@@ -5235,6 +5294,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_doremi_weights": q_data_doremi_weights,
         "data_best_of_n": q_data_best_of_n,
         "kg_scc": q_kg_scc,
+        "rel_retention_cohorts": q_rel_retention_cohorts,
+        "data_iqr_outliers": q_data_iqr_outliers,
+        "kg_reify": q_kg_reify,
     }
 
 
@@ -10328,6 +10390,86 @@ FROM pick WHERE rn = 1 AND s >= 0.2
 """
 
 
+# rel_retention_cohorts: identical integer epoch-day bucket algebra —
+# day = epoch_us // 86.4e9, period = day // 7 (positive operands, so
+# DuckDB's truncating // equals Spark's floor()).
+_RETENTION_SQL = r"""
+WITH p AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000) // 7 AS period
+  FROM events
+),
+firsts AS (SELECT user_id, MIN(period) AS cohort_p FROM p GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, period FROM p),
+cells AS (
+  SELECT f.cohort_p, a.period - f.cohort_p AS "offset",
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY f.cohort_p, a.period - f.cohort_p
+),
+sizes AS (SELECT cohort_p, n_active AS n_cohort FROM cells WHERE "offset" = 0)
+SELECT strftime(DATE '1970-01-01' + CAST(c.cohort_p * 7 AS INT), '%Y-%m-%d')
+         AS cohort_start,
+       CAST(c."offset" AS BIGINT) AS "offset",
+       c.n_active,
+       s.n_cohort,
+       ROUND(c.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention_r
+FROM cells c JOIN sizes s USING (cohort_p)
+"""
+
+# data_iqr_outliers: quantile_cont(0.25/0.75) interpolates at quarter
+# fractions — bit-exact vs Spark's percentile() on integer inputs.
+_IQR_SQL = r"""
+WITH f AS (
+  SELECT lang,
+         ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo,
+         ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi
+  FROM (
+    SELECT lang,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS q1,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS q3
+    FROM documents GROUP BY lang
+  )
+)
+SELECT d.doc_id, d.lang, d.n_chars, f.lo, f.hi,
+       (CAST(d.n_chars AS DOUBLE) < f.lo
+        OR CAST(d.n_chars AS DOUBLE) > f.hi) AS is_outlier,
+       ROUND(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), f.lo), f.hi), 6)
+         AS winsorized
+FROM documents d JOIN f USING (lang)
+"""
+
+# kg_reify: the same content-addressed statement id (md5 over the
+# chr(31)-joined quad) + a 5-way UNNEST mirroring reify_statements.
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_PROV_DF = "http://www.w3.org/ns/prov#wasDerivedFrom"
+_KG_REIFY_SQL = _TRIPLES_CTE + f"""
+, rt AS (
+  SELECT triples.*,
+         'https://example.org/stmt/' || md5(
+           obj_kind || chr(31) || subj || chr(31) || pred || chr(31)
+           || obj || chr(31) || COALESCE(datatype, '') || chr(31)
+           || COALESCE(lang, '')) AS stmt,
+         regexp_replace(subj, '/turn/[0-9]+$', '') AS src
+  FROM triples
+)
+SELECT DISTINCT stmt AS subj, e.pred AS pred, e.obj_kind AS obj_kind,
+       e.obj AS obj, e.datatype AS datatype, e.lang AS lang
+FROM rt CROSS JOIN UNNEST([
+  {{'pred': '{_RDF_NS}type', 'obj_kind': 'iri', 'obj': '{_RDF_NS}Statement',
+    'datatype': CAST(NULL AS VARCHAR), 'lang': CAST(NULL AS VARCHAR)}},
+  {{'pred': '{_RDF_NS}subject', 'obj_kind': 'iri', 'obj': subj,
+    'datatype': CAST(NULL AS VARCHAR), 'lang': CAST(NULL AS VARCHAR)}},
+  {{'pred': '{_RDF_NS}predicate', 'obj_kind': 'iri', 'obj': pred,
+    'datatype': CAST(NULL AS VARCHAR), 'lang': CAST(NULL AS VARCHAR)}},
+  {{'pred': '{_RDF_NS}object', 'obj_kind': obj_kind, 'obj': obj,
+    'datatype': datatype, 'lang': lang}},
+  {{'pred': '{_PROV_DF}', 'obj_kind': 'iri', 'obj': src,
+    'datatype': CAST(NULL AS VARCHAR), 'lang': CAST(NULL AS VARCHAR)}}
+]) AS u(e)
+"""
+
+
 # kg_scc: algorithm-independent ground truth — full transitive closure
 # by recursive CTE (reach sets bounded <=32 by the testbed design),
 # scc(v) = min over {v} ∪ {w : v→*w and w→*v}.
@@ -10583,4 +10725,7 @@ def oracle_sql() -> dict[str, str]:
         "data_doremi_weights": _DOREMI_SQL,
         "data_best_of_n": _BEST_OF_N_SQL,
         "kg_scc": _KG_SCC_SQL,
+        "rel_retention_cohorts": _RETENTION_SQL,
+        "data_iqr_outliers": _IQR_SQL,
+        "kg_reify": _KG_REIFY_SQL,
     }

@@ -150,3 +150,50 @@ def schema_summary(triples: DataFrame, rdf_type: str = RDF_TYPE) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
     return out
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey-fence outlier flagging + winsorization — the
+    robust-statistics cleaning pass a corpus profile feeds (clip
+    pathological lengths/scores before they skew sampling weights).
+
+    Per group: exact q1/q3 (linear-interpolation percentile — the
+    identical definition as SQL quantile_cont), fences
+    ``[q1 - k*IQR, q3 + k*IQR]`` rounded to 6 dp, then every row gets
+    ``is_outlier`` and the value clamped into the fences.
+
+    Plan shape: ONE group aggregation for the fences + ONE equi-join
+    back (group cardinality is vocabulary-sized — Spark broadcasts
+    the fence table). Exact percentile is not map-side combinable
+    (it buffers the group's values); that is the right trade at
+    dictionary-sized groups, and the documented corpus-scale variant
+    swaps in approx_percentile (mergeable t-digest-style sketch,
+    map-side partial) with everything else unchanged.
+    """
+    v = F.col(value_col).cast("double")
+    fences = (
+        df.groupBy(group_col)
+        .agg(
+            F.percentile(v, F.lit(0.25)).alias("__q1"),
+            F.percentile(v, F.lit(0.75)).alias("__q3"),
+        )
+        .select(
+            group_col,
+            F.round(F.col("__q1") - k * (F.col("__q3") - F.col("__q1")), 6).alias("lo"),
+            F.round(F.col("__q3") + k * (F.col("__q3") - F.col("__q1")), 6).alias("hi"),
+        )
+    )
+    return df.join(F.broadcast(fences), group_col).select(
+        *df.columns,
+        "lo",
+        "hi",
+        ((v < F.col("lo")) | (v > F.col("hi"))).alias("is_outlier"),
+        F.round(F.least(F.greatest(v, F.col("lo")), F.col("hi")), 6).alias(
+            "winsorized"
+        ),
+    )

@@ -292,3 +292,61 @@ def funnel(
         *[f"t{i}_us" for i in range(1, len(steps) + 1)],
         completed.cast("long").alias("steps_completed"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    unit_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix — the standard engagement report: group
+    every key by the period of its FIRST event (its cohort), then for
+    each (cohort, period offset) count how many of the cohort's keys
+    were active in that period, plus the retention ratio against the
+    cohort's size.
+
+    Periods are integer buckets of ``unit_days`` days since the epoch
+    (integer-exact in both Spark and DuckDB — no calendar/date_trunc
+    semantics to cross-check between engines). Output:
+    ``(cohort_start DATE, offset BIGINT, n_active BIGINT, n_cohort
+    BIGINT, retention_r DOUBLE)`` with retention_r rounded to 6 dp.
+
+    Plan shape: one key-grain MIN aggregation (map-side combinable)
+    for first events, one distinct over (key, period) — both shuffles
+    keyed on the uniform key column — then an equi-join back on the
+    key and one cohort-grain count agg; cohort sizes re-derive from
+    offset 0 via a cohort-keyed self-join (cohort cardinality =
+    number of periods, dictionary-sized; Spark broadcasts it). No
+    windows, no collect; every shuffle key is either the uniform key
+    or the bounded cohort id.
+    """
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(86_400_000_000)
+    )
+    period = F.floor(day / F.lit(int(unit_days))).cast("long")
+    firsts = (
+        events.groupBy(key).agg(F.min(period).alias("cohort_p"))
+    )
+    active = events.select(F.col(key), period.alias("p")).dropDuplicates()
+    cells = (
+        active.join(firsts, key)
+        .groupBy("cohort_p", (F.col("p") - F.col("cohort_p")).alias("offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    sizes = cells.where(F.col("offset") == 0).select(
+        "cohort_p", F.col("n_active").alias("n_cohort")
+    )
+    return (
+        cells.join(sizes, "cohort_p")
+        .select(
+            F.date_add(
+                F.to_date(F.lit("1970-01-01")),
+                (F.col("cohort_p") * int(unit_days)).cast("int"),
+            ).alias("cohort_start"),
+            F.col("offset").cast("long").alias("offset"),
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention_r"),
+        )
+    )

@@ -261,3 +261,57 @@ def test_skolemize_roundtrip_and_kinds(spark):
     assert not [r for r in got if r[3] == "bnode"]
     back = {tuple(r) for r in unskolemize(sk).collect()}
     assert back == {tuple(r) for r in rows}
+
+
+# ---------------------------------------------------- reification
+
+
+def _quads(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "graph string, subj string, pred string, obj_kind string, "
+        "obj string, datatype string, lang string",
+    )
+
+
+def test_reify_emits_four_triples_per_statement(spark):
+    from json_ld_spark.operators.canonical import RDF_NS, reify_statements
+
+    t = _quads(spark, [(None, "http://e/s", "http://e/p", "iri", "http://e/o", None, None)])
+    out = reify_statements(t).collect()
+    assert len(out) == 4
+    subjs = {r["subj"] for r in out}
+    assert len(subjs) == 1 and next(iter(subjs)).startswith("https://example.org/stmt/")
+    preds = {r["pred"] for r in out}
+    assert preds == {RDF_NS + p for p in ("type", "subject", "predicate", "object")}
+    obj_row = next(r for r in out if r["pred"] == RDF_NS + "object")
+    assert obj_row["obj"] == "http://e/o" and obj_row["obj_kind"] == "iri"
+
+
+def test_reify_content_addressed_and_dedups(spark):
+    from json_ld_spark.operators.canonical import reify_statements
+
+    rows = [
+        (None, "http://e/s", "http://e/p", "literal", "x", "http://e/dt", None),
+        (None, "http://e/s", "http://e/p", "literal", "x", "http://e/dt", None),  # dup
+        (None, "http://e/s", "http://e/p", "literal", "x", None, "en"),  # distinct
+    ]
+    out = reify_statements(_quads(spark, rows)).collect()
+    assert len(out) == 8  # two distinct statements x 4
+    assert len({r["subj"] for r in out}) == 2
+    # object triple preserves datatype / lang
+    objs = {(r["datatype"], r["lang"]) for r in out if r["pred"].endswith("#object")}
+    assert objs == {("http://e/dt", None), (None, "en")}
+
+
+def test_reify_provenance_column(spark):
+    from json_ld_spark.operators.canonical import PROV_DERIVED, reify_statements
+    from pyspark.sql import functions as F
+
+    t = _quads(
+        spark, [(None, "http://e/s", "http://e/p", "iri", "http://e/o", None, None)]
+    ).withColumn("src", F.lit("http://e/conv1"))
+    out = reify_statements(t, source_col="src").collect()
+    assert len(out) == 5
+    prov = next(r for r in out if r["pred"] == PROV_DERIVED)
+    assert prov["obj"] == "http://e/conv1" and prov["obj_kind"] == "iri"

@@ -109,3 +109,29 @@ def test_transcript_context_windows(spark):
     assert got[("c1", 1)] == (1, "r0: t0", "t1")
     assert got[("c1", 3)] == (2, "r1: t1\nr2: t2", "t3")
     assert got[("c2", 0)] == (0, "", "hello")
+
+
+# ---------------------------------------------------- IQR outliers
+
+
+def test_iqr_outliers_hand_computed(spark):
+    from json_ld_spark.operators.profile import iqr_outliers
+
+    # group 'a': values 1..9 plus outlier 100 -> q1=3.25, q3=7.75,
+    # iqr=4.5, fences [-3.5, 14.5]; only 100 is flagged
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["v"]: r for r in iqr_outliers(df, "g", "v").collect()}
+    assert out[100]["is_outlier"] and not out[5]["is_outlier"]
+    assert out[100]["winsorized"] == out[100]["hi"]
+    assert out[5]["winsorized"] == 5.0
+    assert out[1]["lo"] == -3.5 and out[1]["hi"] == 14.5
+
+
+def test_iqr_outliers_groups_independent(spark):
+    from json_ld_spark.operators.profile import iqr_outliers
+
+    rows = [("a", v) for v in range(1, 11)] + [("b", v) for v in range(1000, 1010)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = iqr_outliers(df, "g", "v").collect()
+    assert not any(r["is_outlier"] for r in out)  # each group is uniform

@@ -366,3 +366,39 @@ def test_funnel_earliest_greedy_is_exact(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
     r = funnel(df, ["view", "click", "purchase"]).first()
     assert r["steps_completed"] == 3
+
+
+# ------------------------------------------------- retention cohorts
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from json_ld_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        # users 1,2 first in period 0 (days 0..6); user 3 first in period 1
+        (1, "1970-01-02 00:00:00"),
+        (2, "1970-01-03 00:00:00"),
+        (1, "1970-01-09 00:00:00"),   # period 1 — user 1 retained
+        (3, "1970-01-10 00:00:00"),   # cohort period 1
+        (3, "1970-01-20 00:00:00"),   # period 2 — offset 1 for cohort 1
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort_start"].isoformat(), r["offset"]): (r["n_active"], r["n_cohort"], r["retention_r"])
+        for r in retention_cohorts(ev, "user_id", "ts", 7).collect()
+    }
+    assert out == {
+        ("1970-01-01", 0): (2, 2, 1.0),
+        ("1970-01-01", 1): (1, 2, 0.5),
+        ("1970-01-08", 0): (1, 1, 1.0),
+        ("1970-01-08", 1): (1, 1, 1.0),
+    }
+
+
+def test_retention_cohorts_duplicate_events_count_once(spark):
+    from json_ld_spark.operators.temporal import retention_cohorts
+
+    rows = [(1, "1970-01-02 00:00:00"), (1, "1970-01-02 05:00:00")]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = retention_cohorts(ev, "user_id", "ts", 7).collect()
+    assert len(out) == 1 and out[0]["n_active"] == 1
