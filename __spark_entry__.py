@@ -4330,6 +4330,46 @@ def q_dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.remove_repeated_spans(corpus, n=10, min_count=2).orderBy("doc_id")
 
 
+def q_kg_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topic segmentation of conversations
+    (textops.topic_segments, Hearst 1997): adjacent-turn word-set
+    Jaccard, a dip below 0.2 opens a new segment, segment_id = running
+    boundary count. ONE conv-partitioned window shuffle (lag + running
+    sum share the partitioning); word sets are a JVM projection. The
+    oracle replays the same lag/Jaccard/running-sum chain with DuckDB
+    list functions."""
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    return tx.topic_segments(t, min_jaccard=0.2)
+
+
+def q_data_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (curation.logreg_quality): full-batch
+    gradient-descent logistic regression — 3 rounds, each ONE map-side-
+    combinable aggregation (3 micro-quantized gradient sums + a count);
+    weights are bounded driver state; scoring is a shuffle-free
+    projection. The oracle unrolls the identical rounds as CTEs (exact
+    BIGINT gradient sums, in-engine 6-dp weight rounding)."""
+    from json_ld_spark.operators import curation as cu
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return cu.logreg_quality(docs, n_rounds=3, lr=1.0)
+
+
+def q_ann_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the 64-dim embedding corpus by
+    MATRIX-FREE power iteration (similarity.pca_power_project): each
+    round computes C·v as one aggregation with dim+1 longs of shuffled
+    state (never dim²); the iterate is bounded driver state. Projection
+    scores feed SemDeDup-style clustering. The oracle unrolls means,
+    two C·v rounds, normalization, and the final centered dot product
+    with identical micro-quantization and fold order."""
+    _utc(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    return sim.pca_power_project(emb, dim=64, rounds=2)
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4339,8 +4379,9 @@ def q_dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   displaced past position 50 already carry independent verification.
 # Pure verification-surface rotation; query bodies are untouched.
 _NEVER_DRIVER_CHECKED = (
-    # --- Tier 0: round-5 session-5 additions ---
+    # --- Tier 0: round-5 session-5/6 additions ---
     "kg_scc", "rel_retention_cohorts", "data_iqr_outliers", "kg_reify",
+    "kg_topic_segments", "data_logreg_quality", "ann_pca_project",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5297,6 +5338,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_retention_cohorts": q_rel_retention_cohorts,
         "data_iqr_outliers": q_data_iqr_outliers,
         "kg_reify": q_kg_reify,
+        "kg_topic_segments": q_kg_topic_segments,
+        "data_logreg_quality": q_data_logreg_quality,
+        "ann_pca_project": q_ann_pca_project,
     }
 
 
@@ -10519,6 +10563,154 @@ GROUP BY nd.v
 """
 
 
+# TextTiling topic segmentation: lag/Jaccard/running-sum chain over the
+# transcript replay (DuckDB list functions mirror Spark's array ops
+# set-wise: sizes of distinct intersections/unions are engine-agnostic)
+_TOPIC_SEGMENTS_SQL = _BASE_CTE + """
+, seg0 AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''
+         )) AS wset
+  FROM base
+), seg1 AS (
+  SELECT conv_id, turn_idx, wset,
+         lag(wset) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pset
+  FROM seg0
+), seg2 AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN pset IS NULL THEN NULL
+              ELSE round(
+                CAST(len(list_intersect(wset, pset)) AS DOUBLE)
+                / CAST(NULLIF(len(list_distinct(list_concat(wset, pset))), 0)
+                       AS DOUBLE), 6)
+         END AS jaccard_prev
+  FROM seg1
+), seg3 AS (
+  SELECT conv_id, turn_idx, jaccard_prev,
+         CASE WHEN jaccard_prev IS NULL OR jaccard_prev < 0.2
+              THEN 1 ELSE 0 END AS is_boundary
+  FROM seg2
+)
+SELECT conv_id, turn_idx, jaccard_prev, is_boundary,
+       CAST(SUM(is_boundary) OVER (
+              PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+            AS BIGINT) AS segment_id
+FROM seg3
+"""
+
+
+def _logreg_sql(n_rounds: int = 3, lr: float = 1.0) -> str:
+    """Unrolled GD rounds mirroring curation.logreg_quality: per-row
+    gradient contributions quantized to BIGINT micros (order-free exact
+    sums), weight updates 6-dp-rounded in-engine, identical expression
+    order throughout."""
+    xs = ["1e6", "x1 * 1e6", "x2 * 1e6"]  # err * x_j * 1e6 with x0 = 1.0
+    sql = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST(LEAST(n_chars, 2000) AS DOUBLE) / 1000.0 AS x1,
+         CAST(len(regexp_extract_all(text, '\\d')) AS DOUBLE)
+           / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS x2,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), r0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)
+"""
+    for k in range(1, n_rounds + 1):
+        z = "(w.w0 + w.w1 * x1 + w.w2 * x2)"
+        p = f"(1.0 / (1.0 + exp(-{z})))"
+        err = f"({p} - CAST(y AS DOUBLE))"
+        grads = ", ".join(
+            f"round(w.w{j} - {lr!r} * (CAST(SUM(CAST(round({err} * {xs[j]}, 0) "
+            f"AS BIGINT)) AS DOUBLE) / 1e6) / CAST(COUNT(*) AS DOUBLE), 6) AS w{j}"
+            for j in range(3)
+        )
+        sql += (
+            f", r{k} AS (\n  SELECT {grads}\n"
+            f"  FROM feats CROSS JOIN r{k - 1} w GROUP BY w.w0, w.w1, w.w2\n)\n"
+        )
+    z = "(w.w0 + w.w1 * x1 + w.w2 * x2)"
+    p = f"(1.0 / (1.0 + exp(-{z})))"
+    sql += f"""
+SELECT doc_id, y, round({p}, 6) AS score_r,
+       CASE WHEN round({p}, 6) >= 0.5 THEN 1 ELSE 0 END AS pred
+FROM feats CROSS JOIN r{n_rounds} w
+"""
+    return sql
+
+
+_LOGREG_SQL = _logreg_sql()
+
+
+def _pca_sql(dim: int = 64, rounds: int = 2) -> str:
+    """Unrolled matrix-free power iteration mirroring
+    similarity.pca_power_project: micro-exact sums, in-engine 6-dp
+    rounding of means / C·v / iterates, left-to-right dimension-order
+    folds for every dot product, v0 = e_0."""
+    e = [f"CAST(embedding[{j + 1}] AS DOUBLE)" for j in range(dim)]
+    msums = ",\n         ".join(
+        f"SUM(CAST(round({e[j]} * 1e6, 0) AS BIGINT)) AS s{j}" for j in range(dim)
+    )
+    means = ",\n         ".join(
+        f"round(CAST(s{j} AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6) AS m{j}"
+        for j in range(dim)
+    )
+    sql = f"""
+WITH msum AS (
+  SELECT {msums},
+         COUNT(*) AS n
+  FROM embeddings
+), m AS (
+  SELECT {means},
+         CAST(n AS DOUBLE) AS nd
+  FROM msum
+), v0 AS (SELECT 1.0 AS v0, {", ".join(f"0.0 AS v{j}" for j in range(1, dim))})
+"""
+    for k in range(1, rounds + 1):
+        d = " + ".join(f"{e[j]} * v.v{j}" for j in range(dim))
+        tsums = ",\n         ".join(
+            f"SUM(CAST(round({e[j]} * d * 1e6, 0) AS BIGINT)) AS t{j}"
+            for j in range(dim)
+        )
+        mv = " + ".join(f"m.m{j} * v.v{j}" for j in range(dim))
+        cvs = ",\n         ".join(
+            f"round(CAST(t{j} AS DOUBLE) / 1e6 / m.nd - m.m{j} * mvd, 6) AS c{j}"
+            for j in range(dim)
+        )
+        nrm = " + ".join(f"c{j} * c{j}" for j in range(dim))
+        vs = ",\n         ".join(
+            f"round(c{j} / GREATEST(nrm, 1e-12), 6) AS v{j}" for j in range(dim)
+        )
+        sql += f""", rowd{k} AS (
+  SELECT embedding, ({d}) AS d
+  FROM embeddings CROSS JOIN v{k - 1} v
+), tsum{k} AS (
+  SELECT {tsums}
+  FROM rowd{k}
+), mv{k} AS (
+  SELECT ({mv}) AS mvd FROM m CROSS JOIN v{k - 1} v
+), cv{k} AS (
+  SELECT {cvs}
+  FROM tsum{k} CROSS JOIN m CROSS JOIN mv{k}
+), nv{k} AS (
+  SELECT *, sqrt({nrm}) AS nrm FROM cv{k}
+), v{k} AS (
+  SELECT {vs}
+  FROM nv{k}
+)
+"""
+    score = " + ".join(f"({e[j]} - m.m{j}) * v.v{j}" for j in range(dim))
+    sql += f"""
+SELECT vec_id, round({score}, 4) AS pc1_score_r
+FROM embeddings CROSS JOIN m CROSS JOIN v{rounds} v
+"""
+    return sql
+
+
+_PCA_SQL = _pca_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -10728,4 +10920,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_retention_cohorts": _RETENTION_SQL,
         "data_iqr_outliers": _IQR_SQL,
         "kg_reify": _KG_REIFY_SQL,
+        "kg_topic_segments": _TOPIC_SEGMENTS_SQL,
+        "data_logreg_quality": _LOGREG_SQL,
+        "ann_pca_project": _PCA_SQL,
     }

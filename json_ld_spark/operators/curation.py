@@ -995,3 +995,68 @@ def best_of_n(
     if min_score is not None:
         best = best.where(F.col("best_score_r") >= min_score)
     return best
+
+
+def logreg_quality(
+    docs: DataFrame,
+    n_rounds: int = 3,
+    lr: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed logistic-regression quality classifier trained with
+    full-batch gradient descent — the learned-filter stage of a
+    training-data pipeline (a FastText/fineweb-edu-style quality model)
+    expressed as pure DataFrame aggregation: each GD round is ONE
+    map-side-combinable aggregation over the corpus (3 gradient sums +
+    a count), the weight vector is bounded driver state (3 doubles,
+    FAISS-codebook-style), and the final scoring pass is a shuffle-free
+    projection. No MLlib, no Python row loop; at 100 TB each round is a
+    single scan whose state per executor is 4 longs.
+
+    Cross-engine determinism (the repo's micro-unit trick): per-row
+    gradient contributions are quantized to integer MICROS before the
+    sum (exact BIGINT addition in any order), and the weight update is
+    computed and 6-dp-rounded INSIDE the engine, so a DuckDB oracle
+    replaying the same unrolled rounds reproduces the weights bit-for-
+    bit. Features: x1 = min(n_chars,2000)/1000, x2 = digit-char ratio;
+    weak label y = (lang = 'en').
+    """
+    feats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.least(F.col("n_chars"), F.lit(2000)).cast("double") / F.lit(1000.0)).alias("x1"),
+        (
+            F.regexp_count(F.col("text"), F.lit(r"\d")).cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+        ).alias("x2"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    w = [0.0, 0.0, 0.0]  # bias, w1, w2
+    for _ in range(max(0, n_rounds)):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("y").cast("double")
+        gm = [
+            F.sum(F.round(err * x * F.lit(1e6), 0).cast("long")).alias(f"g{j}")
+            for j, x in enumerate([F.lit(1.0), F.col("x1"), F.col("x2")])
+        ]
+        row = feats.agg(*gm, F.count(F.lit(1)).alias("n")).select(
+            *[
+                F.round(
+                    F.lit(w[j])
+                    - F.lit(lr)
+                    * (F.col(f"g{j}").cast("double") / F.lit(1e6))
+                    / F.col("n").cast("double"),
+                    6,
+                ).alias(f"w{j}")
+                for j in range(3)
+            ]
+        ).collect()[0]
+        w = [row[f"w{j}"] for j in range(3)]
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.col("y").cast("int").alias("y"),
+        F.round(p, 6).alias("score_r"),
+        (F.round(p, 6) >= F.lit(0.5)).cast("int").alias("pred"),
+    )

@@ -874,3 +874,100 @@ def quantize_int8(
         F.sum("code").cast("long").alias("code_sum"),
         F.round(F.max("err"), 6).alias("max_abs_err_r"),
     )
+
+
+def pca_power_project(
+    emb: DataFrame,
+    dim: int = 64,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding corpus via MATRIX-FREE
+    power iteration, then per-vector projection scores — the whitening/
+    decorrelation front end of SemDeDup-style curation (Abbas et al.
+    2023 cluster in PCA space) without ever materializing the dim×dim
+    covariance: each iteration computes C·v directly as ONE map-side-
+    combinable aggregation, using
+
+        (C v)_j = (1/n) Σ_i x_ij (x_i · v)  −  m_j (m · v)
+
+    so the per-round shuffled state is dim+1 longs per executor, never
+    dim² — the shape that survives 100 TB and dim in the thousands.
+    The iterate v lives on the driver between rounds (dim doubles,
+    FAISS-codebook-style bounded state).
+
+    Cross-engine determinism: per-row contributions are quantized to
+    integer micros before summation (exact BIGINT adds in any order);
+    means, C·v entries and normalized iterates are rounded INSIDE the
+    engine (6 dp) so the DuckDB oracle unrolling the same rounds gets
+    bit-identical literals; every dot product is a fixed left-to-right
+    fold over the dimension index. v0 = e_0 (deterministic start).
+    """
+    n_col = F.count(F.lit(1)).cast("double")
+    x = [F.col(vec_col).getItem(j).cast("double") for j in range(dim)]
+    # corpus means, micro-exact
+    mrow = emb.agg(
+        *[
+            F.sum(F.round(x[j] * F.lit(1e6), 0).cast("long")).alias(f"s{j}")
+            for j in range(dim)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        *[
+            F.round(
+                F.col(f"s{j}").cast("double") / F.lit(1e6) / F.col("n").cast("double"),
+                6,
+            ).alias(f"m{j}")
+            for j in range(dim)
+        ],
+        "n",
+    ).collect()[0]
+    m = [mrow[f"m{j}"] for j in range(dim)]
+    n = mrow["n"]
+    v = [1.0] + [0.0] * (dim - 1)
+    for _ in range(max(0, rounds)):
+        # fixed-order fold for x·v (index order, left-assoc)
+        d = x[0] * F.lit(v[0])
+        for j in range(1, dim):
+            d = d + x[j] * F.lit(v[j])
+        mv = 0.0
+        for j in range(dim):
+            mv = mv + m[j] * v[j]
+        trow = emb.agg(
+            *[
+                F.sum(F.round(x[j] * d * F.lit(1e6), 0).cast("long")).alias(f"t{j}")
+                for j in range(dim)
+            ]
+        ).select(
+            *[
+                F.round(
+                    F.col(f"t{j}").cast("double") / F.lit(1e6) / F.lit(float(n))
+                    - F.lit(m[j]) * F.lit(mv),
+                    6,
+                ).alias(f"c{j}")
+                for j in range(dim)
+            ]
+        ).collect()[0]
+        cv = [trow[f"c{j}"] for j in range(dim)]
+        norm = 0.0
+        for j in range(dim):
+            norm = norm + cv[j] * cv[j]
+        norm = math.sqrt(norm)
+        # normalize inside an engine expression so 6-dp rounding matches
+        # the oracle's round() exactly (driver math mirrors the SQL fold)
+        vrow = emb.sparkSession.range(1).select(
+            *[
+                F.round(
+                    F.lit(cv[j]) / F.greatest(F.lit(norm), F.lit(1e-12)), 6
+                ).alias(f"v{j}")
+                for j in range(dim)
+            ]
+        ).collect()[0]
+        v = [vrow[f"v{j}"] for j in range(dim)]
+    score = (x[0] - F.lit(m[0])) * F.lit(v[0])
+    for j in range(1, dim):
+        score = score + (x[j] - F.lit(m[j])) * F.lit(v[j])
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.round(score, 4).alias("pc1_score_r")
+    )

@@ -525,3 +525,62 @@ def kn_doc_logprob(
             ).alias("avg_logp_r"),
         )
     )
+
+
+def topic_segments(
+    turns: DataFrame,
+    min_jaccard: float = 0.2,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextTiling-style topic segmentation of multi-turn conversations
+    (Hearst 1997, re-expressed relationally): each turn's word SET is
+    compared to the previous turn of the same conversation by Jaccard
+    similarity; a similarity dip below ``min_jaccard`` opens a new
+    segment, and ``segment_id`` is the running count of boundaries —
+    the per-conversation topic structure a transcript-curation pipeline
+    feeds into chunking / context-window assembly.
+
+    Scale shape: the word-set projection is JVM-only (split/filter/
+    array_distinct — no Python), and the ONLY shuffle is one
+    conv-partitioned window (lag + running sum share the same
+    partitioning, so Catalyst plans a single Exchange + one sort; a
+    conversation is bounded, so no partition-less window anywhere).
+    Jaccard is emitted at 6 dp for cross-engine hash parity.
+    """
+    words = F.array_distinct(
+        F.filter(_words(F.col(text_col)), lambda x: x != F.lit(""))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    run = Window.partitionBy(conv_col).orderBy(idx_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("__wset").over(w)
+    inter = F.size(F.array_intersect(F.col("__wset"), prev))
+    union = F.size(F.array_union(F.col("__wset"), prev))
+    jacc = F.round(
+        inter.cast("double") / F.nullif(union, F.lit(0)).cast("double"), 6
+    )
+    keyed = turns.withColumn("__wset", words).withColumn(
+        "jaccard_prev", F.when(prev.isNull(), F.lit(None)).otherwise(jacc)
+    )
+    boundary = (
+        F.col("jaccard_prev").isNull()
+        | (F.col("jaccard_prev") < F.lit(float(min_jaccard)))
+    ).cast("int")
+    return (
+        keyed.withColumn("is_boundary", boundary)
+        .withColumn(
+            "segment_id", (F.sum("is_boundary").over(run) - 1).cast("long")
+        )
+        .select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(idx_col).alias("turn_idx"),
+            "jaccard_prev",
+            "is_boundary",
+            "segment_id",
+        )
+    )

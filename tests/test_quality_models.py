@@ -1,0 +1,131 @@
+"""Unit tests for the session-6 quality/structure operators:
+topic segmentation (textops.topic_segments), the GD logistic-regression
+quality filter (curation.logreg_quality), and matrix-free PCA power
+iteration (similarity.pca_power_project)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from json_ld_spark.operators import curation as cu
+from json_ld_spark.operators import similarity as sim
+from json_ld_spark.operators import textops as tx
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+
+
+def test_topic_segments_boundaries(spark):
+    # c1: turns 0-1 share words (jaccard 1.0), turn 2 disjoint -> new segment
+    out = tx.topic_segments(
+        _turns(
+            spark,
+            [
+                ("c1", 0, "alpha beta gamma"),
+                ("c1", 1, "alpha beta gamma"),
+                ("c1", 2, "delta epsilon zeta"),
+                ("c2", 0, "solo conversation"),
+            ],
+        ),
+        min_jaccard=0.2,
+    ).collect()
+    by = {(r.conv_id, r.turn_idx): r for r in out}
+    assert by[("c1", 0)].jaccard_prev is None
+    assert by[("c1", 0)].is_boundary == 1 and by[("c1", 0)].segment_id == 0
+    assert by[("c1", 1)].jaccard_prev == 1.0
+    assert by[("c1", 1)].is_boundary == 0 and by[("c1", 1)].segment_id == 0
+    assert by[("c1", 2)].jaccard_prev == 0.0
+    assert by[("c1", 2)].is_boundary == 1 and by[("c1", 2)].segment_id == 1
+    # first turn of every conversation opens segment 0
+    assert by[("c2", 0)].segment_id == 0
+
+
+def test_topic_segments_word_sets_not_bags(spark):
+    # repeated words must not inflate similarity: sets, not bags
+    out = tx.topic_segments(
+        _turns(
+            spark,
+            [("c", 0, "x x x y"), ("c", 1, "x y y y")],
+        ),
+        min_jaccard=0.2,
+    ).collect()
+    r1 = [r for r in out if r.turn_idx == 1][0]
+    assert r1.jaccard_prev == 1.0  # both sets are {x, y}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+
+
+def test_logreg_quality_learns_separable_label(spark):
+    # long docs are 'en', short docs are 'fr': x1 separates the label,
+    # so 3 GD rounds must already rank every en doc above every fr doc
+    rows = []
+    for i in range(20):
+        en = i % 2 == 0
+        text = ("word " * (300 if en else 3)).strip()
+        rows.append((i, text, "en" if en else "fr", len(text)))
+    out = cu.logreg_quality(_docs(spark, rows), n_rounds=3, lr=1.0).collect()
+    pos = [r.score_r for r in out if r.y == 1]
+    neg = [r.score_r for r in out if r.y == 0]
+    assert min(pos) > max(neg)
+    for r in out:
+        assert 0.0 <= r.score_r <= 1.0
+        assert r.pred in (0, 1)
+
+
+def test_logreg_quality_empty_input(spark):
+    out = cu.logreg_quality(_docs(spark, []), n_rounds=2).collect()
+    assert out == []
+
+
+def test_logreg_quality_deterministic(spark):
+    rows = [(i, "some text 123", "en" if i % 3 else "de", 13) for i in range(30)]
+    a = {r.doc_id: r.score_r for r in cu.logreg_quality(_docs(spark, rows)).collect()}
+    b = {
+        r.doc_id: r.score_r
+        for r in cu.logreg_quality(_docs(spark, rows).repartition(7)).collect()
+    }
+    assert a == b
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pca_power_finds_dominant_axis(spark):
+    # variance lives on dim 1 (values ±10), noise on dim 0 (±0.1):
+    # PC1 scores must order by the dim-1 coordinate and be ~±10 apart
+    vecs = [
+        (0.1, 10.0), (-0.1, 10.0), (0.05, -10.0), (-0.05, -10.0),
+        (0.1, 10.0), (-0.1, -10.0),
+    ]
+    out = {r.vec_id: r.pc1_score_r for r in
+           sim.pca_power_project(_emb(spark, vecs), dim=2, rounds=2).collect()}
+    plus = [out[i] for i, v in enumerate(vecs) if v[1] > 0]
+    minus = [out[i] for i, v in enumerate(vecs) if v[1] < 0]
+    assert all(abs(s) > 5 for s in plus + minus)
+    # same-side scores agree in sign, opposite sides differ
+    assert len({math.copysign(1, s) for s in plus}) == 1
+    assert len({math.copysign(1, s) for s in minus}) == 1
+    assert math.copysign(1, plus[0]) != math.copysign(1, minus[0])
+
+
+def test_pca_power_partition_invariant(spark):
+    vecs = [tuple((i * 7 + j * 3) % 11 - 5.0 for j in range(4)) for i in range(40)]
+    df = _emb(spark, vecs)
+    a = {r.vec_id: r.pc1_score_r for r in
+         sim.pca_power_project(df, dim=4, rounds=2).collect()}
+    b = {r.vec_id: r.pc1_score_r for r in
+         sim.pca_power_project(df.repartition(13), dim=4, rounds=2).collect()}
+    assert a == b
