@@ -4370,6 +4370,50 @@ def q_ann_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pca_power_project(emb, dim=64, rounds=2)
 
 
+def q_kg_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-scored entity-sense disambiguation (linking.
+    sense_signatures + disambiguate_entities): the corpus's 50 hottest
+    surfaces each get 2 candidate senses with co-occurrence signatures;
+    every (doc, surface) mention is resolved to the sense whose
+    signature overlaps the doc's word set most. Broadcast dictionary
+    joins + partitioned windows only; integer scores. The oracle
+    replays counts, rank windows, and list intersections."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    sigs = lk.sense_signatures(docs, max_surfaces=50, senses=2, sig_k=5)
+    return lk.disambiguate_entities(docs, sigs)
+
+
+def q_kg_pronoun_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreference-lite antecedent linking (linking.pronoun_links):
+    pronoun-bearing turns link to the first entity mention of the most
+    recent prior entity-bearing turn in the same conversation — one
+    broadcast dictionary join + conv-partitioned windows (last_value
+    IGNORE NULLS over the preceding frame). Pronouns are injected
+    deterministically (turn_idx % 3) so the corpus contains matches;
+    the oracle replays injection, dictionary, and windows."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    words = lk._doc_words(docs)
+    hot = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+        .select(F.col("word").alias("surface"))
+    )
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("turn_idx") % 3 == 0, F.lit(" and it worked")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return lk.pronoun_links(t, hot)
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4382,6 +4426,7 @@ _NEVER_DRIVER_CHECKED = (
     # --- Tier 0: round-5 session-5/6 additions ---
     "kg_scc", "rel_retention_cohorts", "data_iqr_outliers", "kg_reify",
     "kg_topic_segments", "data_logreg_quality", "ann_pca_project",
+    "kg_disambiguate", "kg_pronoun_links",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5341,6 +5386,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_topic_segments": q_kg_topic_segments,
         "data_logreg_quality": q_data_logreg_quality,
         "ann_pca_project": q_ann_pca_project,
+        "kg_disambiguate": q_kg_disambiguate,
+        "kg_pronoun_links": q_kg_pronoun_links,
     }
 
 
@@ -10711,6 +10758,112 @@ FROM embeddings CROSS JOIN m CROSS JOIN v{rounds} v
 _PCA_SQL = _pca_sql()
 
 
+# Context-scored sense disambiguation: co-occurrence signatures + list
+# intersection, all integer counts/ranks (no float parity risk)
+_DISAMBIGUATE_SQL = """
+WITH words AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+    FROM documents)
+  WHERE length(word) >= 3
+), freq AS (
+  SELECT word, COUNT(*) AS n FROM words GROUP BY word
+), hot AS (
+  SELECT word AS surface FROM freq ORDER BY n DESC, word LIMIT 50
+), present AS (
+  SELECT w.doc_id, h.surface FROM words w JOIN hot h ON w.word = h.surface
+), cooc AS (
+  SELECT p.surface, CAST(p.doc_id % 2 AS INT) AS sense, w.word, COUNT(*) AS c
+  FROM present p JOIN words w ON p.doc_id = w.doc_id
+  WHERE w.word <> p.surface
+  GROUP BY 1, 2, 3
+), sig AS (
+  SELECT surface, sense, list_sort(list(word)) AS signature FROM (
+    SELECT surface, sense, word,
+           ROW_NUMBER() OVER (PARTITION BY surface, sense
+                              ORDER BY c DESC, word) AS r
+    FROM cooc)
+  WHERE r <= 5
+  GROUP BY surface, sense
+), docsets AS (
+  SELECT doc_id, list_sort(list(word)) AS doc_words FROM words GROUP BY doc_id
+), m AS (
+  SELECT w.doc_id, s.surface
+  FROM words w JOIN (SELECT DISTINCT surface FROM sig) s ON w.word = s.surface
+), cand AS (
+  SELECT m.doc_id, m.surface, sig.sense,
+         CAST(len(list_intersect(d.doc_words, sig.signature)) AS INT) AS score
+  FROM m
+  JOIN sig ON m.surface = sig.surface
+  JOIN docsets d ON m.doc_id = d.doc_id
+)
+SELECT doc_id, surface, sense, score,
+       'https://example.org/entity/' || surface || '#'
+         || CAST(sense AS VARCHAR) AS entity_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, surface
+                               ORDER BY score DESC, sense) AS rk
+  FROM cand)
+WHERE rk = 1
+"""
+
+# Coreference-lite pronoun antecedents: injection + dictionary join +
+# conv-windows replayed exactly
+_PRONOUN_LINKS_SQL = _BASE_CTE + """
+, t2 AS (
+  SELECT conv_id, turn_idx,
+         text || CASE WHEN turn_idx % 3 = 0 THEN ' and it worked'
+                      ELSE '' END AS text
+  FROM base
+), dwords AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+    FROM documents)
+  WHERE length(word) >= 3
+), hot AS (
+  SELECT word AS surface FROM (
+    SELECT word, COUNT(*) AS n FROM dwords GROUP BY word)
+  ORDER BY n DESC, word LIMIT 50
+), toks AS (
+  SELECT conv_id, turn_idx,
+         string_split_regex(lower(text), '[^a-z0-9]+') AS l
+  FROM t2
+), ment AS (
+  SELECT t.conv_id, t.turn_idx, t.pos, t.word
+  FROM (
+    SELECT conv_id, turn_idx,
+           generate_subscripts(l, 1) AS pos, unnest(l) AS word
+    FROM toks) t
+  JOIN hot h ON t.word = h.surface
+  WHERE length(t.word) >= 3
+), first AS (
+  SELECT conv_id, turn_idx, word AS turn_entity FROM (
+    SELECT conv_id, turn_idx, word,
+           ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                              ORDER BY pos, word) AS rk
+    FROM ment)
+  WHERE rk = 1
+), keyed AS (
+  SELECT t2.conv_id, t2.turn_idx, f.turn_entity,
+         CASE WHEN regexp_matches(lower(t2.text), '\\b(it|they|this)\\b')
+              THEN 1 ELSE 0 END AS has_pronoun
+  FROM t2 LEFT JOIN first f
+    ON t2.conv_id = f.conv_id AND t2.turn_idx = f.turn_idx
+)
+SELECT conv_id, turn_idx,
+       'https://example.org/entity/' || antecedent AS entity_id
+FROM (
+  SELECT conv_id, turn_idx, has_pronoun,
+         last_value(turn_entity IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS antecedent
+  FROM keyed)
+WHERE has_pronoun = 1 AND antecedent IS NOT NULL
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -10923,4 +11076,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_topic_segments": _TOPIC_SEGMENTS_SQL,
         "data_logreg_quality": _LOGREG_SQL,
         "ann_pca_project": _PCA_SQL,
+        "kg_disambiguate": _DISAMBIGUATE_SQL,
+        "kg_pronoun_links": _PRONOUN_LINKS_SQL,
     }

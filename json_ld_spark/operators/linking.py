@@ -254,3 +254,184 @@ def fuzzy_link_entities(
         F.col("dist").cast("int").alias("dist"),
         "tf", F.col("first_pos").cast("long").alias("first_pos"),
     )
+
+
+def _doc_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, word) pairs — the set representation every
+    context-similarity stage shares. Codegen'd split/explode + one
+    map-side-combinable distinct."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), MENTION_RE)).alias("word"),
+        )
+        .filter(F.length("word") >= 3)
+        .distinct()
+    )
+
+
+def sense_signatures(
+    docs: DataFrame,
+    max_surfaces: int = 50,
+    senses: int = 2,
+    sig_k: int = 5,
+) -> DataFrame:
+    """Per-sense context signatures for ambiguous surfaces — the
+    dictionary side of context-scored entity disambiguation (the
+    word-sense-induction shape of Schütze 1998, relationalized): the
+    corpus's `max_surfaces` hottest surfaces each get `senses` candidate
+    entities, and sense s's signature is the `sig_k` words most often
+    co-occurring with the surface in the deterministic document split
+    ``doc_id % senses == s``. Everything is count/rank arithmetic —
+    integer-exact across engines.
+
+    Scale shape: co-occurrence is a (doc,word) × (doc,surface) equi-join
+    on doc_id (surfaces first semi-joined against a LIMITed hot list,
+    so the fan-out per doc is |surfaces ∩ doc| × |words(doc)|, bounded
+    by the dictionary cap, never corpus²); ranking is a
+    (surface, sense)-partitioned window — partitioned, audited-safe.
+    """
+    words = _doc_words(docs)
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    hot = (
+        freq.orderBy(F.desc("n"), "word")
+        .limit(max_surfaces)
+        .select(F.col("word").alias("surface"))
+    )
+    present = words.join(
+        F.broadcast(hot), words["word"] == hot["surface"], "inner"
+    ).select("doc_id", "surface")
+    cooc = (
+        present.join(words, "doc_id")
+        .where(F.col("word") != F.col("surface"))
+        .withColumn("sense", (F.col("doc_id") % senses).cast("int"))
+        .groupBy("surface", "sense", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("surface", "sense").orderBy(
+        F.desc("c"), F.asc("word")
+    )
+    return (
+        cooc.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= sig_k)
+        .groupBy("surface", "sense")
+        .agg(F.sort_array(F.collect_list("word")).alias("signature"))
+    )
+
+
+def disambiguate_entities(
+    docs: DataFrame,
+    signatures: DataFrame,
+) -> DataFrame:
+    """Context-scored sense disambiguation: each (document, surface)
+    mention is assigned the candidate sense whose signature overlaps
+    the document's word set most (score = |doc_words ∩ signature|,
+    ties to the lower sense id) — the entity-link SCORING stage of the
+    north-star pipeline with the candidate fan-out made explicit.
+
+    Scale shape: mentions equi-join the (surface, sense) signature table
+    (dictionary-sized → broadcast); the overlap is a JVM array_intersect
+    against the per-doc word set carried as one array column; the argmax
+    is a (doc, surface)-partitioned window. Integer scores — no float
+    parity risk.
+    """
+    words = _doc_words(docs)
+    docsets = words.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("word")).alias("doc_words")
+    )
+    mentions = words.join(
+        F.broadcast(signatures.select("surface").distinct()),
+        words["word"] == F.col("surface"),
+        "inner",
+    ).select("doc_id", "surface")
+    cand = (
+        mentions.join(F.broadcast(signatures), "surface")
+        .join(docsets, "doc_id")
+        .withColumn(
+            "score",
+            F.size(F.array_intersect(F.col("doc_words"), F.col("signature"))).cast(
+                "int"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id", "surface").orderBy(
+        F.desc("score"), F.asc("sense")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "surface",
+            F.col("sense").cast("int").alias("sense"),
+            "score",
+            F.concat(
+                F.lit(ENTITY_BASE),
+                F.col("surface"),
+                F.lit("#"),
+                F.col("sense").cast("string"),
+            ).alias("entity_id"),
+        )
+    )
+
+
+def pronoun_links(
+    turns: DataFrame,
+    entity_surfaces: DataFrame,
+    pronoun_re: str = r"\b(it|they|this)\b",
+) -> DataFrame:
+    """Coreference-lite antecedent linking over conversation windows:
+    a turn whose text contains a pronoun is linked to the entity FIRST
+    mentioned in the most recent PRIOR turn of the same conversation
+    that mentions any dictionary entity — the recency heuristic that
+    anchors pronoun triples (turn —refersTo→ entity) in the transcript
+    KG.
+
+    Scale shape: per-turn first-mention extraction is a broadcast
+    dictionary join + one (conv, turn)-partitioned window; antecedent
+    propagation is ONE conv-partitioned ordered window
+    (last_value IGNORE NULLS over the preceding frame). No Python,
+    no global window, integer/string outputs only.
+    """
+    ment = (
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(F.split(F.lower(F.col("text")), MENTION_RE)).alias(
+                "pos", "word"
+            ),
+        )
+        .filter(F.length("word") >= 3)
+        .join(
+            F.broadcast(entity_surfaces.select(F.col("surface").alias("word"))),
+            "word",
+        )
+    )
+    wfirst = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.asc("pos"), F.asc("word")
+    )
+    first = (
+        ment.withColumn("rk", F.row_number().over(wfirst))
+        .where(F.col("rk") == 1)
+        .select("conv_id", "turn_idx", F.col("word").alias("turn_entity"))
+    )
+    keyed = turns.join(first, ["conv_id", "turn_idx"], "left").withColumn(
+        "has_pronoun",
+        (F.regexp_count(F.lower(F.col("text")), F.lit(pronoun_re)) > 0).cast("int"),
+    )
+    wprev = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        keyed.withColumn(
+            "antecedent", F.last("turn_entity", ignorenulls=True).over(wprev)
+        )
+        .where((F.col("has_pronoun") == 1) & F.col("antecedent").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.concat(F.lit(ENTITY_BASE), F.col("antecedent")).alias("entity_id"),
+        )
+    )

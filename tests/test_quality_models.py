@@ -129,3 +129,50 @@ def test_pca_power_partition_invariant(spark):
     b = {r.vec_id: r.pc1_score_r for r in
          sim.pca_power_project(df.repartition(13), dim=4, rounds=2).collect()}
     assert a == b
+
+
+from json_ld_spark.operators import linking as lk
+
+
+def test_disambiguate_picks_overlapping_sense(spark):
+    docs = spark.createDataFrame(
+        [
+            # sense 0 context (even doc_ids): bank with river/water
+            (0, "bank river water flow"),
+            (2, "bank river water stream"),
+            # sense 1 context (odd doc_ids): bank with money/loan
+            (1, "bank money loan credit"),
+            (3, "bank money loan interest"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = lk.sense_signatures(docs, max_surfaces=1, senses=2, sig_k=5)
+    srows = {(r.surface, r.sense): r.signature for r in sigs.collect()}
+    assert ("bank", 0) in srows and ("bank", 1) in srows
+    assert "river" in srows[("bank", 0)] and "money" in srows[("bank", 1)]
+    out = {r.doc_id: r for r in
+           lk.disambiguate_entities(docs, sigs).collect()}
+    assert out[0].sense == 0 and out[2].sense == 0
+    assert out[1].sense == 1 and out[3].sense == 1
+    assert out[0].entity_id.endswith("bank#0")
+
+
+def test_pronoun_links_most_recent_antecedent(spark):
+    turns = spark.createDataFrame(
+        [
+            ("c", 0, "the spark engine started"),
+            ("c", 1, "then the window opened"),
+            ("c", 2, "and it worked"),          # pronoun -> window (turn 1)
+            ("c", 3, "nothing here"),
+            ("c", 4, "they agreed"),            # pronoun -> window (still)
+            ("d", 0, "it has no antecedent"),   # no prior mention -> dropped
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    ents = spark.createDataFrame([("spark",), ("window",)], "surface string")
+    out = {(r.conv_id, r.turn_idx): r.entity_id
+           for r in lk.pronoun_links(turns, ents).collect()}
+    assert out[("c", 2)].endswith("/window")
+    assert out[("c", 4)].endswith("/window")
+    assert ("d", 0) not in out
+    assert ("c", 0) not in out
