@@ -4414,6 +4414,57 @@ def q_kg_pronoun_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lk.pronoun_links(t, hot)
 
 
+def q_kg_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cycle census of the co-purchase graph (graphops.square_count):
+    wedge join with a degree-64 middle cap before the quadratic
+    fan-out, then integer C(c,2) aggregation over diagonal pairs — the
+    bipartite-community/link-farm motif one step past triangles. All
+    integer math; the oracle replays the capped wedge join."""
+    _utc(spark)
+    return gops.square_count(
+        _copurchase_edges(spark, sf_dir).select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ),
+        max_degree=64,
+    )
+
+
+def q_dedup_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality evaluation of banded MinHash (dedup.
+    lsh_pr_eval): precision/recall of the RAW 8-band × 2-row candidate
+    set (md5 hash family — engine-replayable) against exact 3-gram
+    Jaccard ≥ 0.7 ground truth on the sampled dup-injected corpus —
+    the tuning-loop measurement of every dedup deployment, itself a
+    first-class oracled operator. The corpus injects BOTH exact dups
+    and 45%-prefix truncated NEAR-dups (Jaccard ~0.45, squarely on the
+    8×2 band family's s-curve shoulder) so recall is a real
+    measurement, not a constant. The oracle replays the signatures,
+    banding, truncation, brute-force truth, and both rounded ratios."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    sampled = _docs_with_dups(docs).filter(F.col("doc_id") % 25 == 0)
+    words = F.split(dd.normalize_text(F.col("text")), " ")
+    near = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    words,
+                    1,
+                    F.greatest(
+                        F.expr("size(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) * 45 DIV 100"),
+                        F.lit(1),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    corpus = sampled.unionByName(near)
+    return dd.lsh_pr_eval(corpus, num_hashes=16, bands=8, threshold=0.4)
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4426,7 +4477,7 @@ _NEVER_DRIVER_CHECKED = (
     # --- Tier 0: round-5 session-5/6 additions ---
     "kg_scc", "rel_retention_cohorts", "data_iqr_outliers", "kg_reify",
     "kg_topic_segments", "data_logreg_quality", "ann_pca_project",
-    "kg_disambiguate", "kg_pronoun_links",
+    "kg_disambiguate", "kg_pronoun_links", "kg_square_count", "dedup_lsh_pr",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5388,6 +5439,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pca_project": q_ann_pca_project,
         "kg_disambiguate": q_kg_disambiguate,
         "kg_pronoun_links": q_kg_pronoun_links,
+        "kg_square_count": q_kg_square_count,
+        "dedup_lsh_pr": q_dedup_lsh_pr,
     }
 
 
@@ -10864,6 +10917,102 @@ WHERE has_pronoun = 1 AND antecedent IS NOT NULL
 """
 
 
+# 4-cycle census: capped wedge join + integer C(c,2) — all exact longs
+_SQUARE_COUNT_SQL = _COPURCHASE_SYM_CTE + """
+, deg AS (
+  SELECT u AS node, COUNT(*) AS d FROM e GROUP BY u
+), wed AS (
+  SELECT e1.v AS x, e2.v AS y
+  FROM e e1
+  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN deg ON deg.node = e1.u
+  WHERE deg.d <= 64
+), diag AS (
+  SELECT x, y, COUNT(*) AS c FROM wed GROUP BY x, y
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_diagonal_pairs,
+       CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_wedges,
+       CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_square_incidences
+FROM diag
+"""
+
+
+def _lsh_pr_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    """Unrolled md5-family MinHash banding + brute-force truth + P/R,
+    mirroring dedup.minhash_md5_candidates / lsh_pr_eval exactly."""
+    r = num_hashes // bands
+    lanes = ",\n         ".join(
+        "list_min(list_transform(grams, g -> "
+        f"('0x' || substr(md5('mh{i}|' || g), 1, 8))::BIGINT)) AS s{i}"
+        for i in range(num_hashes)
+    )
+    keys = ", ".join(
+        "'" + str(b) + "|' || "
+        + " || '|' || ".join(f"CAST(s{b * r + j} AS VARCHAR)" for j in range(r))
+        for b in range(bands)
+    )
+    return (
+        _DUP_CORPUS
+        + f"""
+, near AS (
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(list_slice(
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           1,
+           GREATEST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) * 45 // 100, 1)
+         ), ' ') AS text
+  FROM documents WHERE doc_id % 25 = 0
+), corpus2 AS (
+  SELECT doc_id, text FROM corpus WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id, text FROM near
+), sampled AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM corpus2
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(norm, ' ')) - 2 <= 0 THEN [norm]
+              ELSE list_distinct(list_transform(
+                     range(0, len(string_split(norm, ' ')) - 2),
+                     i -> array_to_string(list_slice(string_split(norm, ' '), i + 1, i + 3), ' ')))
+         END AS grams
+  FROM sampled
+), sigs AS (
+  SELECT doc_id,
+         {lanes}
+  FROM sh
+), bk AS (
+  SELECT doc_id, unnest([{keys}]) AS bk FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id
+), truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        >= 0.4
+), hits AS (
+  SELECT t.doc_a, t.doc_b FROM truth t JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(t.n AS BIGINT) AS n_truth,
+       CAST(c.n AS BIGINT) AS n_candidates,
+       CAST(h.n AS BIGINT) AS n_hits,
+       round(CAST(h.n AS DOUBLE) / CAST(GREATEST(c.n, 1) AS DOUBLE), 6)
+         AS precision_r,
+       round(CAST(h.n AS DOUBLE) / CAST(GREATEST(t.n, 1) AS DOUBLE), 6)
+         AS recall_r
+FROM (SELECT COUNT(*) AS n FROM truth) t,
+     (SELECT COUNT(*) AS n FROM cand) c,
+     (SELECT COUNT(*) AS n FROM hits) h
+"""
+    )
+
+
+_LSH_PR_SQL = _lsh_pr_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -11078,4 +11227,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_pca_project": _PCA_SQL,
         "kg_disambiguate": _DISAMBIGUATE_SQL,
         "kg_pronoun_links": _PRONOUN_LINKS_SQL,
+        "kg_square_count": _SQUARE_COUNT_SQL,
+        "dedup_lsh_pr": _LSH_PR_SQL,
     }

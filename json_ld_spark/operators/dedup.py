@@ -853,3 +853,133 @@ def remove_repeated_spans(
             F.md5(out_text).alias("dedup_md5"),
         )
     )
+
+
+def minhash_md5_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash LSH candidate pairs with an md5-derived hash family —
+    the ORACLE-REPLAYABLE twin of :func:`minhash_lsh_candidates`
+    (which re-mixes xxhash64 lanes for speed; DuckDB has no xxhash64,
+    so a cross-engine evaluation of the candidate set itself needs a
+    family both engines share). Lane i hashes each shingle through
+    md5(f"mh{i}|" + shingle) → first 8 hex chars → 32-bit int; band
+    keys concatenate the lane minima. Use for measurement/eval; the
+    xxhash64 family remains the production hot path.
+    """
+    r = num_hashes // bands
+    assert bands * r == num_hashes, "bands must divide num_hashes"
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+
+    def lane(i: int):
+        return F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda g: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"mh{i}|"), g)), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        )
+
+    sig = sh.select("doc_id", *[lane(i).alias(f"s{i}") for i in range(num_hashes)])
+    keys = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(b),
+                        *[
+                            F.col(f"s{b * r + j}").cast("string")
+                            for j in range(r)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a = keys.select(F.col("doc_id").alias("doc_a"), "bk")
+    b = keys.select(F.col("doc_id").alias("doc_b"), "bk")
+    return (
+        a.join(b, "bk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+def lsh_pr_eval(
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate-quality evaluation of the banded MinHash index:
+    precision/recall of the RAW candidate pair set against exact
+    shingle-Jaccard ≥ threshold ground truth — the measurement every
+    dedup deployment owes its tuning loop (band/row trade-off is a
+    recall curve, not a constant). Run on a bounded sample: ground
+    truth is all-pairs by construction (the caller samples; the
+    production index never does this).
+
+    Output is ONE row of integer counts + 6-dp ratios: n_truth,
+    n_candidates, n_hits, precision_r, recall_r. Integer-exact joins;
+    the only doubles are the two final rounded divisions.
+    """
+    cand = minhash_md5_candidates(
+        corpus, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text_col=text_col,
+    )
+    ids = corpus.select(F.col(id_col).alias("doc_id"))
+    allp = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    truth = jaccard_pairs(
+        corpus, allp, id_col=id_col, text_col=text_col, threshold=threshold
+    ).select("doc_a", "doc_b")
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    stats = (
+        truth.agg(F.count(F.lit(1)).alias("n")).select(F.lit("t").alias("k"), "n")
+        .unionByName(
+            cand.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("c").alias("k"), "n"
+            )
+        )
+        .unionByName(
+            hits.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("h").alias("k"), "n"
+            )
+        )
+    )
+    wide = stats.groupBy().pivot("k", ["t", "c", "h"]).sum("n")
+    return wide.select(
+        F.col("t").cast("long").alias("n_truth"),
+        F.col("c").cast("long").alias("n_candidates"),
+        F.col("h").cast("long").alias("n_hits"),
+        F.round(
+            F.col("h").cast("double")
+            / F.greatest(F.col("c"), F.lit(1)).cast("double"),
+            6,
+        ).alias("precision_r"),
+        F.round(
+            F.col("h").cast("double")
+            / F.greatest(F.col("t"), F.lit(1)).cast("double"),
+            6,
+        ).alias("recall_r"),
+    )

@@ -2034,3 +2034,50 @@ def strongly_connected_components(
         spark.conf.set(_SP, sp_old)
         spark.conf.set(_AQE, aqe_old)
     return assigned
+
+
+def square_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 64,
+) -> DataFrame:
+    """4-cycle (square) census over an undirected graph — the motif one
+    step past triangles, the standard bipartite-community / link-farm
+    signal (two nodes sharing many common neighbors ⇒ C(c,2) squares on
+    their diagonal). Counting is wedge-based: for every diagonal pair
+    (a, b) the number of common LOW-DEGREE middles c_ab is aggregated,
+    and Σ C(c_ab, 2) counts each square once per eligible diagonal
+    (exactly twice when uncapped — the returned incidence sum halves to
+    the square count in that case; with the cap it is the documented
+    hub-deflated census, same contract as the triangle query's cap).
+
+    Scale shape: middles above ``max_degree`` are dropped BEFORE the
+    quadratic wedge fan-out (per-middle cost ≤ max_degree², never
+    hub²); the rest is two equi-joins + two integer aggregations —
+    map-side-combinable, no windows, no Python, no floats.
+    """
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).dropDuplicates()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    mids = deg.where(F.col("d") <= max_degree).select(F.col("a").alias("m"))
+    w1 = sym.select(F.col("a").alias("m"), F.col("b").alias("x"))
+    w2 = sym.select(F.col("a").alias("m"), F.col("b").alias("y"))
+    wedges = (
+        w1.join(w2, "m")
+        .where(F.col("x") < F.col("y"))
+        .join(F.broadcast(mids) if max_degree <= 1024 else mids, "m")
+    )
+    diag = wedges.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    return diag.agg(
+        F.count(F.lit(1)).cast("long").alias("n_diagonal_pairs"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_wedges"),
+        F.coalesce(
+            F.sum(F.expr("c * (c - 1) DIV 2")),  # integer-exact C(c,2)
+            F.lit(0),
+        ).cast("long").alias("n_square_incidences"),
+    )

@@ -176,3 +176,62 @@ def test_pronoun_links_most_recent_antecedent(spark):
     assert out[("c", 4)].endswith("/window")
     assert ("d", 0) not in out
     assert ("c", 0) not in out
+
+
+from json_ld_spark.operators import dedup as dd
+from json_ld_spark.operators import graphops as gops
+
+
+def test_square_count_exact_on_known_graph(spark):
+    # K4 minus nothing: the 4-clique has 3 distinct 4-cycles -> each
+    # counted once per diagonal pair = 6 incidences; wedges per pair = 2
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    row = gops.square_count(edges, max_degree=64).collect()[0]
+    assert row.n_square_incidences == 6  # 3 squares x 2 diagonals
+    assert row.n_diagonal_pairs == 6     # all C(4,2) pairs share 2 middles
+    assert row.n_wedges == 12
+    # a path graph has no squares
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    row = gops.square_count(path, max_degree=64).collect()[0]
+    assert row.n_square_incidences == 0
+
+
+def test_square_count_degree_cap_drops_hub_middles(spark):
+    # star K1,5: hub degree 5; with cap 3 the hub can't be a middle,
+    # leaves have degree 1 and produce no wedge pairs -> all zero
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    row = gops.square_count(star, max_degree=3).collect()[0]
+    assert row.n_wedges == 0 and row.n_square_incidences == 0
+
+
+def test_lsh_pr_eval_counts_candidates_and_truth(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+            (2, "completely different words entirely unrelated text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    row = dd.lsh_pr_eval(docs, num_hashes=16, bands=8, threshold=0.7).collect()[0]
+    assert row.n_truth == 1          # only (0, 1)
+    assert row.n_hits == 1           # exact dup always shares every band
+    assert row.recall_r == 1.0
+    assert 0.0 < row.precision_r <= 1.0
+
+
+def test_minhash_md5_candidates_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common words shared across documents {i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = set(map(tuple, dd.minhash_md5_candidates(docs).collect()))
+    b = set(map(tuple, dd.minhash_md5_candidates(docs.repartition(7)).collect()))
+    assert a == b
