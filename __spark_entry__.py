@@ -4465,6 +4465,32 @@ def q_dedup_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_pr_eval(corpus, num_hashes=16, bands=8, threshold=0.4)
 
 
+def q_kg_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph health profile (graphops.degree_distribution): bit-length
+    log-binned degree histogram of the co-purchase graph plus the Hill
+    power-law tail estimate (micro-quantized ln sum). Two map-side
+    aggregations + a broadcast 1-row cross join. Oracle replays bins
+    (length(bin(d))) and the Hill micro-sum."""
+    _utc(spark)
+    return gops.degree_distribution(
+        _copurchase_edges(spark, sf_dir).select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ),
+        tail_min_degree=4,
+    )
+
+
+def q_text_ttr_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus-health linguistics (textops.ttr_zipf):
+    type-token ratio + Zipf slope of the top-100 word frequencies with
+    the OLS computed in scaled integer micro-units (engine-exact until
+    one final division). One vocab aggregation, one lang-partitioned
+    rank window, one rollup. Oracle replays the micro-int OLS."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return tx.ttr_zipf(docs, top_k=100)
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4478,6 +4504,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_scc", "rel_retention_cohorts", "data_iqr_outliers", "kg_reify",
     "kg_topic_segments", "data_logreg_quality", "ann_pca_project",
     "kg_disambiguate", "kg_pronoun_links", "kg_square_count", "dedup_lsh_pr",
+    "kg_degree_profile", "text_ttr_zipf",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5441,6 +5468,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pronoun_links": q_kg_pronoun_links,
         "kg_square_count": q_kg_square_count,
         "dedup_lsh_pr": q_dedup_lsh_pr,
+        "kg_degree_profile": q_kg_degree_profile,
+        "text_ttr_zipf": q_text_ttr_zipf,
     }
 
 
@@ -11013,6 +11042,71 @@ FROM (SELECT COUNT(*) AS n FROM truth) t,
 _LSH_PR_SQL = _lsh_pr_sql()
 
 
+# degree histogram (integer bit-length bins) + Hill tail alpha
+_DEGREE_PROFILE_SQL = _COPURCHASE_SYM_CTE + """
+, deg AS (
+  SELECT u AS node, COUNT(*) AS d FROM e GROUP BY u
+), hist AS (
+  SELECT CAST(length(bin(d)) AS INT) AS bin_id,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(MIN(d) AS BIGINT) AS d_min,
+         CAST(MAX(d) AS BIGINT) AS d_max
+  FROM deg GROUP BY 1
+), tail AS (
+  SELECT COUNT(*) AS n_tail,
+         SUM(CAST(round(ln(CAST(d AS DOUBLE) / 4.0) * 1e6, 0) AS BIGINT))
+           AS lsum_micro
+  FROM deg WHERE d >= 4
+), alpha AS (
+  SELECT CASE WHEN lsum_micro > 0
+              THEN round(1.0 + CAST(n_tail AS DOUBLE)
+                         / (CAST(lsum_micro AS DOUBLE) / 1e6), 6)
+         END AS hill_alpha_r
+  FROM tail
+)
+SELECT bin_id, n_nodes, d_min, d_max, hill_alpha_r
+FROM hist CROSS JOIN alpha
+"""
+
+# per-lang TTR + micro-int OLS Zipf slope
+_TTR_ZIPF_SQL = """
+WITH words AS (
+  SELECT lang, word FROM (
+    SELECT lang,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents)
+  WHERE word <> ''
+), freq AS (
+  SELECT lang, word, COUNT(*) AS n FROM words GROUP BY lang, word
+), base AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(n) AS BIGINT) AS n_tokens
+  FROM freq GROUP BY lang
+), top AS (
+  SELECT lang,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+  FROM (
+    SELECT lang, n,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rank
+    FROM freq)
+  WHERE rank <= 100
+), ols AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM top GROUP BY lang
+)
+SELECT b.lang, b.n_types, b.n_tokens,
+       round(CAST(b.n_types AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) AS ttr_r,
+       CASE WHEN (o.k * o.sxx - o.sx * o.sx) <> 0
+            THEN round(CAST(o.k * o.sxy - o.sx * o.sy AS DOUBLE)
+                       / CAST(o.k * o.sxx - o.sx * o.sx AS DOUBLE), 6)
+       END AS zipf_slope_r
+FROM base b JOIN ols o ON b.lang = o.lang
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -11229,4 +11323,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_pronoun_links": _PRONOUN_LINKS_SQL,
         "kg_square_count": _SQUARE_COUNT_SQL,
         "dedup_lsh_pr": _LSH_PR_SQL,
+        "kg_degree_profile": _DEGREE_PROFILE_SQL,
+        "text_ttr_zipf": _TTR_ZIPF_SQL,
     }

@@ -2081,3 +2081,65 @@ def square_count(
             F.lit(0),
         ).cast("long").alias("n_square_incidences"),
     )
+
+
+def degree_distribution(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    tail_min_degree: int = 4,
+) -> DataFrame:
+    """Log-binned degree histogram + Hill power-law tail estimate — the
+    standard at-scale graph health profile (is this KG scale-free? where
+    do the hubs start?). Bin id is the INTEGER bit length of the degree
+    (length of its binary representation: 1→1, 2-3→2, 4-7→3, …), so
+    binning is integer-exact on every engine — no float log2 at bin
+    edges. The Hill estimator over the tail d ≥ tail_min_degree,
+
+        alpha = 1 + n_tail / Σ ln(d / d_min),
+
+    uses the repo's micro-unit trick (per-node ln quantized to 1e-6
+    BIGINT before the sum) so the oracle replays it bit-for-bit.
+
+    Scale shape: one degree aggregation + one bin aggregation, both
+    map-side combinable; the alpha scalar joins back as a broadcast
+    1-row cross join. No windows, no Python.
+    """
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).dropDuplicates()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy(
+        F.length(F.bin(F.col("d"))).cast("int").alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("d_min"),
+        F.max("d").cast("long").alias("d_max"),
+    )
+    tail = deg.where(F.col("d") >= tail_min_degree).agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(
+            F.round(
+                F.log(F.col("d").cast("double") / F.lit(float(tail_min_degree)))
+                * F.lit(1e6),
+                0,
+            ).cast("long")
+        ).alias("lsum_micro"),
+    )
+    alpha = tail.select(
+        F.when(
+            F.col("lsum_micro") > 0,
+            F.round(
+                F.lit(1.0)
+                + F.col("n_tail").cast("double")
+                / (F.col("lsum_micro").cast("double") / F.lit(1e6)),
+                6,
+            ),
+        ).alias("hill_alpha_r")
+    )
+    return hist.crossJoin(F.broadcast(alpha)).select(
+        "bin_id", "n_nodes", "d_min", "d_max", "hill_alpha_r"
+    )

@@ -7,6 +7,7 @@ regexp) — zero Python in hot paths.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 # crude n-gram/stopword language evidence (heuristic language-ID; real
 # models plug in as pandas UDFs behind the same column contract)
@@ -582,5 +583,83 @@ def topic_segments(
             "jaccard_prev",
             "is_boundary",
             "segment_id",
+        )
+    )
+
+
+def ttr_zipf(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Per-language corpus-health linguistics: type-token ratio and the
+    Zipf slope of the top-``top_k`` word frequencies — the audit
+    metrics that flag boilerplate floods (TTR collapses) and synthetic/
+    templated text (Zipf slope drifts from ≈ −1). The OLS slope of
+    ln(freq) on ln(rank) is computed ENTIRELY in scaled integer
+    arithmetic: each ln is quantized to 1e-6 BIGINT per row, and
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+
+    over those micro-ints cancels the scale factor in the ratio, so
+    cross-engine summation order cannot move a bit until the single
+    final division (rounded 6 dp).
+
+    Scale shape: one (lang, word) count aggregation, one
+    lang-partitioned rank window over the dictionary (vocabulary-sized,
+    never corpus-sized), one lang rollup. No Python.
+    """
+    words = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(_words(F.col(text_col))).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    freq = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    base = freq.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    top = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rank").cast("double")) * F.lit(1e6), 0)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("n").cast("double")) * F.lit(1e6), 0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    ols = top.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope_num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        base.join(ols, "lang")
+        .select(
+            "lang",
+            "n_types",
+            "n_tokens",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr_r"),
+            F.when(
+                slope_den != 0,
+                F.round(
+                    slope_num.cast("double") / slope_den.cast("double"), 6
+                ),
+            ).alias("zipf_slope_r"),
         )
     )

@@ -235,3 +235,35 @@ def test_minhash_md5_candidates_partition_invariant(spark):
     a = set(map(tuple, dd.minhash_md5_candidates(docs).collect()))
     b = set(map(tuple, dd.minhash_md5_candidates(docs.repartition(7)).collect()))
     assert a == b
+
+
+def test_degree_distribution_bins_and_alpha(spark):
+    # star K1,7: hub degree 7 (bin 3: 4-7), leaves degree 1 (bin 1)
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "src long, dst long"
+    )
+    rows = {r.bin_id: r for r in
+            gops.degree_distribution(star, tail_min_degree=4).collect()}
+    assert rows[1].n_nodes == 7 and rows[1].d_min == 1 and rows[1].d_max == 1
+    assert rows[3].n_nodes == 1 and rows[3].d_min == 7
+    # only the hub is in the tail; alpha = 1 + 1/ln(7/4)
+    import math
+    expect = round(1.0 + 1.0 / (round(math.log(7 / 4) * 1e6) / 1e6), 6)
+    assert abs(rows[1].hill_alpha_r - expect) < 1e-9
+
+
+def test_ttr_zipf_flat_and_skewed(spark):
+    # lang a: all distinct words -> TTR 1.0, flat freqs -> slope ~ 0
+    # lang b: heavy zipf-ish head
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "one two three four five six"),
+            (1, "b", "x x x x x x x x y y y y z z w"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.lang: r for r in tx.ttr_zipf(docs, top_k=100).collect()}
+    assert out["a"].ttr_r == 1.0
+    assert abs(out["a"].zipf_slope_r) < 1e-6  # all frequencies equal
+    assert out["b"].n_tokens == 15 and out["b"].n_types == 4
+    assert out["b"].zipf_slope_r < -0.5  # steep head
