@@ -4491,6 +4491,47 @@ def q_text_ttr_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.ttr_zipf(docs, top_k=100)
 
 
+def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-probes curve of the IVF index (the ANN twin of
+    dedup_lsh_pr's tuning-loop measurement): ivf_topk at n_probe ∈
+    {1, 2, 4} against the exact cosine top-5, per-probe recall as ONE
+    integer-counted row each — the curve every IVF deployment tunes
+    nprobe against. Shares one codebook across the three probe levels;
+    hit counting is an integer equi-join. Oracle: the shared-codebook
+    IVF replay at each probe level + brute-force truth."""
+    _utc(spark)
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    cents = sim.ivf_centroids(emb, n_cells=16, lloyd_rounds=2)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = sim.brute_force_topk(queries_df, emb, k=5).select(
+        "query_id", "cand_id"
+    )
+    per = []
+    for p in (1, 2, 4):
+        appx = sim.ivf_topk(
+            queries_df, emb, cents, k=5, n_probe=p, n_assign=2
+        ).select("query_id", "cand_id")
+        hits = exact.join(appx, ["query_id", "cand_id"])
+        per.append(
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(p).cast("int").alias("n_probe"),
+                F.col("n_exact").cast("long").alias("n_exact"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"),
+                    6,
+                ).alias("recall_r"),
+            )
+        )
+    out = per[0]
+    for df in per[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4504,7 +4545,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_scc", "rel_retention_cohorts", "data_iqr_outliers", "kg_reify",
     "kg_topic_segments", "data_logreg_quality", "ann_pca_project",
     "kg_disambiguate", "kg_pronoun_links", "kg_square_count", "dedup_lsh_pr",
-    "kg_degree_profile", "text_ttr_zipf",
+    "kg_degree_profile", "text_ttr_zipf", "ann_recall_curve",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5470,6 +5511,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pr": q_dedup_lsh_pr,
         "kg_degree_profile": q_kg_degree_profile,
         "text_ttr_zipf": q_text_ttr_zipf,
+        "ann_recall_curve": q_ann_recall_curve,
     }
 
 
@@ -11107,6 +11149,77 @@ FROM base b JOIN ols o ON b.lang = o.lang
 """
 
 
+def _ann_recall_curve_sql(
+    n_cells: int = 16, lloyd_rounds: int = 2, n_assign: int = 2,
+    k: int = 5, dim: int = 64, probes: tuple = (1, 2, 4),
+) -> str:
+    """Shared-codebook IVF replay at each probe level + brute-force
+    truth + per-probe recall (mirrors q_ann_recall_curve)."""
+    prefix, prev = _ivf_codebook_prefix(n_cells, lloyd_rounds, dim)
+    sql = f"""{prefix}
+, idx AS (
+  SELECT cand_id, cell FROM (
+    SELECT e.vec_id AS cand_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC
+           ) AS rk
+    FROM e CROSS JOIN {prev} c)
+  WHERE rk <= {n_assign}
+), pr AS (
+  SELECT e.vec_id AS query_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC
+         ) AS rk
+  FROM e CROSS JOIN {prev} c
+  WHERE e.vec_id % 100 = 0
+), exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC
+           ) AS rank
+    FROM e c CROSS JOIN e q
+    WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id)
+  WHERE rank <= {k}
+), nex AS (SELECT COUNT(*) AS n_exact FROM exact)
+"""
+    selects = []
+    for p in probes:
+        sql += f""", top{p} AS (
+  SELECT query_id, cand_id FROM (
+    SELECT s.query_id, s.cand_id,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id
+             ORDER BY s.cos DESC, s.cand_id ASC) AS rank
+    FROM (
+      SELECT cd.query_id, cd.cand_id,
+             list_cosine_similarity(eq.v, ec.v) AS cos
+      FROM (
+        SELECT DISTINCT pb.query_id, idx.cand_id
+        FROM (SELECT query_id, cell FROM pr WHERE rk <= {p}) pb
+        JOIN idx USING (cell)
+        WHERE idx.cand_id <> pb.query_id) cd
+      JOIN e eq ON eq.vec_id = cd.query_id
+      JOIN e ec ON ec.vec_id = cd.cand_id) s)
+  WHERE rank <= {k}
+), hit{p} AS (
+  SELECT COUNT(*) AS n FROM exact JOIN top{p} USING (query_id, cand_id)
+)
+"""
+        selects.append(
+            f"SELECT CAST({p} AS INT) AS n_probe, "
+            f"CAST(nex.n_exact AS BIGINT) AS n_exact, "
+            f"CAST(hit{p}.n AS BIGINT) AS n_hits, "
+            f"round(CAST(hit{p}.n AS DOUBLE) "
+            f"/ CAST(GREATEST(nex.n_exact, 1) AS DOUBLE), 6) AS recall_r "
+            f"FROM nex, hit{p}"
+        )
+    sql += "\n" + "\nUNION ALL\n".join(selects)
+    return sql
+
+
+_ANN_RECALL_CURVE_SQL = _ann_recall_curve_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -11325,4 +11438,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pr": _LSH_PR_SQL,
         "kg_degree_profile": _DEGREE_PROFILE_SQL,
         "text_ttr_zipf": _TTR_ZIPF_SQL,
+        "ann_recall_curve": _ANN_RECALL_CURVE_SQL,
     }
