@@ -4532,6 +4532,59 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_streaming_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online-SGD streaming twin of data_logreg_quality (streaming/
+    stream.py make_logreg_batch_updater): the document corpus arrives
+    as two ORDERED micro-batch files (doc_id parity; early file
+    strictly older mtime — the FileStreamSource pickup-order contract
+    all the streams here document), each batch applies ONE
+    engine-rounded SGD step to the persisted weight state, and the
+    final weights score the full corpus. History is never re-read —
+    the arriving-slice maintenance shape at 100 TB. The oracle unrolls
+    the two sequential batch steps as CTEs; hash equality proves the
+    stream landed on bit-identical weights."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from json_ld_spark.operators.curation import logreg_features
+    from json_ld_spark.streaming.stream import run_stream_logreg
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="stream_lr_")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{base}/in")
+    first = set(glob.glob(f"{base}/in/part-*"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{base}/in")
+    now = time.time()
+    for f in glob.glob(f"{base}/in/part-*"):
+        os.utime(f, (now - 120, now - 120) if f in first else (now, now))
+    w = run_stream_logreg(
+        spark,
+        f"{base}/in",
+        f"{base}/state",
+        f"{base}/ckpt",
+        schema=docs.schema,
+        lr=1.0,
+    )
+    feats = logreg_features(docs)
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.col("y").cast("int").alias("y"),
+        F.round(p, 6).alias("score_r"),
+        (F.round(p, 6) >= F.lit(0.5)).cast("int").alias("pred"),
+    )
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4546,6 +4599,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_topic_segments", "data_logreg_quality", "ann_pca_project",
     "kg_disambiguate", "kg_pronoun_links", "kg_square_count", "dedup_lsh_pr",
     "kg_degree_profile", "text_ttr_zipf", "ann_recall_curve",
+    "streaming_logreg",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5512,6 +5566,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_profile": q_kg_degree_profile,
         "text_ttr_zipf": q_text_ttr_zipf,
         "ann_recall_curve": q_ann_recall_curve,
+        "streaming_logreg": q_streaming_logreg,
     }
 
 
@@ -10814,6 +10869,48 @@ FROM feats CROSS JOIN r{n_rounds} w
 _LOGREG_SQL = _logreg_sql()
 
 
+def _streaming_logreg_sql(lr: float = 1.0) -> str:
+    """Two sequential per-batch SGD steps (doc_id parity split, early
+    file first) unrolled as CTEs, then full-corpus scoring — mirrors
+    q_streaming_logreg / make_logreg_batch_updater exactly."""
+    xs = ["1e6", "x1 * 1e6", "x2 * 1e6"]
+    sql = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST(LEAST(n_chars, 2000) AS DOUBLE) / 1000.0 AS x1,
+         CAST(len(regexp_extract_all(text, '\\d')) AS DOUBLE)
+           / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS x2,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), r0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)
+"""
+    for k, par in ((1, 0), (2, 1)):
+        z = "(w.w0 + w.w1 * x1 + w.w2 * x2)"
+        p = f"(1.0 / (1.0 + exp(-{z})))"
+        err = f"({p} - CAST(y AS DOUBLE))"
+        grads = ", ".join(
+            f"round(w.w{j} - {lr!r} * (CAST(SUM(CAST(round({err} * {xs[j]}, 0) "
+            f"AS BIGINT)) AS DOUBLE) / 1e6) / CAST(COUNT(*) AS DOUBLE), 6) AS w{j}"
+            for j in range(3)
+        )
+        sql += (
+            f", r{k} AS (\n  SELECT {grads}\n"
+            f"  FROM (SELECT * FROM feats WHERE doc_id % 2 = {par}) f\n"
+            f"  CROSS JOIN r{k - 1} w GROUP BY w.w0, w.w1, w.w2\n)\n"
+        )
+    z = "(w.w0 + w.w1 * x1 + w.w2 * x2)"
+    p = f"(1.0 / (1.0 + exp(-{z})))"
+    sql += f"""
+SELECT doc_id, y, round({p}, 6) AS score_r,
+       CASE WHEN round({p}, 6) >= 0.5 THEN 1 ELSE 0 END AS pred
+FROM feats CROSS JOIN r2 w
+"""
+    return sql
+
+
+_STREAMING_LOGREG_SQL = _streaming_logreg_sql()
+
+
 def _pca_sql(dim: int = 64, rounds: int = 2) -> str:
     """Unrolled matrix-free power iteration mirroring
     similarity.pca_power_project: micro-exact sums, in-engine 6-dp
@@ -11439,4 +11536,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_profile": _DEGREE_PROFILE_SQL,
         "text_ttr_zipf": _TTR_ZIPF_SQL,
         "ann_recall_curve": _ANN_RECALL_CURVE_SQL,
+        "streaming_logreg": _STREAMING_LOGREG_SQL,
     }

@@ -997,6 +997,57 @@ def best_of_n(
     return best
 
 
+def logreg_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Feature projection shared by the batch trainer
+    (:func:`logreg_quality`) and the streaming online-SGD updater
+    (streaming/stream.py): x1 = min(n_chars, 2000)/1000, x2 =
+    digit-char ratio, weak label y = (lang = 'en'). Pure JVM."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.least(F.col("n_chars"), F.lit(2000)).cast("double") / F.lit(1000.0)).alias("x1"),
+        (
+            F.regexp_count(F.col("text"), F.lit(r"\d")).cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+        ).alias("x2"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+
+
+def logreg_step(feats: DataFrame, w: list, lr: float = 1.0) -> list:
+    """ONE engine-rounded gradient-descent step over `feats` from
+    weights `w` — the unit both the full-batch trainer and the
+    per-micro-batch online-SGD updater iterate. Per-row gradient
+    contributions are quantized to BIGINT micros (exact order-free
+    sums) and the weight update is computed AND 6-dp-rounded inside
+    the engine, so DuckDB CTEs replaying the step land on bit-equal
+    weights. Returns the previous weights unchanged on an empty batch
+    (COUNT = 0)."""
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    err = p - F.col("y").cast("double")
+    gm = [
+        F.sum(F.round(err * x * F.lit(1e6), 0).cast("long")).alias(f"g{j}")
+        for j, x in enumerate([F.lit(1.0), F.col("x1"), F.col("x2")])
+    ]
+    row = feats.agg(*gm, F.count(F.lit(1)).alias("n")).select(
+        *[
+            F.when(F.col("n") == 0, F.lit(w[j]))
+            .otherwise(
+                F.round(
+                    F.lit(w[j])
+                    - F.lit(lr)
+                    * (F.col(f"g{j}").cast("double") / F.lit(1e6))
+                    / F.col("n").cast("double"),
+                    6,
+                )
+            )
+            .alias(f"w{j}")
+            for j in range(3)
+        ]
+    ).collect()[0]
+    return [row[f"w{j}"] for j in range(3)]
+
+
 def logreg_quality(
     docs: DataFrame,
     n_rounds: int = 3,
@@ -1021,37 +1072,10 @@ def logreg_quality(
     bit. Features: x1 = min(n_chars,2000)/1000, x2 = digit-char ratio;
     weak label y = (lang = 'en').
     """
-    feats = docs.select(
-        F.col(id_col).alias("doc_id"),
-        (F.least(F.col("n_chars"), F.lit(2000)).cast("double") / F.lit(1000.0)).alias("x1"),
-        (
-            F.regexp_count(F.col("text"), F.lit(r"\d")).cast("double")
-            / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
-        ).alias("x2"),
-        (F.col("lang") == "en").cast("int").alias("y"),
-    )
+    feats = logreg_features(docs, id_col=id_col)
     w = [0.0, 0.0, 0.0]  # bias, w1, w2
     for _ in range(max(0, n_rounds)):
-        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        err = p - F.col("y").cast("double")
-        gm = [
-            F.sum(F.round(err * x * F.lit(1e6), 0).cast("long")).alias(f"g{j}")
-            for j, x in enumerate([F.lit(1.0), F.col("x1"), F.col("x2")])
-        ]
-        row = feats.agg(*gm, F.count(F.lit(1)).alias("n")).select(
-            *[
-                F.round(
-                    F.lit(w[j])
-                    - F.lit(lr)
-                    * (F.col(f"g{j}").cast("double") / F.lit(1e6))
-                    / F.col("n").cast("double"),
-                    6,
-                ).alias(f"w{j}")
-                for j in range(3)
-            ]
-        ).collect()[0]
-        w = [row[f"w{j}"] for j in range(3)]
+        w = logreg_step(feats, w, lr=lr)
     z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return feats.select(

@@ -727,3 +727,70 @@ def run_stream_graph_state(
     out = _latest_component_state(spark, state_path, before=1 << 62)
     assert out is not None
     return out.filter(F.col("op") == "assert").select(*_GSTATE_KEY)
+
+
+def _latest_logreg_weights(
+    spark: SparkSession, state_path: str, before: int
+) -> list:
+    """Newest committed weight version strictly below `before`
+    (same replay-safe versioning protocol as the component/graph-state
+    updaters); zeros when no prior state exists."""
+    prev = _latest_component_state(spark, state_path, before=before)
+    if prev is None:
+        return [0.0, 0.0, 0.0]
+    row = prev.orderBy(F.desc("batch_id")).limit(1).collect()[0]
+    return [row["w0"], row["w1"], row["w2"]]
+
+
+def make_logreg_batch_updater(state_path: str, lr: float = 1.0):
+    """foreachBatch ONLINE-SGD updater for the learned quality filter:
+    one engine-rounded gradient step per micro-batch from the latest
+    persisted weights — the streaming maintenance twin of
+    curation.logreg_quality's full-batch rounds (an arriving slice of
+    corpus updates the filter without retraining over history; history
+    is never re-read — the 100 TB contract).
+
+    Unlike the monoid updaters (components, quality, graph state), SGD
+    is ORDER-SENSITIVE: determinism relies on the FileStreamSource's
+    mtime pickup order, the same producer contract the sessionization
+    and conv-quality streams document. State rows (batch_id, w0, w1,
+    w2) version per batch — replay of batch b reads state < b, so a
+    restarted stream lands on identical weights."""
+    from json_ld_spark.operators.curation import logreg_features, logreg_step
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = _latest_logreg_weights(spark, state_path, before=batch_id)
+        w_new = logreg_step(logreg_features(batch_df), w, lr=lr)
+        spark.createDataFrame(
+            [(int(batch_id), float(w_new[0]), float(w_new[1]), float(w_new[2]))],
+            "batch_id long, w0 double, w1 double, w2 double",
+        ).write.mode("overwrite").parquet(f"{state_path}/v={batch_id}")
+
+    return update
+
+
+def run_stream_logreg(
+    spark: SparkSession,
+    in_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    schema,
+    lr: float = 1.0,
+    max_files_per_trigger: int = 1,
+) -> list:
+    """Drain a document-file stream through the online-SGD updater and
+    return the final weight vector [w0, w1, w2]."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(make_logreg_batch_updater(state_path, lr=lr))
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return _latest_logreg_weights(spark, state_path, before=1 << 62)

@@ -267,3 +267,42 @@ def test_ttr_zipf_flat_and_skewed(spark):
     assert abs(out["a"].zipf_slope_r) < 1e-6  # all frequencies equal
     assert out["b"].n_tokens == 15 and out["b"].n_types == 4
     assert out["b"].zipf_slope_r < -0.5  # steep head
+
+
+def test_streaming_logreg_matches_sequential_steps(spark, tmp_path):
+    import glob
+    import os
+    import time
+
+    from json_ld_spark.operators.curation import logreg_features, logreg_step
+    from json_ld_spark.streaming.stream import run_stream_logreg
+
+    rows = [(i, f"text {i} 12", "en" if i % 2 else "fr", 9) for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(
+        f"{tmp_path}/in"
+    )
+    first = set(glob.glob(f"{tmp_path}/in/part-*"))
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        f"{tmp_path}/in"
+    )
+    now = time.time()
+    for f in glob.glob(f"{tmp_path}/in/part-*"):
+        os.utime(f, (now - 120, now - 120) if f in first else (now, now))
+    w_stream = run_stream_logreg(
+        spark, f"{tmp_path}/in", f"{tmp_path}/state", f"{tmp_path}/ckpt",
+        schema=docs.schema,
+    )
+    # sequential batch replay: step on evens, then step on odds
+    w = [0.0, 0.0, 0.0]
+    w = logreg_step(logreg_features(docs.filter("doc_id % 2 = 0")), w)
+    w = logreg_step(logreg_features(docs.filter("doc_id % 2 = 1")), w)
+    assert w_stream == w
+    # restart with existing state + checkpoint: no reprocessing, same weights
+    w_again = run_stream_logreg(
+        spark, f"{tmp_path}/in", f"{tmp_path}/state", f"{tmp_path}/ckpt",
+        schema=docs.schema,
+    )
+    assert w_again == w
