@@ -4585,6 +4585,29 @@ def q_streaming_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_entity_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity KB rollup (linking.entity_profiles): mention counts,
+    distinct turns/convs, first/last mention timestamps, and the top
+    co-mentioned entity — the entity table a linking pipeline
+    publishes next to its triple table. Broadcast dictionary join, one
+    map-side profile agg, per-turn-set co-mention pairing (fan-out
+    bounded by entities-per-turn²), surface-partitioned argmax. The
+    oracle replays the dictionary, the aggregation, and the co-mention
+    window over the transcript synthesis."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    words = lk._doc_words(docs)
+    hot = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+        .select(F.col("word").alias("surface"))
+    )
+    t = transcripts_from_documents(spark, sf_dir)
+    return lk.entity_profiles(t, hot)
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4599,7 +4622,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_topic_segments", "data_logreg_quality", "ann_pca_project",
     "kg_disambiguate", "kg_pronoun_links", "kg_square_count", "dedup_lsh_pr",
     "kg_degree_profile", "text_ttr_zipf", "ann_recall_curve",
-    "streaming_logreg",
+    "streaming_logreg", "kg_entity_profiles",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5567,6 +5590,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ttr_zipf": q_text_ttr_zipf,
         "ann_recall_curve": q_ann_recall_curve,
         "streaming_logreg": q_streaming_logreg,
+        "kg_entity_profiles": q_kg_entity_profiles,
     }
 
 
@@ -10910,6 +10934,57 @@ FROM feats CROSS JOIN r2 w
 
 _STREAMING_LOGREG_SQL = _streaming_logreg_sql()
 
+# per-entity KB rollup: dictionary join + profile agg + co-mention argmax
+_ENTITY_PROFILES_SQL = _BASE_CTE + """
+, dwords AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+    FROM documents)
+  WHERE length(word) >= 3
+), hot AS (
+  SELECT word AS surface FROM (
+    SELECT word, COUNT(*) AS n FROM dwords GROUP BY word)
+  ORDER BY n DESC, word LIMIT 50
+), ment AS (
+  SELECT t.word AS surface, t.conv_id, t.turn_idx, t.ts_lex,
+         t.conv_id || '#' || CAST(t.turn_idx AS VARCHAR) AS turn_key
+  FROM (
+    SELECT conv_id, turn_idx, ts_lex,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+    FROM base) t
+  JOIN hot h ON t.word = h.surface
+  WHERE length(t.word) >= 3
+), prof AS (
+  SELECT surface,
+         CAST(COUNT(*) AS BIGINT) AS n_mentions,
+         CAST(COUNT(DISTINCT turn_key) AS BIGINT) AS n_turns,
+         CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         MIN(ts_lex) AS first_ts,
+         MAX(ts_lex) AS last_ts
+  FROM ment GROUP BY surface
+), tset AS (
+  SELECT DISTINCT turn_key, surface FROM ment
+), co AS (
+  SELECT a.surface AS surface, b.surface AS co_surface, COUNT(*) AS c
+  FROM tset a JOIN tset b ON a.turn_key = b.turn_key
+  WHERE a.surface <> b.surface
+  GROUP BY 1, 2
+), top_co AS (
+  SELECT surface, co_surface, CAST(c AS BIGINT) AS co_count FROM (
+    SELECT surface, co_surface, c,
+           ROW_NUMBER() OVER (PARTITION BY surface
+                              ORDER BY c DESC, co_surface ASC) AS rk
+    FROM co)
+  WHERE rk = 1
+)
+SELECT 'https://example.org/entity/' || p.surface AS entity_id,
+       p.surface, p.n_mentions, p.n_turns, p.n_convs, p.first_ts, p.last_ts,
+       t.co_surface,
+       CAST(COALESCE(t.co_count, 0) AS BIGINT) AS co_count
+FROM prof p LEFT JOIN top_co t ON p.surface = t.surface
+"""
+
 
 def _pca_sql(dim: int = 64, rounds: int = 2) -> str:
     """Unrolled matrix-free power iteration mirroring
@@ -11537,4 +11612,5 @@ def oracle_sql() -> dict[str, str]:
         "text_ttr_zipf": _TTR_ZIPF_SQL,
         "ann_recall_curve": _ANN_RECALL_CURVE_SQL,
         "streaming_logreg": _STREAMING_LOGREG_SQL,
+        "kg_entity_profiles": _ENTITY_PROFILES_SQL,
     }

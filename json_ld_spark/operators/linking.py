@@ -435,3 +435,83 @@ def pronoun_links(
             F.concat(F.lit(ENTITY_BASE), F.col("antecedent")).alias("entity_id"),
         )
     )
+
+
+def entity_profiles(
+    turns: DataFrame,
+    surfaces: DataFrame,
+) -> DataFrame:
+    """Per-entity knowledge-base rollup — the materialized entity table
+    a linking pipeline publishes next to the triple table: for every
+    dictionary entity, total mention occurrences, distinct mentioning
+    turns and conversations, first/last mention timestamps, and the
+    most co-mentioned other entity (count desc, surface asc tiebreak).
+
+    Scale shape: mentions are a broadcast dictionary join over the
+    exploded turn tokens; the profile is ONE map-side-combinable
+    aggregation keyed by surface; co-mention pairing joins the DISTINCT
+    per-turn entity sets with themselves — fan-out bounded by
+    (entities-per-turn)², never corpus² — and the argmax is a
+    surface-partitioned window over the dictionary-sized pair table.
+    Timestamps are emitted as UTC lexical strings (the N-Quads
+    convention used across the KG).
+    """
+    ment = (
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.explode(F.split(F.lower(F.col("text")), MENTION_RE)).alias("word"),
+        )
+        .filter(F.length("word") >= 3)
+        .join(
+            F.broadcast(surfaces.select(F.col("surface").alias("word"))), "word"
+        )
+        .select(
+            F.col("word").alias("surface"),
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias(
+                "turn_key"
+            ),
+        )
+    )
+    prof = ment.groupBy("surface").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct("turn_key").cast("long").alias("n_turns"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("last_ts"),
+    )
+    tset = ment.select("turn_key", "surface").distinct()
+    co = (
+        tset.alias("a")
+        .join(tset.alias("b"), "turn_key")
+        .where(F.col("a.surface") != F.col("b.surface"))
+        .groupBy(
+            F.col("a.surface").alias("surface"),
+            F.col("b.surface").alias("co_surface"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("surface").orderBy(F.desc("c"), F.asc("co_surface"))
+    top_co = (
+        co.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("surface", "co_surface", F.col("c").cast("long").alias("co_count"))
+    )
+    return (
+        prof.join(top_co, "surface", "left")
+        .select(
+            F.concat(F.lit(ENTITY_BASE), F.col("surface")).alias("entity_id"),
+            "surface",
+            "n_mentions",
+            "n_turns",
+            "n_convs",
+            "first_ts",
+            "last_ts",
+            "co_surface",
+            F.coalesce(F.col("co_count"), F.lit(0)).cast("long").alias("co_count"),
+        )
+    )

@@ -306,3 +306,29 @@ def test_streaming_logreg_matches_sequential_steps(spark, tmp_path):
         schema=docs.schema,
     )
     assert w_again == w
+
+
+def test_entity_profiles_rollup_and_comention(spark):
+    from datetime import datetime
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "spark and window together", datetime(2026, 1, 1, 0, 0, 0)),
+            ("c1", 1, "spark alone here", datetime(2026, 1, 1, 0, 0, 7)),
+            ("c2", 0, "window with hash", datetime(2026, 1, 1, 2, 46, 40)),
+        ],
+        "conv_id string, turn_idx int, text string, ts timestamp",
+    )
+    ents = spark.createDataFrame(
+        [("spark",), ("window",), ("hash",)], "surface string"
+    )
+    out = {r.surface: r for r in lk.entity_profiles(turns, ents).collect()}
+    assert out["spark"].n_mentions == 2
+    assert out["spark"].n_turns == 2 and out["spark"].n_convs == 1
+    assert out["spark"].first_ts == "2026-01-01T00:00:00Z"
+    assert out["spark"].last_ts == "2026-01-01T00:00:07Z"
+    assert out["spark"].co_surface == "window"  # only co-mention
+    assert out["window"].n_convs == 2
+    # window co-mentions spark once and hash once -> tie broken to 'hash'
+    assert out["window"].co_surface == "hash" and out["window"].co_count == 1
+    assert out["spark"].entity_id.endswith("/spark")
