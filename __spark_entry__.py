@@ -4608,6 +4608,21 @@ def q_kg_entity_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lk.entity_profiles(t, hot)
 
 
+def q_rel_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (temporal.
+    cuped_adjusted, Deng et al. WSDM 2013): per-user pre/post cent
+    sums, pooled θ from the scaled integer-OLS identity, micro-
+    quantized adjusted arm means — the experimentation-platform
+    estimator as a first-class oracled op. One user agg + one 1-row
+    OLS agg + one arm rollup; no windows. Oracle replays the cent
+    sums, θ, and the adjusted means."""
+    from json_ld_spark.operators.temporal import cuped_adjusted
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    return cuped_adjusted(ev, cutoff="2024-01-16 00:00:00")
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4622,7 +4637,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_topic_segments", "data_logreg_quality", "ann_pca_project",
     "kg_disambiguate", "kg_pronoun_links", "kg_square_count", "dedup_lsh_pr",
     "kg_degree_profile", "text_ttr_zipf", "ann_recall_curve",
-    "streaming_logreg", "kg_entity_profiles",
+    "streaming_logreg", "kg_entity_profiles", "rel_cuped",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5591,6 +5606,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_curve": q_ann_recall_curve,
         "streaming_logreg": q_streaming_logreg,
         "kg_entity_profiles": q_kg_entity_profiles,
+        "rel_cuped": q_rel_cuped,
     }
 
 
@@ -10934,6 +10950,44 @@ FROM feats CROSS JOIN r2 w
 
 _STREAMING_LOGREG_SQL = _streaming_logreg_sql()
 
+# CUPED: cent sums -> integer-OLS theta -> micro-quantized adjusted means
+_CUPED_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(round(value * 100.0, 0) AS BIGINT) ELSE 0 END) AS pre_c,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(round(value * 100.0, 0) AS BIGINT) ELSE 0 END) AS post_c
+  FROM events GROUP BY user_id
+), ols AS (
+  SELECT CASE WHEN (n * sxx - sx * sx) <> 0
+              THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+              ELSE 0.0 END AS theta,
+         round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_pre
+  FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pre_c) AS BIGINT) AS sx, CAST(SUM(post_c) AS BIGINT) AS sy,
+           CAST(SUM(pre_c * post_c) AS BIGINT) AS sxy,
+           CAST(SUM(pre_c * pre_c) AS BIGINT) AS sxx
+    FROM per_user)
+), keyed AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm, post_c,
+         CAST(round((CAST(post_c AS DOUBLE)
+                     - o.theta * (CAST(pre_c AS DOUBLE) - o.mean_pre)) * 1e4, 0)
+              AS BIGINT) AS adj_micro,
+         o.theta
+  FROM per_user CROSS JOIN ols o
+)
+SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(CAST(SUM(post_c) AS DOUBLE) / 100.0
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_post_r,
+       round(CAST(SUM(adj_micro) AS DOUBLE) / 1e4 / 100.0
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_adj_r,
+       ANY_VALUE(theta) AS theta_r
+FROM keyed GROUP BY arm
+"""
+
 # per-entity KB rollup: dictionary join + profile agg + co-mention argmax
 _ENTITY_PROFILES_SQL = _BASE_CTE + """
 , dwords AS (
@@ -11613,4 +11667,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_curve": _ANN_RECALL_CURVE_SQL,
         "streaming_logreg": _STREAMING_LOGREG_SQL,
         "kg_entity_profiles": _ENTITY_PROFILES_SQL,
+        "rel_cuped": _CUPED_SQL,
     }

@@ -350,3 +350,99 @@ def retention_cohorts(
             F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention_r"),
         )
     )
+
+
+def cuped_adjusted(
+    events: DataFrame,
+    cutoff: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al. WSDM 2013): the
+    variance-reduction estimator every experimentation platform runs —
+    per-user post-period metric adjusted by the pre-period covariate,
+
+        adj_u = post_u − θ·(pre_u − mean(pre)),   θ = cov(pre, post)/var(pre),
+
+    with arms assigned deterministically (user_id parity stands in for
+    the assignment column). All money math is integer CENTS; θ and the
+    pre-mean are computed from exact BIGINT sums via the same scaled
+    integer-OLS identity as ttr_zipf (the scale cancels in the ratio)
+    and rounded 6 dp IN-ENGINE, so a DuckDB replay lands on identical
+    doubles; per-user adjusted values are re-quantized to micros before
+    the final arm mean (order-free sums).
+
+    Scale shape: one user-keyed aggregation (map-side combinable), one
+    global 1-row OLS aggregation (bounded driver state: 2 doubles),
+    one arm rollup. No windows, no Python.
+    """
+    cents = F.round(F.col(value_col) * F.lit(100.0), 0).cast("long")
+    pre = F.when(F.col(ts_col) < F.lit(cutoff).cast("timestamp"), cents).otherwise(
+        F.lit(0)
+    )
+    post = F.when(
+        F.col(ts_col) >= F.lit(cutoff).cast("timestamp"), cents
+    ).otherwise(F.lit(0))
+    per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.sum(pre).alias("pre_c"), F.sum(post).alias("post_c")
+    )
+    ols = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_c").alias("sx"),
+        F.sum("post_c").alias("sy"),
+        F.sum(F.col("pre_c") * F.col("post_c")).alias("sxy"),
+        F.sum(F.col("pre_c") * F.col("pre_c")).alias("sxx"),
+    ).select(
+        F.when(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) != 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+        F.round(F.col("sx").cast("double") / F.col("n").cast("double"), 6).alias(
+            "mean_pre"
+        ),
+    ).collect()[0]
+    theta, mean_pre = ols["theta"], ols["mean_pre"]
+    adj = (
+        F.col("post_c").cast("double")
+        - F.lit(theta) * (F.col("pre_c").cast("double") - F.lit(mean_pre))
+    )
+    keyed = per_user.withColumn(
+        "adj_micro", F.round(adj * F.lit(1e4), 0).cast("long")
+    ).withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    return (
+        keyed.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("post_c").alias("post_sum_c"),
+            F.sum("adj_micro").alias("adj_sum_micro"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            F.round(
+                F.col("post_sum_c").cast("double")
+                / F.lit(100.0)
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("mean_post_r"),
+            F.round(
+                F.col("adj_sum_micro").cast("double")
+                / F.lit(1e4)
+                / F.lit(100.0)
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("mean_adj_r"),
+            F.lit(theta).alias("theta_r"),
+        )
+    )

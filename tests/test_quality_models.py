@@ -332,3 +332,24 @@ def test_entity_profiles_rollup_and_comention(spark):
     # window co-mentions spark once and hash once -> tie broken to 'hash'
     assert out["window"].co_surface == "hash" and out["window"].co_count == 1
     assert out["spark"].entity_id.endswith("/spark")
+
+
+def test_cuped_perfect_covariate_collapses_variance(spark):
+    from datetime import datetime
+
+    from json_ld_spark.operators.temporal import cuped_adjusted
+
+    pre_t, post_t = datetime(2024, 1, 10), datetime(2024, 1, 20)
+    rows = []
+    # post = pre exactly (theta -> 1): adjusted value is the pre-mean
+    # for every user, so both arm means collapse to the same number
+    for u, v in [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)]:
+        rows.append((u, pre_t, v))
+        rows.append((u, post_t, v))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.arm: r for r in
+           cuped_adjusted(ev, cutoff="2024-01-16 00:00:00").collect()}
+    assert abs(out[0].theta_r - 1.0) < 1e-6
+    assert abs(out[0].mean_adj_r - out[1].mean_adj_r) < 1e-6
+    # raw post means differ across arms (20,40 vs 10,30)
+    assert abs(out[0].mean_post_r - out[1].mean_post_r) > 5
