@@ -4623,6 +4623,27 @@ def q_rel_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjusted(ev, cutoff="2024-01-16 00:00:00")
 
 
+def q_data_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-utilization report over the sequence packer
+    (sampling.pack_stats on pack_documents output): per (lang,
+    utilization-decile) pack counts, doc counts, min/max fill — the
+    padding-FLOPs metric of every pretraining batch pipeline. Two
+    integer aggregations. Oracle wraps the pack replay and the same
+    integer decile math."""
+    from json_ld_spark.operators import sampling as sp
+    from json_ld_spark.operators.retrieval import doc_lengths
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang").join(
+        doc_lengths(docs).withColumnRenamed("dl", "n_tok"), "doc_id"
+    )
+    packed = sp.pack_documents(
+        toks, "n_tok", budget=2000, order_col="doc_id", shard_col="lang"
+    )
+    return sp.pack_stats(packed, "n_tok", budget=2000, shard_col="lang")
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4637,7 +4658,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_topic_segments", "data_logreg_quality", "ann_pca_project",
     "kg_disambiguate", "kg_pronoun_links", "kg_square_count", "dedup_lsh_pr",
     "kg_degree_profile", "text_ttr_zipf", "ann_recall_curve",
-    "streaming_logreg", "kg_entity_profiles", "rel_cuped",
+    "streaming_logreg", "kg_entity_profiles", "rel_cuped", "data_pack_stats",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5607,6 +5628,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_logreg": q_streaming_logreg,
         "kg_entity_profiles": q_kg_entity_profiles,
         "rel_cuped": q_rel_cuped,
+        "data_pack_stats": q_data_pack_stats,
     }
 
 
@@ -10950,6 +10972,22 @@ FROM feats CROSS JOIN r2 w
 
 _STREAMING_LOGREG_SQL = _streaming_logreg_sql()
 
+# pack bin-utilization: wrap the pack replay, integer decile rollup
+_PACK_STATS_SQL = """
+WITH packed AS (
+""" + _PACK_SQL.replace("WITH t AS", "  WITH t AS") + """
+), per AS (
+  SELECT lang AS shard, pack_id, SUM(n_tok) AS fill, COUNT(*) AS n_docs
+  FROM packed GROUP BY lang, pack_id
+)
+SELECT shard, CAST(LEAST(fill * 10 // 2000, 10) AS INT) AS util_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(MIN(fill) AS BIGINT) AS min_fill,
+       CAST(MAX(fill) AS BIGINT) AS max_fill
+FROM per GROUP BY 1, 2
+"""
+
 # CUPED: cent sums -> integer-OLS theta -> micro-quantized adjusted means
 _CUPED_SQL = """
 WITH per_user AS (
@@ -11668,4 +11706,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_logreg": _STREAMING_LOGREG_SQL,
         "kg_entity_profiles": _ENTITY_PROFILES_SQL,
         "rel_cuped": _CUPED_SQL,
+        "data_pack_stats": _PACK_STATS_SQL,
     }

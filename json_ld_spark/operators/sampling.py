@@ -871,3 +871,40 @@ def rank_normalize(
         )
         .drop("__one", "__r", "__s", "__n")
     )
+
+
+def pack_stats(
+    packed: DataFrame,
+    token_col: str,
+    budget: int,
+    shard_col: str = "lang",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Bin-utilization report for :func:`pack_documents` output — THE
+    packing metric a pretraining pipeline watches (fill factor decides
+    how many FLOPs train on padding): per (shard, utilization-decile),
+    how many packs landed there, how many documents they carry, and
+    the min/max fill. Deciles are integer arithmetic
+    (``LEAST(fill*10 DIV budget, 10)`` — the 10 bucket holds packs that
+    overflowed the budget by their last document, which contiguous
+    fill permits by construction).
+
+    Scale shape: two map-side-combinable aggregations (pack rollup,
+    then decile rollup); integer-exact everywhere.
+    """
+    per = packed.groupBy(F.col(shard_col).alias("shard"), pack_col).agg(
+        F.sum(token_col).alias("fill"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    decile = F.least(
+        F.expr(f"fill * 10 DIV {int(budget)}"), F.lit(10)
+    ).cast("int")
+    return (
+        per.groupBy("shard", decile.alias("util_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.min("fill").cast("long").alias("min_fill"),
+            F.max("fill").cast("long").alias("max_fill"),
+        )
+    )
