@@ -4644,6 +4644,24 @@ def q_data_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.pack_stats(packed, "n_tok", budget=2000, shard_col="lang")
 
 
+def q_ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vector-index maintenance (similarity.
+    ivf_incremental_assign): a new embedding shipment (every 3rd
+    vector re-keyed +1,000,000) is assigned to the PERSISTED coarse
+    codebook — no retrain, no touch of existing postings — and the
+    per-cell posting census (the retrain-trigger balance report) is
+    emitted. Completes the incremental family (canonicalize, MinHash,
+    graph state, online SGD) for the ANN index. Oracle replays the
+    codebook + both assignments + the outer-join census."""
+    _utc(spark)
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    cents = sim.ivf_centroids(emb, n_cells=16, lloyd_rounds=2)
+    new_batch = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return sim.ivf_incremental_assign(emb, new_batch, cents, n_assign=2)
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4659,6 +4677,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_disambiguate", "kg_pronoun_links", "kg_square_count", "dedup_lsh_pr",
     "kg_degree_profile", "text_ttr_zipf", "ann_recall_curve",
     "streaming_logreg", "kg_entity_profiles", "rel_cuped", "data_pack_stats",
+    "ann_incremental_assign",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5629,6 +5648,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_profiles": q_kg_entity_profiles,
         "rel_cuped": q_rel_cuped,
         "data_pack_stats": q_data_pack_stats,
+        "ann_incremental_assign": q_ann_incremental_assign,
     }
 
 
@@ -11484,6 +11504,42 @@ def _ann_recall_curve_sql(
 _ANN_RECALL_CURVE_SQL = _ann_recall_curve_sql()
 
 
+def _ann_incremental_sql(
+    n_cells: int = 16, lloyd_rounds: int = 2, n_assign: int = 2, dim: int = 64,
+) -> str:
+    """Codebook replay + base/new assignment + outer-join census
+    (mirrors q_ann_incremental_assign)."""
+    prefix, prev = _ivf_codebook_prefix(n_cells, lloyd_rounds, dim)
+    return f"""{prefix}
+, nb AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC
+           ) AS rk
+    FROM e CROSS JOIN {prev} c)
+  WHERE rk <= {n_assign} GROUP BY cell
+), nn AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC
+           ) AS rk
+    FROM e CROSS JOIN {prev} c
+    WHERE e.vec_id % 3 = 0)
+  WHERE rk <= {n_assign} GROUP BY cell
+)
+SELECT CAST(COALESCE(nb.cell, nn.cell) AS INT) AS cell,
+       CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(n_base, 0) + COALESCE(n_new, 0) AS BIGINT) AS n_total
+FROM nb FULL OUTER JOIN nn ON nb.cell = nn.cell
+"""
+
+
+_ANN_INCREMENTAL_SQL = _ann_incremental_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_native": _TRIPLES_SQL,
@@ -11707,4 +11763,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_profiles": _ENTITY_PROFILES_SQL,
         "rel_cuped": _CUPED_SQL,
         "data_pack_stats": _PACK_STATS_SQL,
+        "ann_incremental_assign": _ANN_INCREMENTAL_SQL,
     }

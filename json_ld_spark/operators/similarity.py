@@ -971,3 +971,54 @@ def pca_power_project(
     return emb.select(
         F.col(id_col).alias("vec_id"), F.round(score, 4).alias("pc1_score_r")
     )
+
+
+def ivf_incremental_assign(
+    base: DataFrame,
+    new_batch: DataFrame,
+    centroids: DataFrame,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental vector-index maintenance: assign an ARRIVING
+    embedding batch to the persisted coarse codebook without retraining
+    and without touching existing postings — the production contract of
+    a FAISS-style IVF index at 100 TB (codebooks are versioned
+    dictionary state; only the delta is scanned; periodic retrains are
+    a separate offline job). Returns the per-cell posting census
+    (cell, n_base, n_new, n_total) — the balance report that decides
+    when a retrain is due (hot cells ⇒ recall decay).
+
+    Scale shape: two literal-codebook assignment projections (whole-
+    stage codegen, no shuffle until the 16-row cell rollup) + one
+    outer-joined census. Integer counts only.
+    """
+    cents = [(int(r["cell"]), list(r["centroid"])) for r in centroids.collect()]
+
+    def postings(df: DataFrame):
+        return df.select(
+            F.col(id_col).alias("vec_id"),
+            F.explode(
+                _nearest_cells(F.col(vec_col), cents, n_assign)
+            ).alias("cell"),
+        )
+
+    nb = postings(base).groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_base")
+    )
+    nn = postings(new_batch).groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    return (
+        nb.join(nn, "cell", "full_outer")
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(F.col("n_base"), F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            (
+                F.coalesce(F.col("n_base"), F.lit(0))
+                + F.coalesce(F.col("n_new"), F.lit(0))
+            ).cast("long").alias("n_total"),
+        )
+    )

@@ -353,3 +353,16 @@ def test_cuped_perfect_covariate_collapses_variance(spark):
     assert abs(out[0].mean_adj_r - out[1].mean_adj_r) < 1e-6
     # raw post means differ across arms (20,40 vs 10,30)
     assert abs(out[0].mean_post_r - out[1].mean_post_r) > 5
+
+
+def test_ivf_incremental_assign_census(spark):
+    base = _emb(spark, [(float(i % 4), float((i * 3) % 5)) for i in range(24)])
+    cents = sim.ivf_centroids(base, n_cells=4, lloyd_rounds=1)
+    new = base.filter("vec_id % 2 = 0").selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding"
+    )
+    out = sim.ivf_incremental_assign(base, new, cents, n_assign=1).collect()
+    assert sum(r.n_base for r in out) == 24      # every base vector posted once
+    assert sum(r.n_new for r in out) == 12       # delta only
+    for r in out:
+        assert r.n_total == r.n_base + r.n_new
