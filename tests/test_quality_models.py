@@ -356,7 +356,9 @@ def test_cuped_perfect_covariate_collapses_variance(spark):
 
 
 def test_ivf_incremental_assign_census(spark):
-    base = _emb(spark, [(float(i % 4), float((i * 3) % 5)) for i in range(24)])
+    base = _emb(
+        spark, [(float(i % 4 + 1), float((i * 3) % 5 + 1)) for i in range(24)]
+    )
     cents = sim.ivf_centroids(base, n_cells=4, lloyd_rounds=1)
     new = base.filter("vec_id % 2 = 0").selectExpr(
         "vec_id + 1000000 AS vec_id", "embedding"
