@@ -167,6 +167,14 @@ CARTESIAN_OK = {
                                 # (the transe_rank shape) + 1-row z total
     "data_doremi_weights",      # one-row broadcasts of the global
                                 # loss/size totals and the normalizer z
+    "kg_degree_profile",        # one-row broadcast of the Hill alpha
+                                # scalar onto the bin histogram
+    "dedup_lsh_pr",             # brute-force all-pairs TRUTH over the
+                                # bounded eval sample (the measurement
+                                # needs exact ground truth by design)
+    "ann_recall_curve",         # per-probe 1-row count x 1-row count
+                                # crossJoins (3x) + the brute-force
+                                # exact-truth twin (documented baseline)
 }
 
 # documented exceptions for the single-partition detectors: queries
