@@ -4662,6 +4662,22 @@ def q_ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_incremental_assign(emb, new_batch, cents, n_assign=2)
 
 
+def q_kg_mmr_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse-exemplar turn selection per conversation (curation.
+    mmr_select_turns, Carbonell & Goldstein MMR in an ALL-INTEGER
+    variant): 3 greedy rounds of conv-partitioned argmax — relevance =
+    overlap with the rest of the conversation, penalty = max overlap
+    with already-picked turns; every score an exact set-cardinality
+    integer. The SFT-subsampling stage as a first-class op. Oracle
+    unrolls the 3 rounds with the same windows and list
+    intersections."""
+    from json_ld_spark.operators.curation import mmr_select_turns
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    return mmr_select_turns(t, k=3)
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4677,7 +4693,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_disambiguate", "kg_pronoun_links", "kg_square_count", "dedup_lsh_pr",
     "kg_degree_profile", "text_ttr_zipf", "ann_recall_curve",
     "streaming_logreg", "kg_entity_profiles", "rel_cuped", "data_pack_stats",
-    "ann_incremental_assign",
+    "ann_incremental_assign", "kg_mmr_exemplars",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5649,6 +5665,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cuped": q_rel_cuped,
         "data_pack_stats": q_data_pack_stats,
         "ann_incremental_assign": q_ann_incremental_assign,
+        "kg_mmr_exemplars": q_kg_mmr_exemplars,
     }
 
 
@@ -11008,6 +11025,83 @@ SELECT shard, CAST(LEAST(fill * 10 // 2000, 10) AS INT) AS util_decile,
 FROM per GROUP BY 1, 2
 """
 
+# integer-MMR exemplar selection: 3 unrolled greedy rounds
+_MMR_SQL = _BASE_CTE + """
+, wsets AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''
+         )) AS w
+  FROM base
+), cw AS (
+  SELECT conv_id, turn_idx, unnest(w) AS word FROM wsets
+), other AS (
+  SELECT conv_id, word, COUNT(*) AS n_turns_with FROM cw GROUP BY 1, 2
+), rel AS (
+  SELECT c.conv_id, c.turn_idx, COUNT(*) AS rel
+  FROM cw c JOIN other o ON c.conv_id = o.conv_id AND c.word = o.word
+  WHERE o.n_turns_with >= 2
+  GROUP BY 1, 2
+), cand AS (
+  SELECT s.conv_id, s.turn_idx, s.w,
+         CAST(COALESCE(r.rel, 0) AS BIGINT) AS rel
+  FROM wsets s LEFT JOIN rel r
+    ON s.conv_id = r.conv_id AND s.turn_idx = r.turn_idx
+), p1 AS (
+  SELECT conv_id, turn_idx, w, rel AS score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id
+                                 ORDER BY rel DESC, turn_idx) AS rk
+    FROM cand)
+  WHERE rk = 1
+), rem1 AS (
+  SELECT c.* FROM cand c JOIN p1 ON c.conv_id = p1.conv_id
+  WHERE c.turn_idx <> p1.turn_idx
+), pen2 AS (
+  SELECT r.conv_id, r.turn_idx,
+         MAX(len(list_intersect(r.w, p.w))) AS pen
+  FROM rem1 r JOIN p1 p ON r.conv_id = p.conv_id
+  GROUP BY 1, 2
+), p2 AS (
+  SELECT conv_id, turn_idx, w, score FROM (
+    SELECT r.conv_id, r.turn_idx, r.w,
+           r.rel - CAST(COALESCE(n.pen, 0) AS BIGINT) AS score,
+           ROW_NUMBER() OVER (PARTITION BY r.conv_id
+             ORDER BY r.rel - CAST(COALESCE(n.pen, 0) AS BIGINT) DESC,
+                      r.turn_idx) AS rk
+    FROM rem1 r LEFT JOIN pen2 n
+      ON r.conv_id = n.conv_id AND r.turn_idx = n.turn_idx)
+  WHERE rk = 1
+), rem2 AS (
+  SELECT r.* FROM rem1 r JOIN p2 ON r.conv_id = p2.conv_id
+  WHERE r.turn_idx <> p2.turn_idx
+), picked2 AS (
+  SELECT conv_id, w FROM p1 UNION ALL SELECT conv_id, w FROM p2
+), pen3 AS (
+  SELECT r.conv_id, r.turn_idx,
+         MAX(len(list_intersect(r.w, p.w))) AS pen
+  FROM rem2 r JOIN picked2 p ON r.conv_id = p.conv_id
+  GROUP BY 1, 2
+), p3 AS (
+  SELECT conv_id, turn_idx, w, score FROM (
+    SELECT r.conv_id, r.turn_idx, r.w,
+           r.rel - CAST(COALESCE(n.pen, 0) AS BIGINT) AS score,
+           ROW_NUMBER() OVER (PARTITION BY r.conv_id
+             ORDER BY r.rel - CAST(COALESCE(n.pen, 0) AS BIGINT) DESC,
+                      r.turn_idx) AS rk
+    FROM rem2 r LEFT JOIN pen3 n
+      ON r.conv_id = n.conv_id AND r.turn_idx = n.turn_idx)
+  WHERE rk = 1
+)
+SELECT conv_id, turn_idx, CAST(score AS BIGINT) AS score,
+       CAST(1 AS INT) AS pick_rank FROM p1
+UNION ALL
+SELECT conv_id, turn_idx, CAST(score AS BIGINT) AS score,
+       CAST(2 AS INT) AS pick_rank FROM p2
+UNION ALL
+SELECT conv_id, turn_idx, CAST(score AS BIGINT) AS score,
+       CAST(3 AS INT) AS pick_rank FROM p3
+"""
+
 # CUPED: cent sums -> integer-OLS theta -> micro-quantized adjusted means
 _CUPED_SQL = """
 WITH per_user AS (
@@ -11764,4 +11858,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_cuped": _CUPED_SQL,
         "data_pack_stats": _PACK_STATS_SQL,
         "ann_incremental_assign": _ANN_INCREMENTAL_SQL,
+        "kg_mmr_exemplars": _MMR_SQL,
     }

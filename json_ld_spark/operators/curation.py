@@ -1084,3 +1084,115 @@ def logreg_quality(
         F.round(p, 6).alias("score_r"),
         (F.round(p, 6) >= F.lit(0.5)).cast("int").alias("pred"),
     )
+
+
+def mmr_select_turns(
+    turns: DataFrame,
+    k: int = 3,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal-marginal-relevance exemplar selection per conversation
+    (Carbonell & Goldstein 1998), in an ALL-INTEGER variant: pick k
+    turns that are relevant (word-set overlap with the REST of the
+    conversation) but mutually diverse (penalized by overlap with the
+    already-picked set) — the diverse-exemplar subsampling stage of
+    SFT-data assembly (k representative turns instead of the whole
+    transcript).
+
+        score_r1(t)   = |W(t) ∩ W(conv \\ t)|               (integer)
+        score_rk(t)   = score_r1(t) − max_{s∈picked} |W(t) ∩ W(s)|
+
+    Ties break to the earlier turn. Everything is set-intersection
+    cardinality — exact integers on every engine, no float MMR λ.
+
+    Scale shape: one conv-keyed word-set projection; per greedy round
+    ONE conv-partitioned argmax window + ONE equi-join of the (conv,
+    picked-turn) 1-row-per-conv table back to the candidates (never a
+    cross join); k is a small constant, so the plan is k unrolled
+    rounds. Conversations are bounded, windows partitioned.
+    """
+    wset = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    base = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        wset.alias("w"),
+    )
+    conv_words = base.select(
+        "conv_id", F.explode("w").alias("word"), "turn_idx"
+    )
+    # relevance: words of t that also appear in ANOTHER turn of the conv
+    other = (
+        conv_words.groupBy("conv_id", "word")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns_with"),
+        )
+    )
+    rel = (
+        conv_words.join(other, ["conv_id", "word"])
+        .where(F.col("n_turns_with") >= 2)
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    cand = base.join(rel, ["conv_id", "turn_idx"], "left").select(
+        "conv_id",
+        "turn_idx",
+        "w",
+        F.coalesce(F.col("rel"), F.lit(0)).cast("long").alias("rel"),
+    )
+    picked = None
+    remaining = cand
+    out = []
+    for r in range(1, max(1, k) + 1):
+        if picked is None:
+            scored = remaining.withColumn("score", F.col("rel"))
+        else:
+            pen = (
+                remaining.join(
+                    picked.select(
+                        "conv_id", F.col("w").alias("pw")
+                    ),
+                    "conv_id",
+                )
+                .withColumn(
+                    "p", F.size(F.array_intersect(F.col("w"), F.col("pw")))
+                )
+                .groupBy("conv_id", "turn_idx")
+                .agg(F.max("p").alias("pen"))
+            )
+            scored = remaining.join(pen, ["conv_id", "turn_idx"], "left").withColumn(
+                "score",
+                F.col("rel") - F.coalesce(F.col("pen"), F.lit(0)),
+            ).drop("pen")
+        w_arg = Window.partitionBy("conv_id").orderBy(
+            F.desc("score"), F.asc("turn_idx")
+        )
+        pick_r = (
+            scored.withColumn("rk", F.row_number().over(w_arg))
+            .where(F.col("rk") == 1)
+            .select(
+                "conv_id",
+                "turn_idx",
+                "w",
+                F.col("score").cast("long").alias("score"),
+                F.lit(r).cast("int").alias("pick_rank"),
+            )
+        )
+        out.append(pick_r.select("conv_id", "turn_idx", "score", "pick_rank"))
+        picked = pick_r if picked is None else picked.select(
+            "conv_id", "turn_idx", "w"
+        ).unionByName(pick_r.select("conv_id", "turn_idx", "w"))
+        remaining = remaining.join(
+            pick_r.select("conv_id", F.col("turn_idx").alias("pt")),
+            "conv_id",
+        ).where(F.col("turn_idx") != F.col("pt")).drop("pt")
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -368,3 +368,38 @@ def test_ivf_incremental_assign_census(spark):
     assert sum(r.n_new for r in out) == 12       # delta only
     for r in out:
         assert r.n_total == r.n_base + r.n_new
+
+
+def test_mmr_select_turns_greedy_diversity(spark):
+    from json_ld_spark.operators.curation import mmr_select_turns
+
+    turns = spark.createDataFrame(
+        [
+            # turns 0,1 near-identical (high relevance, redundant);
+            # turn 2 overlaps partially; turn 3 disjoint
+            ("c", 0, "alpha beta gamma delta"),
+            ("c", 1, "alpha beta gamma delta"),
+            ("c", 2, "alpha beta zeta eta"),
+            ("c", 3, "omega psi chi phi"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = {r.pick_rank: r for r in
+           mmr_select_turns(turns, k=3).filter("conv_id = 'c'").collect()}
+    # round 1: turn 0 (ties with 1, earlier wins) — max overlap w/ rest
+    assert out[1].turn_idx == 0 and out[1].score == 4
+    # round 2: turn 1 would score 4-4=0; turn 2 scores 2-2=0; tie -> 1
+    assert out[2].turn_idx == 1
+    # round 3: turn 2 scores 2-2=0, turn 3 scores 0-0=0; tie -> turn 2
+    assert out[3].turn_idx == 2
+    assert set(out) == {1, 2, 3}
+
+
+def test_mmr_short_conversation_yields_fewer_picks(spark):
+    from json_ld_spark.operators.curation import mmr_select_turns
+
+    turns = spark.createDataFrame(
+        [("s", 0, "only turn here")], "conv_id string, turn_idx int, text string"
+    )
+    out = mmr_select_turns(turns, k=3).collect()
+    assert len(out) == 1 and out[0].pick_rank == 1 and out[0].score == 0
