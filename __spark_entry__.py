@@ -4678,6 +4678,67 @@ def q_kg_mmr_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select_turns(t, k=3)
 
 
+def q_data_source_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset cards — the per-provenance summary a data
+    release publishes: doc/char volumes, exact-dup count and fraction
+    (on the dup-injected corpus so the metric is non-trivial),
+    language cardinality and the dominant language. Two hash
+    aggregations + one source-partitioned argmax window; integer-exact
+    except the single rounded fraction. Oracle replays the injection
+    and every rollup."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "source", "lang", "text", "n_chars").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "source", "lang", "text", "n_chars",
+        )
+    )
+    hashed = corpus.withColumn(
+        "content_hash", F.md5(dd.normalize_text(F.col("text")))
+    )
+    dup = (
+        hashed.groupBy("source", "content_hash")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .where(F.col("g") > 1)
+        .groupBy("source")
+        .agg(F.sum("g").alias("n_dup_docs"))
+    )
+    lang_counts = corpus.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wtop = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top_lang = (
+        lang_counts.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    base = corpus.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    return (
+        base.join(dup, "source", "left")
+        .join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.coalesce(F.col("n_dup_docs"), F.lit(0)).cast("long").alias(
+                "n_dup_docs"
+            ),
+            F.round(
+                F.coalesce(F.col("n_dup_docs"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_frac_r"),
+            "n_langs",
+            "top_lang",
+        )
+    )
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4693,7 +4754,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_disambiguate", "kg_pronoun_links", "kg_square_count", "dedup_lsh_pr",
     "kg_degree_profile", "text_ttr_zipf", "ann_recall_curve",
     "streaming_logreg", "kg_entity_profiles", "rel_cuped", "data_pack_stats",
-    "ann_incremental_assign", "kg_mmr_exemplars",
+    "ann_incremental_assign", "kg_mmr_exemplars", "data_source_cards",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5666,6 +5727,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_pack_stats": q_data_pack_stats,
         "ann_incremental_assign": q_ann_incremental_assign,
         "kg_mmr_exemplars": q_kg_mmr_exemplars,
+        "data_source_cards": q_data_source_cards,
     }
 
 
@@ -11025,6 +11087,46 @@ SELECT shard, CAST(LEAST(fill * 10 // 2000, 10) AS INT) AS util_decile,
 FROM per GROUP BY 1, 2
 """
 
+# per-source dataset cards: dup injection + rollups + top-lang argmax
+_SOURCE_CARDS_SQL = """
+WITH corpus AS (
+  SELECT doc_id, source, lang, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, lang, text, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+), hashed AS (
+  SELECT source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM corpus
+), dup AS (
+  SELECT source, CAST(SUM(g) AS BIGINT) AS n_dup_docs FROM (
+    SELECT source, content_hash, COUNT(*) AS g
+    FROM hashed GROUP BY 1, 2)
+  WHERE g > 1 GROUP BY source
+), lang_counts AS (
+  SELECT source, lang, COUNT(*) AS c FROM corpus GROUP BY 1, 2
+), top_lang AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY c DESC, lang ASC) AS rk
+    FROM lang_counts)
+  WHERE rk = 1
+), base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM corpus GROUP BY source
+)
+SELECT b.source, b.n_docs, b.n_chars,
+       CAST(COALESCE(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       round(CAST(COALESCE(d.n_dup_docs, 0) AS DOUBLE)
+             / CAST(b.n_docs AS DOUBLE), 6) AS dup_frac_r,
+       b.n_langs, t.top_lang
+FROM base b LEFT JOIN dup d ON b.source = d.source
+JOIN top_lang t ON b.source = t.source
+"""
+
 # integer-MMR exemplar selection: 3 unrolled greedy rounds
 _MMR_SQL = _BASE_CTE + """
 , wsets AS (
@@ -11859,4 +11961,5 @@ def oracle_sql() -> dict[str, str]:
         "data_pack_stats": _PACK_STATS_SQL,
         "ann_incremental_assign": _ANN_INCREMENTAL_SQL,
         "kg_mmr_exemplars": _MMR_SQL,
+        "data_source_cards": _SOURCE_CARDS_SQL,
     }
