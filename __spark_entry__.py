@@ -4739,6 +4739,21 @@ def q_data_source_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI (profile.bootstrap_ci,
+    Chamandy et al. 2012) for the per-language mean document length:
+    32 replicates with md5-bridge Poisson(1) weights (coordination-
+    free — the distributed-bootstrap standard), CI from replicate-mean
+    order statistics. One 32× explode + one (lang, rep) integer agg +
+    one lang-partitioned rank window. Oracle replays the uniform →
+    inverse-CDF weights and every aggregate."""
+    from json_ld_spark.operators.profile import bootstrap_ci
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return bootstrap_ci(docs, "n_chars", group_col="lang", n_reps=32)
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4755,6 +4770,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_degree_profile", "text_ttr_zipf", "ann_recall_curve",
     "streaming_logreg", "kg_entity_profiles", "rel_cuped", "data_pack_stats",
     "ann_incremental_assign", "kg_mmr_exemplars", "data_source_cards",
+    "data_bootstrap_ci",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5728,6 +5744,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_incremental_assign": q_ann_incremental_assign,
         "kg_mmr_exemplars": q_kg_mmr_exemplars,
         "data_source_cards": q_data_source_cards,
+        "data_bootstrap_ci": q_data_bootstrap_ci,
     }
 
 
@@ -11087,6 +11104,54 @@ SELECT shard, CAST(LEAST(fill * 10 // 2000, 10) AS INT) AS util_decile,
 FROM per GROUP BY 1, 2
 """
 
+def _bootstrap_ci_sql(n_reps: int = 32, seed: str = "boot") -> str:
+    """Poisson-bootstrap replay: the CASE chain uses the SAME float
+    literals as profile.POISSON1_CDF (imported, repr-rendered) so the
+    weights are bit-identical."""
+    from json_ld_spark.operators.profile import POISSON1_CDF
+
+    case = "CASE " + " ".join(
+        f"WHEN u < {POISSON1_CDF[i]!r} THEN {i}" for i in range(len(POISSON1_CDF))
+    ) + f" ELSE {len(POISSON1_CDF)} END"
+    return f"""
+WITH rows0 AS (
+  SELECT lang AS grp, CAST(n_chars AS BIGINT) AS x,
+         CAST(doc_id AS VARCHAR) AS rid, b
+  FROM documents CROSS JOIN UNNEST(range(0, {n_reps})) AS t(b)
+), weighted AS (
+  SELECT grp, x, b,
+         {case} AS k
+  FROM (
+    SELECT grp, x, b,
+           (CAST(('0x' || substr(md5('{seed}|' || CAST(b AS VARCHAR) || '|' || rid), 1, 8))::BIGINT AS DOUBLE) + 0.5)
+             / 4294967296.0 AS u
+    FROM rows0)
+), reps AS (
+  SELECT grp,
+         round(CAST(SUM(k * x) AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 6) AS mean_b
+  FROM weighted GROUP BY grp, b
+  HAVING SUM(k) > 0
+), stats AS (
+  SELECT grp, MIN(mean_b) AS ci_lo_r, MAX(mean_b) AS ci_hi_r FROM (
+    SELECT grp, mean_b,
+           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mean_b ASC) AS rk,
+           COUNT(*) OVER (PARTITION BY grp) AS nb
+    FROM reps)
+  WHERE rk = 2 OR rk = nb - 1
+  GROUP BY grp
+), point AS (
+  SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+         round(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_r
+  FROM documents GROUP BY lang
+)
+SELECT p.grp AS lang, p.n, p.mean_r, s.ci_lo_r, s.ci_hi_r
+FROM point p JOIN stats s ON p.grp = s.grp
+"""
+
+
+_BOOTSTRAP_CI_SQL = _bootstrap_ci_sql()
+
 # per-source dataset cards: dup injection + rollups + top-lang argmax
 _SOURCE_CARDS_SQL = """
 WITH corpus AS (
@@ -11962,4 +12027,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_incremental_assign": _ANN_INCREMENTAL_SQL,
         "kg_mmr_exemplars": _MMR_SQL,
         "data_source_cards": _SOURCE_CARDS_SQL,
+        "data_bootstrap_ci": _BOOTSTRAP_CI_SQL,
     }

@@ -197,3 +197,102 @@ def iqr_outliers(
             "winsorized"
         ),
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/k!), fixed
+# literals shared verbatim with the DuckDB oracle so the replicate
+# weights are bit-identical on both engines.
+POISSON1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    n_reps: int = 32,
+    seed: str = "boot",
+) -> DataFrame:
+    """Deterministic POISSON BOOTSTRAP confidence interval for the
+    per-group mean of an integer metric — the standard resampling
+    scheme for distributed data (Chamandy et al., Google 2012: Poisson
+    (1) weights need no global coordination, unlike multinomial
+    resampling): replicate b gives every row weight k ~ Poisson(1)
+    derived from the md5-bridge uniform of (seed, b, id), so every
+    engine, partitioning, and rerun agrees on every weight. The CI is
+    the [2nd smallest, 2nd largest] order statistics of the n_reps=32
+    replicate means (≈ the 5–95% band).
+
+    Scale shape: ONE explode by n_reps (the documented 32× map-side
+    price every production bootstrap pays) → one (group, rep)
+    aggregation with exact integer weighted sums → one group-
+    partitioned rank window over n_reps rows per group. Output:
+    (group, n, mean_r, ci_lo_r, ci_hi_r).
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(n_reps) - 1))).alias("b")
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(metric_col).cast("long").alias("x"),
+        F.col(id_col).cast("string").alias("rid"),
+        b,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed + "|"),
+                    F.col("b").cast("string"),
+                    F.lit("|"),
+                    F.col("rid"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    k = F.lit(len(POISSON1_CDF))
+    for i in range(len(POISSON1_CDF) - 1, -1, -1):
+        k = F.when(u < F.lit(POISSON1_CDF[i]), F.lit(i)).otherwise(k)
+    reps = (
+        rows.withColumn("k", k.cast("long"))
+        .groupBy("grp", "b")
+        .agg(
+            F.sum(F.col("k") * F.col("x")).alias("sk"),
+            F.sum("k").alias("kn"),
+        )
+        .where(F.col("kn") > 0)
+        .select(
+            "grp",
+            F.round(
+                F.col("sk").cast("double") / F.col("kn").cast("double"), 6
+            ).alias("mean_b"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("mean_b"))
+    wn = Window.partitionBy("grp")
+    stats = (
+        reps.withColumn("rk", F.row_number().over(w))
+        .withColumn("nb", F.count(F.lit(1)).over(wn))
+        .where((F.col("rk") == 2) | (F.col("rk") == F.col("nb") - 1))
+        .groupBy("grp")
+        .agg(
+            F.min("mean_b").alias("ci_lo_r"),
+            F.max("mean_b").alias("ci_hi_r"),
+        )
+    )
+    point = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col(metric_col).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_r"),
+    )
+    return point.join(stats, "grp").select(
+        F.col("grp").alias(group_col), "n", "mean_r", "ci_lo_r", "ci_hi_r"
+    )

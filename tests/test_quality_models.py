@@ -403,3 +403,17 @@ def test_mmr_short_conversation_yields_fewer_picks(spark):
     )
     out = mmr_select_turns(turns, k=3).collect()
     assert len(out) == 1 and out[0].pick_rank == 1 and out[0].score == 0
+
+
+def test_bootstrap_ci_brackets_mean_and_is_partition_invariant(spark):
+    from json_ld_spark.operators.profile import bootstrap_ci
+
+    rows = [(i, "g", 100 + (i * 37) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = bootstrap_ci(df, "n_chars", group_col="lang", n_reps=32).collect()[0]
+    assert out.ci_lo_r <= out.mean_r <= out.ci_hi_r
+    assert out.ci_hi_r - out.ci_lo_r < 20  # CI width sane for n=200
+    again = bootstrap_ci(
+        df.repartition(13), "n_chars", group_col="lang", n_reps=32
+    ).collect()[0]
+    assert (out.ci_lo_r, out.ci_hi_r) == (again.ci_lo_r, again.ci_hi_r)
