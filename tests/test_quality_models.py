@@ -417,3 +417,23 @@ def test_bootstrap_ci_brackets_mean_and_is_partition_invariant(spark):
         df.repartition(13), "n_chars", group_col="lang", n_reps=32
     ).collect()[0]
     assert (out.ci_lo_r, out.ci_hi_r) == (again.ci_lo_r, again.ci_hi_r)
+
+
+def test_distmult_rank_valid_and_model_differs_from_transe(spark):
+    from json_ld_spark.operators.kge import distmult_rank, transe_rank
+
+    edges = spark.createDataFrame(
+        [(f"e{i}", "r", f"e{(i * 3) % 11}") for i in range(11)],
+        "subj string, pred string, obj string",
+    )
+    dm = distmult_rank(edges, dim=8, test_mod=2)
+    tr = transe_rank(edges, dim=8, test_mod=2)
+    n_ents = 11
+    drows = {(r.subj, r.obj): r.rank for r in dm.collect()}
+    trows = {(r.subj, r.obj): r.rank for r in tr.collect()}
+    assert drows, "hash test split selected no triples"
+    assert set(drows) == set(trows)  # same deterministic test split
+    for rank in drows.values():
+        assert 1 <= rank <= n_ents
+    # different kernels -> (almost surely) different rankings somewhere
+    assert drows != trows
