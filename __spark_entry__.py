@@ -4782,6 +4782,51 @@ def q_kg_distmult_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distmult_rank(edges, dim=16, test_mod=97)
 
 
+def q_kg_kge_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGE model scoreboard: MRR / Hits@{1,10} for TransE AND DistMult
+    on the IDENTICAL deterministic test split — the side-by-side
+    leaderboard an embedding team reads before picking a kernel. One
+    aggregation over each rank table (ranks are exact integers; MRR is
+    a rounded sum of exact reciprocals). Oracle wraps both rank
+    replays in the same aggregation."""
+    from json_ld_spark.operators.kge import distmult_rank, transe_rank
+    from json_ld_spark.operators.native import (
+        transcript_adjacency_native,
+        transcript_triples_native,
+    )
+
+    _utc(spark)
+    t = transcripts_from_documents(spark, sf_dir)
+    edges = (
+        transcript_triples_native(t)
+        .filter(F.col("obj_kind") == "iri")
+        .select("subj", "pred", "obj")
+        .unionByName(
+            transcript_adjacency_native(t, with_doc_id=False)
+            .select("subj", "pred", "obj")
+        )
+    )
+
+    def metrics(ranks: DataFrame, model: str) -> DataFrame:
+        return ranks.agg(
+            F.lit(model).alias("model"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(F.avg(F.lit(1.0) / F.col("rank").cast("double")), 6).alias(
+                "mrr_r"
+            ),
+            F.round(F.avg((F.col("rank") <= 1).cast("double")), 6).alias(
+                "hits1_r"
+            ),
+            F.round(F.avg((F.col("rank") <= 10).cast("double")), 6).alias(
+                "hits10_r"
+            ),
+        )
+
+    return metrics(transe_rank(edges, dim=16, test_mod=97), "transe").unionByName(
+        metrics(distmult_rank(edges, dim=16, test_mod=97), "distmult")
+    )
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4798,7 +4843,7 @@ _NEVER_DRIVER_CHECKED = (
     "kg_degree_profile", "text_ttr_zipf", "ann_recall_curve",
     "streaming_logreg", "kg_entity_profiles", "rel_cuped", "data_pack_stats",
     "ann_incremental_assign", "kg_mmr_exemplars", "data_source_cards",
-    "data_bootstrap_ci", "kg_distmult_rank",
+    "data_bootstrap_ci", "kg_distmult_rank", "kg_kge_compare",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5774,6 +5819,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_source_cards": q_data_source_cards,
         "data_bootstrap_ci": q_data_bootstrap_ci,
         "kg_distmult_rank": q_kg_distmult_rank,
+        "kg_kge_compare": q_kg_kge_compare,
     }
 
 
@@ -11204,6 +11250,26 @@ FROM ball b LEFT JOIN kb k USING (subj, pred, obj)
 """
 
 
+# kg_kge_compare: both rank replays wrapped in the scoreboard agg
+_KGE_COMPARE_SQL = (
+    """
+SELECT 'transe' AS model, CAST(COUNT(*) AS BIGINT) AS n_test,
+       round(AVG(1.0 / CAST(rank AS DOUBLE)), 6) AS mrr_r,
+       round(AVG(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1_r,
+       round(AVG(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10_r
+FROM (__TRANSE__) t
+UNION ALL
+SELECT 'distmult', CAST(COUNT(*) AS BIGINT),
+       round(AVG(1.0 / CAST(rank AS DOUBLE)), 6),
+       round(AVG(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6),
+       round(AVG(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6)
+FROM (__DISTMULT__) d
+"""
+    .replace("__TRANSE__", _TRANSE_RANK_SQL)
+    .replace("__DISTMULT__", _DISTMULT_RANK_SQL)
+)
+
+
 def _bootstrap_ci_sql(n_reps: int = 32, seed: str = "boot") -> str:
     """Poisson-bootstrap replay: the CASE chain uses the SAME float
     literals as profile.POISSON1_CDF (imported, repr-rendered) so the
@@ -12129,4 +12195,5 @@ def oracle_sql() -> dict[str, str]:
         "data_source_cards": _SOURCE_CARDS_SQL,
         "data_bootstrap_ci": _BOOTSTRAP_CI_SQL,
         "kg_distmult_rank": _DISTMULT_RANK_SQL,
+        "kg_kge_compare": _KGE_COMPARE_SQL,
     }
