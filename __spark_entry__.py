@@ -4827,6 +4827,20 @@ def q_kg_kge_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection (temporal.rate_anomalies): per
+    (event_type, day) counts vs the rolling 7-day self-excluding
+    baseline, |z| ≥ 2 flagged — the ops-monitoring staple as an
+    oracled op. One count agg + one type-partitioned bounded-frame
+    window; exact integer window sums feed the only float math.
+    Oracle replays the frame and the z arithmetic."""
+    from json_ld_spark.operators.temporal import rate_anomalies
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    return rate_anomalies(ev, window_days=7, z_threshold=2.0)
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4844,6 +4858,7 @@ _NEVER_DRIVER_CHECKED = (
     "streaming_logreg", "kg_entity_profiles", "rel_cuped", "data_pack_stats",
     "ann_incremental_assign", "kg_mmr_exemplars", "data_source_cards",
     "data_bootstrap_ci", "kg_distmult_rank", "kg_kge_compare",
+    "rel_rate_anomalies",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5820,6 +5835,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_bootstrap_ci": q_data_bootstrap_ci,
         "kg_distmult_rank": q_kg_distmult_rank,
         "kg_kge_compare": q_kg_kge_compare,
+        "rel_rate_anomalies": q_rel_rate_anomalies,
     }
 
 
@@ -11270,6 +11286,41 @@ FROM (__DISTMULT__) d
 )
 
 
+# rolling z-score rate anomalies: integer window sums feed the z math
+_RATE_ANOMALIES_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), rolled AS (
+  SELECT event_type, day, n,
+         SUM(n) OVER w AS s1,
+         SUM(n * n) OVER w AS s2,
+         COUNT(n) OVER w AS cnt
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT event_type, day, n,
+         CASE WHEN cnt >= 2
+               AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0) > 0
+              THEN round(
+                (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+                / sqrt((CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                          / CAST(cnt AS DOUBLE))
+                       / (CAST(cnt AS DOUBLE) - 1.0)), 4)
+         END AS z_r
+  FROM rolled
+)
+SELECT event_type, day, n, z_r,
+       CASE WHEN z_r IS NULL THEN 0
+            WHEN abs(z_r) >= 2.0 THEN 1 ELSE 0 END AS is_anomaly
+FROM scored
+"""
+
+
 def _bootstrap_ci_sql(n_reps: int = 32, seed: str = "boot") -> str:
     """Poisson-bootstrap replay: the CASE chain uses the SAME float
     literals as profile.POISSON1_CDF (imported, repr-rendered) so the
@@ -12196,4 +12247,5 @@ def oracle_sql() -> dict[str, str]:
         "data_bootstrap_ci": _BOOTSTRAP_CI_SQL,
         "kg_distmult_rank": _DISTMULT_RANK_SQL,
         "kg_kge_compare": _KGE_COMPARE_SQL,
+        "rel_rate_anomalies": _RATE_ANOMALIES_SQL,
     }

@@ -446,3 +446,56 @@ def cuped_adjusted(
             F.lit(theta).alias("theta_r"),
         )
     )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_days: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Event-rate anomaly detection — the ops-monitoring staple: per
+    (event_type, day) counts compared against the ROLLING baseline of
+    the preceding `window_days` days (frame excludes the current day,
+    so a spike can't mask itself), flagged when |z| ≥ z_threshold.
+
+    Determinism: daily counts are exact integers; the rolling mean and
+    sample variance derive from window SUM/SUMSQ/COUNT over those
+    integers (identical scalar arithmetic on both engines), and z is
+    rounded at 4 dp. Days with fewer than 2 baseline days or zero
+    variance emit NULL z (never a division blowup).
+
+    Scale shape: one (type, day) count agg + one type-partitioned
+    ordered window — partition cardinality = event types, frame
+    bounded by window_days.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-int(window_days), -1)
+    )
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    cnt = F.count("n").over(w)
+    mean = s1.cast("double") / cnt.cast("double")
+    var = (
+        s2.cast("double") - s1.cast("double") * s1.cast("double") / cnt.cast("double")
+    ) / (cnt.cast("double") - F.lit(1.0))
+    z = F.when(
+        (cnt >= 2) & (var > 0),
+        F.round((F.col("n").cast("double") - mean) / F.sqrt(var), 4),
+    )
+    return (
+        daily.withColumn("z_r", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(F.col("z_r").isNull(), F.lit(0))
+            .otherwise((F.abs(F.col("z_r")) >= F.lit(float(z_threshold))).cast("int")),
+        )
+        .select("event_type", "day", "n", "z_r", "is_anomaly")
+    )

@@ -437,3 +437,24 @@ def test_distmult_rank_valid_and_model_differs_from_transe(spark):
         assert 1 <= rank <= n_ents
     # different kernels -> (almost surely) different rankings somewhere
     assert drows != trows
+
+
+def test_rate_anomalies_flags_spike(spark):
+    from datetime import datetime
+
+    from json_ld_spark.operators.temporal import rate_anomalies
+
+    rows = []
+    # steady 10 events/day for 9 days, then a 100-event spike
+    for d in range(1, 10):
+        for i in range(10):
+            rows.append((datetime(2024, 1, d, 12, 0, i), "click"))
+    for i in range(100):
+        rows.append((datetime(2024, 1, 10, 12, 0, i % 60, i), "click"))
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r.day: r for r in rate_anomalies(ev, window_days=7).collect()}
+    assert out["2024-01-10"].is_anomaly == 1 and out["2024-01-10"].z_r > 2
+    # steady days after warm-up: zero variance baseline -> NULL z, no flag
+    assert out["2024-01-05"].z_r is None and out["2024-01-05"].is_anomaly == 0
+    # first day has no baseline at all
+    assert out["2024-01-01"].z_r is None
