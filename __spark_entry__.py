@@ -11301,7 +11301,9 @@ WITH daily AS (
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 ), scored AS (
-  SELECT event_type, day, n,
+  SELECT event_type, day, n, s1, cnt,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+          / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0) AS var,
          CASE WHEN cnt >= 2
                AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                     / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0) > 0
@@ -11315,7 +11317,8 @@ WITH daily AS (
   FROM rolled
 )
 SELECT event_type, day, n, z_r,
-       CASE WHEN z_r IS NULL THEN 0
+       CASE WHEN cnt >= 2 AND var <= 0 AND n * cnt <> s1 THEN 1
+            WHEN z_r IS NULL THEN 0
             WHEN abs(z_r) >= 2.0 THEN 1 ELSE 0 END AS is_anomaly
 FROM scored
 """

@@ -490,11 +490,16 @@ def rate_anomalies(
         (cnt >= 2) & (var > 0),
         F.round((F.col("n").cast("double") - mean) / F.sqrt(var), 4),
     )
+    # zero-variance baseline: z is undefined (NULL), but ANY deviation
+    # from the constant rate is an anomaly — integer-exact test
+    # n != mean  ⇔  n·cnt != Σ (no float compare)
+    flat_dev = (cnt >= 2) & (var <= 0) & (F.col("n") * cnt != s1)
     return (
         daily.withColumn("z_r", z)
         .withColumn(
             "is_anomaly",
-            F.when(F.col("z_r").isNull(), F.lit(0))
+            F.when(flat_dev, F.lit(1))
+            .when(F.col("z_r").isNull(), F.lit(0))
             .otherwise((F.abs(F.col("z_r")) >= F.lit(float(z_threshold))).cast("int")),
         )
         .select("event_type", "day", "n", "z_r", "is_anomaly")

@@ -453,7 +453,8 @@ def test_rate_anomalies_flags_spike(spark):
         rows.append((datetime(2024, 1, 10, 12, 0, i % 60, i), "click"))
     ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
     out = {r.day: r for r in rate_anomalies(ev, window_days=7).collect()}
-    assert out["2024-01-10"].is_anomaly == 1 and out["2024-01-10"].z_r > 2
+    # flat baseline -> z undefined, but the deviation still flags
+    assert out["2024-01-10"].is_anomaly == 1 and out["2024-01-10"].z_r is None
     # steady days after warm-up: zero variance baseline -> NULL z, no flag
     assert out["2024-01-05"].z_r is None and out["2024-01-05"].is_anomaly == 0
     # first day has no baseline at all
