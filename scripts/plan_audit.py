@@ -165,6 +165,9 @@ CARTESIAN_OK = {
                                 # table, bounded by the query text
     "kg_kge_eval",              # broadcast(hash-sampled test) x entities
                                 # (the transe_rank shape) + 1-row z total
+    "kg_distmult_rank",         # same broadcast(test) x entities shape
+                                # with the multiplicative kernel
+    "kg_kge_compare",           # both rank shapes feeding the scoreboard
     "data_doremi_weights",      # one-row broadcasts of the global
                                 # loss/size totals and the normalizer z
     "kg_degree_profile",        # one-row broadcast of the Hill alpha
