@@ -4841,6 +4841,20 @@ def q_rel_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_anomalies(ev, window_days=7, z_threshold=2.0)
 
 
+def q_rel_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing + one-step forecast of per-type
+    daily event rates (temporal.holt_forecast) — the capacity-planning
+    primitive beside rate_anomalies. Distributed count aggregation;
+    the sequential recursion runs over the bounded (type, day)
+    aggregate (codebook-sized driver state). Oracle: recursive CTE
+    executing the identical IEEE sequence."""
+    from json_ld_spark.operators.temporal import holt_forecast
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    return holt_forecast(ev, alpha=0.5, beta=0.3)
+
+
 # Verification-surface ordering for the round-5 driver sample (the driver
 # hash-verifies the FIRST 50 keys of queries() at sf0.01).
 #   Tier 1 (first 24): queries ADDED in round 5 — never verified by any
@@ -4858,7 +4872,7 @@ _NEVER_DRIVER_CHECKED = (
     "streaming_logreg", "kg_entity_profiles", "rel_cuped", "data_pack_stats",
     "ann_incremental_assign", "kg_mmr_exemplars", "data_source_cards",
     "data_bootstrap_ci", "kg_distmult_rank", "kg_kge_compare",
-    "rel_rate_anomalies",
+    "rel_rate_anomalies", "rel_holt_forecast",
     # --- Tier 1: round-5 additions (no independent verification yet) ---
     "kg_wl_colors", "kg_neighbor_sample", "kg_kge_eval",
     "data_doremi_weights", "data_best_of_n",
@@ -5836,6 +5850,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distmult_rank": q_kg_distmult_rank,
         "kg_kge_compare": q_kg_kge_compare,
         "rel_rate_anomalies": q_rel_rate_anomalies,
+        "rel_holt_forecast": q_rel_holt_forecast,
     }
 
 
@@ -11286,6 +11301,36 @@ FROM (__DISTMULT__) d
 )
 
 
+# Holt smoothing: the identical IEEE recursion as a recursive CTE
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         COUNT(*) OVER (PARTITION BY event_type) AS kmax
+  FROM daily
+), rec AS (
+  SELECT event_type, 1 AS k, kmax, CAST(n AS DOUBLE) AS level,
+         CAST(0.0 AS DOUBLE) AS trend
+  FROM idx WHERE k = 1
+  UNION ALL
+  SELECT r.event_type, r.k + 1, r.kmax,
+         0.5 * CAST(i.n AS DOUBLE) + (1.0 - 0.5) * (r.level + r.trend)
+           AS level,
+         0.3 * ((0.5 * CAST(i.n AS DOUBLE)
+                 + (1.0 - 0.5) * (r.level + r.trend)) - r.level)
+           + (1.0 - 0.3) * r.trend AS trend
+  FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.k = r.k + 1
+)
+SELECT event_type, CAST(kmax AS BIGINT) AS n_days,
+       round(level, 4) AS level_r, round(trend, 4) AS trend_r,
+       round(level + trend, 4) AS forecast_r
+FROM rec WHERE k = kmax
+"""
+
 # rolling z-score rate anomalies: integer window sums feed the z math
 _RATE_ANOMALIES_SQL = """
 WITH daily AS (
@@ -12251,4 +12296,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_distmult_rank": _DISTMULT_RANK_SQL,
         "kg_kge_compare": _KGE_COMPARE_SQL,
         "rel_rate_anomalies": _RATE_ANOMALIES_SQL,
+        "rel_holt_forecast": _HOLT_SQL,
     }

@@ -504,3 +504,69 @@ def rate_anomalies(
         )
         .select("event_type", "day", "n", "z_r", "is_anomaly")
     )
+
+
+def holt_forecast(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt linear-trend exponential smoothing over per-type DAILY
+    event rates, with a one-step-ahead forecast — the capacity-planning
+    primitive next to rate_anomalies' detection:
+
+        l_k = α·n_k + (1−α)(l_{k−1} + b_{k−1})
+        b_k = β(l_k − l_{k−1}) + (1−β)·b_{k−1},   l_0 = n_0, b_0 = 0
+
+    The smoothing recursion is inherently sequential, but its input is
+    the (type, day) AGGREGATE — bounded by days × types, never corpus-
+    sized — so it runs on the driver over the collected daily table
+    (the codebook-sized-state contract used by IVF/BPE), while the
+    count aggregation underneath stays fully distributed. Both engines
+    execute the identical IEEE sequence (integers in, fixed literal
+    α/β, same association), so the 4-dp outputs replay exactly via a
+    recursive CTE.
+
+    Output: (event_type, n_days, level_r, trend_r, forecast_r).
+    """
+    daily = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(int(r["n"]))
+    rows = []
+    for et in sorted(series):
+        ns = series[et]
+        level = float(ns[0])
+        trend = 0.0
+        for n in ns[1:]:
+            prev = level
+            level = alpha * float(n) + (1.0 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1.0 - beta) * trend
+        rows.append((et, len(ns), level, trend, level + trend))
+    # 4-dp rounding happens IN-ENGINE (F.round == DuckDB round
+    # semantics; Python's round() is half-even and would diverge at
+    # exact decimal boundaries)
+    return (
+        events.sparkSession.createDataFrame(
+            rows,
+            "event_type string, n_days long, level double, trend double, "
+            "forecast double",
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round("level", 4).alias("level_r"),
+            F.round("trend", 4).alias("trend_r"),
+            F.round("forecast", 4).alias("forecast_r"),
+        )
+    )

@@ -459,3 +459,22 @@ def test_rate_anomalies_flags_spike(spark):
     assert out["2024-01-05"].z_r is None and out["2024-01-05"].is_anomaly == 0
     # first day has no baseline at all
     assert out["2024-01-01"].z_r is None
+
+
+def test_holt_forecast_linear_trend(spark):
+    from datetime import datetime
+
+    from json_ld_spark.operators.temporal import holt_forecast
+
+    rows = []
+    # perfectly linear daily rates 10, 20, ..., 100: level tracks the
+    # last value and the forecast extrapolates upward
+    for d in range(1, 11):
+        for i in range(d * 10):
+            rows.append((datetime(2024, 1, d, 8, 0, i % 60, i), "grow"))
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = holt_forecast(ev, alpha=0.5, beta=0.3).collect()[0]
+    assert out.n_days == 10
+    assert out.trend_r > 5             # upward trend detected
+    assert out.forecast_r > out.level_r
+    assert 80 < out.level_r < 110      # level near the last rate
